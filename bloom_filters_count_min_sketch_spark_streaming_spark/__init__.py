@@ -1,0 +1,22 @@
+"""PySpark-native probabilistic stream/batch analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference stream processor (Bloom filters + Count-Min Sketch over Spark
+Streaming), re-expressed Spark-first:
+
+- relational surface: DataFrame / SQL, Catalyst does the planning
+- probabilistic surface: Bloom filter, Count-Min Sketch, HLL, approx top-k,
+  all as mergeable partial aggregates (commutative monoids) so they
+  distribute across any number of executors
+- streaming surface: Structured Streaming (windows, watermarks, stateful ops)
+- LLM-data-pipeline surface: dedup (exact/MinHash-LSH/SimHash/n-gram),
+  vector similarity search, text analysis, multimodal binary columns
+
+Design target is a 1000-executor cluster over ~100 TB: every operator is
+shuffle-based and mergeable; the only driver-side materializations are
+kilobyte-scale sketches and final small results.
+"""
+
+__version__ = "0.1.0"
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,142 @@
+"""Bloom filter operators (reference core surface A1/A2).
+
+Capability parity target: the reference maintains a Bloom filter over a
+stream and answers approximate membership ("might contain") with zero false
+negatives and a tunable false-positive rate (Bloom, CACM 1970).
+
+Spark-first design:
+
+- **build** — ``DataFrameStatFunctions.bloomFilter`` on the JVM: a
+  treeAggregate over the column, so the bit array is OR-merged
+  executor-side and only the final (kilobyte-to-megabyte) filter reaches
+  the driver. This is exactly the 100 TB-safe shape: data never moves, the
+  sketch does. PySpark exposes no Python wrapper, so we bridge via py4j.
+- **probe** — the serialized filter is broadcast and checked row-by-row
+  inside a vectorized pandas UDF using a numpy reimplementation of Spark's
+  Murmur3 (functions/hashing.py). Hashing of non-long columns happens
+  JVM-side first (``xxhash64``), so Python only does bit lookups.
+
+Non-long columns are normalized with ``xxhash64`` before both build and
+probe, keeping the Murmur3 surface long-only (a single, testable codepath).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.hashing import (
+    murmur3_hash_long,
+)
+
+_LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _as_long(df: DataFrame, col: str) -> Column:
+    """Normalize a column to BIGINT for the long-only Bloom codepath."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in _LONG_TYPES:
+        return F.col(col).cast(LongType())
+    return F.xxhash64(F.col(col))
+
+
+@dataclass(frozen=True)
+class BloomFilterSketch:
+    """Parsed form of org.apache.spark.util.sketch.BloomFilter.
+
+    Serialized layouts (big-endian, from BloomFilterImpl{,V2}.writeTo):
+      V1: int32 version(=1), int32 numHashFunctions, BitArray
+      V2: int32 version(=2), int32 numHashFunctions, int32 seed, BitArray
+    where BitArray = int32 numWords, then numWords int64 words.
+    """
+
+    version: int
+    num_hash_functions: int
+    seed: int
+    words: np.ndarray  # uint64[num_words]
+
+    @property
+    def bit_size(self) -> int:
+        return len(self.words) * 64
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilterSketch":
+        def read_int(off: int) -> int:
+            return int.from_bytes(data[off : off + 4], "big", signed=True)
+
+        version = read_int(0)
+        if version == 1:
+            k, seed, bits_off = read_int(4), 0, 8
+        elif version == 2:
+            k, seed, bits_off = read_int(4), read_int(8), 12
+        else:
+            raise ValueError(f"unsupported BloomFilter serialization version {version}")
+        num_words = read_int(bits_off)
+        words = np.frombuffer(
+            data[bits_off + 4 : bits_off + 4 + 8 * num_words], dtype=">i8"
+        ).astype(np.uint64)
+        return cls(version=version, num_hash_functions=k, seed=seed, words=words)
+
+    def _test_bits(self, idx: np.ndarray) -> np.ndarray:
+        word = self.words[(idx >> 6).astype(np.int64)]
+        return ((word >> (idx.astype(np.uint64) & np.uint64(63))) & np.uint64(1)).astype(bool)
+
+    def might_contain_longs(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized membership test; mirrors mightContainLong of V1/V2."""
+        h1 = murmur3_hash_long(values, self.seed)
+        h2 = murmur3_hash_long(values, h1.view(np.uint32))
+        bit_size = np.int64(self.bit_size)
+        out = np.ones(len(values), dtype=bool)
+        with np.errstate(over="ignore"):
+            if self.version == 1:
+                # combined(i) = int32(h1 + i*h2), flip if negative, mod bitSize
+                for i in range(1, self.num_hash_functions + 1):
+                    combined = (h1 + np.int32(i) * h2).astype(np.int32)
+                    combined = np.where(combined < 0, ~combined, combined)
+                    out &= self._test_bits(combined.astype(np.int64) % bit_size)
+            else:
+                # combined(i) = int64(h1)*2147483647 + i*int64(h2), flip if
+                # negative, mod bitSize (BloomFilterImplV2.scatterHashAndGetAllBits)
+                base = h1.astype(np.int64) * np.int64(2147483647)
+                lo = h2.astype(np.int64)
+                for i in range(1, self.num_hash_functions + 1):
+                    combined = base + np.int64(i) * lo
+                    combined = np.where(combined < 0, ~combined, combined)
+                    out &= self._test_bits(combined % bit_size)
+        return out
+
+
+def bloom_build(df: DataFrame, col: str, expected_items: int, fpp: float) -> bytes:
+    """Build a Bloom filter over ``df[col]`` distributively; return its bytes.
+
+    JVM path: Dataset.stat.bloomFilter → treeAggregate of the bit array.
+    """
+    jdf = df.select(_as_long(df, col).alias(col))._jdf  # noqa: SLF001
+    jbloom = jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jbloom.writeTo(bos)
+    return bytes(bos.toByteArray())
+
+
+def bloom_might_contain(df: DataFrame, col: str, bloom_bytes: bytes, out: str = "might_contain") -> DataFrame:
+    """Add boolean ``out`` column: approximate membership of ``col``.
+
+    The filter is shipped to executors via closure capture of the parsed
+    sketch (broadcast by Spark's task serializer); per-row work is numpy.
+    """
+    sketch = BloomFilterSketch.from_bytes(bloom_bytes)
+
+    @F.pandas_udf(BooleanType())
+    def _probe(keys: pd.Series) -> pd.Series:
+        values = keys.to_numpy(dtype=np.int64, na_value=0)
+        result = sketch.might_contain_longs(values)
+        return pd.Series(result)
+
+    return df.withColumn(out, _probe(_as_long(df, col)))

@@ -1,0 +1,156 @@
+"""Count-Min Sketch operators (reference core surface A3-A5, A11).
+
+Capability parity target: the reference maintains a Count-Min Sketch over a
+stream and answers approximate per-item frequency queries — overestimate
+bounded by eps*N with probability >= confidence (Cormode & Muthukrishnan,
+J. Algorithms 2005).
+
+Spark-first design:
+
+- **build** — the built-in Catalyst aggregate ``count_min_sketch(col, eps,
+  confidence, seed)``. It is a TypedImperativeAggregate, so partial sketches
+  are built executor-side and merged through the normal partial->final
+  aggregation path: zero custom shuffle code, works unchanged on 1000
+  executors. Result is one binary value (the serialized sketch).
+- **point query / batch estimate** — the serialized sketch is parsed in
+  Python (depth x width counter table + the hashA multipliers Spark
+  serializes alongside) and evaluated vectorized in numpy, mirroring
+  CountMinSketchImpl.hash: ``h = ((a*x + ((a*x) >> 32)) & MAX_INT) % width``.
+  Non-long columns are normalized with JVM-side ``xxhash64`` before both
+  build and probe (same normalization as functions/bloom.py).
+- **merge** — CMS of same (depth, width, seed) is a commutative monoid;
+  JVM ``mergeInPlace`` via py4j for driver-side merging of per-batch
+  sketches (the streaming path), numpy ``+`` for parsed tables.
+
+The exact-vs-approx report (A11) is the reference's headline output: join
+exact ``groupBy().count()`` with sketch estimates and report the error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _as_long(df: DataFrame, col: str) -> Column:
+    dtype = dict(df.dtypes)[col]
+    if dtype in _LONG_TYPES:
+        return F.col(col).cast(LongType())
+    return F.xxhash64(F.col(col))
+
+
+@dataclass(frozen=True)
+class CountMinSketchTable:
+    """Parsed org.apache.spark.util.sketch.CountMinSketchImpl (V1 layout:
+    int32 version, int64 totalCount, int32 depth, int32 width,
+    int64 hashA[depth], int64 table[depth][width]; big-endian)."""
+
+    total_count: int
+    depth: int
+    width: int
+    hash_a: np.ndarray  # int64[depth]
+    table: np.ndarray  # int64[depth, width]
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketchTable":
+        version = int.from_bytes(data[0:4], "big", signed=True)
+        if version != 1:
+            raise ValueError(f"unsupported CountMinSketch serialization version {version}")
+        total = int.from_bytes(data[4:12], "big", signed=True)
+        depth = int.from_bytes(data[12:16], "big", signed=True)
+        width = int.from_bytes(data[16:20], "big", signed=True)
+        off = 20
+        hash_a = np.frombuffer(data[off : off + 8 * depth], dtype=">i8").astype(np.int64)
+        off += 8 * depth
+        table = (
+            np.frombuffer(data[off : off + 8 * depth * width], dtype=">i8")
+            .astype(np.int64)
+            .reshape(depth, width)
+        )
+        return cls(total_count=total, depth=depth, width=width, hash_a=hash_a, table=table)
+
+    def estimate_longs(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized estimateCountForLongItem for an int64 array."""
+        v = values.astype(np.int64, copy=False)
+        est = np.full(len(v), np.iinfo(np.int64).max, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for i in range(self.depth):
+                prod = self.hash_a[i] * v  # wraps like Java long
+                h = (prod + (prod >> np.int64(32))) & np.int64(0x7FFFFFFF)
+                buckets = (h.astype(np.int32) % np.int32(self.width)).astype(np.int64)
+                est = np.minimum(est, self.table[i, buckets])
+        return est
+
+    def merge(self, other: "CountMinSketchTable") -> "CountMinSketchTable":
+        if (self.depth, self.width) != (other.depth, other.width) or not np.array_equal(
+            self.hash_a, other.hash_a
+        ):
+            raise ValueError("incompatible CMS: depth/width/seed differ")
+        return CountMinSketchTable(
+            total_count=self.total_count + other.total_count,
+            depth=self.depth,
+            width=self.width,
+            hash_a=self.hash_a,
+            table=self.table + other.table,
+        )
+
+
+def cms_agg(df: DataFrame, col: str, eps: float, confidence: float, seed: int) -> Column:
+    """The count_min_sketch aggregate column (binary) over a normalized key."""
+    return F.count_min_sketch(
+        _as_long(df, col), F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
+    )
+
+
+def cms_build(df: DataFrame, col: str, eps: float = 0.0001, confidence: float = 0.99, seed: int = 42) -> bytes:
+    """Build a CMS over df[col] distributively; return serialized bytes."""
+    row = df.agg(cms_agg(df, col, eps, confidence, seed).alias("sk")).head()
+    return bytes(row["sk"])
+
+
+def cms_estimate(df: DataFrame, col: str, cms_bytes: bytes, out: str = "cms_estimate") -> DataFrame:
+    """Add a per-row approximate frequency column (batch point query)."""
+    sketch = CountMinSketchTable.from_bytes(cms_bytes)
+
+    @F.pandas_udf(LongType())
+    def _probe(keys: pd.Series) -> pd.Series:
+        values = keys.to_numpy(dtype=np.int64, na_value=0)
+        return pd.Series(sketch.estimate_longs(values))
+
+    return df.withColumn(out, _probe(_as_long(df, col)))
+
+
+def cms_point_query_jvm(spark: SparkSession, cms_bytes: bytes, item: int) -> int:
+    """Driver-side point query through the JVM implementation (parity check)."""
+    jvm = spark._jvm  # noqa: SLF001
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(cms_bytes))
+    )
+    return int(sk.estimateCount(item))
+
+
+def exact_vs_approx(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's headline report: exact count vs CMS estimate per item.
+
+    Two passes over the data (one exact agg, one sketch agg), then a
+    broadcast-joined comparison of the (small) distinct-key table against
+    the sketch — the sketch is kilobytes, so the probe is a pandas UDF over
+    the aggregated keys, not over raw rows.
+    """
+    cms_bytes = cms_build(df, col, eps, confidence, seed)
+    exact = df.groupBy(col).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact, col, cms_bytes, out="cms_est")
+    return est.withColumn("abs_err", F.col("cms_est") - F.col("exact_cnt"))

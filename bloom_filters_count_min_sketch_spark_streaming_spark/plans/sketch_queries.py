@@ -1,0 +1,161 @@
+"""Probabilistic-operator queries (SURVEY §2.A — the reference's core surface).
+
+The reference's identity is: maintain Bloom filter + Count-Min Sketch over a
+stream, answer membership / frequency / heavy-hitter queries, and report
+approximate vs exact. These queries exercise exactly that surface on the
+fixture tables, each with a DuckDB oracle where the result is exactly
+SQL-expressible.
+
+Determinism notes (the correctness gate hashes values):
+- every sketch gets an explicit seed;
+- CMS width (eps=1e-4 -> 20000 cells/row) vastly exceeds fixture key
+  cardinality, so estimates equal exact counts — that makes the *sketch*
+  queries oracle-checkable while property tests (tests/test_sketches.py)
+  cover the genuinely-approximate regime;
+- Bloom fpp is set so low that the expected false-positive count over the
+  probe range is ~1e-6 — the membership output equals the exact semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions import bloom, cms, sketches
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+SEED = 42
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, item LIMIT 3
+    """,
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k heavy hitters (plans as TakeOrderedAndProject, no full sort)."""
+    return sketches.exact_top_k(load(spark, sf_dir, "events"), "event_type", 3)
+
+
+@query(
+    "heavy_hitters_approx",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 3
+    """,
+)
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k sketch (Catalyst ApproxTopK aggregate). With 5 distinct
+    keys the sketch is exact, so the exact top-k is a valid oracle; the
+    approximate regime is covered by property tests."""
+    return sketches.approx_top_k(load(spark, sf_dir, "events"), "event_type", 3)
+
+
+@query(
+    "cms_event_type_freq",
+    oracle="""
+    SELECT event_type, COUNT(*) AS exact_cnt, COUNT(*) AS cms_est, 0 AS abs_err
+    FROM events GROUP BY event_type
+    """,
+)
+def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch build + per-key point query vs exact counts — the
+    reference's headline exact-vs-approx report. eps=1e-4 makes the sketch
+    collision-free at fixture cardinality (est == exact, abs_err == 0)."""
+    ev = load(spark, sf_dir, "events")
+    rep = cms.exact_vs_approx(ev, "event_type", eps=0.0001, confidence=0.999, seed=SEED)
+    return rep.select("event_type", "exact_cnt", "cms_est", "abs_err")
+
+
+@query(
+    "bloom_membership",
+    oracle="""
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT o_custkey FROM orders)
+    ORDER BY key
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership: build over orders.o_custkey (JVM
+    treeAggregate), probe a key range executor-side (numpy Murmur3).
+    fpp=1e-9 -> expected false positives over 3000 probes ~ 3e-6 ~ 0,
+    so the exact IN-subquery is a valid oracle; the approximate regime is
+    covered by property tests."""
+    orders = load(spark, sf_dir, "orders")
+    bloom_bytes = bloom.bloom_build(orders, "o_custkey", expected_items=200_000, fpp=1e-9)
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    return (
+        bloom.bloom_might_contain(probe, "key", bloom_bytes)
+        .filter("might_contain")
+        .select("key")
+    )
+
+
+@query(
+    "hll_distinct_event_types",
+    oracle="SELECT COUNT(DISTINCT event_type) AS approx_distinct FROM events",
+)
+def hll_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct; exact at trivial cardinality (5)."""
+    ev = load(spark, sf_dir, "events")
+    return sketches.approx_distinct(ev, "event_type", rsd=0.01).select(
+        F.col("approx_distinct").cast("long").alias("approx_distinct")
+    )
+
+
+@query(
+    "hll_sketch_users",
+    oracle="SELECT COUNT(DISTINCT user_id) AS hll_estimate FROM events",
+)
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL: build sketch + estimate (exact in sparse mode at
+    fixture cardinality; property tests cover the dense/approximate mode)."""
+    ev = load(spark, sf_dir, "events")
+    return sketches.hll_estimate(ev, "user_id")
+
+
+@query(
+    "freq_items_event_types",
+    oracle="SELECT DISTINCT event_type AS item FROM events",
+)
+def freq_items_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent items at support 0.05; every fixture key clears
+    the support bar, so the distinct set is an exact oracle."""
+    ev = load(spark, sf_dir, "events")
+    arr = sketches.freq_items(ev, ["event_type"], support=0.05)
+    return arr.select(F.explode("event_type_freqItems").alias("item"))
+
+
+@query("histogram_event_value")
+def histogram_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram sketch (no SQL-exact oracle: bin placement is
+    algorithm-specific) — rows-only check."""
+    ev = load(spark, sf_dir, "events")
+    return sketches.histogram(ev, "value", 16)
+
+
+@query(
+    "approx_quantiles_value",
+    oracle="""
+    SELECT 0.25 AS prob, quantile_disc(value, 0.25) AS quantile FROM events
+    UNION ALL
+    SELECT 0.5, quantile_disc(value, 0.5) FROM events
+    UNION ALL
+    SELECT 0.75, quantile_disc(value, 0.75) FROM events
+    """,
+)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantiles at relativeError=0 (exact mode) — matches
+    discrete quantiles; approximate regime covered by property tests."""
+    ev = load(spark, sf_dir, "events")
+    probs = [0.25, 0.5, 0.75]
+    vals = sketches.approx_quantiles(ev, "value", probs, relative_error=0.0)
+    return spark.createDataFrame(
+        [(p, v) for p, v in zip(probs, vals)], "prob double, quantile double"
+    )

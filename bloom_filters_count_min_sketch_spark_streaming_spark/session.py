@@ -1,0 +1,41 @@
+"""SparkSession factory with engine defaults.
+
+Used by tests and bench. The driver harness passes its own session into
+``queries()`` callables, so every query must also work on a vanilla session;
+this factory only encodes the *preferred* configuration (AQE, Arrow,
+right-sized shuffle partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "bfcms-engine") -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Scale notes (100 TB mandate): on a real cluster the same config applies
+    except ``master`` comes from the environment and shuffle partitions
+    should be ~2-3x total cores; AQE coalesces them back down at runtime, so
+    oversizing is safe while undersizing causes spill.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # AQE: runtime partition coalescing + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle sizing for local[32]; AQE coalesces small stages.
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Arrow for every JVM<->Python columnar hop (toPandas, pandas_udf).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp rendering regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    return builder.getOrCreate()
