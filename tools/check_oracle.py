@@ -26,7 +26,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            import datetime
+
+            first = df[c].dropna().head(1)
+            if len(first) and isinstance(first.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
