@@ -1,0 +1,69 @@
+"""Text-analysis functions for training-data pipelines (SURVEY §2.D D4).
+
+All metrics are pure Catalyst expressions (regexp/length/split families) —
+JVM-side, whole-stage-codegen'd, no Python in the hot path — so they run at
+scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny high-frequency English stopword set; marker-word language ID is a
+# deterministic heuristic (and SQL-expressible for the oracle).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters / digits / punct singles)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation-ish (non-alnum, non-space)."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(text).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    ws = word_tokens(text)
+    stops = F.filter(ws, lambda w: w.isin(EN_STOPWORDS))
+    return F.size(stops).cast("double") / F.size(ws).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    ws = word_tokens(text)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(ws).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards stopword presence
+    and moderate token length, penalizes punctuation soup. (The standard
+    shape of Gopher/C4-style quality filters, SQL-expressible.)"""
+    score = (
+        F.lit(0.5)
+        + F.least(stopword_ratio(text), F.lit(0.3))
+        - F.least(punct_ratio(text) * 2, F.lit(0.4))
+        + F.when((avg_token_len(text) >= 3) & (avg_token_len(text) <= 10), 0.1).otherwise(-0.1)
+    )
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic content fingerprint (md5 of lowercased text)."""
+    return F.md5(F.lower(text))

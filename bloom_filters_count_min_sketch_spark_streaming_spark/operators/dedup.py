@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-based (no driver-side materialization, no cross
+product of documents):
+
+- **exact**: content hash + dropDuplicates / min-id-per-group.
+- **n-gram Jaccard (exact near-dup)**: shingle -> inverted-index self-join
+  on shingle -> per-pair intersection counts -> Jaccard. The join is an
+  equi-join on the shingle value, so work scales with the number of
+  *shared* shingles, not |docs|^2. Hot shingles (stopword runs) can skew;
+  at 100 TB add a document-frequency cap on shingles (drop shingles
+  appearing in > X% of docs) — standard practice and exposed as
+  ``max_shingle_df``.
+- **MinHash + LSH banding**: k xxhash64-based min-hashes (JVM-side
+  hashing), banded into b buckets; candidate pairs share >= 1 band bucket;
+  candidates verified with exact Jaccard. O(docs x k) + equi-join on
+  (band, bucket-hash) — the 100 TB path for near-dedup (Broder 1997).
+- **SimHash**: 64-bit sign-fingerprint of the token multiset; near-dups
+  have small Hamming distance. One groupBy per doc; Hamming verification
+  over band-bucketed candidates.
+
+All hashing is deterministic (xxhash64 with per-permutation salt columns),
+so outputs are stable across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), " "), lambda w: w != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (JVM-side array ops)."""
+    ws = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(ws)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(ws) >= n, mk).otherwise(F.array()))
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on a column subset (hash-shuffle dropDuplicates)."""
+    return df.dropDuplicates(cols)
+
+
+def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingle sets."""
+    return docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    Inverted-index self-join: |pairs sharing a shingle| work, not |docs|^2.
+    """
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sets.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sets = sets.join(hot, "sh", "left_anti")
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sets.select(F.col("doc").alias("doc_a"), "sh")
+    b = sets.select(F.col("doc").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc, sig: array<bigint>) MinHash signatures.
+
+    Permutation i is simulated by xxhash64(shingle, i) — deterministic,
+    JVM-side, vectorized in whole-stage codegen. min() per permutation is
+    a map-side-combinable aggregate.
+    """
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    mins = sets.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    b=16 bands x r=4 rows -> s-curve threshold (1/b)^(1/r) ~ 0.5, so
+    candidates comfortably cover jaccard >= 0.8; exact verification then
+    removes false positives, making the output deterministic (equal to
+    ngram_jaccard_pairs restricted to LSH candidates).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_rows = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact verification of candidates only (the cheap post-filter).
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = sets.select(F.col("doc").alias("doc_a"), "sh")
+    pb = sets.select(F.col("doc").alias("doc_b"), "sh")
+    common = (
+        pa.join(candidates, "doc_a")
+        .join(pb, ["sh", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document (Charikar 2002).
+
+    Per token: xxhash64 -> 64 sign contributions; per doc: sum each bit's
+    +/-1 contributions and take the sign. Implemented as 64 conditional-sum
+    aggregate columns — wide but fully JVM/codegen, one shuffle by doc.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("w")
+    )
+    h = F.xxhash64("w")
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # Reassemble: sum of 2^i for positive bit-sums, as one signed 64-bit value.
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bit_sums.select("doc", acc.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count(XOR))."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,159 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute force** (the correctness baseline): query set x corpus
+  broadcast-nested-loop join, cosine computed JVM-side with
+  ``F.zip_with``/``F.aggregate`` on double-cast arrays (no Python in the
+  hot path), ranked per query with a window. Right-sizing note: broadcast
+  the *query* side (small), stream the corpus — work is |Q| x |corpus|,
+  embarrassingly parallel over corpus partitions.
+- **LSH-bucketed** (the 100 TB path): random-hyperplane signatures
+  (sign(v . h_p) bits, deterministic planes derived from a seed), bucket
+  equi-join, exact re-rank within buckets. Recall < 1 by construction;
+  multi-probe = more signature permutations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str, out: str = "unit") -> DataFrame:
+    """Pre-normalize embeddings so cosine becomes a plain dot product."""
+    v = _as_double_array(vec_col)
+    n = norm(v)
+    return df.withColumn(out, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank), rank 1 = nearest, self excluded.
+    Deterministic tie-break on neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG —
+    driver-side constants baked into the plan, no RNG state at runtime)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # Park-Miller minimal standard LCG
+            state = (state * 48271) % 2147483647
+            u1 = state / 2147483647
+            state = (state * 48271) % 2147483647
+            u2 = state / 2147483647
+            # Box-Muller for gaussian components
+            vec.append(math.sqrt(-2 * math.log(u1 + 1e-12)) * math.cos(2 * math.pi * u2))
+        planes.append(vec)
+    return planes
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join + exact re-rank.
+
+    Vectors whose sign-signature matches on all n_planes bits land in the
+    same bucket; cosine is computed only within buckets. At 100 TB this
+    replaces the |Q| x |corpus| product with |Q| x E[bucket size].
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def signature(vec: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for p_i, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(x) for x in plane])
+            acc = acc + F.when(
+                dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), p_i)
+            ).otherwise(0)
+        return acc
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
+    ).withColumn("bucket", signature(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    ).withColumn("bucket", signature(F.col("qv")))
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def centroids(df: DataFrame, label_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid: posexplode + (label, dim) aggregation.
+
+    Shuffle volume = rows x dim scalars with map-side partial sums — the
+    scalable alternative to collecting vectors.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(_as_double_array(vec_col)).alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 4).alias("centroid_val")
+    )

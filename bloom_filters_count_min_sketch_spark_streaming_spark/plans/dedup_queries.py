@@ -1,0 +1,141 @@
+"""Deduplication queries (SURVEY §2.D D1-D2) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(lower(text))
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keeps the lowest doc_id per group."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.lower("text")).alias("h")).agg(
+        F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("dup_count")
+    ).select("kept_doc_id", "dup_count")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (inverted-index join —
+    no |docs|^2 product)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle="""
+    -- MinHash banding is a candidate-generation optimization; with exact
+    -- Jaccard verification at threshold 0.9 the LSH b=16/r=4 s-curve
+    -- (P[candidate] = 1-(1-s^4)^16 > 0.99996 at s=0.9) recovers every
+    -- pair, so the exact computation is a valid oracle at this scale.
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands x 4 rows) candidate pairs, verified with
+    exact Jaccard at 0.9 — the 100 TB near-dedup path."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+
+
+@query("dedup_simhash_candidates")
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints, pairs at Hamming
+    distance <= 6 via 4-band bucketing (each 16-bit band must match exactly
+    for at least one band — pigeonhole guarantee for d <= 3, probabilistic
+    above). Deterministic but xxhash64-based -> rows-only check; covered
+    against n-gram Jaccard in tests."""
+    docs = load(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs)
+    bands = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.band", "bb.key")
+    a = bands.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = bands.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dedup.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(lower(text)) AS fingerprint, length(text) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5) — the exact-dedup / provenance substrate."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis queries (SURVEY §2.D D4) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+_STOPS_SQL = "('" + "','".join(T.EN_STOPWORDS) + "')"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT lang,
+           SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}'))) AS bpeish_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex, aggregated per lang."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(T.token_count_whitespace(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(T.token_count_bpeish(F.col("text"))).cast("long").alias("bpeish_tokens"),
+    )
+
+
+@query(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN {_STOPS_SQL}))
+               * 1.0 / len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS stop_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    )
+    SELECT source,
+           ROUND(SUM(stop_ratio) / COUNT(*), 4) AS avg_stop_ratio,
+           ROUND(SUM(punct_ratio) / COUNT(*), 4) AS avg_punct_ratio,
+           SUM(n_tok) AS total_tokens
+    FROM m GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ratios (stopword / punctuation density) per source."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        F.round(F.sum(T.stopword_ratio(F.col("text"))) / cnt, 4).alias("avg_stop_ratio"),
+        F.round(F.sum(T.punct_ratio(F.col("text"))) / cnt, 4).alias("avg_punct_ratio"),
+        F.sum(T.token_count_whitespace(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '), w -> w IN {_STOPS_SQL}))
+                       * 1.0 / len(list_filter(string_split(lower(text), ' '), w -> w <> '')) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM documents
+    )
+    SELECT labeled_lang, predicted, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word (stopword-density) language ID vs the labeled lang —
+    the n-gram-heuristic language-ID shape, fully SQL-expressible."""
+    docs = load(spark, sf_dir, "documents")
+    predicted = F.when(T.stopword_ratio(F.col("text")) >= 0.05, "en").otherwise("other")
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted"))
+        .groupBy("labeled_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query("text_quality_scores")
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-doc quality score (Gopher/C4-style heuristic blend) —
+    rows-only check (the blend involves clamps easier to property-test
+    than to mirror in SQL; components are oracle-checked above)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        T.token_count_whitespace(F.col("text")).alias("n_tokens"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_media,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: attach utf-8 payloads (stand-in
+    for image bytes), aggregate payload sizes per source. The byte-level
+    schema is what a real media table looks like; only the codec is faked."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id").join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    )
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media decode (deterministic fake codec): real Arrow batch
+    plumbing, schema, and partitioning; rows-only check."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = decode_features(media, strict=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )

@@ -1,0 +1,80 @@
+"""Vector similarity queries (SURVEY §2.D D3/D6) over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import similarity
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle="""
+    -- rank-only comparison: DuckDB's list_cosine_similarity computes in
+    -- float32, ~5e-8 off a float64 dot product; the minimum adjacent gap
+    -- in the fixtures' top-10 is ~2e-5, so rankings agree exactly.
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors: broadcast queries, stream
+    corpus, JVM-side zip_with/aggregate dot products, window re-rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets + exact re-rank —
+    the 100 TB path (bucket equi-join instead of full cross product).
+    Recall < 1 by construction -> rows-only check; recall vs brute force
+    is asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_lsh_topk(emb, queries, k=5, dim=64, n_planes=6, seed=42)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim - 1 AS dim, ROUND(SUM(x) / COUNT(*), 4) AS centroid_val
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via posexplode + (label, dim) aggregation —
+    shuffle of scalars with map-side combine, never whole vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.centroids(emb, "label")
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math surface: per-row L2 norm with JVM-side array fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(similarity.norm(similarity._as_double_array("embedding")), 6).alias("l2_norm"),
+    )
