@@ -127,6 +127,20 @@ def cms_estimate(df: DataFrame, col: str, cms_bytes: bytes, out: str = "cms_esti
     return df.withColumn(out, _probe(_as_long(df, col)))
 
 
+def cms_estimate_from_table(
+    df: DataFrame, col: str, table: CountMinSketchTable, out: str = "cms_est"
+) -> DataFrame:
+    """Point-query a parsed (possibly merged) CMS table for each row of df
+    (the probe path for driver-merged streaming sketches)."""
+
+    @F.pandas_udf(LongType())
+    def _probe(keys: pd.Series) -> pd.Series:
+        values = keys.to_numpy(dtype=np.int64, na_value=0)
+        return pd.Series(table.estimate_longs(values))
+
+    return df.withColumn(out, _probe(_as_long(df, col)))
+
+
 def cms_point_query_jvm(spark: SparkSession, cms_bytes: bytes, item: int) -> int:
     """Driver-side point query through the JVM implementation (parity check)."""
     jvm = spark._jvm  # noqa: SLF001

@@ -105,34 +105,52 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 12,
+    bits_per_table: int = 4,
+    n_tables: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join + exact re-rank.
+    """Approximate top-k: multi-table random-hyperplane LSH + exact re-rank.
 
-    Vectors whose sign-signature matches on all n_planes bits land in the
-    same bucket; cosine is computed only within buckets. At 100 TB this
-    replaces the |Q| x |corpus| product with |Q| x E[bucket size].
+    AND-amplification within a table (all bits must match -> small buckets),
+    OR-amplification across tables (candidate if bucketed together in ANY
+    table). Cosine is computed only within bucket-joined candidate pairs.
+    At 100 TB this replaces the |Q| x |corpus| product with
+    n_tables x |Q| x E[bucket size]; recall/cost tunes via (bits, tables).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = [
+        _hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)
+    ]
 
-    def signature(vec: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for p_i, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(x) for x in plane])
-            acc = acc + F.when(
-                dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), p_i)
-            ).otherwise(0)
-        return acc
+    def bucket_rows(vec: Column) -> Column:
+        """array<struct<table, bucket>> — one bucket per hash table."""
+        entries = []
+        for t_i, planes in enumerate(tables):
+            acc = F.lit(0).cast("long")
+            for p_i, plane in enumerate(planes):
+                plane_col = F.array(*[F.lit(x) for x in plane])
+                acc = acc + F.when(
+                    dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), p_i)
+                ).otherwise(0)
+            entries.append(F.struct(F.lit(t_i).alias("table"), acc.alias("bucket")))
+        return F.array(*entries)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
-    ).withColumn("bucket", signature(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
-    ).withColumn("bucket", signature(F.col("qv")))
-    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv"))
+        .withColumn("tb", F.explode(bucket_rows(F.col("cv"))))
+        .select("neighbor_id", "cv", "tb.table", "tb.bucket")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv"))
+        .withColumn("tb", F.explode(bucket_rows(F.col("qv"))))
+        .select("query_id", "qv", "tb.table", "tb.bucket")
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
         "query_id",
         "neighbor_id",
         (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),

@@ -1,0 +1,242 @@
+"""Streaming queries (SURVEY §2.C), each verified against a batch twin.
+
+Every query replays `events` as a multi-file micro-batch stream
+(availableNow), lands in a memory sink, and returns a bounded DataFrame
+whose content must equal the equivalent batch computation — which is the
+DuckDB oracle. This is the strongest correctness statement Structured
+Streaming offers: stream output == batch output on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+    CountMinSketchTable,
+    cms_agg,
+    cms_estimate_from_table,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import stateful
+from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+    events_stream_source,
+    run_available_now,
+    run_foreach_batch,
+)
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window over the stream (C4) with a watermark
+    (C7). Complete output mode -> equals the batch time_bucket aggregation."""
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH slid AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', ts) - INTERVAL (s.off) MINUTE AS window_start,
+             ts
+      FROM events, (SELECT unnest([0, 5]) AS off) s
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM slid
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (C5): 10-minute windows every 5 minutes — each event
+    lands in 2 windows. Oracle materializes both candidate windows per event."""
+    src = events_stream_source(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (C6): 30-minute inactivity gap per user. Oracle is
+    the classic gaps-and-islands rewrite (session start = first event;
+    sessions merge while consecutive gaps <= 30 min)."""
+    src = events_stream_source(spark, sf_dir)
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_available_now(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (C9): dropDuplicates on event_id across batches
+    (state-store backed), then per-type counts."""
+    src = events_stream_source(spark, sf_dir)
+    deduped = src.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    out = run_available_now(agg, "complete")
+    return out
+
+
+@query(
+    "stream_static_join_counts",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (C10): enrich the stream with the customer dim
+    (broadcastable), aggregate per segment."""
+    src = events_stream_source(spark, sf_dir)
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    joined = src.join(cust, src.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_available_now(agg, "complete")
+
+
+@query(
+    "stream_stream_join_pairs",
+    oracle="""
+    SELECT s.event_id AS signup_event, p.event_id AS purchase_event
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    """,
+)
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (C11): watermarked interval join between two
+    derived streams (signups x purchases within 1 day, same user)."""
+    src1 = events_stream_source(spark, sf_dir)
+    src2 = events_stream_source(spark, sf_dir)
+    s = (
+        src1.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "2 days")
+        .select(F.col("event_id").alias("signup_event"), F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+    )
+    p = (
+        src2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 days")
+        .select(F.col("event_id").alias("purchase_event"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select("signup_event", "purchase_event")
+    return run_available_now(joined, "append")
+
+
+@query(
+    "stream_stateful_running_counts",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS final_total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (C8): applyInPandasWithState running
+    per-user counters across micro-batches (the updateStateByKey analogue).
+    The max running_total per key equals the batch count — the oracle."""
+    src = events_stream_source(spark, sf_dir)
+    running = stateful.running_counts(src, "user_id")
+    out = run_available_now(running, "append")
+    return out.groupBy("key").agg(F.max("running_total").alias("final_total"))
+
+
+@query(
+    "stream_cms_running_freq",
+    oracle="""
+    SELECT event_type, COUNT(*) AS exact_cnt, COUNT(*) AS cms_est
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_cms_running_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core loop, Structured-Streaming-first (C13 + A3/A5):
+    per micro-batch build a partial Count-Min Sketch (distributed
+    count_min_sketch aggregate inside foreachBatch), merge into the running
+    sketch (CMS is a commutative monoid), report estimates at stream end.
+    eps=1e-4 -> collision-free at fixture cardinality, so estimates equal
+    exact counts."""
+    src = events_stream_source(spark, sf_dir)
+    merged: dict[str, CountMinSketchTable | None] = {"cms": None}
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        row = batch_df.agg(
+            cms_agg(batch_df, "event_type", eps=0.0001, confidence=0.999, seed=42).alias("sk")
+        ).head()
+        if row["sk"] is None:
+            return
+        t = CountMinSketchTable.from_bytes(bytes(row["sk"]))
+        merged["cms"] = t if merged["cms"] is None else merged["cms"].merge(t)
+
+    run_foreach_batch(src, update)
+    sketch = merged["cms"]
+
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe = cms_estimate_from_table(exact, "event_type", sketch)
+    return probe.select("event_type", "exact_cnt", "cms_est")

@@ -42,7 +42,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return similarity.ann_lsh_topk(emb, queries, k=5, dim=64, n_planes=6, seed=42)
+    return similarity.ann_lsh_topk(
+        emb, queries, k=5, dim=64, bits_per_table=4, n_tables=6, seed=42
+    )
 
 
 @query(

@@ -1,0 +1,92 @@
+"""Structured Streaming plumbing (SURVEY §2.C).
+
+The reference is a DStream micro-batch app (socket text -> per-batch
+sketch/state update -> per-batch report). The Structured Streaming mapping:
+
+- **source**: the `events` table replayed as a file stream. To make
+  micro-batching real (not one giant batch), the fixture is re-written once
+  into N range-partitioned parquet files and streamed with
+  ``maxFilesPerTrigger=1`` -> N deterministic micro-batches in event-id
+  (≈ time) order.
+- **sink**: in-memory table for the bounded verification runs
+  (``availableNow`` trigger processes the full backlog then stops); in
+  production the same writeStream targets kafka/parquet/delta unchanged.
+- **state**: windowed aggregations, dropDuplicates, stream-stream joins and
+  applyInPandasWithState all use the state store (RocksDB provider at real
+  scale; config, not code).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+_STREAM_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "bfcms_stream_src")
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """Unbounded DataFrame replaying `events` as n_files micro-batches.
+
+    The one-time split is range-partitioned by event_id so batch contents
+    are deterministic and roughly time-ordered (event_id increases with ts).
+    """
+    key = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:12]
+    src_dir = os.path.join(_STREAM_CACHE_ROOT, key)
+    marker = os.path.join(src_dir, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        batch = load(spark, sf_dir, "events")
+        batch.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(src_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink and
+    return the resulting table. availableNow = process the whole backlog
+    as micro-batches (respecting maxFilesPerTrigger), then stop."""
+    spark = stream_df.sparkSession
+    name = query_name or f"q_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(stream_df: DataFrame, fn) -> int:
+    """Run a bounded stream through foreachBatch(fn); returns #batches."""
+    counter = {"n": 0}
+
+    def _wrap(batch_df: DataFrame, batch_id: int) -> None:
+        fn(batch_df, batch_id)
+        counter["n"] += 1
+
+    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(_wrap)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counter["n"]

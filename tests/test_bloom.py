@@ -1,0 +1,72 @@
+"""Bloom filter property tests (SURVEY §5.2.3): zero false negatives,
+bounded false-positive rate, JVM bit-parity of the numpy probe."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+    BloomFilterSketch,
+    bloom_build,
+    bloom_might_contain,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.hashing import (
+    murmur3_hash_long,
+)
+
+
+def test_murmur3_matches_jvm(spark):
+    # static py4j calls on this class fail to resolve; instance calls work
+    jvm = spark._jvm
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, 64, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        ]
+    )
+    for seed in (0, 1, -1, 12345, -99999):
+        m = jvm.org.apache.spark.unsafe.hash.Murmur3_x86_32(seed)
+        jvm_res = np.array([m.hashLong(int(v)) for v in vals], dtype=np.int32)
+        py_res = murmur3_hash_long(vals, seed)
+        assert np.array_equal(jvm_res, py_res), f"seed {seed}"
+
+
+def test_bloom_probe_matches_jvm(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bb = bloom_build(df, "k", expected_items=5000, fpp=0.03)
+    sketch = BloomFilterSketch.from_bytes(bb)
+    jbloom = spark._jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(bytearray(bb))
+    )
+    probe = np.arange(-2000, 9000, 13, dtype=np.int64)
+    py = sketch.might_contain_longs(probe)
+    jv = np.array([jbloom.mightContainLong(int(v)) for v in probe])
+    assert np.array_equal(py, jv)
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    n, fpp = 20_000, 0.01
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    bb = bloom_build(df, "k", expected_items=n, fpp=fpp)
+    sketch = BloomFilterSketch.from_bytes(bb)
+    members = np.arange(0, n, dtype=np.int64)
+    assert sketch.might_contain_longs(members).all(), "false negative!"
+    outsiders = np.arange(n, n + 50_000, dtype=np.int64)
+    measured = sketch.might_contain_longs(outsiders).mean()
+    assert measured <= 2 * fpp, f"measured FPP {measured} > 2x configured {fpp}"
+
+
+def test_bloom_string_column(spark):
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(1000)], ["s"])
+    bb = bloom_build(df, "s", expected_items=1000, fpp=0.01)
+    inside = bloom_might_contain(df, "s", bb).agg(F.min("might_contain")).head()[0]
+    assert inside is True
+    probe = spark.createDataFrame([(f"other-{i}",) for i in range(1000)], ["s"])
+    fp = (
+        bloom_might_contain(probe, "s", bb)
+        .agg(F.avg(F.col("might_contain").cast("double")))
+        .head()[0]
+    )
+    assert fp <= 0.05

@@ -1,0 +1,73 @@
+"""Count-Min Sketch property tests (SURVEY §5.2.3): one-sided error,
+eps*N bound, merge homomorphism, JVM parity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+    CountMinSketchTable,
+    cms_build,
+    cms_estimate,
+    cms_point_query_jvm,
+)
+
+
+def _zipf_df(spark, n=50_000, keys=500):
+    # key = floor(n/(id+1)) style skew: heavy head, long tail
+    return spark.range(0, n).select(
+        (F.floor(F.lit(keys) / (F.rand(seed=11) * F.lit(keys) + F.lit(1)))).cast("long").alias("k")
+    )
+
+
+def test_cms_matches_jvm(spark):
+    df = _zipf_df(spark)
+    bb = cms_build(df, "k", eps=0.01, confidence=0.9, seed=7)
+    t = CountMinSketchTable.from_bytes(bb)
+    vals = np.arange(0, 600, dtype=np.int64)
+    py = t.estimate_longs(vals)
+    jv = np.array([cms_point_query_jvm(spark, bb, int(v)) for v in vals])
+    assert np.array_equal(py, jv)
+
+
+def test_cms_error_bounds(spark):
+    eps, conf = 0.005, 0.9
+    df = _zipf_df(spark)
+    bb = cms_build(df, "k", eps=eps, confidence=conf, seed=3)
+    t = CountMinSketchTable.from_bytes(bb)
+    exact = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    keys = np.array(sorted(exact), dtype=np.int64)
+    est = t.estimate_longs(keys)
+    true = np.array([exact[k] for k in keys])
+    assert (est >= true).all(), "CMS must never underestimate"
+    n_total = t.total_count
+    within = (est - true <= eps * n_total).mean()
+    assert within >= conf, f"only {within:.3f} of keys within eps*N"
+
+
+def test_cms_merge_homomorphism(spark):
+    a = spark.range(0, 10_000).select((F.col("id") % 100).alias("k"))
+    b = spark.range(0, 10_000).select((F.col("id") % 37).alias("k"))
+    union = a.union(b)
+    kw = dict(eps=0.001, confidence=0.95, seed=42)
+    ta = CountMinSketchTable.from_bytes(cms_build(a, "k", **kw))
+    tb = CountMinSketchTable.from_bytes(cms_build(b, "k", **kw))
+    tu = CountMinSketchTable.from_bytes(cms_build(union, "k", **kw))
+    merged = ta.merge(tb)
+    assert merged.total_count == tu.total_count
+    assert np.array_equal(merged.table, tu.table), "merge(sketch(A), sketch(B)) != sketch(A u B)"
+
+
+def test_cms_estimate_dataframe_path(spark, sf_dir):
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events")
+    bb = cms_build(ev, "event_type", eps=0.0001, confidence=0.999, seed=42)
+    est = cms_estimate(ev.select("event_type").distinct(), "event_type", bb)
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for row in est.collect():
+        assert row["cms_estimate"] == exact[row["event_type"]]

@@ -1,0 +1,51 @@
+"""Dedup operator tests: MinHash-LSH vs exact Jaccard, SimHash sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recovers_high_jaccard_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.9))
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9))
+    # LSH verification filter makes lsh a subset of exact; banding at
+    # b=16/r=4 makes missing a 0.9-jaccard pair a <4e-5 event per pair.
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.99
+
+
+def test_shingles_are_distinct_ngrams(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    out = df.select(dedup.shingles_col(F.col("text"), 3).alias("sh")).head()["sh"]
+    assert sorted(out) == ["a b c", "b c d", "c d e"]
+    tiny = spark.createDataFrame([("a b",)], ["text"])
+    assert tiny.select(dedup.shingles_col(F.col("text"), 3).alias("sh")).head()["sh"] == []
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    near = dedup.ngram_jaccard_pairs(docs, threshold=0.95)
+    fp = dedup.simhash64(docs)
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("hb"))
+    joined = near.join(a, "doc_a").join(b, "doc_b").select(
+        dedup.hamming64(F.col("ha"), F.col("hb")).alias("d")
+    )
+    rows = joined.collect()
+    if rows:
+        avg = sum(r["d"] for r in rows) / len(rows)
+        assert avg <= 16, f"avg hamming {avg} too large for >=0.95-jaccard pairs"
+
+
+def test_exact_dedup_drops_planted_duplicates(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "text"])
+    assert dedup.exact_dedup(df, ["text"]).count() == 2

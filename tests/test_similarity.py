@@ -1,0 +1,55 @@
+"""Vector similarity tests: brute-force correctness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import similarity
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+def test_bruteforce_matches_numpy(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -2)
+
+    out = similarity.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-sims[qi])
+        for rank in range(1, 4):
+            assert got[(q, rank)] == int(ids[order[rank - 1]])
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(
+            emb, queries, k=5, dim=64, bits_per_table=4, n_tables=6, seed=42
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} collapsed"
+
+
+def test_centroids_match_numpy(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    out = similarity.centroids(emb, "label")
+    got = {(r["label"], r["dim"]): r["centroid_val"] for r in out.collect()}
+    for label, grp in pdf.groupby("label"):
+        mean = np.stack(grp["embedding"].values).astype(np.float64).mean(axis=0)
+        for d in (0, 17, 63):
+            assert abs(got[(label, d)] - round(float(mean[d]), 4)) <= 1e-9

@@ -1,0 +1,51 @@
+"""approx_top_k / HLL / quantiles property tests on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions import sketches
+
+
+def test_approx_top_k_covers_true_head(spark):
+    # Zipf-ish: key k appears ~ n/k times
+    df = spark.range(1, 200).select(F.col("id").alias("k"), F.sequence(F.lit(1), (F.lit(2000) / F.col("id")).cast("int")).alias("reps"))
+    df = df.select(F.explode("reps").alias("_"), "k").select("k")
+    approx = {r["item"] for r in sketches.approx_top_k(df, "k", 10).collect()}
+    exact = {r["item"] for r in sketches.exact_top_k(df, "k", 5).collect()}
+    assert exact <= approx, "approx top-10 must contain the true top-5"
+
+
+def test_hll_error_bound(spark):
+    n = 100_000
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    est = sketches.approx_distinct(df, "k", rsd=0.05).head()[0]
+    assert abs(est - n) / n <= 0.15, f"HLL estimate {est} too far from {n}"
+
+
+def test_hll_sketch_merge_pipeline(spark):
+    a = spark.range(0, 5000).withColumnRenamed("id", "k")
+    b = spark.range(2500, 7500).withColumnRenamed("id", "k")
+    union_est = (
+        a.agg(F.hll_sketch_agg("k").alias("sk"))
+        .union(b.agg(F.hll_sketch_agg("k").alias("sk")))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .head()["est"]
+    )
+    assert abs(union_est - 7500) / 7500 <= 0.1
+
+
+def test_quantiles_exact_mode(spark):
+    df = spark.range(0, 10001).select(F.col("id").cast("double").alias("v"))
+    q = sketches.approx_quantiles(df, "v", [0.0, 0.5, 1.0], relative_error=0.0)
+    assert q[0] == 0.0 and q[2] == 10000.0
+    assert abs(q[1] - 5000.0) <= 1.0
+
+
+def test_histogram_mass_conserved(spark, sf_dir):
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events")
+    bins = sketches.histogram(ev, "value", 8)
+    total = bins.agg(F.sum("bin_y")).head()[0]
+    assert total == ev.count()
