@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def tokens_col(text: Column) -> Column:
@@ -35,16 +36,24 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a text column (JVM-side array ops)."""
+    """Distinct n-word shingles of a text column (JVM-side array ops).
+
+    Implementation note: built with arrays_zip of n shifted slices rather
+    than transform+element_at — per-index element_at lambdas make Catalyst
+    re-evaluate the tokenization expression for every array element
+    (observed ~100x slowdown at sf0.1); the zip form evaluates it O(n)
+    times per row.
+    """
     ws = tokens_col(text)
     if n == 1:
         return F.array_distinct(ws)
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    mk = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(ws) >= n, mk).otherwise(F.array()))
+    shifted = [ws] + [F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0))) for j in range(1, n)]
+    zipped = F.arrays_zip(*[s.alias(f"w{j}") for j, s in enumerate(shifted)])
+    # zip length = len(ws); the last n-1 entries have null components — keep
+    # only the size-n+1 full shingles.
+    full = F.slice(zipped, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    mk = F.transform(full, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
+    return F.array_distinct(mk)
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -53,10 +62,18 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingle sets."""
-    return docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
-    )
+    """(doc_id, shingle) exploded distinct shingle sets.
+
+    The input is repartitioned first: shingling is CPU-heavy per row, and a
+    small source (one parquet file -> one partition) would otherwise run
+    single-threaded regardless of cluster size. At real scale the source
+    has many splits and the repartition collapses into a cheap rebalance.
+    """
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text")).repartition(
+        n_parts
+    ).select("doc", F.explode(shingles_col(F.col("_text"), n)).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -71,7 +88,9 @@ def ngram_jaccard_pairs(
 
     Inverted-index self-join: |pairs sharing a shingle| work, not |docs|^2.
     """
-    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    # The shingle sets feed three plan branches (sizes, both join sides);
+    # persist so tokenization+explode runs once, not per branch.
+    sets = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (
             sets.groupBy("sh")
@@ -144,7 +163,12 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs restricted to LSH candidates).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    # One persisted shingle-set table feeds signatures AND verification.
+    sets_shared = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    mins = sets_shared.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sigs = mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     band_rows = sigs.select(
         "doc",
         F.explode(
@@ -170,7 +194,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verification of candidates only (the cheap post-filter).
-    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    sets = sets_shared
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pa = sets.select(F.col("doc").alias("doc_a"), "sh")
     pb = sets.select(F.col("doc").alias("doc_b"), "sh")

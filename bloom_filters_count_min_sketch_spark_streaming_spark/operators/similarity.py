@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _as_double_array(col: str | Column) -> Column:
@@ -62,9 +65,11 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
     )
+    # Repartition the corpus: the cosine fold is CPU-heavy per row and a
+    # single-file source would otherwise run on one task (see dedup note).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
@@ -117,33 +122,29 @@ def ann_lsh_topk(
     At 100 TB this replaces the |Q| x |corpus| product with
     n_tables x |Q| x E[bucket size]; recall/cost tunes via (bits, tables).
     """
-    tables = [
-        _hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)
-    ]
+    # (n_tables*bits, dim) plane matrix, closed over by the Arrow-batched
+    # signature UDF — one numpy matmul per batch instead of n_tables*bits
+    # interpreted array-folds per row.
+    plane_matrix = np.array(
+        [p for t in range(n_tables) for p in _hyperplanes(dim, bits_per_table, seed + 1000 * t)]
+    )
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
 
-    def bucket_rows(vec: Column) -> Column:
-        """array<struct<table, bucket>> — one bucket per hash table."""
-        entries = []
-        for t_i, planes in enumerate(tables):
-            acc = F.lit(0).cast("long")
-            for p_i, plane in enumerate(planes):
-                plane_col = F.array(*[F.lit(x) for x in plane])
-                acc = acc + F.when(
-                    dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), p_i)
-                ).otherwise(0)
-            entries.append(F.struct(F.lit(t_i).alias("table"), acc.alias("bucket")))
-        return F.array(*entries)
+    @F.pandas_udf(ArrayType(LongType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (v @ plane_matrix.T >= 0).reshape(len(v), n_tables, bits_per_table)
+        buckets = bits @ weights  # (batch, n_tables)
+        return pd.Series(list(buckets))
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv"))
-        .withColumn("tb", F.explode(bucket_rows(F.col("cv"))))
-        .select("neighbor_id", "cv", "tb.table", "tb.bucket")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select("neighbor_id", "cv", F.posexplode(signatures(F.col("cv"))).alias("table", "bucket"))
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv"))
-        .withColumn("tb", F.explode(bucket_rows(F.col("qv"))))
-        .select("query_id", "qv", "tb.table", "tb.bucket")
-    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    ).select("query_id", "qv", F.posexplode(signatures(F.col("qv"))).alias("table", "bucket"))
     candidates = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -53,23 +53,37 @@ def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
 
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink and
     return the resulting table. availableNow = process the whole backlog
-    as micro-batches (respecting maxFilesPerTrigger), then stop."""
+    as micro-batches (respecting maxFilesPerTrigger), then stop.
+
+    ``state_partitions`` sizes the state store (fixed per checkpoint at
+    first run). Fixture state is kilobytes, so a handful of partitions
+    avoids per-partition commit overhead dominating; at real scale size
+    this to state volume / executor count instead.
+    """
     spark = stream_df.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
