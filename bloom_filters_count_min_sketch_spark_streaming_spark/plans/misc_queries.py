@@ -1,0 +1,335 @@
+"""Remaining SURVEY §2.B coverage: cross/theta joins, offset, the full
+analytic-window family, math/map function families, UDF / pandas-UDF /
+grouped-agg UDAF / UDTF entry points, non-parquet source roundtrips, and
+embedding aggregate ops (D6).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+# --- B8 cross join & theta join ---------------------------------------------
+
+
+@query(
+    "cross_join_region_segments",
+    oracle="""
+    SELECT r_name, seg, COUNT(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    GROUP BY r_name, seg
+    """,
+)
+def cross_join_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (BroadcastNestedLoopJoin)."""
+    region = load(spark, sf_dir, "region")
+    segs = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    return region.crossJoin(segs).groupBy("r_name", "seg").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "theta_join_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def theta_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (inequality condition alongside an equi-key)."""
+    n = load(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("nation_a"), F.col("n_regionkey").alias("rk_a"), F.col("n_nationkey").alias("nk_a"))
+    b = n.select(F.col("n_name").alias("nation_b"), F.col("n_regionkey").alias("rk_b"), F.col("n_nationkey").alias("nk_b"))
+    return a.join(b, (F.col("rk_a") == F.col("rk_b")) & (F.col("nk_a") < F.col("nk_b"))).select(
+        "nation_a", "nation_b"
+    )
+
+
+# --- B19 offset --------------------------------------------------------------
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... OFFSET ... LIMIT with a total tie-break."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- B16/B17 full analytic window family -------------------------------------
+
+
+@query(
+    "window_analytics_family",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_analytics_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first_value / nth_value in one
+    pass (single shuffle + sort per partition key)."""
+    # rank-family functions require the default (RANGE) frame; value
+    # functions get an explicit ROWS frame — same ordering, two specs.
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_rows = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 40)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w_rank).alias("quartile"),
+            F.percent_rank().over(w_rank).alias("pct_rank"),
+            F.cume_dist().over(w_rank).alias("cume"),
+            F.first("o_orderkey").over(w_rows).alias("first_key"),
+            F.nth_value("o_orderkey", 2).over(w_rows).alias("second_key"),
+        )
+    )
+
+
+# --- B26 math functions -------------------------------------------------------
+
+
+@query(
+    "math_function_family",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(ln(p_retailprice)), 6) AS sum_ln,
+           ROUND(SUM(sqrt(p_size)), 6) AS sum_sqrt,
+           ROUND(SUM(pow(p_size, 2)), 1) AS sum_sq,
+           SUM(CAST(abs(p_size - 25) AS BIGINT)) AS sum_absdev,
+           SUM(CASE WHEN p_size % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+           ROUND(SUM(p_retailprice / NULLIF(p_size, 0)), 4) AS sum_ratio
+    FROM part GROUP BY p_brand
+    """,
+)
+def math_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln/sqrt/pow/abs/mod/try_divide over part, aggregated per brand.
+    (try_divide's null-on-zero maps to NULLIF in the oracle.)"""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.sum(F.log("p_retailprice")), 6).alias("sum_ln"),
+        F.round(F.sum(F.sqrt("p_size")), 6).alias("sum_sqrt"),
+        F.round(F.sum(F.pow("p_size", F.lit(2))), 1).alias("sum_sq"),
+        F.sum(F.abs(F.col("p_size") - 25).cast("long")).alias("sum_absdev"),
+        F.sum(F.when(F.col("p_size") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+        F.round(F.sum(F.try_divide("p_retailprice", F.col("p_size").cast("double"))), 4).alias(
+            "sum_ratio"
+        ),
+    )
+
+
+# --- B28/B29 map functions over semi-structured props -------------------------
+
+
+@query(
+    "map_props_exploded",
+    oracle="""
+    SELECT event_type, 'k' AS prop_key,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_v
+    FROM events GROUP BY event_type
+    """,
+)
+def map_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json to MapType + explode(map) + aggregation — the MapType
+    surface over the semi-structured props column."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    exploded = ev.select("event_type", F.explode(m).alias("prop_key", "v"))
+    return exploded.groupBy("event_type", "prop_key").agg(F.sum("v").alias("total_v"))
+
+
+# --- B31 row UDF / vectorized pandas UDF -------------------------------------
+
+
+@query(
+    "python_udf_rowwise",
+    oracle="""
+    SELECT p_partkey,
+           length(p_name) + CASE WHEN p_type = 'PROMO' THEN 100 ELSE 0 END AS feature
+    FROM part WHERE p_partkey < 200
+    """,
+)
+def python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the deliberately-slow path, kept off hot
+    loops; here over a 200-row slice to exercise the entry point)."""
+
+    @F.udf("long")
+    def feature(name: str, ptype: str) -> int:
+        return len(name) + (100 if ptype == "PROMO" else 0)
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return part.select("p_partkey", feature("p_name", "p_type").alias("feature"))
+
+
+@query(
+    "pandas_udf_vectorized",
+    oracle="""
+    SELECT p_partkey, ROUND(ln(1.0 + p_retailprice), 6) AS log_price
+    FROM part
+    """,
+)
+def pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the fast Python path): numpy log1p.
+    Rounded so libm-vs-numpy last-bit differences can't flip the hash."""
+
+    @F.pandas_udf(DoubleType())
+    def log_price(p: pd.Series) -> pd.Series:
+        return pd.Series(np.log1p(p.to_numpy()))
+
+    part = load(spark, sf_dir, "part")
+    return part.select("p_partkey", F.round(log_price("p_retailprice"), 6).alias("log_price"))
+
+
+# --- B32 grouped-agg UDAF -----------------------------------------------------
+
+
+@query(
+    "pandas_udaf_weighted_price",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(p_retailprice * p_size) / SUM(p_size), 4) AS weighted_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (custom UDAF): size-weighted mean price."""
+
+    @F.pandas_udf(DoubleType())
+    def weighted(price: pd.Series, size: pd.Series) -> float:
+        p, s = price.to_numpy(np.float64), size.to_numpy(np.float64)
+        return float((p * s).sum() / s.sum())
+
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(weighted("p_retailprice", "p_size"), 4).alias("weighted_price")
+    )
+
+
+# --- B33 UDTF -----------------------------------------------------------------
+
+
+@query(
+    "udtf_power_series",
+    oracle="""
+    SELECT n, n * n AS sq, CAST(pow(2, n) AS BIGINT) AS pow2
+    FROM range(1, 17) t(n)
+    """,
+)
+def udtf_power_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): emits a deterministic series."""
+
+    @F.udtf(returnType="n bigint, sq bigint, pow2 bigint")
+    class PowerSeries:
+        def eval(self, start: int, stop: int):
+            for n in range(start, stop):
+                yield n, n * n, 2**n
+
+    return PowerSeries(F.lit(1), F.lit(17))
+
+
+# --- B2/B3 non-parquet sources & sinks ---------------------------------------
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **read_opts) -> DataFrame:
+    src = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"bfcms_rt_{fmt}_{os.path.basename(sf_dir)}")
+    src.coalesce(1).write.mode("overwrite").format(fmt).options(**read_opts).save(out)
+    return (
+        spark.read.format(fmt)
+        .options(**read_opts)
+        .schema(src.schema)
+        .load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query("source_roundtrip_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip (explicit schema on read)."""
+    return _roundtrip(spark, sf_dir, "csv", header="true")
+
+
+@query("source_roundtrip_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("source_roundtrip_orc", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip (columnar alternative to parquet)."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+# --- D6 embedding aggregate ops ----------------------------------------------
+
+
+@query(
+    "embedding_label_distances",
+    oracle="""
+    WITH cent AS (
+      SELECT label, dim - 1 AS dim, SUM(x) / COUNT(*) AS c
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+      GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 4) AS l2_dist
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_label_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance between per-label centroids: posexplode ->
+    centroid agg -> dim-aligned self-join -> distance agg. All shuffles are
+    on (label, dim) scalars — never whole vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 4).alias("l2_dist"))
+    )
