@@ -1,0 +1,118 @@
+"""Engine-level feature tests: RocksDB state store (C14), sampling (B23),
+observe metrics (B34), parquet row-group bloom filters (write-side A1
+analogue), streaming dropDuplicatesWithinWatermark (C9), streaming file
+sink (C12/B3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+    events_stream_source,
+    run_available_now,
+)
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The 100 TB state path: RocksDB provider instead of the in-heap
+    HDFS-backed default. Same query, same results."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = events_stream_source(spark, sf_dir)
+        agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        out = run_available_now(agg, "complete")
+        got = {r["event_type"]: r["n"] for r in out.collect()}
+        exact = {
+            r["event_type"]: r["n"]
+            for r in load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == exact
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sampling(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    s = ev.sample(fraction=0.2, seed=42)
+    got = s.count()
+    assert 0.1 * n < got < 0.3 * n
+    # seeded sampling is reproducible
+    assert s.count() == ev.sample(fraction=0.2, seed=42).count()
+
+
+def test_stratified_sampling(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    s = ev.sampleBy("event_type", {"click": 0.5, "error": 0.1}, seed=42)
+    by_type = {r["event_type"]: r["n"] for r in s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_type) <= {"click", "error"}
+    assert by_type.get("click", 0) > by_type.get("error", 0)
+
+
+def test_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    obs = Observation("stats")
+    ev = load(spark, sf_dir, "events").observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.max("value").alias("max_v")
+    )
+    ev.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == load(spark, sf_dir, "events").count()
+    assert obs.get["max_v"] > 0
+
+
+def test_parquet_rowgroup_bloom_filter_roundtrip(spark, sf_dir):
+    """Parquet-level Bloom filters (the storage-side sibling of the
+    engine's Bloom operator): write with bloom enabled, read back with an
+    equality predicate — results identical, file readable."""
+    out = tempfile.mkdtemp(prefix="bloom_parquet_")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "1000")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("user_id") == 7)
+    expect = ev.filter(F.col("user_id") == 7)
+    assert back.count() == expect.count()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    src = events_stream_source(spark, sf_dir)
+    # watermark wider than the fixture's 30-day span: nothing is "late",
+    # so the only row-dropping behavior left is true duplicate removal
+    deduped = src.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_available_now(deduped.select("event_id"), "append")
+    n_events = load(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.distinct().count() == n_events
+
+
+def test_streaming_parquet_file_sink(spark, sf_dir):
+    """Streaming parquet sink: append the raw stream to files, read back."""
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sink_ckpt_")
+    src = events_stream_source(spark, sf_dir)
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == load(spark, sf_dir, "events").count()
