@@ -27,6 +27,7 @@ _QUERY_MODULES = [
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.relational",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.relational_deep",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.misc_queries",
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.semistructured_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.text_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries",
