@@ -102,6 +102,82 @@ class CountMinSketchTable:
         )
 
 
+@dataclass
+class NumpyCMS:
+    """Self-contained numpy Count-Min Sketch for *engine-internal* state
+    (streaming per-key state, pandas-side builds). Same hash structure as
+    the JVM sketch (h = ((a*x + ((a*x)>>32)) & MAX_INT) % w) but with its
+    own deterministic hashA derivation — state never needs to interop with
+    JVM-serialized sketches, it only needs to be a mergeable monoid.
+    """
+
+    depth: int
+    width: int
+    hash_a: np.ndarray  # int64[depth]
+    table: np.ndarray  # int64[depth, width]
+    total: int = 0
+
+    @classmethod
+    def from_params(cls, eps: float = 0.0001, confidence: float = 0.999, seed: int = 42) -> "NumpyCMS":
+        import math
+
+        width = int(math.ceil(2.0 / eps))
+        depth = int(math.ceil(math.log(1.0 / (1.0 - confidence)) / math.log(2.0)))
+        rng = np.random.default_rng(seed)
+        hash_a = rng.integers(1, 2**62, size=depth, dtype=np.int64) | np.int64(1)
+        return cls(depth=depth, width=width, hash_a=hash_a,
+                   table=np.zeros((depth, width), dtype=np.int64))
+
+    def _buckets(self, v: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            prod = self.hash_a[:, None] * v[None, :]
+            h = (prod + (prod >> np.int64(32))) & np.int64(0x7FFFFFFF)
+            return (h.astype(np.int32) % np.int32(self.width)).astype(np.int64)
+
+    def add_longs(self, values: np.ndarray) -> None:
+        b = self._buckets(values.astype(np.int64, copy=False))
+        for i in range(self.depth):
+            np.add.at(self.table[i], b[i], 1)
+        self.total += len(values)
+
+    def estimate_longs(self, values: np.ndarray) -> np.ndarray:
+        b = self._buckets(values.astype(np.int64, copy=False))
+        return np.min(
+            np.stack([self.table[i, b[i]] for i in range(self.depth)]), axis=0
+        )
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack(">iiq", self.depth, self.width, self.total)
+        return head + self.hash_a.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "NumpyCMS":
+        import struct
+
+        depth, width, total = struct.unpack(">iiq", data[:16])
+        off = 16
+        hash_a = np.frombuffer(data[off : off + 8 * depth], dtype=np.int64).copy()
+        off += 8 * depth
+        table = (
+            np.frombuffer(data[off : off + 8 * depth * width], dtype=np.int64)
+            .copy()
+            .reshape(depth, width)
+        )
+        return cls(depth=depth, width=width, hash_a=hash_a, table=table, total=total)
+
+    def merge(self, other: "NumpyCMS") -> "NumpyCMS":
+        if (self.depth, self.width) != (other.depth, other.width) or not np.array_equal(
+            self.hash_a, other.hash_a
+        ):
+            raise ValueError("incompatible NumpyCMS")
+        return NumpyCMS(
+            depth=self.depth, width=self.width, hash_a=self.hash_a,
+            table=self.table + other.table, total=self.total + other.total,
+        )
+
+
 def cms_agg(df: DataFrame, col: str, eps: float, confidence: float, seed: int) -> Column:
     """The count_min_sketch aggregate column (binary) over a normalized key."""
     return F.count_min_sketch(

@@ -1,0 +1,41 @@
+"""Skew-mitigation operators.
+
+AQE handles skewed *joins* automatically (skewJoin.enabled); heavy-hitter
+*aggregations* and windowed top-k over skewed keys still benefit from
+explicit salting: phase 1 aggregates (key, salt) so one hot key spreads
+over N reducers; phase 2 merges the partials. Both phases are map-side
+combinable, so the hot key's traffic is divided by the salt fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    agg_col: Column,
+    merge_col,
+    out: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    agg_col: the phase-1 aggregate expression (e.g. F.count, F.sum(x)).
+    merge_col: phase-2 merge fn over the phase-1 alias (e.g. F.sum).
+    The result is identical to the unsalted aggregate — salting only
+    changes the shuffle distribution.
+    """
+    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(agg_col.alias("_partial"))
+    )
+    return partial.groupBy(key_col).agg(merge_col("_partial").alias(out))
+
+
+def salted_count(df: DataFrame, key_col: str, out: str = "cnt", salt_buckets: int = 16) -> DataFrame:
+    return salted_agg(df, key_col, F.count(F.lit(1)), F.sum, out, salt_buckets)

@@ -205,6 +205,57 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_stateful_cms_per_key",
+    oracle="""
+    WITH probes AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS probe_id),
+         types  AS (SELECT DISTINCT event_type FROM events),
+         counts AS (
+           SELECT event_type, user_id, COUNT(*) AS c
+           FROM events WHERE user_id BETWEEN 0 AND 7
+           GROUP BY 1, 2
+         )
+    SELECT t.event_type AS key, p.probe_id,
+           COALESCE(c.c, 0) AS final_est
+    FROM types t CROSS JOIN probes p
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.user_id = p.probe_id
+    """,
+)
+def stream_stateful_cms_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's architectural heart, end to end: per-key (event_type)
+    Count-Min Sketch living in the STATE STORE across micro-batches
+    (updateStateByKey analogue), merged batch-by-batch, point-queried for a
+    probe set of user_ids. Final (max) estimate per probe equals the exact
+    count — the oracle — because eps is collision-free at fixture
+    cardinality; state stays O(keys x sketch_size) regardless of stream
+    length."""
+    src = events_stream_source(spark, sf_dir)
+    probes = list(range(8))
+    est = stateful.running_cms_estimates(
+        src, "event_type", "user_id", probes, eps=0.0001, confidence=0.999, seed=42
+    )
+    out = run_available_now(est, "append")
+    return out.groupBy("key", "probe_id").agg(F.max("cms_est").alias("final_est"))
+
+
+@query(
+    "salted_heavy_key_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def salted_heavy_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-phase salted count over the (low-
+    cardinality, hence maximally skewed) event_type key. Result identical
+    to the plain aggregate; only the shuffle distribution changes."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.skew import (
+        salted_count,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", out="cnt", salt_buckets=16)
+
+
+@query(
     "stream_cms_running_freq",
     oracle="""
     SELECT event_type, COUNT(*) AS exact_cnt, COUNT(*) AS cms_est

@@ -16,15 +16,19 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import NumpyCMS
 
 _COUNT_OUT = StructType(
     [
@@ -62,4 +66,54 @@ def running_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
         .applyInPandasWithState(
             update, _COUNT_OUT, _COUNT_STATE, "append", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+_CMS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("probe_id", LongType()),
+        StructField("cms_est", LongType()),
+    ]
+)
+_CMS_STATE = StructType([StructField("sketch", BinaryType())])
+
+
+def running_cms_estimates(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probe_ids: list[int],
+    eps: float = 0.0001,
+    confidence: float = 0.999,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key running Count-Min Sketch across micro-batches — the
+    reference's updateStateByKey+CMS heart, on the state store.
+
+    State per key = serialized NumpyCMS of the value column; every batch
+    merges the new values in and re-emits point-query estimates for the
+    probe ids. The *last* emission per (key, probe) equals the batch-exact
+    count (eps chosen collision-free at fixture cardinality), which is the
+    oracle. Sketch bytes stay bounded (eps/confidence), so state size is
+    O(keys), independent of stream length — the property that makes this
+    viable at 100 TB.
+    """
+    probes = np.array(probe_ids, dtype=np.int64)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cms = NumpyCMS.from_bytes(bytes(state.get[0]))
+        else:
+            cms = NumpyCMS.from_params(eps, confidence, seed)
+        for pdf in pdfs:
+            cms.add_longs(pdf[value_col].to_numpy(dtype=np.int64))
+        state.update((cms.to_bytes(),))
+        est = cms.estimate_longs(probes)
+        yield pd.DataFrame(
+            {"key": str(key[0]), "probe_id": probes, "cms_est": est}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _CMS_OUT, _CMS_STATE, "append", GroupStateTimeout.NoTimeout
     )

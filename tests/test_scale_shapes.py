@@ -1,0 +1,161 @@
+"""Plan-shape regression tests: the physical plans the engine promises at
+scale (pushdown, broadcast, no accidental cross products), plus bucketed
+co-located joins and the Spark 4 transformWithStateInPandas API."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    p = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2, "partial+final aggregation expected"
+    # column pruning: payload columns we don't touch must not be read
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_jaccard_no_cross_product(spark, sf_dir):
+    p = _plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semi_anti_plan_shapes(spark, sf_dir):
+    p = _plan(spark, "semi_join_active_customers", sf_dir)
+    assert "LeftSemi" in p
+    p = _plan(spark, "anti_join_idle_customers", sf_dir)
+    assert "LeftAnti" in p
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key pre-partitions data at rest:
+    the sort-merge join runs with NO Exchange (the co-located-join path
+    that matters enormously at 100 TB)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+            spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+            (
+                load(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(f"bkt_{name}")
+            )
+        joined = spark.table("bkt_customer").join(
+            spark.table("bkt_orders"), F.col("c_custkey") == F.col("o_custkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for name in ("customer", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+
+
+def test_transform_with_state_in_pandas(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas (the modern arbitrary-state
+    API): running max event value per user, verified against batch max.
+
+    Environment gate: the TWS state-server protocol needs google.protobuf,
+    which this container lacks (verified: its absence crashes the driver
+    worker with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The
+    engine's C8 operator therefore ships on applyInPandasWithState
+    (streaming/stateful.py); this test documents+verifies the TWS path
+    wherever protobuf exists."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState state "
+                    "server cannot start in this environment")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        events_stream_source,
+        run_available_now,
+    )
+
+    out_schema = StructType(
+        [StructField("user", StringType()), StructField("running_max", DoubleType())]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "mx", StructType([StructField("v", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._state.get()[0] if self._state.exists() else float("-inf")
+            for pdf in rows:
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((mx,))
+            yield pd.DataFrame({"user": [str(key[0])], "running_max": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = events_stream_source(spark, sf_dir)
+        result = src.groupBy("user_id").transformWithStateInPandas(
+            RunningMax(), out_schema, "append", "none"
+        )
+        out = run_available_now(result, "append")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {
+        r["user"]: r["running_max"]
+        for r in out.groupBy("user").agg(F.max("running_max").alias("running_max")).collect()
+    }
+    exact = {
+        str(r["user_id"]): r["mx"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == exact
