@@ -390,6 +390,135 @@ def percentile_approx_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A6 mergeable top-k sketch pipeline --------------------------------------
+
+
+@query(
+    "mergeable_topk_pipeline",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 3
+    """,
+)
+def mergeable_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-as-a-column workflow: per-partition approx_top_k_accumulate
+    partial states -> approx_top_k_combine -> estimate. This is how top-k
+    states persist/merge across jobs or days at 100 TB (store the binary
+    state, combine incrementally). Exact at fixture cardinality -> exact
+    oracle."""
+    ev = load(spark, sf_dir, "events")
+    partials = ev.groupBy((F.col("user_id") % 8).alias("shard")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("state")
+    )
+    combined = partials.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(state), 3)").alias("topk")
+    )
+    return (
+        combined.select(F.explode("topk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("item"))
+    )
+
+
+# --- B6 right outer join ------------------------------------------------------
+
+
+@query(
+    "right_join_order_counts",
+    oracle="""
+    SELECT n_name, COUNT(o_orderkey) AS n_orders
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def right_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join with a join-side predicate (kept in the ON clause,
+    so customers without big orders still appear with count 0)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    joined = orders.join(
+        cust,
+        (orders.o_custkey == cust.c_custkey) & (orders.o_totalprice > 450000),
+        "right_outer",
+    ).join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupBy("n_name").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+# --- B21 bag-semantics set ops ------------------------------------------------
+
+
+@query(
+    "setop_bag_semantics",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 300
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiplicity-preserving intersection)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+# --- B16-B18 batch sessionization (gaps-and-islands) --------------------------
+
+
+@query(
+    "sessionization_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag -> flag -> running
+    sum -> group): the batch twin of the streaming session_window, with
+    per-session behavioral aggregates."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return islands.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )
+
+
 # --- D6 embedding aggregate ops ----------------------------------------------
 
 
