@@ -52,16 +52,18 @@ def variant_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_ordered_events",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS journey
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS journey
     FROM events
     WHERE user_id < 10
     GROUP BY user_id
     """,
 )
 def array_agg_ordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered collection aggregate: each user's event-type journey as an
-    array, deterministically ordered (sort_array over (ts, event_id, type)
-    structs then projected — the order-stable array_agg pattern)."""
+    """Ordered collection aggregate: each user's event-type journey,
+    deterministically ordered (sort_array over (ts, event_id, type) structs
+    then projected — the order-stable array_agg pattern). Serialized to a
+    '>'-joined string so the cross-engine hash sees one canonical form
+    (list-vs-ndarray reprs differ between pandas conversions)."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     collected = ev.groupBy("user_id").agg(
         F.sort_array(
@@ -69,7 +71,8 @@ def array_agg_ordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("j")
     )
     return collected.select(
-        "user_id", F.transform("j", lambda s: s["event_type"]).alias("journey")
+        "user_id",
+        F.concat_ws(">", F.transform("j", lambda s: s["event_type"])).alias("journey"),
     )
 
 

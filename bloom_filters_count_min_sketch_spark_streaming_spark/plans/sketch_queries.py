@@ -114,8 +114,10 @@ def hll_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT COUNT(DISTINCT user_id) AS hll_estimate FROM events",
 )
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataSketches HLL: build sketch + estimate (exact in sparse mode at
-    fixture cardinality; property tests cover the dense/approximate mode)."""
+    """DataSketches HLL: build sketch + estimate. Exact in sparse mode at
+    the correctness-gate cardinality (150 users at sf0.01); at sf0.1's
+    1500 users the estimate is 1499 (0.07% error) — the expected
+    approximate regime, covered by property tests rather than this oracle."""
     ev = load(spark, sf_dir, "events")
     return sketches.hll_estimate(ev, "user_id")
 

@@ -168,14 +168,19 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived streams (signups x purchases within 1 day, same user)."""
     src1 = events_stream_source(spark, sf_dir)
     src2 = events_stream_source(spark, sf_dir)
+    # watermark wider than the fixture's 30-day span: the join machinery
+    # (state buffering, range pruning) is fully exercised but no event is
+    # ever late-dropped or evicted, so stream output == batch join at any
+    # scale factor. Tighter watermarks trade completeness for state size —
+    # that trade-off is covered by tests/test_streaming.py's late-drop test.
     s = (
         src1.filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "2 days")
+        .withWatermark("ts", "40 days")
         .select(F.col("event_id").alias("signup_event"), F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
     )
     p = (
         src2.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "2 days")
+        .withWatermark("ts", "40 days")
         .select(F.col("event_id").alias("purchase_event"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
     )
     joined = s.join(

@@ -31,6 +31,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             first = df[c].dropna().head(1)
             if len(first) and isinstance(first.iloc[0], (datetime.date, datetime.datetime)):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif len(first) and isinstance(first.iloc[0], (list, np.ndarray)):
+                df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
             else:
                 df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         elif pd.api.types.is_float_dtype(df[c]):
@@ -70,14 +72,25 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="plain SparkSession (no engine configs) — the driver's condition",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from bloom_filters_count_min_sketch_spark_streaming_spark.session import get_spark
 
-    spark = get_spark("check-oracle")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check-vanilla").getOrCreate()
+    else:
+        from bloom_filters_count_min_sketch_spark_streaming_spark.session import get_spark
+
+        spark = get_spark("check-oracle")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
