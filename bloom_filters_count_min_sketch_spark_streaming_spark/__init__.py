@@ -20,3 +20,38 @@ kilobyte-scale sketches and final small results.
 __version__ = "0.1.0"
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.session import get_spark  # noqa: F401
+
+# Public operator API — what a user of the reference engine would call.
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (  # noqa: F401
+    BloomFilterSketch,
+    NumpyBloom,
+    bloom_build,
+    bloom_might_contain,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (  # noqa: F401
+    CountMinSketchTable,
+    NumpyCMS,
+    cms_build,
+    cms_estimate,
+    exact_vs_approx,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.sketches import (  # noqa: F401
+    approx_distinct,
+    approx_quantiles,
+    approx_top_k,
+    exact_top_k,
+    freq_items,
+    histogram,
+    hll_estimate,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (  # noqa: F401
+    ann_lsh_topk,
+    centroids,
+    cosine_topk_bruteforce,
+)

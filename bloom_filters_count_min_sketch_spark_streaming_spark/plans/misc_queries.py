@@ -470,6 +470,25 @@ def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersectAll(s)
 
 
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 300
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiplicity-preserving difference)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 # --- B16-B18 batch sessionization (gaps-and-islands) --------------------------
 
 

@@ -243,6 +243,28 @@ def stream_stateful_cms_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode (C12): each micro-batch emits only the keys whose
+    aggregate changed; the memory sink therefore holds one row per (key,
+    batch-it-changed-in) and the per-key MAX is the final count — equal to
+    the batch aggregate."""
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(agg, "update")
+    return out.groupBy("user_id").agg(F.max("n").alias("n_events"))
+
+
+@query(
     "stream_stateful_bloom_distinct",
     oracle="""
     SELECT event_type AS key, COUNT(DISTINCT user_id) AS distinct_users
