@@ -38,9 +38,13 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "text_quality_by_source",
+    "sessionization_batch",
+    "mergeable_topk_pipeline",
+    "embedding_label_distances",
     # streaming
     "stream_windowed_counts",
     "stream_stateful_running_counts",
+    "stream_stateful_cms_per_key",
     "stream_cms_running_freq",
 ]
 

@@ -247,6 +247,170 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_pair_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between nation pairs — the same dim
+    table joined twice under different roles."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = load(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q12_priority_shipping_buckets",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END AS priority_class,
+           date_part('year', l_shipdate) AS ship_year,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q12_priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class bucketing x ship-year."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    pclass = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            pclass.alias("priority_class"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue 'view' + scalar-max subquery
+    (two references to one derived table; Catalyst reuses the exchange)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_revenue()).cast("double").alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.suppkey)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                                        / COUNT(*))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold) — expressed as an aggregate join, which is exactly
+    Catalyst's decorrelated plan for the subquery form."""
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_waiting_orders_by_supplier",
+    oracle="""
+    SELECT s_name, COUNT(DISTINCT o_orderkey) AS n_waiting
+    FROM supplier
+    JOIN lineitem l ON s_suppkey = l.l_suppkey
+    JOIN orders    ON o_orderkey = l.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (simplified to fixture columns): suppliers whose
+    line items shipped long after the order date on finalized orders."""
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("o_orderkey").alias("n_waiting"))
+    )
+
+
+@query(
     "exists_subquery_sql_entry",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
