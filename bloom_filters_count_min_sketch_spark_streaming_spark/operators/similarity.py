@@ -164,6 +164,72 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    Coarse quantizer: n_cells centroids chosen as a deterministic seeded
+    sample of corpus vectors (k-means init without the iterations — at
+    100 TB you'd run a few Lloyd rounds on a sample; the partitioning
+    structure is identical). Corpus vectors are assigned to their nearest
+    cell (one numpy matmul per Arrow batch); queries probe their n_probe
+    nearest cells; exact cosine re-rank inside the probed cells.
+
+    Work: |corpus| assignment + |Q| x (n_probe/n_cells) x |corpus| scoring
+    — the same contract as FAISS-style IVF flat.
+    """
+    spark = corpus.sparkSession
+    # Deterministic seeded sample of corpus vectors as cell centroids.
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def nearest_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ cent_unit.T  # (batch, n_cells)
+        n_top = int(n.iloc[0])
+        order = np.argsort(-sims, axis=1)[:, :n_top]
+        return pd.Series(list(order.astype(np.int64)))
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "neighbor_id", "cv", F.explode(nearest_cells(F.col("cv"), F.lit(1))).alias("cell")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    ).select("query_id", "qv", F.explode(nearest_cells(F.col("qv"), F.lit(n_probe))).alias("cell"))
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def centroids(df: DataFrame, label_col: str, vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid: posexplode + (label, dim) aggregation.
 

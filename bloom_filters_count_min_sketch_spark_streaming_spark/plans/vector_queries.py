@@ -47,6 +47,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate NN (FAISS-IVF-flat contract): seeded
+    coarse quantizer, cell-bucketed equi-join, n_probe query fan-out,
+    exact re-rank in probed cells. Recall < 1 by construction -> rows-only
+    check; recall vs brute force asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42)
+
+
 @query(
     "embedding_centroids",
     oracle="""

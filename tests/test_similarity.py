@@ -44,6 +44,21 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall {recall:.2f} collapsed"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} collapsed"
+
+
 def test_centroids_match_numpy(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     pdf = emb.toPandas()
