@@ -31,18 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.functions.hashing import (
+    as_long_key as _as_long,
     murmur3_hash_long,
 )
-
-_LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
-
-
-def _as_long(df: DataFrame, col: str) -> Column:
-    """Normalize a column to BIGINT for the long-only Bloom codepath."""
-    dtype = dict(df.dtypes)[col]
-    if dtype in _LONG_TYPES:
-        return F.col(col).cast(LongType())
-    return F.xxhash64(F.col(col))
 
 
 @dataclass(frozen=True)
@@ -130,12 +121,18 @@ class NumpyBloom:
         n_bits = ((n_bits + 63) // 64) * 64
         k = max(1, round(n_bits / expected_items * math.log(2)))
         rng = np.random.default_rng(seed)
-        hash_a = rng.integers(1, 2**62, size=k, dtype=np.int64) | np.int64(1)
+        # pairs (a_i, b_i): positions come from a_i * (v XOR b_i), so no
+        # input value (0 included) degenerates to the same position for
+        # every hash function
+        hash_a = rng.integers(1, 2**62, size=2 * k, dtype=np.int64) | np.int64(1)
         return cls(n_bits, hash_a, np.zeros(n_bits // 64, dtype=np.uint64))
 
     def _positions(self, v: np.ndarray) -> np.ndarray:
+        k = len(self.hash_a) // 2
+        a = self.hash_a[:k, None]
+        b = self.hash_a[k:, None]
         with np.errstate(over="ignore"):
-            prod = self.hash_a[:, None] * v[None, :]
+            prod = a * (v[None, :] ^ b)
             h = (prod + (prod >> np.int64(32))) & np.int64(0x7FFFFFFF)
             return h.astype(np.int64) % np.int64(self.n_bits)
 
@@ -159,10 +156,10 @@ class NumpyBloom:
     def from_bytes(cls, data: bytes) -> "NumpyBloom":
         import struct
 
-        n_bits, k = struct.unpack(">ii", data[:8])
+        n_bits, n_hashes = struct.unpack(">ii", data[:8])
         off = 8
-        hash_a = np.frombuffer(data[off : off + 8 * k], dtype=np.int64).copy()
-        off += 8 * k
+        hash_a = np.frombuffer(data[off : off + 8 * n_hashes], dtype=np.int64).copy()
+        off += 8 * n_hashes
         bits = np.frombuffer(data[off : off + n_bits // 8], dtype=np.uint64).copy()
         return cls(n_bits, hash_a, bits)
 
@@ -191,8 +188,11 @@ def bloom_might_contain(df: DataFrame, col: str, bloom_bytes: bytes, out: str = 
 
     @F.pandas_udf(BooleanType())
     def _probe(keys: pd.Series) -> pd.Series:
+        mask = keys.isna().to_numpy()
         values = keys.to_numpy(dtype=np.int64, na_value=0)
-        result = sketch.might_contain_longs(values)
-        return pd.Series(result)
+        result = pd.Series(sketch.might_contain_longs(values), dtype="object")
+        # NULL in -> NULL out (same as Spark's might_contain semantics)
+        result[mask] = None
+        return result
 
     return df.withColumn(out, _probe(_as_long(df, col)))

@@ -36,14 +36,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-_LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
-
-
-def _as_long(df: DataFrame, col: str) -> Column:
-    dtype = dict(df.dtypes)[col]
-    if dtype in _LONG_TYPES:
-        return F.col(col).cast(LongType())
-    return F.xxhash64(F.col(col))
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions.hashing import (
+    as_long_key as _as_long,
+)
 
 
 @dataclass(frozen=True)
@@ -197,8 +192,11 @@ def cms_estimate(df: DataFrame, col: str, cms_bytes: bytes, out: str = "cms_esti
 
     @F.pandas_udf(LongType())
     def _probe(keys: pd.Series) -> pd.Series:
+        mask = keys.isna().to_numpy()
         values = keys.to_numpy(dtype=np.int64, na_value=0)
-        return pd.Series(sketch.estimate_longs(values))
+        result = pd.Series(sketch.estimate_longs(values), dtype="object")
+        result[mask] = None  # NULL key -> NULL estimate
+        return result
 
     return df.withColumn(out, _probe(_as_long(df, col)))
 
@@ -211,8 +209,11 @@ def cms_estimate_from_table(
 
     @F.pandas_udf(LongType())
     def _probe(keys: pd.Series) -> pd.Series:
+        mask = keys.isna().to_numpy()
         values = keys.to_numpy(dtype=np.int64, na_value=0)
-        return pd.Series(table.estimate_longs(values))
+        result = pd.Series(table.estimate_longs(values), dtype="object")
+        result[mask] = None  # NULL key -> NULL estimate
+        return result
 
     return df.withColumn(out, _probe(_as_long(df, col)))
 

@@ -18,6 +18,23 @@ from __future__ import annotations
 
 import numpy as np
 
+# Shared key-normalization contract for every sketch (Bloom build/probe and
+# CMS build/probe must agree on it): integral columns pass through as
+# BIGINT, everything else hashes JVM-side with xxhash64. Kept in ONE place
+# so build and probe can never drift apart.
+_LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def as_long_key(df, col: str):
+    """Column expression normalizing df[col] to BIGINT for sketch keying."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    dtype = dict(df.dtypes)[col]
+    if dtype in _LONG_TYPES:
+        return F.col(col).cast(LongType())
+    return F.xxhash64(F.col(col))
+
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)
 _M5 = np.uint32(5)

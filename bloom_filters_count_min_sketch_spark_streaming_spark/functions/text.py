@@ -19,8 +19,13 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def word_tokens(text: Column) -> Column:
-    """Whitespace tokens, lowercased, empties removed."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    """Space-delimited tokens, lowercased, empties removed.
+
+    Splits on a literal single space — the same tokenization the DuckDB
+    oracles (string_split(text, ' ')) and operators/dedup.py use, so every
+    module sees one consistent token stream for a given document.
+    """
+    return F.filter(F.split(F.lower(text), " "), lambda w: w != "")
 
 
 def token_count_whitespace(text: Column) -> Column:

@@ -520,11 +520,14 @@ def sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session behavioral aggregates."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap comparison (cast to double keeps the fractional
+    # second; a long cast would truncate and diverge from the oracle's
+    # interval arithmetic at sub-second boundaries)
     flagged = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            | ((F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) > 1800.0),
             1,
         ).otherwise(0),
     )

@@ -588,9 +588,12 @@ def asof_join_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataF
         "event_type",
         F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
     )
+    # order clicks before errors at identical timestamps (event_type is the
+    # tie-break: 'click' < 'error') so a same-microsecond click is visible
+    # to the error row — matching DuckDB ASOF's inclusive e.ts >= c.ts
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_type", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

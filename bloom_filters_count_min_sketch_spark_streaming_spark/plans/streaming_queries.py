@@ -82,9 +82,11 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH ordered AS (
+      -- >= : Spark's session_window end (last_ts + gap) is EXCLUSIVE, so an
+      -- event at exactly gap distance starts a new session
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

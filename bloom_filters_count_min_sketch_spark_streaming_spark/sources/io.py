@@ -43,8 +43,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division — same truncation DuckDB applies, so oracles line up.
     """
     if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            # schema resolution happens eagerly here, so the conf can be
+            # restored immediately — no session-wide side effect remains
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
