@@ -242,3 +242,47 @@ def centroids(df: DataFrame, label_col: str, vec_col: str = "embedding") -> Data
     return exploded.groupBy("label", "dim").agg(
         F.round(F.avg("x"), 4).alias("centroid_val")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_scale: int = 6,
+) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicate detection.
+
+    Output: (id_a, id_b, cos) with id_a < id_b and rounded cosine >=
+    threshold. Norms are computed once per row before the self-join, so
+    the per-pair work is a single dot product.
+
+    Scale note: the pair join is O(n^2/2) — this is the exact correctness
+    baseline. At 100 TB the same dot/filter runs *inside* hyperplane-LSH
+    buckets (``ann_lsh_topk``'s signature stage turns the cross product
+    into a band-bucket equi-join), trading recall for the quadratic blowup.
+    The filter is applied to the ROUNDED cosine so the threshold crossing
+    is engine-stable.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double_array(vec_col).alias("_v"),
+    ).withColumn("_n", norm(F.col("_v")))
+    left = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pairs = right.join(F.broadcast(left), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_scale,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

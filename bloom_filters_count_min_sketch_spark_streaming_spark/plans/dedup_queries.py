@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup, similarity
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 
@@ -139,3 +139,28 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("fingerprint"),
         F.length("text").alias("n_chars"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    -- both engines: exact DOUBLE dot products from identical float32
+    -- inputs, rounded to 6 before the threshold compare (nearest fixture
+    -- pair is >= 1e-4 from the 0.45 boundary at sf0.01/sf0.1)
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(
+                      list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                      t -> t[1] * t[2]))
+                   / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))),
+                   6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    LSH-bucketed variant is the 100 TB path — see operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.45)

@@ -465,3 +465,69 @@ def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT date_part('year', o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN {_REVENUE_SQL}
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region    ON cn.n_regionkey = r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's trade volume per
+    year — conditional aggregation over an 8-table star join. Every dim
+    (part, region, both nation roles, supplier) is broadcast; only the
+    fact-to-fact lineitem<->orders<->customer path shuffles. The ratio
+    divides two exact DECIMAL sums cast to double, so both engines divide
+    identical operands (round(6) guards the last bit)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    cn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    )
+    sn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = _revenue()
+    zero = F.lit("0").cast("decimal(12,2)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(region, F.col("crk") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
