@@ -531,3 +531,41 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 7, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape with lineitem as the part<->supplier bridge (the
+    fixtures carry no partsupp): distinct-supplier counts per part
+    attribute triple, excluding flagged suppliers. NOT IN compiles to a
+    broadcast anti-join (s_suppkey is never NULL in the fixtures, so anti
+    join == NOT IN); the part filter is broadcast so the only shuffle is
+    the final distinct aggregation."""
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 7, 9, 14, 23, 36, 45, 49)
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    flagged = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
