@@ -61,8 +61,23 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # JVM/codegen warmup on a trivial action
+    # Warm every engine component the measured queries rely on, so the
+    # first headline query isn't charged for one-time JVM/codegen/worker
+    # startup: codegen + shuffle, the vectorized parquet reader, and the
+    # Arrow python-worker pool (pandas UDFs reuse warm workers).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.groupBy("n_regionkey").count().collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf can't evaluate
+    @F.pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    warm.select(_warm_udf(F.col("n_nationkey").cast("long"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
