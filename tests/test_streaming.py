@@ -77,3 +77,71 @@ def test_watermark_drops_late_rows(spark):
     out = run_available_now(agg, "append")
     rows = {r["window"].start.isoformat(): r["n"] for r in out.collect()}
     assert rows.get("2024-01-01T10:00:00") == 1, f"late row not dropped: {rows}"
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart contract: a restarted query resumes from the
+    checkpointed offsets (old files are NOT reprocessed) and the file
+    sink's manifest keeps the output exactly-once; a restarted stateful
+    aggregation resumes from checkpointed state, not from zero."""
+    ev = load(spark, sf_dir, "events")
+    half = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt2 = str(tmp_path / "ckpt_state")
+    ev.filter(F.col("event_id") <= half).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_to_sink():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    state = {}
+
+    def run_stateful():
+        def _capture(batch_df, batch_id):
+            for r in batch_df.collect():
+                state[r["event_type"]] = r["n"]
+
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.foreachBatch(_capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_to_sink()
+    run_stateful()
+    n_first = ev.filter(F.col("event_id") <= half).count()
+    assert spark.read.parquet(out).count() == n_first
+
+    # "new data arrives while the query is down"
+    ev.filter(F.col("event_id") > half).coalesce(1).write.mode("append").parquet(src)
+    run_to_sink()
+    run_stateful()
+
+    got = spark.read.parquet(out)
+    total = ev.count()
+    # resumed, not reprocessed: every input row exactly once
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+    # stateful restart: counts include pre-restart batches via recovered
+    # state even though the second run only read the new file
+    exact = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert state == exact
