@@ -569,3 +569,43 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, date_part('year', o_orderdate) AS o_year,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit = revenue, the fixtures carry no partsupp
+    supplycost): supplier-nation x order-year revenue for a part-name
+    pattern. The LIKE filter prunes part BEFORE the broadcast, so the
+    fact scan only hash-probes matching parts."""
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    sn = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+        )
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+    )

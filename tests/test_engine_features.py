@@ -116,35 +116,3 @@ def test_streaming_parquet_file_sink(spark, sf_dir):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == load(spark, sf_dir, "events").count()
-
-
-def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
-    """Bucketing artifact for the 100 TB plan: persisting both join sides
-    bucketed + sorted on the join key lets a repeated fact-fact join run
-    shuffle-free (no Exchange above either scan), which is the co-located
-    join strategy the engine relies on for repeated lineitem<->orders
-    joins at scale."""
-    warehouse_db = "bfcms_bucket_test"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
-    # at fixture scale the planner would broadcast instead (and skip the
-    # bucketed scan entirely) — turn broadcast off to exercise the plan
-    # shape the 100 TB fact-fact join would actually get
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        load(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
-            "o_orderkey"
-        ).mode("overwrite").saveAsTable(f"{warehouse_db}.orders_b")
-        load(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
-            "l_orderkey"
-        ).mode("overwrite").saveAsTable(f"{warehouse_db}.lineitem_b")
-        o = spark.table(f"{warehouse_db}.orders_b")
-        li = spark.table(f"{warehouse_db}.lineitem_b")
-        joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        # and the join still returns every lineitem row
-        assert joined.count() == li.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql(f"DROP DATABASE IF EXISTS {warehouse_db} CASCADE")
