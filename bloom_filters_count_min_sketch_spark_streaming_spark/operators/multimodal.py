@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -101,3 +102,104 @@ def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """mapInPandas resize: binary payload -> binary payload of the target
+    dimensions. The stub "codec" tiles/truncates the source bytes to
+    exactly width*height bytes (deterministic); a real implementation
+    swaps only the body of ``_resize_one`` for decode->resample->encode.
+    Payload-in/payload-out keeps the operator pipelineable: no shuffle,
+    output partitioning == input partitioning.
+    """
+    target = width * height
+
+    def _resize_one(p: bytes | None) -> bytes:
+        if p is None or len(p) == 0:
+            return bytes(target)
+        reps = (target + len(p) - 1) // len(p)
+        return (p * reps)[:target]
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image resize requires codec libs not present in "
+                    "this environment; use strict=False for the "
+                    "deterministic byte-tiling stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"].map(_resize_one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize_batch, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 4, strict: bool = False
+) -> DataFrame:
+    """mapInPandas frame sampling: one video payload -> every n-th frame
+    as its own row (1->N batch-shape change, the part a real ffmpeg-backed
+    sampler would also need). The stub treats the payload as a
+    concatenation of fixed-size frames; a real implementation replaces
+    only the chunking with container demux + keyframe decode.
+
+    Output rows explode in-place per input partition — no shuffle; at
+    100 TB follow with repartition() only if downstream work is CPU-bound
+    per frame.
+    """
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg, not present in "
+                    "this environment; use strict=False for the "
+                    "fixed-size-chunk stand-in"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(p[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_frames_batch, FRAME_SCHEMA)

@@ -9,6 +9,7 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text 
 from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
+    sample_frames,
 )
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
@@ -138,4 +139,37 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    -- closed-form mirror of the deterministic chunking stub: frames of 64
+    -- bytes, every 2nd sampled; the last frame is short and sampled only
+    -- when its index is even
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS L,
+             CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           (n_frames + 1) // 2 AS n_sampled,
+           CAST(CASE WHEN (n_frames - 1) % 2 = 0
+                THEN 64 * ((n_frames + 1) // 2 - 1) + (L - 64 * (n_frames - 1))
+                ELSE 64 * ((n_frames + 1) // 2) END AS BIGINT) AS total_bytes
+    FROM m
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: 1->N mapInPandas
+    row explosion (stubbed demux), aggregated back to per-media counts so
+    the plumbing is value-hash-checked against the closed-form oracle."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    frames = sample_frames(media, frame_bytes=64, every_n=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_bytes").alias("total_bytes"),
     )

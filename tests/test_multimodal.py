@@ -1,0 +1,68 @@
+"""Multimodal binary-column plumbing tests (SURVEY §2.D D5): schema,
+batch shape, determinism, and strict-mode stubs for the codec-free
+environment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    resize_images,
+    sample_frames,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+def _media(spark, sf_dir):
+    return attach_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def test_resize_images_exact_target_size(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    out = resize_images(media, width=16, height=8)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "media_type", "payload", "width", "height",
+    ]
+    sizes = out.select(F.length("payload").alias("n")).distinct().collect()
+    assert [r["n"] for r in sizes] == [16 * 8]
+    assert out.count() == media.count()
+
+
+def test_resize_images_deterministic(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    a = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
+    assert a == b
+
+
+def test_sample_frames_counts_match_closed_form(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    frames = sample_frames(media, frame_bytes=64, every_n=2)
+    got = {
+        r["media_id"]: (r["n"], r["b"])
+        for r in frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("b"))
+        .collect()
+    }
+    for r in media.select("media_id", F.length("payload").alias("L")).collect():
+        L = r["L"]
+        n_frames = -(-L // 64)
+        sampled = list(range(0, n_frames, 2))
+        exp_bytes = sum(
+            (L - 64 * fi) if fi == n_frames - 1 else 64 for fi in sampled
+        )
+        assert got[r["media_id"]] == (len(sampled), exp_bytes)
+
+
+def test_strict_mode_raises_where_codec_would_plug_in(spark, sf_dir):
+    media = _media(spark, sf_dir).limit(2)
+    for op in (
+        lambda: decode_features(media, strict=True).collect(),
+        lambda: resize_images(media, 4, 4, strict=True).collect(),
+        lambda: sample_frames(media, strict=True).collect(),
+    ):
+        with pytest.raises(Exception, match="NotImplementedError|not present"):
+            op()
