@@ -159,3 +159,41 @@ def test_transform_with_state_in_pandas(spark, sf_dir):
         .collect()
     }
     assert final == exact
+
+
+# headline queries where a nested-loop/cartesian stage is the intended
+# algorithm (tiny broadcast side), not an accident
+_NESTED_LOOP_OK = {
+    "knn_cosine_bruteforce",   # corpus x broadcast query set by design
+    "asof_join_last_click_before_error",  # union+window, no join at all
+}
+
+
+def test_headline_batch_plans_have_no_accidental_cross_products(spark, sf_dir):
+    """Sweep every batch headline query: a CartesianProduct or a
+    non-broadcast nested-loop join in any of these plans would be a
+    100 TB disaster; only whitelisted queries may plan one (and only
+    with a broadcast build side)."""
+    import bench
+
+    for name in bench.HEADLINE:
+        if name.startswith("stream_"):
+            continue
+        p = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in p, name
+        if name not in _NESTED_LOOP_OK:
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_headline_scans_prune_columns(spark, sf_dir):
+    """Fact-table scans in the headline plans must not read every column:
+    column pruning reaching the parquet reader is the difference between
+    reading 16 and 3 columns of a 100 TB lineitem."""
+    p = _plan(spark, "q1_pricing_summary", sf_dir)
+    read = p.split("ReadSchema:")[1].split("\n")[0]
+    # q1 touches 7 of lineitem's 11 columns; the scan must skip the rest
+    for absent in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert absent not in read
+    p3 = _plan(spark, "q3_shipping_priority", sf_dir)
+    read3 = [seg.split("\n")[0] for seg in p3.split("ReadSchema:")[1:]]
+    assert all("o_orderpriority" not in seg for seg in read3)
