@@ -296,6 +296,25 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+@query("source_roundtrip_text", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line sink + source roundtrip (the reference's native input
+    format): one delimited line per row on write, parse-on-read with
+    JVM-side split/cast — the line-oriented ingest path a socket/text
+    stream source would feed."""
+    src = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"bfcms_rt_text_{os.path.basename(sf_dir)}")
+    src.select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")).alias("value")
+    ).coalesce(1).write.mode("overwrite").format("text").save(out)
+    parts = F.split(F.col("value"), r"\|")
+    return spark.read.text(out).select(
+        parts.getItem(0).cast("int").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("int").alias("n_regionkey"),
+    )
+
+
 # --- B24 string-similarity functions -----------------------------------------
 
 
