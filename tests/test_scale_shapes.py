@@ -197,3 +197,40 @@ def test_headline_scans_prune_columns(spark, sf_dir):
     p3 = _plan(spark, "q3_shipping_priority", sf_dir)
     read3 = [seg.split("\n")[0] for seg in p3.split("ReadSchema:")[1:]]
     assert all("o_orderpriority" not in seg for seg in read3)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join handling — the runtime half of the skew story
+    (query-side salting in operators/skew.py is the static half). With
+    thresholds scaled down to fixture size, AQE must mark the hot-key
+    join as skew=true and split the oversized partition."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one key owns ~90% of the fact side
+        fact = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "CAST(id AS DOUBLE) AS v",
+            "repeat('x', 32) AS pad",
+        )
+        dim = spark.range(20_000).selectExpr("id AS k", "id * 2 AS w")
+        # AQE finalizes a plan only on the execution that ran it: collect
+        # through ONE DataFrame and read that same DataFrame's plan
+        result = fact.join(dim, "k").groupBy().count()
+        assert result.collect()[0][0] > 0
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
