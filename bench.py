@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "text_quality_by_source",
+    "llm_corpus_pipeline",
     "sessionization_batch",
     "mergeable_topk_pipeline",
     "embedding_label_distances",

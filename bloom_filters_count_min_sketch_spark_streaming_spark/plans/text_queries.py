@@ -173,3 +173,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    -- same three stages as the Spark build: exact dedup (keep lowest
+    -- doc_id per content hash) -> component quality gate -> per-lang
+    -- corpus stats. Ratios are int/int double divisions, identical in
+    -- both engines, so the gate is engine-stable.
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+    ), gated AS (
+      SELECT d.lang, d.text,
+             len(list_filter(string_split(lower(d.text), ' '), w -> w <> '')) AS n_tok
+      FROM documents d JOIN kept USING (doc_id)
+      WHERE len(list_filter(string_split(lower(d.text), ' '), w -> w IN {_STOPS_SQL}))
+              * 1.0 / len(list_filter(string_split(lower(d.text), ' '), w -> w <> '')) >= 0.05
+        AND length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
+              * 1.0 / length(d.text) <= 0.2
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    FROM gated GROUP BY lang
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in one declarative plan:
+    exact dedup -> quality gate (stopword + punctuation components) ->
+    per-language token accounting. One shuffle per stage boundary
+    (dedup groupBy, self-join on kept ids, final lang agg); Catalyst
+    pipelines the gate into the scan of the joined side."""
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = (
+        docs.join(kept, "doc_id")
+        .filter(
+            (T.stopword_ratio(F.col("text")) >= 0.05)
+            & (T.punct_ratio(F.col("text")) <= 0.2)
+        )
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count_whitespace(F.col("text"))).cast("long").alias("total_tokens"),
+    )
