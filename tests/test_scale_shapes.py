@@ -234,3 +234,48 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Catalyst's runtime Bloom-filter join pruning — Spark using the
+    reference's own data structure as an optimizer feature: a selective
+    dim-side filter makes the optimizer inject bloom_filter_agg on the
+    build side and might_contain on the fact scan, pruning shuffle input
+    before the join. Thresholds scaled to fixture size (creation side
+    must fit under creationSideThreshold; the fact scan must exceed
+    applicationSideScanSizeThreshold)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the filter doesn't change the answer
+        exact = (
+            li.join(orders.hint("broadcast"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+        assert j.collect()[0]["count"] == exact
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
