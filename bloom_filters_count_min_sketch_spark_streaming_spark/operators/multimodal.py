@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -40,12 +40,15 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# features are DOUBLE, not FLOAT: the fake-decode moments carry ~6
+# significant digits, and a float32 round-trip would shift values across
+# rounding boundaries in the cross-engine compare
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -66,14 +69,16 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real image decode + feature extraction:
-    byte-histogram moments. Replace with a real codec in production."""
+    byte-histogram moments (unrounded — consumers round at output time so
+    the rounding mode is the SQL engines', not Python's half-even).
+    Replace with a real codec in production."""
     if payload is None:
         return [0.0] * dim
     acc = [0] * dim
     for i, b in enumerate(payload):
         acc[i % dim] += b
     n = max(len(payload), 1)
-    return [round(a / n, 4) for a in acc]
+    return [a / n for a in acc]
 
 
 def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:

@@ -90,11 +90,36 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_scores")
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    -- full mirror of functions/text.py:quality_score: every component is
+    -- an int/int double division (identical in both engines), the blend
+    -- is +/- and least/greatest of those, rounded once at the end
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN {_STOPS_SQL}))
+               * 1.0 / len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS stop_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) AS punct_ratio,
+             list_sum(list_transform(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+                                     w -> length(w)))
+               * 1.0 / len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS avg_len
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(GREATEST(LEAST(
+             0.5 + LEAST(stop_ratio, 0.3) - LEAST(punct_ratio * 2, 0.4)
+                 + CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 0.1 ELSE -0.1 END,
+             1.0), 0.0), 4) AS quality,
+           n_tok AS n_tokens
+    FROM c
+    """,
+)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite per-doc quality score (Gopher/C4-style heuristic blend) —
-    rows-only check (the blend involves clamps easier to property-test
-    than to mirror in SQL; components are oracle-checked above)."""
+    """Composite per-doc quality score (Gopher/C4-style heuristic blend),
+    mirrored component-by-component in the DuckDB oracle."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -128,10 +153,23 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    -- closed-form mirror of the fake decode's first byte-histogram moment
+    -- (fixture text is pure ASCII, verified octet_length == length at
+    -- every SF, so character positions == byte positions)
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           ROUND(list_sum([ord(text[i]) FOR i IN range(1, length(text) + 1)
+                           IF (i - 1) % 8 = 0]) * 1.0 / length(text), 4) AS f0
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas media decode (deterministic fake codec): real Arrow batch
-    plumbing, schema, and partitioning; rows-only check."""
+    plumbing, schema, and partitioning — first feature component mirrored
+    by a closed-form byte-moment oracle."""
     docs = load(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
     feats = decode_features(media, strict=False)
