@@ -161,3 +161,28 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p, v) for p, v in zip(probs, vals)], "prob double, quantile double"
     )
+
+
+@query(
+    "histogram_fixed_bins",
+    oracle="""
+    -- exact twin of the histogram_numeric sketch: fixed width-50 bins
+    -- (bin edges at representable multiples, so floor(value/50) is
+    -- engine-identical); value carries 2 decimals -> DECIMAL-exact sums
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram (the deterministic companion to the
+    histogram_numeric sketch): one hash aggregation with map-side combine,
+    bin id computed JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
