@@ -597,3 +597,35 @@ def embedding_label_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.round(F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 4).alias("l2_dist"))
     )
+
+
+@query(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS nearby_total
+    FROM orders
+    """,
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame spec (B18): per customer, the sum of order totals
+    within 1000 currency units below the current order's value. A RANGE
+    frame is defined by the ORDER BY *values* (peers included), so the
+    result is deterministic without a positional tie-break — both engines
+    resolve the frame identically."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("nearby_total"),
+    )

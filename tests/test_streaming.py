@@ -145,3 +145,95 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     # state even though the second run only read the new file
     exact = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert state == exact
+
+
+def test_chained_streaming_window_aggregations(spark, sf_dir, tmp_path):
+    """Spark 4 chained stateful aggregation: 15-min tumbling counts
+    re-aggregated into hourly totals inside ONE streaming query (two
+    stateful operators, append mode). Append only emits a window once the
+    watermark passes it, so the source ends with a far-future sentinel row
+    that flushes every real window; the sentinel's own (withheld) window
+    is excluded from the comparison."""
+    import os
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # append mode DROPS rows behind the watermark, so the replay must be
+    # time-ordered ACROSS batches: range-partition by ts (event_id is only
+    # loosely time-correlated — good enough for complete mode, not here)
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    # FileStreamSource schedules by mtime, and parallel write tasks finish
+    # in arbitrary order — restamp the part files in path (== ts-range)
+    # order so batches replay chronologically
+    import os, time
+    now = time.time()
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    for i, fn in enumerate(parts):
+        os.utime(os.path.join(src, fn), (now + i,) * 2)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # each stateful stage emits one micro-batch AFTER the watermark
+    # passes, so a two-stage pipeline needs several trailing batches to
+    # drain: three staggered sentinels, each in its own batch (mtimes
+    # force them after the real files and in order)
+    import shutil, time
+    for s, hours in enumerate((6, 12, 18, 24, 30)):
+        sentinel = ev.limit(1).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name) if f.name != "ts"
+                else (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+                for f in ev.schema.fields
+            ]
+        )
+        sent_file = str(tmp_path / f"sentinel{s}")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sent_file)
+        for fn in sorted(os.listdir(sent_file)):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(src, f"zz-sentinel-{s}.parquet")
+                shutil.copy(os.path.join(sent_file, fn), dst)
+                os.utime(dst, (time.time() + 3600 * (s + 1),) * 2)
+
+    schema = ev.schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        fine = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        hourly = fine.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        ).agg(F.sum("n").alias("n_events"))
+        q = (
+            hourly.writeStream.format("memory")
+            .queryName("chained_agg")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r["start"], r["event_type"]): r["n_events"]
+        for r in spark.table("chained_agg")
+        .select(F.col("window.start").alias("start"), "event_type", "n_events")
+        .filter(F.col("start") <= max_ts)
+        .collect()
+    }
+    exact = {
+        (r["start"], r["event_type"]): r["n_events"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == exact
