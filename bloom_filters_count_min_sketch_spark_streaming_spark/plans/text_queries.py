@@ -258,3 +258,55 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count_whitespace(F.col("text"))).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    -- tf-idf with exact integer tf/df and a double ln(): scores of
+    -- different (tf, df) pairs differ by far more than cross-libm last-bit
+    -- noise, and equal pairs produce bit-identical doubles in both
+    -- engines, so the ranking (with the term tie-break) is engine-stable
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term
+    ), scored AS (
+      SELECT lang, term,
+             ROUND(tf * ln(n_docs * 1.0 / df), 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY tf * ln(n_docs * 1.0 / df) DESC, term
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, score, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-5 terms per language: exploded token stream feeds both
+    the document-frequency table (distinct doc-term) and per-lang term
+    counts; idf join is broadcast-size (vocabulary), ranking is one
+    window per lang. At 100 TB the vocab df table is the only broadcast
+    and the token explode shuffles once per aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", F.round(score, 4).alias("score"), "rnk")
+    )
