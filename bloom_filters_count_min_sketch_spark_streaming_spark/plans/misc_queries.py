@@ -629,3 +629,64 @@ def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("nearby_total"),
     )
+
+
+@query(
+    "date_function_family",
+    oracle="""
+    SELECT date_part('dow', o_orderdate) AS dow,
+           COUNT(*) AS n_orders,
+           SUM(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS total_days_since,
+           SUM(CASE WHEN last_day(CAST(o_orderdate AS DATE)) = CAST(o_orderdate AS DATE)
+                    THEN 1 ELSE 0 END) AS n_month_end
+    FROM orders GROUP BY 1
+    """,
+)
+def date_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (B25): day-of-week bucketing (Spark's
+    1=Sunday convention shifted to DuckDB's 0=Sunday), day diffs against
+    an epoch, month-end detection via last_day."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        ).cast("long").alias("total_days_since"),
+        F.sum(
+            F.when(
+                F.last_day("o_orderdate") == F.to_date("o_orderdate"), 1
+            ).otherwise(0)
+        ).alias("n_month_end"),
+    )
+
+
+@query(
+    "array_function_family",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types) AS n_types,
+           CASE WHEN list_contains(types, 'purchase') THEN 1 ELSE 0 END AS has_purchase,
+           array_to_string(types[1:2], ',') AS first_two
+    FROM per_user
+    """,
+)
+def array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family (B27): collect_set -> sort_array gives a
+    deterministic per-user array despite unordered aggregation; size /
+    array_contains / slice / array_join all JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("types").cast("long").alias("n_types"),
+        F.when(F.array_contains("types", "purchase"), 1).otherwise(0).alias("has_purchase"),
+        F.array_join(F.slice("types", 1, 2), ",").alias("first_two"),
+    )
