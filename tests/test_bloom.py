@@ -70,3 +70,24 @@ def test_bloom_string_column(spark):
         .head()[0]
     )
     assert fp <= 0.05
+
+
+def test_numpy_bloom_zero_key_uses_distinct_positions():
+    """Regression: with plain multiplicative hashing every hash function
+    maps value 0 to bit 0 (a*0 == 0), collapsing k functions into one and
+    inflating the zero-key false-positive rate. The (a, b) pair scheme
+    hashes a*(v XOR b), so 0 must set k distinct bits (collisions aside)."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        NumpyBloom,
+    )
+
+    bloom = NumpyBloom.from_params(expected_items=1000, fpp=0.01, seed=7)
+    pos = bloom._positions(np.array([0], dtype=np.int64))[:, 0]
+    k = len(bloom.hash_a) // 2
+    assert len(set(pos.tolist())) > max(1, k // 2)
+    # and the serialization roundtrip preserves the pair scheme
+    bloom.add_longs(np.array([0, 1, 2], dtype=np.int64))
+    back = NumpyBloom.from_bytes(bloom.to_bytes())
+    assert back.might_contain_longs(np.array([0, 1, 2], dtype=np.int64)).all()
