@@ -196,3 +196,27 @@ def bloom_might_contain(df: DataFrame, col: str, bloom_bytes: bytes, out: str = 
         return result
 
     return df.withColumn(out, _probe(_as_long(df, col)))
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the big side — the manual
+    version of Catalyst's runtime bloom-filter pruning, usable where the
+    optimizer can't inject it (e.g. the build side is a computed frame).
+
+    The filter is a SUPERSET gate (no false negatives), so the subsequent
+    exact join returns exactly the plain join's rows — approximate
+    structure, exact result. At scale this trades a kilobyte broadcast
+    for shuffling only rows that can match; with fpp=0.01 the shuffle
+    carries ≤1% non-matching rows.
+    """
+    n_keys = small.select(small_key).distinct().count()
+    sketch_bytes = bloom_build(small, small_key, max(n_keys, 1), fpp)
+    gated = bloom_might_contain(big, big_key, sketch_bytes, out="__bf")
+    pruned = gated.filter(F.col("__bf")).drop("__bf")
+    return pruned.join(small, pruned[big_key] == small[small_key])

@@ -186,3 +186,32 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "bloom_prefilter_join_counts",
+    oracle="""
+    -- the bloom gate is a superset filter (zero false negatives), so the
+    -- exact join behind it returns exactly the plain join's rows
+    SELECT o_orderpriority, COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def bloom_prefilter_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated join (A1/A2 applied to B6): lineitem rows pass a
+    kilobyte Bloom filter of the selective order keys before the shuffle;
+    the exact join then yields precisely the ungated join's result."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        bloom_prefilter_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prefilter_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
