@@ -98,6 +98,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Regression check vs the most recent driver-recorded round (stderr
+    # only — the stdout contract stays one JSON line). Ratios > 3x are
+    # flagged; the host's observed run-to-run noise is ±3x, so anything
+    # beyond that is likely a real plan regression, not scheduler mood.
+    prev = _latest_round_bench()
+    if prev:
+        prev_q = prev.get("queries", {})
+        flagged = []
+        for name, t in timings.items():
+            p = prev_q.get(name)
+            if p and p > 0:
+                ratio = t / p
+                if ratio > 3.0:
+                    flagged.append(f"{name}: {p}s -> {t}s ({ratio:.1f}x)")
+        print(
+            f"# vs {prev['file']}: total {prev.get('value')}s -> {total}s; "
+            + (f"REGRESSIONS: {'; '.join(flagged)}" if flagged else "no query >3x slower"),
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -110,6 +131,24 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _latest_round_bench() -> dict | None:
+    """Parsed JSON of the highest-numbered BENCH_r{N}.json next to this file."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            parsed = data.get("parsed", data)
+            if isinstance(parsed, dict) and "queries" in parsed:
+                return {**parsed, "file": os.path.basename(path)}
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

@@ -169,7 +169,7 @@ def bloom_build(df: DataFrame, col: str, expected_items: int, fpp: float) -> byt
 
     JVM path: Dataset.stat.bloomFilter → treeAggregate of the bit array.
     """
-    jdf = df.select(_as_long(df, col).alias(col))._jdf  # noqa: SLF001
+    jdf = df.select(_as_long(df, col).alias(col)).where(F.col(col).isNotNull())._jdf  # noqa: SLF001
     jbloom = jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
     spark = df.sparkSession
     jvm = spark._jvm  # noqa: SLF001
@@ -204,6 +204,7 @@ def bloom_prefilter_join(
     big_key: str,
     small_key: str,
     fpp: float = 0.01,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Equi-join with a Bloom pre-filter on the big side — the manual
     version of Catalyst's runtime bloom-filter pruning, usable where the
@@ -214,9 +215,18 @@ def bloom_prefilter_join(
     structure, exact result. At scale this trades a kilobyte broadcast
     for shuffling only rows that can match; with fpp=0.01 the shuffle
     carries ≤1% non-matching rows.
+
+    Pass ``expected_items`` (an upper bound on the small side's distinct
+    keys) to skip the sizing pass; otherwise a cheap ``count()`` (no
+    distinct shuffle) upper-bounds it — over-sizing a Bloom filter only
+    lowers its FPP.
     """
-    n_keys = small.select(small_key).distinct().count()
-    sketch_bytes = bloom_build(small, small_key, max(n_keys, 1), fpp)
+    if expected_items is None:
+        expected_items = small.count()
+    sketch_bytes = bloom_build(small, small_key, max(int(expected_items), 1), fpp)
     gated = bloom_might_contain(big, big_key, sketch_bytes, out="__bf")
     pruned = gated.filter(F.col("__bf")).drop("__bf")
+    if big_key == small_key:
+        # list-form equi-join: one unambiguous key column in the output
+        return pruned.join(small, on=[big_key])
     return pruned.join(small, pruned[big_key] == small[small_key])

@@ -26,14 +26,23 @@ _LONG_TYPES = {"bigint", "int", "smallint", "tinyint"}
 
 
 def as_long_key(df, col: str):
-    """Column expression normalizing df[col] to BIGINT for sketch keying."""
+    """Column expression normalizing df[col] to BIGINT for sketch keying.
+
+    NULL-preserving for every column type: xxhash64(NULL) would return the
+    seed (42, non-null), which made string-column NULLs enter builds as a
+    phantom key and made NULL probes answer TRUE instead of NULL. Guarding
+    with isNull keeps 'NULL in -> NULL out' uniform across types (matching
+    Spark's might_contain semantics).
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     dtype = dict(df.dtypes)[col]
     if dtype in _LONG_TYPES:
         return F.col(col).cast(LongType())
-    return F.xxhash64(F.col(col))
+    return F.when(F.col(col).isNull(), F.lit(None).cast(LongType())).otherwise(
+        F.xxhash64(F.col(col))
+    )
 
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)

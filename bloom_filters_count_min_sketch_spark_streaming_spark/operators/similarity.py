@@ -3,11 +3,12 @@
 Two paths:
 
 - **brute force** (the correctness baseline): query set x corpus
-  broadcast-nested-loop join, cosine computed JVM-side with
-  ``F.zip_with``/``F.aggregate`` on double-cast arrays (no Python in the
-  hot path), ranked per query with a window. Right-sizing note: broadcast
-  the *query* side (small), stream the corpus — work is |Q| x |corpus|,
-  embarrassingly parallel over corpus partitions.
+  broadcast-nested-loop join, cosine computed in an Arrow-batched pandas
+  UDF (one numpy einsum per batch — Catalyst's lambda HOFs are evaluated
+  interpreted per element, which made them the CPU bottleneck of the
+  vector hot path), ranked per query with a window. Right-sizing note:
+  broadcast the *query* side (small), stream the corpus — work is
+  |Q| x |corpus|, embarrassingly parallel over corpus partitions.
 - **LSH-bucketed** (the 100 TB path): random-hyperplane signatures
   (sign(v . h_p) bits, deterministic planes derived from a seed), bucket
   equi-join, exact re-rank within buckets. Recall < 1 by construction;
@@ -22,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def _as_double_array(col: str | Column) -> Column:
@@ -31,7 +32,12 @@ def _as_double_array(col: str | Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Element-wise dot product of two array<double> columns (JVM-side)."""
+    """Element-wise dot product of two array<double> columns (JVM-side).
+
+    NOTE: Catalyst evaluates these lambdas *interpreted*, per element — fine
+    for one-shot/low-volume columns, NOT for per-pair scoring. Hot paths use
+    ``cosine_pandas`` (Arrow batch + numpy) instead.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -41,6 +47,21 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    va = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    vb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+    num = np.einsum("ij,ij->i", va, vb)
+    den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(num / den)
+
+
+# Arrow-batched cosine(array, array) -> double: one einsum + two norms per
+# batch. ~dim x faster than the interpreted HOF fold at scale; used by every
+# per-pair scoring stage (brute-force kNN, LSH/IVF re-rank, near-dup filter).
+cosine_pandas = F.pandas_udf(_cosine_batch, DoubleType())
 
 
 def with_unit_norm(df: DataFrame, vec_col: str, out: str = "unit") -> DataFrame:
@@ -74,7 +95,7 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+        cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -154,7 +175,7 @@ def ann_lsh_topk(
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+        cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -220,7 +241,7 @@ def ann_ivf_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"),
+        cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -254,8 +275,8 @@ def cosine_near_dup_pairs(
     """All-pairs embedding-cosine near-duplicate detection.
 
     Output: (id_a, id_b, cos) with id_a < id_b and rounded cosine >=
-    threshold. Norms are computed once per row before the self-join, so
-    the per-pair work is a single dot product.
+    threshold. Per-pair scoring is the Arrow-batched numpy cosine (one
+    einsum per batch), not an interpreted Catalyst fold.
 
     Scale note: the pair join is O(n^2/2) — this is the exact correctness
     baseline. At 100 TB the same dot/filter runs *inside* hyperplane-LSH
@@ -267,22 +288,17 @@ def cosine_near_dup_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         _as_double_array(vec_col).alias("_v"),
-    ).withColumn("_n", norm(F.col("_v")))
-    left = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
     )
-    right = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    left = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    right = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = right.join(F.broadcast(left), F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                round_scale,
-            ).alias("cos"),
+            F.round(cosine_pandas(F.col("va"), F.col("vb")), round_scale).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )

@@ -20,6 +20,7 @@ def salted_agg(
     merge_col,
     out: str,
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
@@ -27,8 +28,15 @@ def salted_agg(
     merge_col: phase-2 merge fn over the phase-1 alias (e.g. F.sum).
     The result is identical to the unsalted aggregate — salting only
     changes the shuffle distribution.
+
+    The salt is a deterministic hash of ``salt_col`` (default: every
+    column), NOT spark_partition_id(): a partition-id salt is constant
+    whenever the input arrives in one partition (single-file scans), which
+    silently degenerates to the unsalted shuffle shape — the hot key lands
+    on one reducer again.
     """
-    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    salt_src = F.xxhash64(F.col(salt_col)) if salt_col else F.xxhash64(*df.columns)
+    salt = F.pmod(salt_src, F.lit(salt_buckets)).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key_col, "_salt")
@@ -37,5 +45,11 @@ def salted_agg(
     return partial.groupBy(key_col).agg(merge_col("_partial").alias(out))
 
 
-def salted_count(df: DataFrame, key_col: str, out: str = "cnt", salt_buckets: int = 16) -> DataFrame:
-    return salted_agg(df, key_col, F.count(F.lit(1)), F.sum, out, salt_buckets)
+def salted_count(
+    df: DataFrame,
+    key_col: str,
+    out: str = "cnt",
+    salt_buckets: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    return salted_agg(df, key_col, F.count(F.lit(1)), F.sum, out, salt_buckets, salt_col)

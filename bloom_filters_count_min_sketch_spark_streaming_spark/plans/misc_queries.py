@@ -126,14 +126,18 @@ def window_analytics_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "math_function_family",
+    # Determinism: each float term is ROUNDed to a fixed scale FIRST, then
+    # summed as DECIMAL (exact, order-independent), then cast to DOUBLE.
+    # Rounding the float SUM instead (round 1) was boundary-luck: cross-engine
+    # summation-order noise flipped the last digit (driver hash_match=false).
     oracle="""
     SELECT p_brand,
-           ROUND(SUM(ln(p_retailprice)), 6) AS sum_ln,
-           ROUND(SUM(sqrt(p_size)), 6) AS sum_sqrt,
-           ROUND(SUM(pow(p_size, 2)), 1) AS sum_sq,
-           SUM(CAST(abs(p_size - 25) AS BIGINT)) AS sum_absdev,
-           SUM(CASE WHEN p_size % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
-           ROUND(SUM(p_retailprice / NULLIF(p_size, 0)), 4) AS sum_ratio
+           CAST(SUM(CAST(ROUND(ln(p_retailprice), 6) AS DECIMAL(28, 6))) AS DOUBLE) AS sum_ln,
+           CAST(SUM(CAST(ROUND(sqrt(p_size), 6) AS DECIMAL(28, 6))) AS DOUBLE) AS sum_sqrt,
+           CAST(SUM(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sum_sq,
+           CAST(SUM(CAST(abs(p_size - 25) AS BIGINT)) AS BIGINT) AS sum_absdev,
+           CAST(SUM(CASE WHEN p_size % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           CAST(SUM(CAST(ROUND(p_retailprice / NULLIF(p_size, 0), 6) AS DECIMAL(28, 6))) AS DOUBLE) AS sum_ratio
     FROM part GROUP BY p_brand
     """,
 )
@@ -141,15 +145,18 @@ def math_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ln/sqrt/pow/abs/mod/try_divide over part, aggregated per brand.
     (try_divide's null-on-zero maps to NULLIF in the oracle.)"""
     part = load(spark, sf_dir, "part")
+    dec = "decimal(28,6)"
     return part.groupBy("p_brand").agg(
-        F.round(F.sum(F.log("p_retailprice")), 6).alias("sum_ln"),
-        F.round(F.sum(F.sqrt("p_size")), 6).alias("sum_sqrt"),
-        F.round(F.sum(F.pow("p_size", F.lit(2))), 1).alias("sum_sq"),
+        F.sum(F.round(F.log("p_retailprice"), 6).cast(dec)).cast("double").alias("sum_ln"),
+        F.sum(F.round(F.sqrt("p_size"), 6).cast(dec)).cast("double").alias("sum_sqrt"),
+        F.sum(F.col("p_size").cast("long") * F.col("p_size")).alias("sum_sq"),
         F.sum(F.abs(F.col("p_size") - 25).cast("long")).alias("sum_absdev"),
         F.sum(F.when(F.col("p_size") % 2 == 0, 1).otherwise(0)).alias("n_even"),
-        F.round(F.sum(F.try_divide("p_retailprice", F.col("p_size").cast("double"))), 4).alias(
-            "sum_ratio"
-        ),
+        F.sum(
+            F.round(F.try_divide("p_retailprice", F.col("p_size").cast("double")), 6).cast(dec)
+        )
+        .cast("double")
+        .alias("sum_ratio"),
     )
 
 
@@ -160,7 +167,8 @@ def math_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_props_exploded",
     oracle="""
     SELECT event_type, 'k' AS prop_key,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_v
+           -- DuckDB SUM(BIGINT) -> HUGEINT; cast back so both engines emit int64
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_v
     FROM events GROUP BY event_type
     """,
 )
@@ -312,6 +320,39 @@ def source_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("int").alias("n_nationkey"),
         parts.getItem(1).alias("n_name"),
         parts.getItem(2).cast("int").alias("n_regionkey"),
+    )
+
+
+@query("source_roundtrip_jdbc", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + source roundtrip against embedded Derby (B2).
+
+    Write: df.write.jdbc (executors each open a connection and batch-insert
+    their partition). Read: spark.read.jdbc with column/bounds/numPartitions
+    so the scan is issued as N range-predicate queries in parallel — the
+    shape a 100 TB ingest from an operational DB needs (each task pulls its
+    own key range; no single-connection bottleneck).
+    """
+    db_dir = os.path.join(
+        tempfile.gettempdir(), f"bfcms_derby_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    url = f"jdbc:derby:{db_dir};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    (
+        src.write.mode("overwrite")
+        # Derby's default Spark mapping for StringType is CLOB; force a
+        # comparable VARCHAR so the read-back column is a plain string.
+        .option("createTableColumnTypes", "n_name VARCHAR(64)")
+        .jdbc(url, "nation_rt", properties=props)
+    )
+    return (
+        spark.read.option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "32")
+        .option("numPartitions", "4")
+        .jdbc(url, "nation_rt", properties=props)
+        .select("n_nationkey", "n_name", "n_regionkey")
     )
 
 
@@ -523,8 +564,8 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
       SELECT user_id, ts, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -636,9 +677,9 @@ def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_part('dow', o_orderdate) AS dow,
            COUNT(*) AS n_orders,
-           SUM(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS total_days_since,
-           SUM(CASE WHEN last_day(CAST(o_orderdate AS DATE)) = CAST(o_orderdate AS DATE)
-                    THEN 1 ELSE 0 END) AS n_month_end
+           CAST(SUM(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS BIGINT) AS total_days_since,
+           CAST(SUM(CASE WHEN last_day(CAST(o_orderdate AS DATE)) = CAST(o_orderdate AS DATE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end
     FROM orders GROUP BY 1
     """,
 )

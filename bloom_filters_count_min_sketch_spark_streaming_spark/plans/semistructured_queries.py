@@ -19,7 +19,7 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
     "variant_props_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
     FROM events GROUP BY event_type
     """,

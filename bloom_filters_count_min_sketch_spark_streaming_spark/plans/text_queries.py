@@ -21,8 +21,8 @@ _STOPS_SQL = "('" + "','".join(T.EN_STOPWORDS) + "')"
     "text_token_counts",
     oracle=f"""
     SELECT lang,
-           SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}'))) AS bpeish_tokens
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}'))) AS BIGINT) AS bpeish_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -49,7 +49,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            ROUND(SUM(stop_ratio) / COUNT(*), 4) AS avg_stop_ratio,
            ROUND(SUM(punct_ratio) / COUNT(*), 4) AS avg_punct_ratio,
-           SUM(n_tok) AS total_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM m GROUP BY source
     """,
 )
@@ -133,7 +133,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents GROUP BY source
     """,
@@ -231,7 +231,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
               * 1.0 / length(d.text) <= 0.2
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM gated GROUP BY lang
     """,
 )

@@ -36,14 +36,29 @@ def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
     The one-time split is range-partitioned by event_id so batch contents
     are deterministic and roughly time-ordered (event_id increases with ts).
     """
-    key = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:12]
+    # Cache key includes the fixture's identity (size+mtime), so a changed
+    # fixture under the same path can't silently replay stale batches.
+    fixture = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(fixture)
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fingerprint = "nofile"
+    key = hashlib.md5(f"{sf_dir}|{n_files}|{fingerprint}".encode()).hexdigest()[:12]
     src_dir = os.path.join(_STREAM_CACHE_ROOT, key)
-    marker = os.path.join(src_dir, "_SPLIT_DONE")
-    if not os.path.exists(marker):
+    if not os.path.isdir(src_dir):
+        # Write to a temp dir, then atomically rename into place, so a
+        # concurrent first run can never observe a partial split.
+        tmp_dir = f"{src_dir}.tmp-{uuid.uuid4().hex[:8]}"
         batch = load(spark, sf_dir, "events")
-        batch.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(src_dir)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        batch.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, src_dir)
+        except OSError:
+            # lost the race: another run published the same split
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     schema = spark.read.parquet(src_dir).schema
     return (
         spark.readStream.schema(schema)

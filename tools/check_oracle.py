@@ -38,9 +38,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int widths / NULL-ability
+            # Exact compare: float64 would silently lose bits above 2^53
+            # (xxhash64/simhash-valued columns) — a false-PASS path.
+            df[c] = df[c].astype("Int64")  # unify int widths / NULL-ability
         elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            df[c] = df[c].astype("Int64")
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
@@ -55,6 +57,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            if str(av.dtype) != str(bv.dtype):
+                # int-vs-float after normalize = DuckDB widened (HUGEINT) or
+                # one engine emits float where the other emits int — the
+                # driver's value-hash distinguishes these even if values match
+                problems.append(f"column {c}: dtype differs: spark={av.dtype} duck={bv.dtype}")
+                continue
             if pd.api.types.is_float_dtype(av):
                 ok = np.allclose(av.fillna(math.nan), bv.fillna(math.nan), rtol=0, atol=0, equal_nan=True)
             else:
