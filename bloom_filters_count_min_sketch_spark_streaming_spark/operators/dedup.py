@@ -61,6 +61,15 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+# Default document-frequency cap for inverted-index shingle joins: shingles
+# in more documents than this are dropped from candidate generation (they are
+# boilerplate, carry ~no Jaccard signal, and cost O(df^2) join pairs each).
+# Far above anything the fixtures produce (max df 25 at sf0.1), so capped and
+# uncapped results coincide there; at corpus scale this is the knob that keeps
+# the join linear in shared-shingle pairs.
+DEFAULT_MAX_SHINGLE_DF = 1024
+
+
 def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingle sets.
 
@@ -82,11 +91,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
 
     Inverted-index self-join: |pairs sharing a shingle| work, not |docs|^2.
+
+    The hot-shingle cap is ON by default (``DEFAULT_MAX_SHINGLE_DF``): a
+    boilerplate shingle appearing in D documents contributes O(D^2) join
+    pairs, which is the operator's only super-linear term at 100 TB. Pass
+    ``max_shingle_df=None`` for the exact uncapped semantics.
     """
     # The shingle sets feed three plan branches (sizes, both join sides);
     # persist so tokenization+explode runs once, not per branch.
@@ -154,6 +168,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -161,10 +176,22 @@ def minhash_lsh_pairs(
     candidates comfortably cover jaccard >= 0.8; exact verification then
     removes false positives, making the output deterministic (equal to
     ngram_jaccard_pairs restricted to LSH candidates).
+
+    ``max_shingle_df`` drops boilerplate shingles from BOTH the signatures
+    and the verification sets (consistently, so verified Jaccard stays
+    well-defined); on by default as the 100 TB guard, None = uncapped.
     """
     rows_per_band = num_hashes // bands
     # One persisted shingle-set table feeds signatures AND verification.
     sets_shared = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_shingle_df is not None:
+        hot = (
+            sets_shared.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sets_shared = sets_shared.join(hot, "sh", "left_anti")
     mins = sets_shared.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )

@@ -209,8 +209,15 @@ def ann_ivf_topk(
     """
     spark = corpus.sparkSession
     # Deterministic seeded sample of corpus vectors as cell centroids.
+    # Bounded-scan seeding: LIMIT pushes into the scan (CollectLimit reads
+    # only the first split(s), not the corpus), then the hash-order pick
+    # inside that slice keeps the choice seed-deterministic. At 100 TB the
+    # alternative — hash-ordering the whole corpus — reads every row just
+    # to pick n_cells seeds. For better-balanced cells at real scale, run a
+    # few Lloyd rounds over a larger sample; the partitioning is unchanged.
     sample_rows = (
         corpus.select(id_col, vec_col)
+        .limit(n_cells * 64)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_cells)
         .collect()
