@@ -170,9 +170,16 @@ def bloom_build(df: DataFrame, col: str, expected_items: int, fpp: float) -> byt
     JVM path: Dataset.stat.bloomFilter → treeAggregate of the bit array.
     """
     jdf = df.select(_as_long(df, col).alias(col)).where(F.col(col).isNotNull())._jdf  # noqa: SLF001
-    jbloom = jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
     spark = df.sparkSession
     jvm = spark._jvm  # noqa: SLF001
+    try:
+        jbloom = jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
+    except Exception:  # noqa: BLE001 — JVM aggregate NPEs on zero rows
+        # Zero non-null rows: an empty filter (matches nothing) is the
+        # correct degenerate result.
+        jbloom = jvm.org.apache.spark.util.sketch.BloomFilter.create(
+            int(expected_items), float(fpp)
+        )
     bos = jvm.java.io.ByteArrayOutputStream()
     jbloom.writeTo(bos)
     return bytes(bos.toByteArray())
