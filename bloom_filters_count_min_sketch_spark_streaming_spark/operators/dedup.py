@@ -106,13 +106,16 @@ def ngram_jaccard_pairs(
     # persist so tokenization+explode runs once, not per branch.
     sets = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
+        # The hot list is tiny by construction (only shingles with df >
+        # cap), so broadcast it: the anti-join then adds NO shuffle on top
+        # of the groupBy (whose exchange Catalyst reuses for the main join).
         hot = (
             sets.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sets = sets.join(hot, "sh", "left_anti")
+        sets = sets.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sets.select(F.col("doc").alias("doc_a"), "sh")
     b = sets.select(F.col("doc").alias("doc_b"), "sh")
@@ -191,7 +194,7 @@ def minhash_lsh_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sets_shared = sets_shared.join(hot, "sh", "left_anti")
+        sets_shared = sets_shared.join(F.broadcast(hot), "sh", "left_anti")
     mins = sets_shared.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )

@@ -309,3 +309,43 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def quantization_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension symmetric int8 scales: scale_d = max(|x_d|) / 127.
+
+    posexplode + (dim) max-agg — scalar shuffle with map-side combine; the
+    result is dim rows (bounded), broadcastable everywhere downstream.
+    """
+    e = df.select(F.posexplode(_as_double_array(vec_col)).alias("dim", "x"))
+    return e.groupBy("dim").agg((F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale"))
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out: str = "q_embedding",
+    scales: DataFrame | None = None,
+) -> DataFrame:
+    """Add an int8-quantized copy of an embedding column.
+
+    q_d = floor(x_d / scale_d + 0.5) clipped to [-127, 127]; the scales
+    table (dim rows) is collected once and closed over by an Arrow-batched
+    UDF — one numpy op per batch, 4x memory reduction for ANN at rest.
+    Store q + scales; dequantize with q_d * scale_d (cosine distortion is
+    bounded by the per-dim resolution, see tests/test_similarity.py).
+    """
+    from pyspark.sql.types import ByteType
+
+    sc = scales if scales is not None else quantization_scales(df, vec_col)
+    rows = sc.orderBy("dim").collect()  # dim rows — bounded by vector width
+    s = np.array([r["scale"] for r in rows], dtype=np.float64)
+    s[s == 0.0] = 1.0  # all-zero dims quantize to 0 regardless
+
+    @F.pandas_udf(ArrayType(ByteType()))
+    def _quant(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        q = np.clip(np.floor(v / s + 0.5), -127, 127).astype(np.int8)
+        return pd.Series(list(q))
+
+    return df.withColumn(out, _quant(F.col(vec_col)))

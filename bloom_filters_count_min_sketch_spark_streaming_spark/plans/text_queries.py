@@ -310,3 +310,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "term", F.round(score, 4).alias("score"), "rnk")
     )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+    -- identical greedy packing: running token cumsum in doc_id order,
+    -- pack = floor((cumsum - n_tok) / budget). Integer window math ->
+    -- bit-identical across engines.
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (D4-adjacent): assign documents to
+    fixed token-budget packs (2048 tokens) greedily in doc_id order within
+    each language shard.
+
+    Expressed as a window cumsum + integer division — one shuffle per
+    language partition, no Python. At 100 TB the PARTITION BY key is the
+    shard (here: lang), so packing parallelizes across shards while staying
+    deterministic; packs then feed the tokenizer as contiguous units.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", T.token_count_whitespace(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn("pack_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

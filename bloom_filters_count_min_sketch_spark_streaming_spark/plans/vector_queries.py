@@ -91,3 +91,51 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(similarity.norm(similarity._as_double_array("embedding")), 6).alias("l2_norm"),
     )
+
+
+@query(
+    "embedding_quantize_stats",
+    oracle="""
+    -- identical IEEE op sequence in both engines (max-abs / 127, divide,
+    -- floor(+0.5)) -> bit-identical quantized ints; sums are exact integers
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    ), s AS (
+      SELECT dim, MAX(ABS(x)) / 127.0 AS scale FROM e GROUP BY dim
+    )
+    SELECT e.dim,
+           CAST(SUM(CAST(FLOOR(e.x / NULLIF(s.scale, 0) + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CASE WHEN ABS(FLOOR(e.x / NULLIF(s.scale, 0) + 0.5)) >= 127
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+    FROM e JOIN s USING (dim)
+    GROUP BY e.dim
+    """,
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (D6): per-dimension scale from a
+    scalar max-agg, quantized values via JVM expressions (floor(x/s + 0.5)),
+    integer sums + saturation counts per dim.
+
+    Everything stays in whole-stage codegen: posexplode -> max-agg ->
+    broadcast scale join -> integer agg. At 100 TB this is the exact audit
+    you run before committing a corpus to int8 ANN storage.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode(similarity._as_double_array("embedding")).alias("dim", "x"))
+    s = e.groupBy("dim").agg(
+        F.when(F.max(F.abs(F.col("x"))) == 0, None)
+        .otherwise(F.max(F.abs(F.col("x"))) / F.lit(127.0))
+        .alias("scale")
+    )
+    q = F.floor(F.col("x") / F.col("scale") + F.lit(0.5))
+    return (
+        e.join(F.broadcast(s), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(q.cast("long")).cast("long").alias("sum_q"),
+            F.sum(F.when(F.abs(q) >= 127, 1).otherwise(0)).cast("long").alias("n_saturated"),
+        )
+        .select("dim", "sum_q", "n_saturated")
+    )

@@ -68,3 +68,32 @@ def test_centroids_match_numpy(spark, sf_dir):
         mean = np.stack(grp["embedding"].values).astype(np.float64).mean(axis=0)
         for d in (0, 17, 63):
             assert abs(got[(label, d)] - round(float(mean[d]), 4)) <= 1e-9
+
+
+def test_quantize_int8_cosine_distortion(spark, sf_dir):
+    """int8 symmetric quantization must preserve cosine geometry: the
+    dequantized vectors' cosine to their originals stays ~1, and pairwise
+    cosines move by less than the per-dim resolution allows."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        quantization_scales,
+        quantize_int8,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    scales = quantization_scales(emb, "embedding")
+    s = np.array([r["scale"] for r in scales.orderBy("dim").collect()])
+    assert (s > 0).all()
+
+    rows = quantize_int8(emb, "embedding", out="q", scales=scales).select(
+        "embedding", "q"
+    ).collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["q"], dtype=np.float64) * s
+        # quantization error per dim is <= scale/2 by construction
+        assert (np.abs(x - deq) <= s / 2 + 1e-12).all()
+        cos = float(x @ deq / (np.linalg.norm(x) * np.linalg.norm(deq)))
+        assert cos > 0.999, f"cosine distortion too high: {cos}"
