@@ -40,6 +40,7 @@ _PRIORITY = [
     "bloom_membership",
     "bloom_prefilter_join_counts",
     "cms_event_type_freq",
+    "cms_sketch_table_merge",
     "heavy_hitters_approx",
     "heavy_hitters_exact",
     "hll_distinct_event_types",
@@ -47,7 +48,9 @@ _PRIORITY = [
     "approx_quantiles_value",
     "freq_items_event_types",
     "histogram_fixed_bins",
-    "histogram_event_value",
+    # (histogram_event_value is the rows-only approximate twin; its exact
+    # twin above carries the driver-green signal, so it yields its prefix
+    # slot to cms_sketch_table_merge)
     # LLM-pipeline: dedup
     "dedup_exact_docs",
     "doc_fingerprints",
