@@ -9,6 +9,7 @@ Streaming offers: stream output == batch output on the same data.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -342,3 +343,62 @@ def stream_cms_running_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = cms_estimate_from_table(exact, "event_type", sketch)
     return probe.select("event_type", "exact_cnt", "cms_est")
+
+
+@query(
+    "stream_windowed_cms_freq",
+    oracle="""
+    -- eps=1e-3 (width 2000) is collision-free at fixture key cardinality,
+    -- so each window's CMS answers exactly -> the batch COUNT is the oracle
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type, COUNT(*) AS exact_cnt, COUNT(*) AS cms_est
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The namesake composition (A3 x C4): a Count-Min Sketch PER tumbling
+    event-time window, aggregated inside Structured Streaming.
+
+    The stream maintains one sketch per window (the count_min_sketch
+    Catalyst aggregate merges partials across micro-batches); at stream end
+    each window's sketch is point-queried for every observed key and
+    compared against the exact batch counts. State per window is the
+    sketch's fixed byte size — frequency tracking whose memory is O(windows
+    x sketch), independent of events per window: the property that lets a
+    100 TB/day stream keep per-window frequencies without per-key state.
+    """
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(cms_agg(src, "event_type", eps=0.001, confidence=0.99, seed=42).alias("sketch"))
+    )
+    out = run_available_now(agg, "complete")
+    # One row per window (bounded by time range, not data volume).
+    sketch_rows = out.select(F.col("window.start").alias("window_start"), "sketch").collect()
+
+    # Normalize probe keys exactly as the build did (JVM xxhash64).
+    ev = load(spark, sf_dir, "events")
+    key_rows = (
+        ev.select("event_type").distinct().select("event_type", F.xxhash64("event_type").alias("k"))
+    ).collect()
+    keys = np.array([r["k"] for r in key_rows], dtype=np.int64)
+    names = [r["event_type"] for r in key_rows]
+
+    est_rows = []
+    for r in sketch_rows:
+        table = CountMinSketchTable.from_bytes(bytes(r["sketch"]))
+        for name, est in zip(names, table.estimate_longs(keys)):
+            est_rows.append((r["window_start"], name, int(est)))
+    est_df = spark.createDataFrame(
+        est_rows, "window_start timestamp, event_type string, cms_est long"
+    )
+
+    exact = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "exact_cnt")
+    )
+    return exact.join(est_df, ["window_start", "event_type"]).select(
+        "window_start", "event_type", "exact_cnt", "cms_est"
+    )
