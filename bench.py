@@ -42,11 +42,16 @@ HEADLINE = [
     "sessionization_batch",
     "mergeable_topk_pipeline",
     "embedding_label_distances",
+    # round-2 additions
+    "cms_sketch_table_merge",
+    "corpus_pack_sequences",
+    "embedding_quantize_stats",
     # streaming
     "stream_windowed_counts",
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
     "stream_cms_running_freq",
+    "stream_windowed_cms_freq",
 ]
 
 
