@@ -276,3 +276,69 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count(XOR))."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def components_min_label(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> (node, component).
+
+    ``component`` is the minimum node id reachable from ``node`` through the
+    undirected edge set ``pairs(doc_a, doc_b)`` — i.e. the canonical cluster
+    representative for dedup "keep one per cluster" decisions. Nodes absent
+    from every pair are their own singleton component.
+
+    Algorithm: min-label propagation. Per iteration, every node takes the min
+    of its own label and its neighbors' labels — one equi-join on the edge
+    list plus one map-side-combinable min aggregate (two shuffles), repeated
+    until a fixpoint. Labels decrease monotonically elementwise, so the
+    global label sum is a convergence witness: one scalar action per
+    iteration, no row-level comparison join.
+
+    Scale notes (100 TB): work per iteration is O(|edges|) shuffled on node
+    id; iterations = component diameter. LSH dup clusters are near-cliques
+    (diameter ~2), so 3-4 iterations in practice; ``max_iter`` bounds
+    adversarial chains (the large-star/small-star variant of Kiveris et al.
+    2014 trades per-iteration cost for O(log n) worst-case rounds if such
+    graphs are expected). Labels persist per iteration and the previous
+    generation is unpersisted, keeping lineage depth constant.
+    """
+    base = pairs.select(
+        F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()  # materialize: the upstream pair pipeline (e.g. LSH) runs
+    # once, not once per direction of the mirrored edge list below
+    edges = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = (
+        nodes.select(F.col(id_col).cast("long").alias("u"))
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(labels, "u").select(F.col("v").alias("u"), "label")
+        new_labels = (
+            labels.select("u", "label")
+            .union(msgs)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Monotone-decreasing labels => unchanged sum <=> fixpoint. DECIMAL
+        # accumulator so the witness can't overflow at any id range.
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

@@ -164,3 +164,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant is the 100 TB path — see operators/similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle="""
+    -- Connected components over the verified near-dup pairs (exact Jaccard
+    -- >= 0.9; see dedup_minhash_lsh_pairs for why exact = LSH-verified at
+    -- this threshold), via transitive closure in a recursive CTE. Every
+    -- document gets the min doc_id of its component; singletons keep
+    -- themselves.
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id, (MIN(v) = u) AS kept
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS -> keep-one-per-cluster decision:
+    the dedup endgame a training-data pipeline actually executes. MinHash-LSH
+    candidate pairs (verified Jaccard >= 0.9) feed min-label-propagation
+    connected components; every document is assigned its component's min
+    doc_id and ``kept`` marks the survivor."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+    comp = dedup.components_min_label(pairs, docs, id_col="doc_id")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("kept"),
+    )

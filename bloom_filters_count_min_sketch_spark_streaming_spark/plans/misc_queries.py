@@ -731,3 +731,37 @@ def array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.array_contains("types", "purchase"), 1).otherwise(0).alias("has_purchase"),
         F.array_join(F.slice("types", 1, 2), ",").alias("first_two"),
     )
+
+
+@query(
+    "sink_partitioned_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read-back (B3 at scale).
+
+    Writes orders partitioned by month (``partitionBy('o_month')``) — the
+    storage layout a 100 TB fact table actually uses — then reads back with
+    an equality filter on the partition column. Catalyst resolves the filter
+    against the directory listing (PartitionFilters), so the scan touches ONE
+    month's files regardless of table size; `test_partitioned_sink_prunes`
+    asserts the plan shape.
+    """
+    src = load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"bfcms_part_orders_{os.path.basename(sf_dir)}"
+    )
+    src.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")).write.mode(
+        "overwrite"
+    ).partitionBy("o_month").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_month") == "1997-03")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )

@@ -76,3 +76,26 @@ def test_corpus_pack_sequences_invariants(spark, sf_dir):
         per_lang_ids.setdefault(r["lang"], set()).add(r["pack_id"])
     for ids in per_lang_ids.values():
         assert min(ids) == 0, "pack ids must start at 0 per shard"
+
+
+def test_components_min_label_shapes(spark):
+    """Chain, clique, and singleton components all converge to min-id labels."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import components_min_label
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    got = {r["doc_id"]: r["component"] for r in components_min_label(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_components_min_label_empty_pairs(spark):
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import components_min_label
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    got = {r["doc_id"]: r["component"] for r in components_min_label(pairs, nodes).collect()}
+    assert got == {7: 7, 8: 8}

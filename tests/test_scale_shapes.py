@@ -279,3 +279,11 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    """The partitioned read-back resolves the month filter as a partition
+    filter (directory pruning), not a data filter over every file."""
+    plan = _plan(spark, "sink_partitioned_pruned_scan", sf_dir)
+    assert "PartitionFilters" in plan
+    assert "o_month" in plan.split("PartitionFilters", 1)[1][:300]
