@@ -73,6 +73,49 @@ class BloomFilterSketch:
         ).astype(np.uint64)
         return cls(version=version, num_hash_functions=k, seed=seed, words=words)
 
+    def to_bytes(self) -> bytes:
+        """Inverse of from_bytes (same V1/V2 big-endian layout), so merged
+        filters can round-trip through the JVM reader and the probe path."""
+        head = self.version.to_bytes(4, "big", signed=True) + self.num_hash_functions.to_bytes(
+            4, "big", signed=True
+        )
+        if self.version == 2:
+            head += self.seed.to_bytes(4, "big", signed=True)
+        bits = len(self.words).to_bytes(4, "big", signed=True) + self.words.astype(">i8").tobytes()
+        return head + bits
+
+    def _check_compatible(self, other: "BloomFilterSketch") -> None:
+        if (
+            self.version != other.version
+            or self.num_hash_functions != other.num_hash_functions
+            or self.seed != other.seed
+            or len(self.words) != len(other.words)
+        ):
+            raise ValueError("incompatible Bloom filters: version/k/seed/size differ")
+
+    def union(self, other: "BloomFilterSketch") -> "BloomFilterSketch":
+        """Bitwise OR — exactly JVM mergeInPlace. might_contain(union, x) is
+        true for every x inserted into either side (no false negatives)."""
+        self._check_compatible(other)
+        return BloomFilterSketch(
+            version=self.version,
+            num_hash_functions=self.num_hash_functions,
+            seed=self.seed,
+            words=self.words | other.words,
+        )
+
+    def intersect(self, other: "BloomFilterSketch") -> "BloomFilterSketch":
+        """Bitwise AND — JVM intersectInPlace. Still no false negatives for
+        x in A∩B (x's bits were set in both); FPP can exceed the two
+        filters' individual rates (bits shared by different keys)."""
+        self._check_compatible(other)
+        return BloomFilterSketch(
+            version=self.version,
+            num_hash_functions=self.num_hash_functions,
+            seed=self.seed,
+            words=self.words & other.words,
+        )
+
     def _test_bits(self, idx: np.ndarray) -> np.ndarray:
         word = self.words[(idx >> 6).astype(np.int64)]
         return ((word >> (idx.astype(np.uint64) & np.uint64(63))) & np.uint64(1)).astype(bool)

@@ -96,6 +96,22 @@ class CountMinSketchTable:
             table=self.table + other.table,
         )
 
+    def inner_product(self, other: "CountMinSketchTable") -> int:
+        """Join-size estimate: min over rows of the per-row dot product
+        (Cormode & Muthukrishnan 2005, §4.2). For sketches of two key
+        multisets A and B with identical (depth, width, seed), estimates
+        |A join B| = sum_k f_A(k) * f_B(k); always an overestimate, within
+        eps * |A| * |B| of exact with probability >= the sketch confidence.
+        """
+        if (self.depth, self.width) != (other.depth, other.width) or not np.array_equal(
+            self.hash_a, other.hash_a
+        ):
+            raise ValueError("incompatible CMS: depth/width/seed differ")
+        # object dtype: the dot of two count rows can exceed int64 at large
+        # N (cell counts ~N, products ~N^2); Python ints are exact
+        per_row = (self.table.astype(object) * other.table.astype(object)).sum(axis=1)
+        return int(per_row.min())
+
 
 @dataclass
 class NumpyCMS:

@@ -218,6 +218,82 @@ def bloom_prefilter_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_join_size_estimate",
+    oracle="""
+    -- the Spark side computes the CMS inner-product estimate and asserts
+    -- the CM-2005 guarantee as data: exact <= est <= exact + eps*|A|*|B|
+    -- (the bound holds with prob >= confidence; depth 10 here -> the
+    -- failure probability over one fixed fixture is ~1e-3 and the fixture
+    -- is deterministic, verified at sf0.001/0.01/0.1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_size, TRUE AS within_bound
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two CMS sketches (Cormode &
+    Muthukrishnan 2005 §4.2): est(|A ⋈ B|) = min_i dot(rowA_i, rowB_i).
+
+    The 100 TB use: size |fact ⋈ fact| BEFORE running it, from two
+    kilobyte-scale sketches built in one distributed aggregate each — a
+    planner-statistics primitive, not a data pass. Output is the exact size
+    plus the bound assertion so the oracle stays SQL-expressible; the
+    approximate regime is property-tested (tests/test_cms.py).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    eps, conf = 0.0001, 0.999
+    sk_a = cms.CountMinSketchTable.from_bytes(
+        cms.cms_build(li, "l_orderkey", eps=eps, confidence=conf, seed=SEED)
+    )
+    sk_b = cms.CountMinSketchTable.from_bytes(
+        cms.cms_build(orders, "o_orderkey", eps=eps, confidence=conf, seed=SEED)
+    )
+    est = sk_a.inner_product(sk_b)
+    exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    bound = exact + eps * sk_a.total_count * sk_b.total_count
+    return spark.createDataFrame(
+        [(exact, bool(exact <= est <= bound))],
+        "exact_size bigint, within_bound boolean",
+    )
+
+
+@query(
+    "bloom_union_membership",
+    oracle="""
+    -- bitwise-OR of two Bloom filters == filter of the union set (JVM
+    -- mergeInPlace semantics); fpp 1e-9 over 3000 probes -> expected false
+    -- positives ~3e-6, so the exact IN over the union is a valid oracle
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       OR t.k IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    ORDER BY key
+    """,
+)
+def bloom_union_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom set algebra (A1/A2 extended): build one filter per order-
+    priority slice, OR-merge them (a commutative monoid — the same shape
+    that lets per-partition filters merge treewise at 100 TB), probe a key
+    range. Intersect is property-tested (FPP not bounded by construction)."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    sk_u = bloom.BloomFilterSketch.from_bytes(
+        bloom.bloom_build(urgent, "o_custkey", expected_items=200_000, fpp=1e-9)
+    )
+    sk_h = bloom.BloomFilterSketch.from_bytes(
+        bloom.bloom_build(high, "o_custkey", expected_items=200_000, fpp=1e-9)
+    )
+    merged = sk_u.union(sk_h)
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    return (
+        bloom.bloom_might_contain(probe, "key", merged.to_bytes())
+        .filter("might_contain")
+        .select("key")
+    )
+
+
+@query(
     "cms_sketch_table_merge",
     oracle="""
     SELECT event_type, COUNT(*) AS exact_cnt, COUNT(*) AS merged_est

@@ -91,3 +91,51 @@ def test_numpy_bloom_zero_key_uses_distinct_positions():
     bloom.add_longs(np.array([0, 1, 2], dtype=np.int64))
     back = NumpyBloom.from_bytes(bloom.to_bytes())
     assert back.might_contain_longs(np.array([0, 1, 2], dtype=np.int64)).all()
+
+
+def test_bloom_union_matches_jvm_merge_and_has_no_false_negatives(spark):
+    a = spark.range(0, 3000).withColumnRenamed("id", "k")
+    b = spark.range(2500, 6000).withColumnRenamed("id", "k")
+    kw = dict(expected_items=10_000, fpp=0.01)
+    ba, bb = bloom_build(a, "k", **kw), bloom_build(b, "k", **kw)
+    sk = BloomFilterSketch.from_bytes(ba).union(BloomFilterSketch.from_bytes(bb))
+
+    # parity: bitwise OR == JVM mergeInPlace
+    jvm = spark._jvm
+    ja = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(ba))
+    )
+    jb = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(bb))
+    )
+    ja.mergeInPlace(jb)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ja.writeTo(bos)
+    assert sk.to_bytes() == bytes(bos.toByteArray())
+
+    # no false negatives over the union
+    vals = np.arange(0, 6000, dtype=np.int64)
+    assert sk.might_contain_longs(vals).all()
+
+
+def test_bloom_intersect_no_false_negatives_on_intersection(spark):
+    a = spark.range(0, 3000).withColumnRenamed("id", "k")
+    b = spark.range(2500, 6000).withColumnRenamed("id", "k")
+    kw = dict(expected_items=10_000, fpp=0.01)
+    sa = BloomFilterSketch.from_bytes(bloom_build(a, "k", **kw))
+    sb = BloomFilterSketch.from_bytes(bloom_build(b, "k", **kw))
+    inter = sa.intersect(sb)
+    in_both = np.arange(2500, 3000, dtype=np.int64)
+    assert inter.might_contain_longs(in_both).all()
+    # and it is a subset gate of either side's filter
+    probe = np.arange(0, 10_000, dtype=np.int64)
+    m = inter.might_contain_longs(probe)
+    assert (~m | sa.might_contain_longs(probe)).all()
+    assert (~m | sb.might_contain_longs(probe)).all()
+
+
+def test_bloom_serialization_roundtrip(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    raw = bloom_build(df, "k", expected_items=1000, fpp=0.05)
+    sk = BloomFilterSketch.from_bytes(raw)
+    assert sk.to_bytes() == raw

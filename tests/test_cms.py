@@ -71,3 +71,36 @@ def test_cms_estimate_dataframe_path(spark, sf_dir):
     }
     for row in est.collect():
         assert row["cms_estimate"] == exact[row["event_type"]]
+
+
+def test_cms_inner_product_join_size_bound(spark):
+    """CM-2005 §4.2: exact <= inner_product(sk_A, sk_B) <= exact + eps*|A|*|B|.
+
+    Zipf-skewed key multisets in the genuinely-approximate regime (width 2000
+    << collisions-free), fixed seeds -> deterministic."""
+    rng = np.random.default_rng(11)
+    a_keys = rng.zipf(1.5, size=20_000) % 5_000
+    b_keys = rng.zipf(1.3, size=10_000) % 5_000
+    a = spark.createDataFrame([(int(k),) for k in a_keys], "k bigint")
+    b = spark.createDataFrame([(int(k),) for k in b_keys], "k bigint")
+    kw = dict(eps=0.001, confidence=0.999, seed=42)
+    ta = CountMinSketchTable.from_bytes(cms_build(a, "k", **kw))
+    tb = CountMinSketchTable.from_bytes(cms_build(b, "k", **kw))
+    est = ta.inner_product(tb)
+
+    ca = np.bincount(a_keys)
+    cb = np.bincount(b_keys)
+    n = min(len(ca), len(cb))
+    exact = int((ca[:n].astype(object) * cb[:n].astype(object)).sum())
+    assert est >= exact, "inner product must overestimate"
+    assert est <= exact + 0.001 * len(a_keys) * len(b_keys), "CM eps bound violated"
+
+
+def test_cms_inner_product_incompatible_raises(spark):
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    ta = CountMinSketchTable.from_bytes(cms_build(a, "k", eps=0.01, confidence=0.9, seed=1))
+    tb = CountMinSketchTable.from_bytes(cms_build(a, "k", eps=0.01, confidence=0.9, seed=2))
+    import pytest
+
+    with pytest.raises(ValueError):
+        ta.inner_product(tb)
