@@ -342,3 +342,58 @@ def components_min_label(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
+
+
+def contamination_gate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    n-gram shingles appear anywhere in the benchmark set.
+
+    The 100 TB shape: the benchmark shingle set is small (benchmarks are
+    kilo-to-megadocument); it compresses to a kilobyte-to-megabyte Bloom
+    filter built in one distributed aggregate. Corpus shingles stream
+    through the broadcast filter so only probable hits (<= fpp of clean
+    shingles) reach the exact verification semi-join — the full corpus
+    never shuffles on shingle. The Bloom gate is a superset filter (no
+    false negatives) and the semi-join is exact, so the result equals the
+    plain shingle-join's: approximate structure, exact answer.
+
+    Returns (doc_id, n_shingles, n_contaminated) for contaminated docs.
+    """
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bench_sh = (
+        doc_shingle_sets(benchmark, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if expected_items is None:
+        expected_items = bench_sh.count()
+    bloom_bytes = bloom_build(bench_sh, "sh", max(int(expected_items), 1), fpp)
+
+    corp_sh = doc_shingle_sets(corpus, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = corp_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    gated = (
+        bloom_might_contain(corp_sh, "sh", bloom_bytes, out="__hit")
+        .filter(F.col("__hit"))
+        .drop("__hit")
+    )
+    verified = gated.join(bench_sh, "sh", "left_semi")
+    hits = verified.groupBy("doc").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        hits.join(sizes, "doc")
+        .select(F.col("doc").alias(id_col), "n_shingles", "n_contaminated")
+    )

@@ -125,6 +125,47 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_bloom_gate",
+    oracle="""
+    -- the Bloom gate is a superset prefilter and the verify semi-join is
+    -- exact, so the result equals the plain shingle join's
+    WITH bt AS (
+      SELECT string_split(lower(text), ' ') AS ws FROM documents WHERE source = 'src0'
+    ), bsh AS (
+      SELECT DISTINCT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws)-1)]) AS s
+      FROM bt WHERE len(ws) >= 3
+    ), ct AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws
+      FROM documents WHERE source <> 'src0'
+    ), csh AS (
+      SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws)-1)]) AS s
+      FROM ct WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM csh GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      FROM csh WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id
+    )
+    SELECT h.doc_id, n_shingles, n_contaminated
+    FROM hits h JOIN sizes USING (doc_id)
+    """,
+)
+def contamination_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination (training-data hygiene): treat the src0
+    slice as the held-out benchmark, count each remaining document's
+    3-gram shingles that appear in it. Bloom-gated shingle flow: corpus
+    shingles pass a broadcast filter of the benchmark shingle set before
+    the exact verify semi-join — at 100 TB the corpus never shuffles on
+    shingle, only probable hits do."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return dedup.contamination_gate(corpus, benchmark, n=3, fpp=0.01)
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT doc_id, md5(lower(text)) AS fingerprint, length(text) AS n_chars

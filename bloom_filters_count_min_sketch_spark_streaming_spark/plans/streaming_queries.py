@@ -402,3 +402,35 @@ def stream_windowed_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est_df, ["window_start", "event_type"]).select(
         "window_start", "event_type", "exact_cnt", "cms_est"
     )
+
+
+@query(
+    "stream_windowed_hll_distinct",
+    oracle="""
+    -- DataSketches HLL stays in exact (sparse) mode below ~2^(lgK-2)
+    -- distinct keys; per-window user cardinality at the gate's sf0.01 is
+    -- <= 150 << 2^10, so the exact COUNT(DISTINCT) is a valid oracle. The
+    -- dense approximate regime is property-tested (tests/test_sketches.py).
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling window via HLL sketches (A8 x C4): the
+    stream maintains one DataSketches HLL per 6-hour window (partials
+    merged across micro-batches by the Catalyst aggregate), estimated at
+    stream end. State per window is the sketch's fixed ~KB footprint —
+    cardinality tracking that never stores user ids, the same
+    O(windows x sketch_bytes) scaling story as the windowed CMS."""
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("n_users"),
+    )

@@ -367,3 +367,48 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    -- overlapping token windows: starts 0, 24, 48, ... < n_tokens
+    -- (every doc yields >= 1 chunk; empty docs would yield one empty chunk)
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             unnest(range(0, greatest(len(ws), 1), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(least(32, n - start) AS BIGINT) AS n_tokens,
+           array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (size 32, stride 24) — the document ->
+    training-sample / RAG-chunk splitter. Pure JVM expressions: tokenize
+    once, explode a stride sequence, slice per start. One narrow pass, no
+    shuffle — embarrassingly parallel at any corpus size."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import tokens_col
+
+    size, stride = 32, 24
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("ws")).withColumn(
+        "n", F.size("ws")
+    )
+    starts = toks.withColumn(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride))),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(size), F.col("n") - F.col("start")).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("ws"), F.col("start") + 1, size)).alias("chunk_text"),
+    )
