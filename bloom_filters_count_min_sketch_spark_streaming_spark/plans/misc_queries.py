@@ -765,3 +765,38 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+# --- deterministic distributed sampling + batch sessionization ---------------
+
+
+@query(
+    "sample_hashmin_per_group",
+    oracle="""
+    -- hash-min sampling: rank rows inside each group by a content hash and
+    -- keep the k smallest — a deterministic, engine-portable "uniform"
+    -- sample (md5 is identical everywhere, unlike engine RNGs)
+    SELECT event_type, event_id
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+    ) <= 5
+    """,
+)
+def sample_hashmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling by hash-min ranking: order each
+    group by md5(id) (a uniform-ish permutation that every engine computes
+    identically) and keep the first k. Unlike seeded RNG sampling this is
+    reproducible across engines, retries, AND incremental reruns — the
+    property a training-data pipeline needs for auditable subsampling. One
+    hash-partitioned window, no driver involvement."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("event_type", "event_id")
+    )

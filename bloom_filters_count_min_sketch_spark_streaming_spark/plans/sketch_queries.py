@@ -336,3 +336,42 @@ def cms_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probe = cms.cms_estimate_from_table(exact, "event_type", merged, out="merged_est")
     return probe.select("event_type", "exact_cnt", "merged_est")
+
+
+@query(
+    "hll_sketch_table_merge",
+    oracle="""
+    -- sparse-mode-exact regime (150 users << 2^10 at the sf0.01 gate), so
+    -- the exact COUNT(DISTINCT) is a valid oracle; the dense approximate
+    -- regime is property-tested
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_merged
+    FROM events
+    """,
+)
+def hll_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted HLL sketch table (A8 at rest, the cardinality twin of
+    cms_sketch_table_merge): one DataSketches HLL per event-date written to
+    parquet, re-read and merged with the hll_union_agg Catalyst aggregate
+    — entirely JVM-side, no driver merge loop. Incremental ingest appends
+    kilobyte sketch rows; global distinct-user answers union the sketch
+    table instead of re-reading raw history."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"bfcms_hlltab_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    per_day.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("n_users_merged")
+        )
+    )
