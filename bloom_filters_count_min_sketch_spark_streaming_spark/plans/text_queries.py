@@ -412,3 +412,90 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(size), F.col("n") - F.col("start")).cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.slice(F.col("ws"), F.col("start") + 1, size)).alias("chunk_text"),
     )
+
+
+@query(
+    "bm25_ranked_search",
+    oracle="""
+    -- BM25 (k1=1.2, b=0.75) for the fixed query {join, hash, vector}.
+    -- Determinism: tf/df/dl are exact ints, avgdl is one double division,
+    -- each per-term score is a pure elementwise double chain (identical
+    -- IEEE ops in both engines; ln() last-bit noise is 1e-16 relative,
+    -- rounded away at 1e-6); per-term scores are ROUNDed FIRST, then
+    -- summed as DECIMAL so addition order can't matter.
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, (SELECT COUNT(*) FROM documents) AS n_docs FROM dl
+    ), q AS (SELECT unnest(['join', 'hash', 'vector']) AS term),
+    df AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM toks t JOIN q USING (term) GROUP BY t.term
+    ), tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q USING (term) GROUP BY doc_id, t.term
+    ), per_term AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   6) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
+      FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+    """,
+)
+def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones) for a fixed term
+    query — the lexical-search complement to the embedding ANN operators.
+
+    Scale shape: the token explode feeds document lengths (one aggregate)
+    and, filtered to the query's terms FIRST, the tf/df tables — so the
+    expensive joins run on |docs x query_terms|, not |tokens|. df and the
+    scalar stats broadcast; the final ranking is one TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    q_terms = ["join", "hash", "vector"]
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    qt = toks.filter(F.col("term").isin(q_terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "score", "rnk")
+    )
