@@ -46,12 +46,17 @@ HEADLINE = [
     "cms_sketch_table_merge",
     "corpus_pack_sequences",
     "embedding_quantize_stats",
+    "contamination_bloom_gate",
+    "bm25_ranked_search",
+    "doc_chunk_windows",
+    "cms_join_size_estimate",
     # streaming
     "stream_windowed_counts",
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
     "stream_cms_running_freq",
     "stream_windowed_cms_freq",
+    "stream_windowed_hll_distinct",
 ]
 
 

@@ -474,17 +474,19 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    # one scalar to the driver (like n_docs) keeps the scalar out of the
+    # join graph -- a broadcast-nested-loop with a 1-row side adds a stage
+    # for nothing
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     qt = toks.filter(F.col("term").isin(q_terms))
     tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
 
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     per_term = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
         .select(
             "doc_id",
             F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("s"),

@@ -287,3 +287,26 @@ def test_partitioned_sink_prunes(spark, sf_dir):
     plan = _plan(spark, "sink_partitioned_pruned_scan", sf_dir)
     assert "PartitionFilters" in plan
     assert "o_month" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_bm25_broadcasts_small_sides(spark, sf_dir):
+    """BM25's df table (|query terms| rows) and the avgdl scalar must
+    broadcast; the only shuffles are the token aggregations."""
+    p = _plan(spark, "bm25_ranked_search", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # final top-10 must not be a full sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_doc_chunk_windows_no_shuffle(spark, sf_dir):
+    """Chunking is embarrassingly parallel: tokenize -> explode -> slice
+    must plan with zero exchanges."""
+    p = _plan(spark, "doc_chunk_windows", sf_dir)
+    assert "Exchange" not in p
+
+
+def test_contamination_gate_no_cross_product(spark, sf_dir):
+    p = _plan(spark, "contamination_bloom_gate", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
