@@ -349,3 +349,100 @@ def quantize_int8(
         return pd.Series(list(q))
 
     return df.withColumn(out, _quant(F.col(vec_col)))
+
+
+def ann_ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF over INT8-quantized storage with full-precision re-rank — the
+    memory-bound ANN configuration (FAISS IVF+SQ8 contract).
+
+    At 100 TB of embeddings the working set is dominated by vector bytes:
+    int8 + per-dim scales cuts scan/shuffle volume 4x. Shortlist scoring
+    runs entirely on dequantized int8 (distortion bounded by the per-dim
+    resolution — tests/test_similarity.py), and only the ``shortlist``
+    candidates per query are joined back to the float32 column for the
+    exact final ranking, so full-precision vectors are read for
+    O(|Q| x shortlist) rows, not the corpus.
+    """
+    spark = corpus.sparkSession
+    shortlist = shortlist if shortlist is not None else 3 * k
+
+    # int8 storage layer: per-dim scales (dim rows) + quantized vectors
+    sc_rows = quantization_scales(corpus, vec_col).orderBy("dim").collect()
+    s = np.array([r["scale"] for r in sc_rows], dtype=np.float64)
+    s[s == 0.0] = 1.0
+    qcorp = quantize_int8(corpus, vec_col, out="qv8").select(
+        F.col(id_col).alias("neighbor_id"), "qv8"
+    )
+
+    # seeded coarse quantizer (same bounded-scan pick as ann_ivf_topk)
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .limit(n_cells * 64)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells_int8(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64) * s  # dequantize
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        order = np.argsort(-(v @ cent_unit.T), axis=1)[:, : int(n.iloc[0])]
+        return pd.Series(list(order.astype(np.int64)))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells_float(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        order = np.argsort(-(v @ cent_unit.T), axis=1)[:, : int(n.iloc[0])]
+        return pd.Series(list(order.astype(np.int64)))
+
+    @F.pandas_udf(DoubleType())
+    def cos_q(qv: pd.Series, q8: pd.Series) -> pd.Series:
+        a = np.stack(qv.to_numpy()).astype(np.float64)
+        b = np.stack(q8.to_numpy()).astype(np.float64) * s  # dequantize
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    c = qcorp.repartition(spark.sparkContext.defaultParallelism).select(
+        "neighbor_id", "qv8", F.explode(cells_int8(F.col("qv8"), F.lit(1))).alias("cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    ).select("query_id", "qv", F.explode(cells_float(F.col("qv"), F.lit(n_probe))).alias("cell"))
+
+    # quantized shortlist inside probed cells
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", cos_q(F.col("qv"), F.col("qv8")).alias("cos8"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w8 = Window.partitionBy("query_id").orderBy(F.desc("cos8"), F.asc("neighbor_id"))
+    top8 = cand.withColumn("r8", F.row_number().over(w8)).filter(F.col("r8") <= shortlist)
+
+    # full-precision re-rank of the shortlist only
+    fp = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv"))
+    rer = top8.join(fp, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine_pandas(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -139,3 +139,15 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dim", "sum_q", "n_saturated")
     )
+
+
+@query("ann_ivf_int8_topk")
+def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over int8-quantized vectors with full-precision re-rank of a
+    short candidate list (FAISS IVF+SQ8 shape): 4x less vector I/O for
+    the bulk scoring, float32 touched only for O(|Q| x shortlist) rows.
+    Recall < 1 by construction -> rows-only check; recall and quantized-
+    vs-float agreement asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_ivf_int8_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42)

@@ -97,3 +97,35 @@ def test_quantize_int8_cosine_distortion(spark, sf_dir):
         assert (np.abs(x - deq) <= s / 2 + 1e-12).all()
         cos = float(x @ deq / (np.linalg.norm(x) * np.linalg.norm(deq)))
         assert cos > 0.999, f"cosine distortion too high: {cos}"
+
+
+def test_ivf_int8_recall_and_agreement(spark, sf_dir):
+    """Quantized IVF must (a) keep recall vs exact brute force and (b)
+    agree almost everywhere with the float IVF path at the same
+    (n_cells, n_probe) — int8 distortion may only reorder near-ties."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_int8_topk(
+            emb, queries, k=5, n_cells=16, n_probe=4, seed=42
+        ).collect()
+    }
+    recall = len(exact & q8) / len(exact)
+    assert recall >= 0.3, f"int8 IVF recall {recall:.2f} collapsed"
+
+    fl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(
+            emb, queries, k=5, n_cells=16, n_probe=4, seed=42
+        ).collect()
+    }
+    agree = len(fl & q8) / len(fl)
+    assert agree >= 0.8, f"int8 vs float IVF agreement {agree:.2f} too low"
