@@ -375,3 +375,48 @@ def hll_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_users_merged")
         )
     )
+
+
+@query(
+    "hll_intersection_estimate",
+    oracle="""
+    -- inclusion-exclusion over HLL sketches: |A n B| = |A| + |B| - |A u B|.
+    -- All three sketches are in the sparse-exact regime at the sf0.01 gate
+    -- (<= 150 users), so the identity is exact and the SQL intersection is
+    -- a valid oracle; the approximate regime (error grows with the union)
+    -- is property-tested.
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click')
+                AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+                AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND user_id IN (SELECT user_id FROM events WHERE event_type = 'click')
+                   AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))
+                AS BIGINT) AS n_both
+    """,
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from mergeable HLL sketches via
+    inclusion-exclusion (HLL unions natively; intersection = |A| + |B| -
+    |A u B|). The audience-overlap primitive: per-segment sketches are
+    kilobytes at rest, any pairwise overlap answerable without re-reading
+    events. One pass builds both sketches; the union is sketch-level."""
+    ev = load(spark, sf_dir, "events")
+    row = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")), F.lit(12)
+        ).alias("sk_click"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), F.lit(12)
+        ).alias("sk_purchase"),
+    ).select(
+        F.hll_sketch_estimate("sk_click").alias("a"),
+        F.hll_sketch_estimate("sk_purchase").alias("b"),
+        F.hll_sketch_estimate(F.hll_union("sk_click", "sk_purchase")).alias("u"),
+    )
+    return row.select(
+        F.col("a").cast("long").alias("n_click"),
+        F.col("b").cast("long").alias("n_purchase"),
+        (F.col("a") + F.col("b") - F.col("u")).cast("long").alias("n_both"),
+    )
