@@ -800,3 +800,47 @@ def sample_hashmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .select("event_type", "event_id")
     )
+
+
+@query(
+    "zorder_cluster_keys",
+    oracle="""
+    -- Morton interleave is pure integer bit math: identical in both
+    -- engines. Per-row z-keys aggregated to 64 coarse cells.
+    WITH t AS (
+      SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem
+    ), bits AS (SELECT unnest(range(0, 10)) AS i),
+    keyed AS (
+      SELECT CAST(SUM((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
+                  AS BIGINT) AS zkey
+      FROM (SELECT row_number() OVER () AS rid, x, y FROM t) r
+      CROSS JOIN bits
+      GROUP BY rid
+    )
+    SELECT zkey >> 14 AS zcell, COUNT(*) AS n,
+           CAST(MIN(zkey) AS BIGINT) AS min_key, CAST(MAX(zkey) AS BIGINT) AS max_key
+    FROM keyed GROUP BY 1
+    """,
+)
+def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over two join keys — the layout
+    substrate for multi-column data skipping (sort by zkey -> row-group
+    min/max prune on EITHER column; see test_zorder_layout_prunes_row_groups
+    for the measured pruning win). Key is a pure Catalyst shift/AND/OR
+    expression tree, whole-stage-codegen'd."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.zorder import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    zkey = zorder_key(
+        [F.pmod(F.col("l_partkey"), F.lit(1024)), F.pmod(F.col("l_suppkey"), F.lit(1024))],
+        bits=10,
+    )
+    return (
+        li.select(zkey.alias("zkey"))
+        .groupBy(F.shiftright("zkey", 14).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("min_key"),
+            F.max("zkey").alias("max_key"),
+        )
+    )

@@ -310,3 +310,69 @@ def test_contamination_gate_no_cross_product(spark, sf_dir):
     p = _plan(spark, "contamination_bloom_gate", sf_dir)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zorder_layout_prunes_row_groups(spark, sf_dir, tmp_path):
+    """Data-skipping proof: after sorting by the Morton key, a 2-D box
+    predicate's (min,max)-overlapping row groups drop to a fraction of the
+    natural layout's — the statistic parquet readers prune on."""
+    import pyarrow.parquet as pq
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.zorder import (
+        zorder_bucket,
+        zorder_key,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    lo_p, hi_p = 1, 20000
+    lo_s, hi_s = 1, 1000
+    zkey = zorder_key(
+        [
+            zorder_bucket(F.col("l_partkey"), lo_p, hi_p, bits=10),
+            zorder_bucket(F.col("l_suppkey"), lo_s, hi_s, bits=10),
+        ],
+        bits=10,
+    )
+
+    # 16 output files ~ 16 independently-statted units (file-level min/max
+    # stands in for row-group stats; same pruning semantics, stable row
+    # counts). The z path is the real cluster-write pattern: range-partition
+    # by zkey, sort within partitions.
+    nat_path, z_path = str(tmp_path / "nat"), str(tmp_path / "zord")
+    li.repartition(16).write.parquet(nat_path)
+    (
+        li.repartitionByRange(16, zkey.alias("__z"))
+        .sortWithinPartitions(zkey)
+        .write.parquet(z_path)
+    )
+
+    # box predicate: a 1/8 x 1/8 square of the key space
+    p_lo, p_hi = 5000, 7500
+    s_lo, s_hi = 250, 375
+
+    def overlapping_groups(path: str) -> tuple[int, int]:
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                sp = rg.column(cols["l_partkey"]).statistics
+                ss = rg.column(cols["l_suppkey"]).statistics
+                total += 1
+                if sp.min <= p_hi and sp.max >= p_lo and ss.min <= s_hi and ss.max >= s_lo:
+                    hit += 1
+        return hit, total
+
+    nat_hit, nat_total = overlapping_groups(nat_path)
+    z_hit, z_total = overlapping_groups(z_path)
+    assert nat_total >= 8, f"too few statted units ({nat_total})"
+    # natural layout: keys are uniform per group -> ~every group overlaps
+    assert nat_hit >= nat_total * 0.8
+    # z-ordered: only the groups covering the box survive
+    assert z_hit <= max(2, nat_hit // 3), (
+        f"z-order pruned {z_total - z_hit}/{z_total} vs natural {nat_total - nat_hit}/{nat_total}"
+    )
