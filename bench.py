@@ -50,7 +50,15 @@ HEADLINE = [
     "bm25_ranked_search",
     "doc_chunk_windows",
     "cms_join_size_estimate",
+    # round-3 additions
+    "text_repetition_stats",
+    "pii_redaction_stats",
+    "priority_sample_docs",
+    "dedup_incremental_ingest",
+    "bucketed_join_agg",
+    "kmeans_embeddings",
     # streaming
+    "stream_chained_windows",
     "stream_windowed_counts",
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",

@@ -101,6 +101,7 @@ _QUERY_MODULES = [
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.vector_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.streaming_queries",
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries",
 ]
 
 

@@ -434,3 +434,43 @@ def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("window_start"),
         F.hll_sketch_estimate("sketch").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "stream_chained_windows",
+    oracle="""
+    -- Batch twin of the chained 5-min -> 1-hour streaming rollup. Append
+    -- mode only emits hour windows finalized by the watermark (max_ts -
+    -- 1h), i.e. windows whose end sits at least 1h before the stream's
+    -- max event time: window_start + 2h <= max(ts).
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, mx
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 2 HOUR <= m
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations (Spark 3.4+ multiple-stateful-operator
+    support): 5-minute tumbling counts re-aggregated into hourly totals in
+    ONE streaming query — the standard rollup cascade that pre-aggregates
+    at fine grain and compacts upward without re-reading the source.
+    Append mode end-to-end; the second agg groups on window_time() of the
+    first window, so watermark propagation finalizes hour windows exactly
+    when their last 5-minute member is final. State is O(open windows),
+    independent of stream length."""
+    src = events_stream_source(spark, sf_dir)
+    five = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hourly = (
+        five.groupBy(F.window(F.window_time("window"), "1 hour"), "event_type")
+        .agg(F.sum("c").cast("long").alias("n_events"))
+    )
+    out = run_available_now(hourly, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )

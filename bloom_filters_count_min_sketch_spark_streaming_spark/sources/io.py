@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -37,25 +38,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar vectorized read; filters and column
     pruning push into this scan automatically (verify with .explain).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    by default (PARQUET_TYPE_ILLEGAL). We read it as raw nanos
-    (``nanosAsLong``) and convert to a microsecond TIMESTAMP with integer
-    division — same truncation DuckDB applies, so oracles line up.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Depending on the session's
+    history it surfaces as one of three Spark types (4.1 reads it natively
+    as TIMESTAMP_NTZ truncated to micros; a session that ever read it under
+    ``spark.sql.legacy.parquet.nanosAsLong`` sees raw-nanos LONG, and that
+    per-path schema inference is cached per session, so read order — not
+    this function — decides which). Normalize every shape to the same
+    microsecond TIMESTAMP so downstream queries and oracles are identical:
+    DuckDB applies the same floor-to-micros truncation.
     """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            # schema resolution happens eagerly here, so the conf can be
-            # restored immediately — no session-wide side effect remains
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Session tz is UTC in our factory; the cast keeps wall-clock,
+            # which is what the fixtures encode and DuckDB returns.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

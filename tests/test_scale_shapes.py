@@ -325,8 +325,11 @@ def test_zorder_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
-    lo_p, hi_p = 1, 20000
-    lo_s, hi_s = 1, 1000
+    # derive key ranges from the data — fixture ranges vary per scale factor
+    rng = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    lo_p, hi_p, lo_s, hi_s = rng[0], rng[1], rng[2], rng[3]
     zkey = zorder_key(
         [
             zorder_bucket(F.col("l_partkey"), lo_p, hi_p, bits=10),
@@ -347,9 +350,10 @@ def test_zorder_layout_prunes_row_groups(spark, sf_dir, tmp_path):
         .write.parquet(z_path)
     )
 
-    # box predicate: a 1/8 x 1/8 square of the key space
-    p_lo, p_hi = 5000, 7500
-    s_lo, s_hi = 250, 375
+    # box predicate: a ~1/8 x 1/8 square in the middle of the key space
+    span_p, span_s = hi_p - lo_p, hi_s - lo_s
+    p_lo, p_hi = lo_p + span_p * 2 // 8, lo_p + span_p * 3 // 8
+    s_lo, s_hi = lo_s + span_s * 2 // 8, lo_s + span_s * 3 // 8
 
     def overlapping_groups(path: str) -> tuple[int, int]:
         import glob
