@@ -350,3 +350,213 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism and invariants are property-tested."""
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source (Spark 4 DataSource API)
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT CAST(id % 16 AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((id * 48271) % 100003) AS BIGINT) AS v_sum
+    FROM generate_series(0, 99999) t(id)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a user-defined Python data source (Spark 4 DataSource API):
+    the source declares its schema, plans its own partitions (8 here, each
+    generated independently on an executor), and produces rows without any
+    data at rest. The generator is a pure integer function of the row id,
+    so the DuckDB oracle reproduces the identical table closed-form from
+    generate_series."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.pysource import (
+        register,
+    )
+
+    register(spark)
+    src = spark.read.format("bfcms_synth").option("rows", 100000).load()
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("long")).cast("long").alias("v_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery (SQL surface)
+
+
+_LATERAL_SQL = """
+    SELECT n_name, c_custkey, acctbal
+    FROM nation,
+    LATERAL (
+      SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    )
+"""
+
+
+@query("lateral_join_topk", oracle=_LATERAL_SQL)
+def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per-nation top-3 customers by balance.
+    The same SQL text runs on both engines (LATERAL is ANSI). Catalyst
+    rewrites the correlated limit into a ranked window over a single
+    shuffle — i.e. the declarative form costs the same as the hand-written
+    window top-k (window_top3_orders_per_customer), which is the point:
+    users can write either."""
+    for t in ("nation", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: connected components over near-dup candidate pairs
+
+_EDGES_SQL = """
+      SELECT doc_a, doc_b FROM (
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in range(1, len(ws)-1)]) AS s
+          FROM toks WHERE len(ws) >= 3
+        ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      )
+"""
+
+_COMPONENTS_RECURSION = """
+    WITH RECURSIVE
+    edges AS ({edges}),
+    undirected AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ),
+    walk (node, label, depth) AS (
+      SELECT src, src, 0 FROM undirected
+      UNION ALL
+      SELECT u.src, w.label, w.depth + 1
+      FROM undirected u JOIN walk w ON u.dst = w.node
+      WHERE w.depth < 6 AND w.label < u.src
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM walk GROUP BY node
+"""
+
+
+@query(
+    "recursive_cte_components",
+    oracle=_COMPONENTS_RECURSION.format(edges=_EDGES_SQL),
+)
+def recursive_cte_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the 3-gram-Jaccard near-dup graph via a
+    recursive CTE (Spark 4 WITH RECURSIVE) — the declarative twin of
+    dedup_cluster_assignment's iterative label propagation. Bounded
+    min-label walk: depth 6 covers any component whose diameter is < 6
+    hops (fixture components are size <= 3; the iterative operator is the
+    unbounded-diameter path at scale). The identical SQL text runs on
+    DuckDB: same recursion, same fixpoint."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    # materialize the edge list once — every recursion step re-reads it,
+    # and without the checkpoint each step would replay the shingle join
+    pairs = pairs.localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("bfcms_near_dup_edges")
+    return spark.sql(
+        _COMPONENTS_RECURSION.format(edges="SELECT doc_a, doc_b FROM bfcms_near_dup_edges")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python *streaming* source (Spark 4 DataSource API, C1)
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(id % 16 AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((id * 48271) % 100003) AS BIGINT) AS v_sum
+    FROM generate_series(0, 999) t(id)
+    GROUP BY 1
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded scan of a user-defined Python *stream* source
+    (SimpleDataSourceStreamReader): offsets are micro-batch indexes, rows
+    are generated per batch, and readBetweenOffsets replays any offset
+    range deterministically — the exactly-once recovery contract. Ten
+    100-row micro-batches aggregate to the same closed-form table the
+    DuckDB oracle computes from generate_series. availableNow only drains
+    the one prefetched batch for simple stream readers, so the run uses a
+    fast processing-time trigger and stops at the (bounded) source's end.
+    """
+    import time
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.pysource import (
+        register_stream,
+    )
+
+    register_stream(spark)
+    n_batches, rows_per_batch = 10, 100
+    total = n_batches * rows_per_batch
+    src = (
+        spark.readStream.format("bfcms_synth_stream")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("batches", n_batches)
+        .load()
+    )
+    agg = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("long")).cast("long").alias("v_sum"),
+    )
+    name = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .option(
+            "checkpointLocation", f"{tempfile.gettempdir()}/bfcms_ckpt_{name}"
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spark.sql(f"SELECT COALESCE(SUM(n), 0) AS s FROM {name}").collect()[0]["s"]
+            if done >= total:
+                break
+            time.sleep(0.3)
+    finally:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except StreamingQueryException:
+            pass
+    return spark.table(name)

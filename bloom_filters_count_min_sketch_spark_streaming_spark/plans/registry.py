@@ -42,7 +42,12 @@ _PRIORITY = [
     "cms_event_type_freq",
     "cms_sketch_table_merge",
     "heavy_hitters_approx",
-    "heavy_hitters_exact",
+    # round-3 pipeline ops (driver-visible slots; exact twins / near-twins
+    # further down the prefix ceded their place — see r3 notes)
+    "text_repetition_stats",
+    "priority_sample_docs",
+    "dedup_incremental_ingest",
+    "stream_chained_windows",
     "hll_distinct_event_types",
     "hll_sketch_users",
     "approx_quantiles_value",
@@ -63,18 +68,15 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_centroids",
-    "embedding_norms",
     "embedding_label_distances",
     # LLM-pipeline: text + multimodal
     "text_token_counts",
     "text_quality_by_source",
-    "text_quality_scores",
     "lang_id_heuristic",
     "tfidf_top_terms",
     "llm_corpus_pipeline",
     "multimodal_payload_stats",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
     # streaming
     "stream_windowed_counts",
     "stream_sliding_counts",
