@@ -59,6 +59,19 @@ def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
             import shutil
 
             shutil.rmtree(tmp_dir, ignore_errors=True)
+    # FileStreamSource orders files by modification time (path is only a
+    # tie-break in some code paths, and the parallel parquet write stamps
+    # all parts with the SAME mtime) — so replay order, and therefore
+    # watermark monotonicity, was a coin flip. Append-mode queries then
+    # drop whole "late" batches. Stamp strictly increasing mtimes in
+    # part-file (= range-partition = time) order; idempotent, repairs
+    # previously written caches.
+    parts = sorted(
+        f for f in os.listdir(src_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_600_000_000  # fixed epoch: deterministic across runs
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src_dir, f), (base + i, base + i))
     schema = spark.read.parquet(src_dir).schema
     return (
         spark.readStream.schema(schema)

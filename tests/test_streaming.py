@@ -42,6 +42,28 @@ def test_stream_processes_multiple_batches(spark, sf_dir):
     assert sum(seen) == load(spark, sf_dir, "events").count()
 
 
+def test_stream_batches_replay_in_event_time_order(spark, sf_dir):
+    """FileStreamSource orders files by MODIFICATION TIME; the split writer
+    stamps ascending mtimes so micro-batches arrive in event-time order.
+    Without this, append-mode queries nondeterministically drop whole
+    'late' batches (the r3 stream_chained_windows failure)."""
+    import os
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    src = events_stream_source(spark, sf_dir, n_files=4)
+    # the cached split dir must carry strictly increasing mtimes in path order
+    import pyspark.sql.functions as F
+
+    maxes = []
+    run_foreach_batch(
+        src, lambda df, bid: maxes.append(df.agg(F.max("ts")).collect()[0][0])
+    )
+    assert maxes == sorted(maxes), f"batch max-ts not monotone: {maxes}"
+
+
 def test_watermark_drops_late_rows(spark):
     """Append-mode windowed agg with watermark: a row arriving after the
     watermark evicted its window is dropped (C7).
