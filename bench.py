@@ -57,6 +57,13 @@ HEADLINE = [
     "dedup_incremental_ingest",
     "bucketed_join_agg",
     "kmeans_embeddings",
+    # round-3 second batch (corpus hygiene + CDC + outer stream join)
+    "dataset_split_stats",
+    "domain_frequency_caps",
+    "language_balanced_resample",
+    "bpe_pair_counts",
+    "scd2_dimension_merge",
+    "stream_stream_left_outer_join",
     # streaming
     "stream_chained_windows",
     "stream_windowed_counts",

@@ -560,3 +560,273 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         except StreamingQueryException:
             pass
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+
+
+@query(
+    "dataset_split_stats",
+    oracle="""
+    -- hash-bucket split: bucket = first 4 hex chars of md5(doc_id) mod 100
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM b GROUP BY 1
+    """,
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    bucketing (md5(doc_id) mod 100 -> 80/10/10). The split is a pure
+    projection — no shuffle, no RNG, reproducible across engines, retries,
+    and incremental reruns, and any engine can recompute membership from
+    the id alone (the property eval-set hygiene depends on). The audit agg
+    is one map-side-combined shuffle over 3 keys."""
+    docs = load(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain frequency caps
+
+
+@query(
+    "domain_frequency_caps",
+    oracle="""
+    -- cap each domain (source) at 8 docs, chosen by hash-min rank so the
+    -- survivors are a deterministic uniform-ish subset
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 8 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY 1
+    """,
+)
+def domain_frequency_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency caps (RefinedWeb-style): keep at most K docs
+    per domain, selected by hash-min ranking (deterministic, engine-
+    portable, no RNG state). One hash-partitioned window per domain — at
+    100 TB the heavy-domain skew is bounded because rank state is O(1) per
+    partition stream; a top-K-per-group partial aggregation would avoid
+    even materializing the over-cap tail."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    kept = F.when(F.col("rn") <= 8, 1).otherwise(0)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 8, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-balanced resampling
+
+
+@query(
+    "language_balanced_resample",
+    oracle="""
+    -- downsample every language to the size of the smallest: rate_l =
+    -- min_count / count_l; keep doc when its hash-uniform u < rate_l.
+    -- u and rate are exact integer divisions -> bit-identical doubles.
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ), m AS (
+      SELECT MIN(cnt) AS mn FROM c
+    ), scored AS (
+      SELECT d.lang,
+             (('0x' || substr(md5('lb:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000) / 10000.0 AS u,
+             mn::DOUBLE / cnt AS rate
+      FROM documents d JOIN c USING (lang) CROSS JOIN m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(ANY_VALUE(rate), 4) AS rate
+    FROM scored GROUP BY 1
+    """,
+)
+def language_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resampling (data-mixing): compute per-language
+    sampling rates that equalize the mix to the smallest language, then
+    apply them with a hash-derived uniform — two aggregation passes and a
+    broadcast join of the (5-row) rate table against the corpus; no
+    collect, no RNG. At 100 TB the rate table is still O(#languages), so
+    the apply pass stays a map-only scan."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(mn)).select(
+            "lang", (F.col("mn").cast("double") / F.col("cnt")).alias("rate")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("lb:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    scored = docs.join(rates, "lang").select("lang", u.alias("u"), "rate")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(F.any_value("rate"), 4).alias("rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-training inner loop: weighted adjacent-pair counts
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    -- the BPE training inner loop: count adjacent symbol pairs inside each
+    -- word, weighted by word frequency; top pairs become merges
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+             AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, c
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of byte-pair-encoding training (Sennrich et al.
+    2016): adjacent character-pair counts weighted by word frequency. Two
+    wordcount-shaped aggregations: corpus -> distinct-word counts (the
+    heavy shuffle, map-side combined), then pairs are generated from the
+    DISTINCT word table — work proportional to vocabulary, not corpus, the
+    same trick a real BPE trainer uses. Top-30 via TakeOrderedAndProject
+    (no global sort)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "pair").limit(30)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension merge (CDC upsert)
+
+
+@query(
+    "scd2_dimension_merge",
+    oracle="""
+    -- slowly-changing-dimension type 2 merge: a change batch (every 7th
+    -- customer gets a new balance effective 2024-06-01) applied to the
+    -- current snapshot; changed keys end-date the old version and open a
+    -- new current one
+    WITH chg AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           '2024-01-01' AS valid_from,
+           CASE WHEN g.c_custkey IS NULL THEN '9999-12-31'
+                ELSE '2024-06-01' END AS valid_to,
+           CASE WHEN g.c_custkey IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM customer c LEFT JOIN chg g USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_bal AS acctbal,
+           '2024-06-01' AS valid_from, '9999-12-31' AS valid_to, 1 AS is_current
+    FROM chg
+    """,
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert into a slowly-changing dimension (SCD type 2): old
+    versions are end-dated, new versions opened as current — the MERGE
+    WHEN MATCHED / NOT MATCHED pattern expressed as a broadcast left join
+    plus a union (no MERGE INTO needed without a transactional table
+    format; with Delta/Iceberg the same plan runs under MERGE). The change
+    batch is broadcast (dim-sized); the snapshot side never shuffles —
+    the shape that scales to a 100 TB fact-backed dimension."""
+    cust = load(spark, sf_dir, "customer")
+    chg = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal")
+    )
+    old = (
+        cust.join(F.broadcast(chg), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit("2024-01-01").alias("valid_from"),
+            F.when(F.col("new_bal").isNull(), "9999-12-31")
+            .otherwise("2024-06-01")
+            .alias("valid_to"),
+            F.when(F.col("new_bal").isNull(), 1).otherwise(0).alias("is_current"),
+        )
+    )
+    new = chg.select(
+        "c_custkey",
+        F.col("new_bal").alias("acctbal"),
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return old.unionAll(new)

@@ -48,6 +48,17 @@ _PRIORITY = [
     "priority_sample_docs",
     "dedup_incremental_ingest",
     "stream_chained_windows",
+    # round-3 second batch: corpus-hygiene + CDC ops (oracle-backed) take
+    # the prefix slots of rows-only variants (dedup_simhash_candidates,
+    # ann_ivf_topk — weak driver signal anyway) and of near-twins
+    # (multimodal_decode_features, stream_sliding_counts,
+    # stream_update_mode_counts, text_token_counts)
+    "dataset_split_stats",
+    "domain_frequency_caps",
+    "language_balanced_resample",
+    "bpe_pair_counts",
+    "scd2_dimension_merge",
+    "stream_stream_left_outer_join",
     "hll_distinct_event_types",
     "hll_sketch_users",
     "approx_quantiles_value",
@@ -61,25 +72,20 @@ _PRIORITY = [
     "doc_fingerprints",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_candidates",
     "dedup_embedding_cosine",
     # LLM-pipeline: similarity / embeddings
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "embedding_centroids",
     "embedding_label_distances",
     # LLM-pipeline: text + multimodal
-    "text_token_counts",
     "text_quality_by_source",
     "lang_id_heuristic",
     "tfidf_top_terms",
     "llm_corpus_pipeline",
     "multimodal_payload_stats",
-    "multimodal_decode_features",
     # streaming
     "stream_windowed_counts",
-    "stream_sliding_counts",
     "stream_session_windows",
     "stream_dedup_counts",
     "stream_static_join_counts",
@@ -87,7 +93,6 @@ _PRIORITY = [
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
     "stream_stateful_bloom_distinct",
-    "stream_update_mode_counts",
     "stream_cms_running_freq",
     "salted_heavy_key_counts",
 ]

@@ -474,3 +474,77 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    -- Append-mode watermarked LEFT OUTER stream-stream join: matched pairs
+    -- emit as found; unmatched signups emit (with NULL) only once the
+    -- watermark proves no purchase can still arrive, i.e. signups whose
+    -- match window closed before the final watermark min(max_s, max_p)-1h.
+    WITH s AS (
+      SELECT event_id AS signup_event, user_id, ts FROM events
+      WHERE event_type = 'signup'
+    ), p AS (
+      SELECT event_id AS purchase_event, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ), matched AS (
+      SELECT s.signup_event, p.purchase_event
+      FROM s JOIN p
+        ON p.user_id = s.user_id
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+    )
+    SELECT signup_event, purchase_event FROM matched
+    UNION ALL
+    SELECT s.signup_event, CAST(NULL AS BIGINT) AS purchase_event
+    FROM s, wm
+    WHERE s.ts + INTERVAL 2 HOUR < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = s.user_id
+          AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (C11 outer variant): signups that got
+    no purchase within 2 hours, discovered ON the stream. Unlike the inner
+    join, outer emission REQUIRES eviction: a null row may only surface
+    once the watermark proves the match window is closed, so this runs
+    with a real (1-hour) watermark. That is safe here because the replay
+    is strictly event-time-monotone (the split is range-partitioned on
+    event_id, which is ts-ordered in the fixture, and the source stamps
+    file mtimes in part order) — no input row is ever late-dropped, and
+    eviction order is deterministic. State per key is the open 2-hour
+    window, O(active users), independent of stream length."""
+    src1 = events_stream_source(spark, sf_dir)
+    src2 = events_stream_source(spark, sf_dir)
+    s = (
+        src1.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_event"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    p = (
+        src2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOUR")),
+        "leftOuter",
+    ).select("signup_event", "purchase_event")
+    return run_available_now(joined, "append")

@@ -166,6 +166,7 @@ def test_transform_with_state_in_pandas(spark, sf_dir):
 _NESTED_LOOP_OK = {
     "knn_cosine_bruteforce",   # corpus x broadcast query set by design
     "asof_join_last_click_before_error",  # union+window, no join at all
+    "language_balanced_resample",  # 1-row broadcast global-min seed join
 }
 
 
