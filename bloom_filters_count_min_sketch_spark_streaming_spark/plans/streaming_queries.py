@@ -548,3 +548,49 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "leftOuter",
     ).select("signup_event", "purchase_event")
     return run_available_now(joined, "append")
+
+
+@query(
+    "statestore_reader_window_counts",
+    oracle="""
+    -- The state-store data source reads the aggregation state straight out
+    -- of the checkpoint; a complete-mode windowed count never evicts, so
+    -- final state == the batch aggregation.
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def statestore_reader_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state inspection (Spark 4 state data source): run a
+    windowed streaming aggregation, then read its state store back from
+    the checkpoint with ``spark.read.format("statestore")`` — the surface
+    an operator uses to debug a live 100 TB stream (skew across state
+    partitions, key explosion, stuck windows) without touching the query.
+    The read is a plain batch scan over the checkpoint's state files, so
+    it parallelizes like any other source."""
+    import tempfile
+
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_ssread_")
+    name = f"ssread_{abs(hash(ckpt)) % 10**8}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )

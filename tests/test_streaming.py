@@ -259,3 +259,40 @@ def test_chained_streaming_window_aggregations(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+def test_state_metadata_source_lists_operators(spark, sf_dir):
+    """The state-metadata source enumerates stateful operators, state store
+    names, partition counts, and batch id ranges from a checkpoint — the
+    ops-side complement of the statestore reader."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_md_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("md_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    row = md[0]
+    assert row.operatorName == "stateStoreSave"
+    assert row.numPartitions > 0
+    assert row.maxBatchId >= row.minBatchId >= 0
+    # per-partition state distribution: the skew diagnostic an operator
+    # actually runs against a production checkpoint
+    st = spark.read.format("statestore").load(ckpt)
+    per_part = st.groupBy("partition_id").count().collect()
+    assert sum(r["count"] for r in per_part) == st.count()
