@@ -63,6 +63,7 @@ HEADLINE = [
     "language_balanced_resample",
     "bpe_pair_counts",
     "scd2_dimension_merge",
+    "corpus_curation_e2e",
     "stream_stream_left_outer_join",
     # streaming
     "stream_chained_windows",

@@ -830,3 +830,117 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return old.unionAll(new)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (composition flagship)
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+_STOPS_SQL = "('" + "','".join(T.EN_STOPWORDS) + "')"
+
+
+@query(
+    "corpus_curation_e2e",
+    oracle=f"""
+    -- the full curation cascade in one statement: exact dedup -> quality
+    -- gate -> per-domain cap -> language balancing -> hash split -> audit
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+    ), gated AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d JOIN kept USING (doc_id)
+      WHERE len(list_filter(string_split(lower(d.text), ' '), w -> w IN {_STOPS_SQL}))
+              * 1.0 / len(list_filter(string_split(lower(d.text), ' '), w -> w <> '')) >= 0.05
+        AND length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
+              * 1.0 / length(d.text) <= 0.2
+    ), capped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM gated
+      ) WHERE rn <= 20
+    ), c AS (
+      SELECT lang, COUNT(*) AS cnt FROM capped GROUP BY 1
+    ), m AS (SELECT MIN(cnt) AS mn FROM c),
+    balanced AS (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM capped d JOIN c USING (lang) CROSS JOIN m
+      WHERE (('0x' || substr(md5('lb:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10000) / 10000.0 < mn::DOUBLE / cnt
+    )
+    SELECT CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+               AS bkt
+      FROM balanced
+    ) GROUP BY 1, 2
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan — exact dedup,
+    quality gate, per-domain caps, language balancing, deterministic
+    split, audit aggregation — so Catalyst sees every stage at once:
+    the gate's predicates are pushed into the post-join project, the
+    5-row rate table broadcasts, and no stage materializes an
+    intermediate. This is the composition story: each operator is also a
+    standalone query (llm_corpus_pipeline, domain_frequency_caps,
+    language_balanced_resample, dataset_split_stats), and chaining them
+    costs exactly their shuffles — dedup groupBy, id re-join, cap window,
+    count agg, final audit agg — nothing else."""
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = docs.join(kept, "doc_id").filter(
+        (T.stopword_ratio(F.col("text")) >= 0.05)
+        & (T.punct_ratio(F.col("text")) <= 0.2)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        gated.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn", "source")
+    )
+    counts = capped.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(mn)).select(
+            "lang", (F.col("mn").cast("double") / F.col("cnt")).alias("rate")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lb:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    balanced = capped.join(rates, "lang").filter(u < F.col("rate"))
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bkt < 80, "train").when(bkt < 90, "valid").otherwise("test")
+    return (
+        balanced.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -167,6 +167,7 @@ _NESTED_LOOP_OK = {
     "knn_cosine_bruteforce",   # corpus x broadcast query set by design
     "asof_join_last_click_before_error",  # union+window, no join at all
     "language_balanced_resample",  # 1-row broadcast global-min seed join
+    "corpus_curation_e2e",         # same 1-row global-min seed, composed
 }
 
 
