@@ -64,6 +64,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "scd2_dimension_merge",
     "corpus_curation_e2e",
+    "cms_dyadic_range_counts",
     "stream_stream_left_outer_join",
     # streaming
     "stream_chained_windows",

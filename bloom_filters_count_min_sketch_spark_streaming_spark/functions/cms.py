@@ -261,3 +261,67 @@ def exact_vs_approx(
     exact = df.groupBy(col).agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = cms_estimate(exact, col, cms_bytes, out="cms_est")
     return est.withColumn("abs_err", F.col("cms_est") - F.col("exact_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Dyadic range queries (Cormode & Muthukrishnan 2005, §4.3)
+
+
+def dyadic_decompose(lo: int, hi: int, levels: int) -> list[tuple[int, int]]:
+    """Minimal dyadic cover of the inclusive integer range [lo, hi]:
+    a list of (level, prefix) pairs where level-j node `p` covers
+    [p * 2^j, (p+1) * 2^j - 1]. At most 2*levels intervals (CM 2005
+    §4.3), so a range count touches O(log U) sketch cells."""
+    if lo < 0 or hi < lo:
+        raise ValueError(f"bad range [{lo}, {hi}]")
+    out: list[tuple[int, int]] = []
+    while lo <= hi:
+        j = 0
+        while (
+            j + 1 < levels
+            and lo % (1 << (j + 1)) == 0
+            and lo + (1 << (j + 1)) - 1 <= hi
+        ):
+            j += 1
+        out.append((j, lo >> j))
+        lo += 1 << j
+    return out
+
+
+def cms_build_dyadic(
+    df: DataFrame,
+    col: str,
+    levels: int,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list[CountMinSketchTable]:
+    """Build the dyadic sketch hierarchy in ONE distributed pass: level j
+    sketches the keys (v >> j), all `levels` aggregates evaluated in the
+    same partial->final aggregation (one scan, `levels` kilobyte-sized
+    results on the driver). df[col] must already be a non-negative long."""
+    aggs = [
+        F.count_min_sketch(
+            F.shiftright(F.col(col), j).cast("long"),
+            F.lit(float(eps)),
+            F.lit(float(confidence)),
+            F.lit(int(seed) + j),
+        ).alias(f"l{j}")
+        for j in range(levels)
+    ]
+    row = df.agg(*aggs).head()
+    return [CountMinSketchTable.from_bytes(bytes(row[f"l{j}"])) for j in range(levels)]
+
+
+def cms_range_estimate(
+    sketches: list[CountMinSketchTable], lo: int, hi: int
+) -> int:
+    """Approximate count of values in [lo, hi]: sum of point queries on the
+    dyadic cover — each an overestimate, so the total overestimates by at
+    most 2*levels*eps*N with the sketch confidence."""
+    return int(
+        sum(
+            int(sketches[j].estimate_longs(np.array([p], dtype=np.int64))[0])
+            for j, p in dyadic_decompose(lo, hi, len(sketches))
+        )
+    )

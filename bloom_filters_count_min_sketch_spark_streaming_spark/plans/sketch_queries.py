@@ -420,3 +420,57 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("long").alias("n_purchase"),
         (F.col("a") + F.col("b") - F.col("u")).cast("long").alias("n_both"),
     )
+
+
+@query(
+    "cms_dyadic_range_counts",
+    oracle="""
+    -- Dyadic-range CMS (CM 2005 §4.3): the sketch hierarchy is wide enough
+    -- (eps 1e-4 -> 20001 cells/level vs ~1000 live keys) that every range
+    -- estimate equals the exact count at this scale; the estimate's
+    -- overestimate bound is property-tested separately with narrow
+    -- sketches (tests/test_sketches.py).
+    SELECT v.lo AS range_lo, v.hi AS range_hi,
+           CAST(COUNT(*) FILTER (WHERE CAST(FLOOR(e.value) AS BIGINT)
+                                 BETWEEN v.lo AND v.hi) AS BIGINT) AS exact_cnt,
+           CAST(COUNT(*) FILTER (WHERE CAST(FLOOR(e.value) AS BIGINT)
+                                 BETWEEN v.lo AND v.hi) AS BIGINT) AS cms_est
+    FROM events e
+    CROSS JOIN (VALUES (0, 99), (100, 299), (300, 749), (750, 1023))
+      AS v(lo, hi)
+    GROUP BY v.lo, v.hi
+    """,
+)
+def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-count queries from a dyadic CMS hierarchy (A3 extension;
+    Cormode & Muthukrishnan 2005 §4.3): 11 sketches built in ONE scan
+    (level j keys v >> j), a range [a,b] answered by summing point
+    queries over its <= 2*11-interval dyadic cover. The hierarchy is
+    O(levels * sketch_bytes) — kilobytes regardless of N — and the range
+    answer touches no data at all: the reference's sketch-resident
+    architecture extended from point to range queries."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_dyadic,
+        cms_range_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("iv")
+    )
+    sketches = cms_build_dyadic(ev, "iv", levels=11, eps=0.0001, confidence=0.99, seed=77)
+    ranges = [(0, 99), (100, 299), (300, 749), (750, 1023)]
+    exact = ev.agg(
+        *[
+            F.sum(F.when(F.col("iv").between(lo, hi), 1).otherwise(0))
+            .cast("long")
+            .alias(f"e_{lo}_{hi}")
+            for lo, hi in ranges
+        ]
+    ).head()
+    rows = [
+        (lo, hi, int(exact[f"e_{lo}_{hi}"]), cms_range_estimate(sketches, lo, hi))
+        for lo, hi in ranges
+    ]
+    return spark.createDataFrame(
+        rows, "range_lo INT, range_hi INT, exact_cnt BIGINT, cms_est BIGINT"
+    )

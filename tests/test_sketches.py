@@ -70,3 +70,42 @@ def test_hll_inclusion_exclusion_approximate_regime(spark):
     )
     est = row["ea"] + row["eb"] - row["eu"]
     assert abs(est - 20_000) / 20_000 < 0.10, f"intersection estimate {est} off by >10%"
+
+
+def test_cms_dyadic_range_bounds(spark):
+    """Dyadic range estimates with a deliberately NARROW sketch (so
+    collisions actually occur): est >= exact always, and est - exact is
+    within the CM 2005 §4.3 bound 2 * levels * eps * N at the sketch
+    confidence (asserted with slack: deterministic seed, fixed data)."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_dyadic,
+        cms_range_estimate,
+        dyadic_decompose,
+    )
+
+    levels = 11
+    # decomposition invariants on random ranges
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        lo, hi = sorted(rng.integers(0, 1024, size=2).tolist())
+        cover = dyadic_decompose(lo, hi, levels)
+        assert len(cover) <= 2 * levels
+        covered = sorted(
+            x
+            for j, p in cover
+            for x in range(p << j, ((p + 1) << j))
+        )
+        assert covered == list(range(lo, hi + 1)), (lo, hi)
+
+    n = 20_000
+    vals = rng.integers(0, 1024, size=n)
+    df = spark.createDataFrame([(int(v),) for v in vals], "iv LONG")
+    eps = 0.01  # width 201 vs 1024 live keys -> real collisions
+    sketches = cms_build_dyadic(df, "iv", levels=levels, eps=eps, confidence=0.99, seed=5)
+    for lo, hi in [(0, 1023), (10, 17), (100, 900), (512, 513)]:
+        exact = int(((vals >= lo) & (vals <= hi)).sum())
+        est = cms_range_estimate(sketches, lo, hi)
+        assert est >= exact, (lo, hi, est, exact)
+        assert est - exact <= 2 * levels * eps * n, (lo, hi, est, exact)
