@@ -304,6 +304,16 @@ def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+@query("source_roundtrip_xml", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip (built-in since Spark 4; rowTag-scoped
+    streaming StAX parse on read, schema declared explicitly). Avro is the
+    one standard format NOT exercised: its data source module is external
+    and absent from this environment's classpath (verified
+    DATA_SOURCE_NOT_FOUND) — env-blocked, like protobuf/TWS."""
+    return _roundtrip(spark, sf_dir, "xml", rowTag="nation")
+
+
 @query("source_roundtrip_text", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def source_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-line sink + source roundtrip (the reference's native input

@@ -75,7 +75,10 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     # LLM-pipeline: similarity / embeddings
     "knn_cosine_bruteforce",
-    "ann_lsh_topk",
+    # ann_ivf_full_probe_exact exercises the full IVF machinery under a
+    # hash-checked oracle (nprobe=nlist == brute force); the recall<1
+    # configs of the same code path stay rows-only further down
+    "ann_ivf_full_probe_exact",
     "embedding_centroids",
     "embedding_label_distances",
     # LLM-pipeline: text + multimodal

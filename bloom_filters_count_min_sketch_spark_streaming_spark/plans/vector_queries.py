@@ -151,3 +151,33 @@ def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.ann_ivf_int8_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42)
+
+
+@query(
+    "ann_ivf_full_probe_exact",
+    oracle="""
+    -- IVF with n_probe == n_cells degenerates to exact kNN: every cell is
+    -- probed, so the candidate set is the whole corpus and the re-rank is
+    -- the brute-force ranking. This puts the ENTIRE IVF machinery (seeded
+    -- coarse quantizer, cell assignment, probe fan-out, bucketed candidate
+    -- join, exact re-rank) under the hash-checked oracle; the recall<1
+    -- configurations of the same code path are covered by recall tests.
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness witness: same operator as ann_ivf_topk but probing all
+    cells, which must reproduce brute-force kNN bit-for-bit (rank-level) —
+    the standard sanity contract for an IVF index (FAISS nprobe=nlist)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=16, seed=42
+    )
