@@ -174,3 +174,83 @@ def running_bloom_distinct(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _BLOOM_OUT, _BLOOM_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_SESS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_with_timeout(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session windows as a CUSTOM stateful operator with EVENT-TIME
+    TIMEOUTS — the part of stateful processing the built-in
+    ``session_window`` hides: an open session must eventually close even
+    if its key never sends another event. State per key is the open
+    session (start, last, count); a new event either extends it or (gap
+    exceeded) emits it closed_by='gap' and starts fresh; when the
+    watermark passes last_event + gap with no new data for the key, the
+    state store fires the timeout path (``state.hasTimedOut``) and the
+    session emits closed_by='timeout'. State is O(active keys) and every
+    entry carries a timeout timestamp, so abandoned keys cannot accrete —
+    the invariant that keeps a 100 TB stream's state bounded.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        out = {"key": [], "session_start_us": [], "n_events": [], "closed_by": []}
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out["key"].append(str(key[0]))
+            out["session_start_us"].append(start)
+            out["n_events"].append(n)
+            out["closed_by"].append("timeout")
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        ts_us = np.sort(
+            np.concatenate(
+                [pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64) for pdf in pdfs]
+            )
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = int(ts_us[0])
+            n = 0
+            ts_us = ts_us  # first event counted in the loop below
+        for t in ts_us.tolist():
+            if n > 0 and t - last > gap_us:
+                out["key"].append(str(key[0]))
+                out["session_start_us"].append(start)
+                out["n_events"].append(n)
+                out["closed_by"].append("gap")
+                start = t
+                n = 0
+            n += 1
+            last = t
+        state.update((start, last, n))
+        # close the open session when the event-time watermark passes
+        # last + gap (ms precision: the state API takes epoch millis)
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )

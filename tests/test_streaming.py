@@ -296,3 +296,59 @@ def test_state_metadata_source_lists_operators(spark, sf_dir):
     st = spark.read.format("statestore").load(ckpt)
     per_part = st.groupBy("partition_id").count().collect()
     assert sum(r["count"] for r in per_part) == st.count()
+
+
+def test_stateful_session_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout contract of the custom sessionizer: a gap inside
+    the data closes a session with closed_by='gap'; a key that goes
+    silent is closed by the STATE STORE's timeout once the watermark
+    passes last_event + gap (closed_by='timeout'); a session still inside
+    the gap at stream end stays open and is NOT emitted. Batch boundaries
+    are hand-built files, so the scenario is fully deterministic."""
+    import os
+
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["user", "ts_s"]).select(
+            "user", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    src = str(tmp_path / "sess_src")
+    # b0: A's first session (2 events). b1: A returns after a 50-min gap
+    # (closes session 1 as 'gap', opens session 2), B's lone session near
+    # the end of the timeline. b2: sentinel C advances event time to 13:00.
+    # Final watermark = 13:00 - 10min = 12:50:
+    #   A session 2 (last 11:00, timeout 11:30 < 12:50)  -> 'timeout'
+    #   B           (last 12:45, timeout 13:15 > 12:50)  -> stays open
+    #   C           (last 13:00)                         -> stays open
+    mk([("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 10:10:00")]).coalesce(1).write.parquet(f"{src}/b0")
+    mk([("A", "2024-01-01 11:00:00"), ("B", "2024-01-01 12:45:00")]).coalesce(1).write.parquet(f"{src}/b1")
+    mk([("C", "2024-01-01 13:00:00")]).coalesce(1).write.parquet(f"{src}/b2")
+    for i, b in enumerate(["b0", "b1", "b2"]):
+        for f in os.listdir(f"{src}/{b}"):
+            if f.endswith(".parquet"):
+                os.utime(f"{src}/{b}/{f}", (1_600_000_000 + i, 1_600_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(mk([("x", "2024-01-01 00:00:00")]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    sessions = sessionize_with_timeout(
+        stream.withWatermark("ts", "10 minutes"), "user", gap_minutes=30
+    )
+    out = run_available_now(sessions, "append")
+    rows = {(r["key"], r["session_start_us"], r["n_events"], r["closed_by"])
+            for r in out.collect()}
+
+    def us(ts: str) -> int:
+        return int(np.datetime64(ts, "us").astype(np.int64))
+
+    assert ("A", us("2024-01-01T10:00:00"), 2, "gap") in rows
+    assert ("A", us("2024-01-01T11:00:00"), 1, "timeout") in rows
+    assert len(rows) == 2, rows
