@@ -854,3 +854,46 @@ def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "observe_metrics_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_large,
+           CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    """,
+)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability (B34) as data: an Observation attached to the
+    scan records row count, predicate-hit count, and a decimal-summed
+    total WHILE another consumer drains the same DataFrame — metrics come
+    from the observe() side-channel (computed during the pass, no second
+    scan), then surface as a 1-row result. At 100 TB this is how you audit
+    a curation run without re-reading the input: the metrics ride the
+    existing job."""
+    from pyspark.sql import Observation
+
+    orders = load(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_large"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"])],
+        "n_rows BIGINT, n_large BIGINT, total_price DOUBLE",
+    )
