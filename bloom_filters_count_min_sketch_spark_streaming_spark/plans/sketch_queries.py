@@ -18,7 +18,7 @@ Determinism notes (the correctness gate hashes values):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.functions import bloom, cms, sketches
@@ -473,4 +473,74 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "range_lo INT, range_hi INT, exact_cnt BIGINT, cms_est BIGINT"
+    )
+
+
+@query(
+    "quantile_sketch_table",
+    oracle="""
+    -- mergeable quantile sketch at rest: per-day equi-width histogram
+    -- partials (bin = floor(value/2), 512 bins over [0, 1024)), merged by
+    -- addition at query time; quantile p = upper edge of the first bin
+    -- where the cumulative count reaches ceil(p * N). Pure integer math
+    -- until one final multiplication -> engine-exact.
+    WITH partials AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / 2) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM partials GROUP BY 1
+    ), cum AS (
+      SELECT bin,
+             CAST(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cnt,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM merged) AS n_total
+      FROM merged
+    )
+    SELECT p, MIN((bin + 1) * 2.0) AS est_q
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS p)
+    WHERE cum_cnt >= CEIL(p * n_total)
+    GROUP BY p
+    """,
+)
+def quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE sketch table (A9 extension, the
+    sketch-at-rest architecture the CMS/HLL tables use): each day keeps a
+    fixed 512-bin equi-width histogram — O(bins) state regardless of row
+    count, merge = vector addition (a relational groupBy-sum). Query time
+    touches only #days x #bins rows: cumulative window over 512 bins,
+    quantile = first bin reaching ceil(p*N). Error bounded by bin width;
+    the partials are incrementally maintainable (today's ingest only
+    touches today's row group). All integer math -> bit-identical across
+    engines, unlike sampling-based percentile sketches."""
+    ev = load(spark, sf_dir, "events")
+    partials = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / 2).cast("long").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = partials.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n_total"),
+    )
+    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p DOUBLE")
+    return (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum_cnt") >= F.ceil(F.col("p") * F.col("n_total")))
+        .groupBy("p")
+        .agg(F.min((F.col("bin") + 1) * 2.0).alias("est_q"))
     )
