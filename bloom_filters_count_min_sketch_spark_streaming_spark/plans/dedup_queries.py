@@ -259,3 +259,62 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("doc_id")).alias("kept"),
     )
+
+
+# --- SimHash exactness witness (engine-portable md5 variant) -----------------
+
+_SH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int in both engines
+
+_SH_ORACLE = f"""
+    -- engine-portable SimHash: token hash = first 15 hex chars of md5
+    -- (60 bits), per-bit +/-1 sums, sign -> fingerprint bit. This puts the
+    -- full SimHash construction (per-bit sign aggregation + reassembly)
+    -- under the value hash; the production simhash64 uses xxhash64 (not
+    -- expressible in DuckDB) but shares the exact same aggregation shape.
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+    ), bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(_SH_BITS))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS))}
+                AS BIGINT) AS simhash
+    FROM bits
+"""
+
+
+@query("simhash_portable_fingerprints", oracle=_SH_ORACLE)
+def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash witness (Charikar 2002) with an md5-derived 60-bit token
+    hash, computable identically in any engine: per token, bit i
+    contributes +1/-1 by the hash bit; per document, the fingerprint bit
+    is the sign of the summed contributions. One shuffle keyed on doc_id,
+    60 codegen'd conditional sums — the same plan shape as the production
+    xxhash64 simhash64 (operators/dedup.py), which stays the fast path;
+    this variant pins the construction under the driver's value hash."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(dedup.tokens_col(F.col("text"))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_SH_BITS)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(_SH_BITS):
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(0)
+    return bit_sums.select("doc_id", acc.alias("simhash"))

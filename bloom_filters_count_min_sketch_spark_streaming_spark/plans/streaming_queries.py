@@ -594,3 +594,60 @@ def statestore_reader_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+@query(
+    "stream_quantile_sketch",
+    oracle="""
+    -- streaming member of the quantile sketch family: the stream maintains
+    -- one 512-bin histogram (complete mode, O(bins) state); quantiles are
+    -- read off the final counts exactly like the batch sketch table.
+    WITH merged AS (
+      SELECT CAST(FLOOR(value / 2) AS BIGINT) AS bin, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT bin,
+             CAST(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cnt,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM merged) AS n_total
+      FROM merged
+    )
+    SELECT p, MIN((bin + 1) * 2.0) AS est_q
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    WHERE cum_cnt >= CEIL(p * n_total)
+    GROUP BY p
+    """,
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running quantiles over the stream with O(bins) state (A9 x C3 —
+    completing the streaming sketch trilogy next to the windowed CMS and
+    HLL): the streaming agg maintains 512 bin counters across
+    micro-batches; quantiles are answered from the final histogram with
+    the same integer math as the batch sketch table. State never grows
+    with stream length, and the answer path reads 512 rows."""
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.select(F.floor(F.col("value") / 2).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = run_available_now(agg, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.sum("cnt")
+        .over(W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n_total"),
+    )
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p DOUBLE")
+    return (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum_cnt") >= F.ceil(F.col("p") * F.col("n_total")))
+        .groupBy("p")
+        .agg(F.min((F.col("bin") + 1) * 2.0).alias("est_q"))
+    )
