@@ -501,3 +501,36 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "score", "rnk")
     )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    -- closed-form twin of the REAL WAV decode: the synthesized square
+    -- wave (amplitude 1000, n = 100 + (doc_id % 50) * 10 samples @ 8 kHz)
+    -- has rms exactly 1000 and duration n/8 ms, both exact in binary
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_samples,
+           (100 + (doc_id % 50) * 10) / 8.0 AS duration_ms,
+           1000.0 AS rms,
+           CAST(1000 AS BIGINT) AS peak
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal path (D5): WAV/PCM is parseable with pure
+    struct+numpy, so unlike the PIL/ffmpeg-class formats (stubbed,
+    env-blocked) this decode is REAL — RIFF chunk walk, int16 PCM lift,
+    acoustic features (duration/RMS/peak) per file, Arrow-batched via
+    mapInPandas. The payload generator synthesizes a deterministic square
+    wave per id, giving the oracle a closed form; the decoder never sees
+    the formula, only bytes."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id")
+    return decode_wav_features(media)

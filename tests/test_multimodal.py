@@ -66,3 +66,36 @@ def test_strict_mode_raises_where_codec_would_plug_in(spark, sf_dir):
     ):
         with pytest.raises(Exception, match="NotImplementedError|not present"):
             op()
+
+
+def test_wav_decode_real_parse(spark):
+    """The WAV path is a real parser: it reads rate/bits/samples from the
+    bytes (not from metadata), and rejects non-RIFF payloads."""
+    import numpy as np
+    import pytest
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _wav_bytes,
+        attach_wav_payload,
+        decode_wav_features,
+    )
+
+    # driver-side: parse is byte-faithful
+    b = _wav_bytes(7)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    df = spark.createDataFrame([(7,)], "media_id LONG")
+    feats = decode_wav_features(attach_wav_payload(df, "media_id")).collect()[0]
+    n = 100 + (7 % 50) * 10
+    assert feats["n_samples"] == n
+    assert feats["sample_rate"] == 8000
+    assert feats["duration_ms"] == n / 8.0
+    assert feats["rms"] == 1000.0 and feats["peak"] == 1000
+
+    # corrupt payload fails loudly, not silently
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1,)], "media_id LONG").select(
+        "media_id", F.lit(b"not a wav at all").alias("payload")
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE|Python worker"):
+        decode_wav_features(bad).collect()
