@@ -314,3 +314,97 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(_decode, WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: BMP (uncompressed 24-bit — pure struct + numpy)
+
+BMP_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def _bmp_bytes(media_id: int) -> bytes:
+    """Deterministic 24-bit BMP: width 4 + (id % 13), height 3 + (id % 7),
+    solid color (r, g, b) = (id % 256, (id * 7) % 256, (id * 13) % 256).
+    Real BITMAPFILEHEADER + BITMAPINFOHEADER + padded BGR rows."""
+    import struct
+
+    import numpy as np
+
+    w = 4 + (media_id % 13)
+    h = 3 + (media_id % 7)
+    r, g, b = media_id % 256, (media_id * 7) % 256, (media_id * 13) % 256
+    row = np.tile(np.array([b, g, r], dtype=np.uint8), w).tobytes()
+    pad = b"\x00" * ((4 - (len(row) % 4)) % 4)
+    pixels = (row + pad) * h
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return filehdr + info + pixels
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a BMP-bytes payload column (deterministic per id)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: _bmp_bytes(int(i))),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL image decode: parse the BMP headers, lift the padded BGR pixel
+    rows into numpy, and emit (width, height, per-channel means). Same
+    mapInPandas shape as a PIL/torchvision decode — only the body of
+    `feats` changes when richer codecs are available."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def feats(payload: bytes):
+            if payload[0:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (data_off,) = struct.unpack("<I", payload[10:14])
+            hdr_size, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+            if bpp != 24:
+                raise ValueError(f"unsupported bit depth {bpp}")
+            stride = (w * 3 + 3) & ~3
+            px = np.frombuffer(
+                payload[data_off : data_off + stride * abs(h)], dtype=np.uint8
+            ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+            means = px.astype(np.float64).mean(axis=(0, 1))  # B, G, R
+            return int(w), int(abs(h)), float(means[2]), float(means[1]), float(means[0])
+
+        for pdf in batches:
+            rows = [feats(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows, columns=["width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(_decode, BMP_FEATURE_SCHEMA)

@@ -534,3 +534,33 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_wav_payload(docs, "doc_id")
     return decode_wav_features(media)
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    -- closed-form twin of the real BMP decode: solid-color images, so the
+    -- per-channel means are exactly the generator's channel values
+    SELECT doc_id AS media_id,
+           CAST(4 + (doc_id % 13) AS BIGINT) AS width,
+           CAST(3 + (doc_id % 7) AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec IMAGE path (D5, the picture twin of multimodal_wav_decode):
+    uncompressed 24-bit BMP parses with pure struct+numpy — header walk,
+    stride-padded BGR rows lifted to a (h, w, 3) array, per-channel means
+    out. Solid-color synthesis keeps the oracle closed-form while the
+    decoder sees only bytes. JPEG/PNG/video stay env-blocked stubs."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_bmp_payload(docs, "doc_id")
+    return decode_bmp_features(media)

@@ -99,3 +99,29 @@ def test_wav_decode_real_parse(spark):
     )
     with pytest.raises(Exception, match="RIFF|WAVE|Python worker"):
         decode_wav_features(bad).collect()
+
+
+def test_bmp_decode_real_parse(spark):
+    """BMP parse is byte-faithful: stride padding handled, BGR order
+    flipped to RGB means, non-BMP rejected."""
+    import pytest
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_bytes,
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    assert _bmp_bytes(5)[:2] == b"BM"
+    df = spark.createDataFrame([(5,)], "media_id LONG")
+    r = decode_bmp_features(attach_bmp_payload(df, "media_id")).collect()[0]
+    assert (r["width"], r["height"]) == (4 + 5 % 13, 3 + 5 % 7)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (5 % 256, 35 % 256, 65 % 256)
+
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1,)], "media_id LONG").select(
+        "media_id", F.lit(b"GIF89a nope").alias("payload")
+    )
+    with pytest.raises(Exception, match="BMP|Python worker"):
+        decode_bmp_features(bad).collect()
