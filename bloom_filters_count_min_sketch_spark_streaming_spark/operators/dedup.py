@@ -44,16 +44,24 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     (observed ~100x slowdown at sf0.1); the zip form evaluates it O(n)
     times per row.
     """
+    return F.array_distinct(shingle_occurrences_col(text, n))
+
+
+def shingle_occurrences_col(text: Column, n: int = 3) -> Column:
+    """Every n-word shingle occurrence in order (duplicates preserved).
+
+    Same zip-of-shifted-slices construction as ``shingles_col`` minus the
+    distinct — position i of the result is the shingle starting at token i.
+    """
     ws = tokens_col(text)
     if n == 1:
-        return F.array_distinct(ws)
+        return ws
     shifted = [ws] + [F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0))) for j in range(1, n)]
     zipped = F.arrays_zip(*[s.alias(f"w{j}") for j, s in enumerate(shifted)])
     # zip length = len(ws); the last n-1 entries have null components — keep
     # only the size-n+1 full shingles.
     full = F.slice(zipped, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
-    mk = F.transform(full, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
-    return F.array_distinct(mk)
+    return F.transform(full, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -83,6 +91,64 @@ def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text")).repartition(
         n_parts
     ).select("doc", F.explode(shingles_col(F.col("_text"), n)).alias("sh"))
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document exact-duplicate-n-gram coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr signal, at n-gram granularity).
+
+    An n-gram occurrence is *duplicated* when the same n-gram appears in at
+    least 2 distinct documents. Output per document: total n-gram count,
+    duplicated-occurrence count, and the duplicated fraction — the signal a
+    curation pipeline thresholds to drop or trim boilerplate-heavy docs.
+
+    Scale shape: one explode of all n-gram occurrences; the corpus-level
+    duplicate decision is a hash-agg on the n-gram (map-side combined); the
+    occurrence-vs-duplicate decision is a shuffle equi-join on the n-gram
+    value — everything is linear in corpus token count, no pair join at
+    all (unlike Jaccard, which needs doc pairs). The occurrence table is
+    persisted because it feeds both the agg and the join branch.
+    """
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    occ = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .repartition(n_parts)
+        .select("doc", F.explode(shingle_occurrences_col(F.col("_text"), n)).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.count_distinct("doc").alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("sh")
+    )
+    per_doc_dups = (
+        occ.join(dup, "sh").groupBy("doc").agg(F.count(F.lit(1)).alias("dup_ngrams"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.greatest(
+            F.size(tokens_col(F.col(text_col))) - (n - 1), F.lit(0)
+        ).cast("long").alias("n_ngrams"),
+    )
+    return (
+        totals.join(per_doc_dups, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_ngrams",
+            F.coalesce(F.col("dup_ngrams"), F.lit(0)).cast("long").alias("dup_ngrams"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.coalesce(F.col("dup_ngrams"), F.lit(0)) / F.col("n_ngrams"), 6
+                ),
+            ).alias("dup_frac"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

@@ -311,6 +311,63 @@ def cosine_near_dup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    the pairwise cosine scoped to coarse clusters.
+
+    A row is dropped when a LOWER-ID member of the same cluster is within
+    ``threshold`` cosine (first-wins keep rule — deterministic, no RNG).
+    Output: one row per input — (id, cluster, kept).
+
+    Scale shape: the pair generation is a shuffle equi-join on the cluster
+    id, so total work is sum_c |c|^2, not n^2 — the cluster granularity is
+    the knob that bounds the quadratic term. At 100 TB the cluster column
+    comes from the distributed k-means (``operators/clustering.py``) with k
+    chosen so |c| stays ~1e4; here a pre-existing categorical column keeps
+    the whole construction under the driver's value hash. The dropped-id
+    set is distinct'd before the final left join, so the join is id-to-id,
+    never pair-to-id. Threshold compares the ROUNDED cosine (engine-stable;
+    fixture margin to the 0.45 boundary is >= 0.02).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("_cluster"),
+        _as_double_array(vec_col).alias("_v"),
+    )
+    a = base.select(
+        F.col("_cluster").alias("_ca"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = base.select(
+        F.col("_cluster").alias("_cb"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    dropped = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_b",
+            F.round(cosine_pandas(F.col("va"), F.col("vb")), round_scale).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        df.select(F.col(id_col), F.col(cluster_col))
+        .join(dropped, F.col(id_col) == F.col("_dropped_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col("_dropped_id").isNull().alias("kept"),
+        )
+    )
+
+
 def quantization_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension symmetric int8 scales: scale_d = max(|x_d|) / 127.
 

@@ -318,3 +318,76 @@ def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(0)
     return bit_sums.select("doc_id", acc.alias("simhash"))
+
+
+@query(
+    "semdedup_embeddings",
+    oracle="""
+    -- SemDeDup keep/drop decision, cluster = label. Exact DOUBLE dot
+    -- products in both engines; the 0.45 threshold compares the ROUNDED
+    -- cosine (fixture margin to the boundary >= 0.02, engine-stable).
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_sum(list_transform(
+                    list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                    t -> t[1] * t[2]))
+              / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))),
+              6) >= 0.45
+    )
+    SELECT e.vec_id, e.label, (d.vid IS NULL) AS kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vid
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
+    cosine scoped to coarse clusters — drop a vector when a lower-id
+    member of its cluster is within 0.45 cosine. Cluster = the label
+    column here (keeps the construction oracle-checkable); at scale the
+    cluster id comes from the distributed k-means, bounding the quadratic
+    term to sum_c |c|^2. See operators/similarity.py:semdedup."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, cluster_col="label", threshold=0.45)
+
+
+@query(
+    "duplicate_ngram_spans",
+    oracle="""
+    -- Lee et al. 2022 ExactSubstr signal at 3-gram granularity: an n-gram
+    -- occurrence is duplicated when the n-gram appears in >= 2 distinct
+    -- docs; per-doc duplicated fraction is the curation threshold input.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), dup AS (
+      SELECT s FROM occ GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT o.doc_id, COUNT(*) AS dup_ngrams
+      FROM occ o JOIN dup d ON o.s = d.s GROUP BY o.doc_id
+    ), tot AS (
+      SELECT doc_id, GREATEST(len(ws) - 2, 0) AS n_ngrams FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(p.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+           CASE WHEN t.n_ngrams > 0
+                THEN ROUND(COALESCE(p.dup_ngrams, 0) * 1.0 / t.n_ngrams, 6)
+           END AS dup_frac
+    FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
+    """,
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplicate-n-gram coverage (the ExactSubstr dedup
+    signal of Lee et al. 2022): fraction of a doc's 3-gram occurrences that
+    also appear in another document. Linear in corpus tokens — hash-agg on
+    the n-gram for the corpus-duplicate decision, one equi-join back to
+    occurrences; no doc-pair join. See operators/dedup.py:duplicate_ngram_stats."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_stats(docs, n=3)

@@ -1,0 +1,182 @@
+"""Data-quality / ops-surface queries: declarative constraint audits,
+embedding outlier ranking, shuffle-skew profiling.
+
+These are the checks a production ingest runs *before* promoting a batch of
+training data: schema-level invariants (Deequ-style constraint suites),
+distribution-level anomalies (outliers vs the label centroid), and
+infrastructure-level diagnostics (would a hash shuffle on this key balance?).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import quality
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+@query(
+    "data_quality_constraints",
+    oracle="""
+    -- one row per constraint; all orders-table checks share one scan in
+    -- the engine (single agg pass), expressed here as UNION ALL branches
+    SELECT 'orders_row_count' AS "constraint",
+           CAST(COUNT(*) AS DOUBLE) AS metric_value,
+           COUNT(*) > 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'completeness_o_custkey',
+           ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6),
+           ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) = 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness_o_orderkey',
+           ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey), 6),
+           ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey), 6) = 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'domain_o_orderstatus',
+           ROUND(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(o_orderstatus), 6),
+           ROUND(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(o_orderstatus), 6) = 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'range_l_quantity',
+           ROUND(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(l_quantity), 6),
+           ROUND(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(l_quantity), 6) = 1.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'ref_orders_custkey',
+           CAST(COUNT(*) AS DOUBLE),
+           COUNT(*) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def data_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite: all constraints on a table
+    are computed in ONE aggregation pass (scan sharing), the referential
+    check is an anti-join count. Audit schema (constraint, metric_value,
+    passed) — the gate a pipeline evaluates before promoting a batch.
+    See operators/quality.py."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    orders_audit = quality.run_checks(
+        orders,
+        [
+            quality.row_count("orders_row_count"),
+            quality.completeness("o_custkey"),
+            quality.uniqueness("o_orderkey"),
+            quality.domain("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    lineitem_audit = quality.run_checks(
+        lineitem, [quality.in_range("l_quantity", 1, 50)]
+    )
+    ref_audit = quality.referential_integrity(
+        orders, "o_custkey", customer, "c_custkey", "ref_orders_custkey"
+    )
+    return orders_audit.unionAll(lineitem_audit).unionAll(ref_audit)
+
+
+@query(
+    "embedding_outlier_scores",
+    oracle="""
+    -- top-3 per-label outliers by euclidean distance to the label centroid
+    WITH e AS (
+      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), c AS (
+      SELECT label, dim, AVG(x) AS cx FROM e GROUP BY label, dim
+    ), d AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(SUM(POWER(e.x - c.cx, 2))), 4) AS dist
+      FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+      FROM d)
+    WHERE rank <= 3
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level anomaly ranking: euclidean distance of each vector
+    to its label centroid, top-3 per label. Centroids via posexplode +
+    (label, dim) scalar agg (never collects a vector); the centroid table is
+    dims x labels rows — broadcast back to the exploded scalars, so the only
+    wide shuffle is the per-(vec, label) sum. Rank orders by the ROUNDED
+    distance with a vec_id tie-break (engine-stable)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    c = e.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    d = (
+        e.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.pow(F.col("x") - F.col("cx"), 2))), 4).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "label", "dist", "rank")
+    )
+
+
+@query(
+    "shuffle_skew_profile",
+    oracle="""
+    -- partition-balance profile of a hypothetical 32-way hash shuffle on
+    -- user_id: per-bucket row counts + load factor vs the uniform share.
+    -- bucket hash = first 15 hex chars of md5 (60 bits, engine-portable)
+    WITH b AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 32
+               AS bucket
+      FROM events
+    ), pb AS (
+      SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket
+    )
+    SELECT bucket, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 32.0 / SUM(cnt) OVER (), 4) AS load_factor
+    FROM pb
+    """,
+)
+def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infrastructure diagnostic: would a 32-way hash shuffle on user_id
+    balance? Buckets rows by an engine-portable md5-derived 60-bit hash,
+    reports per-bucket counts and load factor (cnt / uniform share).
+    load_factor >> 1 on any bucket predicts a straggler task — the signal
+    that a groupBy/join on this key needs salting (operators/skew.py).
+    One hash-agg on the bucket id; the window runs over 32 rows."""
+    events = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 32
+    )
+    pb = events.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return pb.select(
+        "bucket",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") * 32.0 / F.sum("cnt").over(Window.partitionBy()), 4).alias(
+            "load_factor"
+        ),
+    )

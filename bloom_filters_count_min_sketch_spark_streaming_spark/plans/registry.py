@@ -62,8 +62,15 @@ _PRIORITY = [
     "hll_distinct_event_types",
     "hll_sketch_users",
     "approx_quantiles_value",
-    "freq_items_event_types",
-    "histogram_fixed_bins",
+    # round-3 third batch: quality/ops-surface queries (oracle-backed) take
+    # the prefix slots of freq_items_event_types (thin built-in wrapper),
+    # histogram_fixed_bins (exact twin of the rows-only histogram), and
+    # dedup_embedding_cosine (all-pairs exact baseline; semdedup carries
+    # the embedding-dedup signal with the cluster-scoped scale story) —
+    # all three still oracle-checked locally further down the registry
+    "semdedup_embeddings",
+    "duplicate_ngram_spans",
+    "data_quality_constraints",
     # (histogram_event_value is the rows-only approximate twin; its exact
     # twin above carries the driver-green signal, so it yields its prefix
     # slot to cms_sketch_table_merge)
@@ -72,7 +79,6 @@ _PRIORITY = [
     "doc_fingerprints",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
     # LLM-pipeline: similarity / embeddings
     "knn_cosine_bruteforce",
     # ann_ivf_full_probe_exact exercises the full IVF machinery under a
@@ -112,6 +118,7 @@ _QUERY_MODULES = [
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.vector_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.streaming_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries",
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries",
 ]
 
 

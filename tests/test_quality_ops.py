@@ -1,0 +1,122 @@
+"""Tests for the quality/ops-surface operators: SemDeDup, duplicate-n-gram
+coverage, declarative constraint checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup, quality, similarity
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+def test_semdedup_partitions_rows(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb, cluster_col="label", threshold=0.45)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one verdict per input row
+    assert {r.vec_id for r in rows} == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_semdedup_threshold_extremes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    # threshold above max possible cosine: nothing dropped
+    all_kept = similarity.semdedup(emb, cluster_col="label", threshold=1.01)
+    assert all_kept.filter(~F.col("kept")).count() == 0
+    # threshold below min possible cosine: exactly one survivor per cluster,
+    # and it is the min id (first-wins rule)
+    one_per = similarity.semdedup(emb, cluster_col="label", threshold=-1.01)
+    kept = one_per.filter(F.col("kept")).collect()
+    mins = {
+        r.label: r.m
+        for r in emb.groupBy("label").agg(F.min("vec_id").alias("m")).collect()
+    }
+    assert {r.label: r.vec_id for r in kept} == mins
+
+
+def test_semdedup_dropped_have_witness(spark, sf_dir):
+    """Every dropped id must have a lower-id same-cluster neighbor with
+    rounded cosine >= threshold (consistency with the pairwise scorer)."""
+    emb = load(spark, sf_dir, "embeddings")
+    thr = 0.3  # low enough to actually drop rows on the tiny fixture
+    out = similarity.semdedup(emb, cluster_col="label", threshold=thr)
+    dropped = {r.vec_id for r in out.filter(~F.col("kept")).collect()}
+    if not dropped:  # fixture-dependent; the extremes test covers the rule
+        return
+    pairs = (
+        similarity.cosine_near_dup_pairs(emb, threshold=thr)
+        .join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb")),
+            "id_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+    )
+    witnessed = {r.id_b for r in pairs.collect()}
+    assert dropped == witnessed
+
+
+def test_duplicate_ngram_stats_bounds(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.duplicate_ngram_stats(docs, n=3).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0 <= r.dup_ngrams <= r.n_ngrams
+        if r.n_ngrams > 0:
+            assert 0.0 <= r.dup_frac <= 1.0
+        else:
+            assert r.dup_frac is None
+
+
+def test_duplicate_ngram_stats_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),
+            (3, "completely different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_ngram_stats(df, n=3).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].dup_ngrams == 0 and out[3].dup_frac == 0.0
+
+
+def test_quality_checks_detect_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 500.0), (2, None, 7.0)],
+        ["id", "status", "qty"],
+    )
+    audit = {
+        r.constraint: r
+        for r in quality.run_checks(
+            df,
+            [
+                quality.row_count("rc"),
+                quality.completeness("status"),
+                quality.uniqueness("id"),
+                quality.domain("status", ["A"]),
+                quality.in_range("qty", 0, 100),
+            ],
+        ).collect()
+    }
+    assert audit["rc"].passed and audit["rc"].metric_value == 3.0
+    assert not audit["completeness_status"].passed
+    assert not audit["uniqueness_id"].passed  # id=2 twice
+    assert not audit["domain_status"].passed  # B not allowed
+    assert not audit["range_qty"].passed  # 500 out of range
+    # and a fully-clean column passes
+    clean = {
+        r.constraint: r
+        for r in quality.run_checks(df, [quality.in_range("qty", 0, 1000)]).collect()
+    }
+    assert clean["range_qty"].passed
+
+
+def test_referential_integrity_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], ["k"])
+    parent = spark.createDataFrame([(1,), (2,)], ["p"])
+    row = quality.referential_integrity(child, "k", parent, "p", "ref").collect()[0]
+    assert row.metric_value == 1.0 and not row.passed
