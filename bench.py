@@ -66,6 +66,10 @@ HEADLINE = [
     "corpus_curation_e2e",
     "cms_dyadic_range_counts",
     "stream_stream_left_outer_join",
+    # round-3 fourth pass (quality / curation)
+    "semdedup_embeddings",
+    "duplicate_ngram_spans",
+    "data_quality_constraints",
     # streaming
     "stream_chained_windows",
     "stream_windowed_counts",

@@ -157,6 +157,28 @@ class NumpyCMS:
             np.stack([self.table[i, b[i]] for i in range(self.depth)]), axis=0
         )
 
+    def add_longs_conservative(self, values: np.ndarray) -> None:
+        """Conservative update (Estan & Varghese 2002): per item, raise only
+        counters below (current-min + 1) — counters grow no faster than the
+        item's own estimate, so CU estimates sit between the truth and the
+        standard-CMS estimate while keeping the no-underestimate guarantee.
+
+        Inherently sequential per item (each update reads the row minima),
+        so the distributed build runs CU *within* each partition and merges
+        partial tables by ADDITION: each partition's CU table is
+        elementwise <= its standard table, and min_j sum_p t_p[j] >=
+        sum_p min_j t_p[j] >= sum_p true_p = true — the merged sketch still
+        never underestimates (property-tested)."""
+        v = values.astype(np.int64, copy=False)
+        b = self._buckets(v)
+        rows = np.arange(self.depth)
+        for k in range(v.shape[0]):
+            cur = self.table[rows, b[:, k]]
+            new = cur.min() + 1
+            np.maximum(cur, new, out=cur)
+            self.table[rows, b[:, k]] = cur
+        self.total += len(v)
+
     def to_bytes(self) -> bytes:
         import struct
 
@@ -200,6 +222,40 @@ def cms_build(df: DataFrame, col: str, eps: float = 0.0001, confidence: float = 
     """Build a CMS over df[col] distributively; return serialized bytes."""
     row = df.agg(cms_agg(df, col, eps, confidence, seed).alias("sk")).head()
     return bytes(row["sk"])
+
+
+def cms_build_numpy(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    conservative: bool = False,
+) -> "NumpyCMS":
+    """Distributed NumpyCMS build: per-Arrow-batch sketches (standard or
+    conservative-update) merged by addition on the driver — kilobytes per
+    batch cross the wire, never rows. The CU bound survives addition-merge
+    (see ``add_longs_conservative``); batch granularity only affects how
+    tight the CU improvement is, never the >= truth guarantee."""
+    keyed = df.select(_as_long(df, col).alias("k")).filter(F.col("k").isNotNull())
+
+    # no type hints on the inner fn: explicit schema + `from __future__
+    # import annotations` breaks pandas-function hint inference (CLAUDE.md)
+    def build(batches):
+        for pdf in batches:
+            sk = NumpyCMS.from_params(eps, confidence, seed)
+            vals = pdf["k"].to_numpy(dtype=np.int64)
+            if conservative:
+                sk.add_longs_conservative(vals)
+            else:
+                sk.add_longs(vals)
+            yield pd.DataFrame({"sk": [sk.to_bytes()]})
+
+    parts = keyed.mapInPandas(build, "sk binary").collect()
+    merged = NumpyCMS.from_params(eps, confidence, seed)
+    for r in parts:
+        merged = merged.merge(NumpyCMS.from_bytes(bytes(r["sk"])))
+    return merged
 
 
 def cms_estimate(df: DataFrame, col: str, cms_bytes: bytes, out: str = "cms_estimate") -> DataFrame:

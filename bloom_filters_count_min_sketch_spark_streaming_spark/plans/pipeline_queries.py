@@ -944,3 +944,187 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query(
+    "temperature_resample_rates",
+    oracle="""
+    -- temperature-scaled mixture weights (mT5 / XLM-R style, alpha=0.7):
+    -- q_l ∝ p_l^alpha flattens the language distribution; boost = q/p is
+    -- the per-language up/down-sampling factor the apply pass would use
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    s AS (SELECT SUM(POWER(n * 1.0 / tot, 0.7)) AS z FROM c, t)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(n * 1.0 / tot, 6) AS p,
+           ROUND(POWER(n * 1.0 / tot, 0.7) / z, 6) AS q,
+           ROUND((POWER(n * 1.0 / tot, 0.7) / z) / (n * 1.0 / tot), 4) AS boost
+    FROM c, t, s
+    """,
+)
+def temperature_resample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights (alpha=0.7): per-language
+    sampling probability q_l ∝ p_l^alpha, flattening the head languages —
+    the standard multilingual-pretraining mixture policy. Two scalar
+    aggregates (total, normalizer) broadcast-cross-joined back to the
+    #languages-row count table; the whole computation is O(#languages)
+    after one count pass, so the rate table stays broadcastable at any
+    corpus size. Complements language_balanced_resample (equalize-to-min
+    policy) with the standard temperature policy."""
+    docs = load(spark, sf_dir, "documents")
+    alpha = 0.7
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    c_t = c.crossJoin(F.broadcast(t))
+    s = c_t.agg(F.sum(F.pow(F.col("n") / F.col("tot"), alpha)).alias("z"))
+    p = F.col("n") / F.col("tot")
+    q = F.pow(p, alpha) / F.col("z")
+    return c_t.crossJoin(F.broadcast(s)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(q / p, 4).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop + application (operators/bpe.py)
+
+# Merge table for the oracle-backed apply query: the first 8 merges the
+# distributed trainer learns on the sf0.01 corpus (count desc, pair asc
+# tie-break); step 5 merges a previously-merged symbol ('m'+'er'), so the
+# chain exercises the recursive case. Fixed here so the apply semantics are
+# expressible as literal REPLACEs in both engines at any sf.
+_BPE_FIXED_MERGES = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+]
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): 8 merge iterations.
+    One corpus-scale pass builds the distinct-word frequency table; each
+    iteration re-segments the cached VOCAB with the merges so far (Arrow
+    UDF), counts adjacent pairs weighted by word frequency, and collects
+    exactly one argmax row — driver state like k-means, lineage constant
+    across iterations. Iterative -> rows-only for the driver; equivalence
+    with a pure-Python reference BPE is pytest-asserted."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe.train_merges(docs, num_merges=8)
+
+
+@query(
+    "bpe_apply_fixed_merges",
+    oracle="""
+    -- apply a FIXED 8-merge BPE table: space-join the chars, one literal
+    -- REPLACE per merge (left-to-right non-overlapping scan == the BPE
+    -- merge pass), count resulting subword tokens per language
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS w
+      FROM documents
+    ), seg AS (
+      SELECT lang,
+             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+               'e r', 'er'), 'i n', 'in'), 'o w', 'ow'), 'o r', 'or'),
+               's t', 'st'), 'm er', 'mer'), 'a t', 'at'), 'l u', 'lu') AS s
+      FROM tok
+    )
+    SELECT lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(SUM(len(string_split(s, ' '))) * 1.0 / COUNT(*), 6)
+             AS avg_tokens_per_word
+    FROM seg GROUP BY lang
+    """,
+)
+def bpe_apply_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application with a fixed merge table (the table the trainer
+    learns at sf0.01): stateless map-only segmentation — chars space-joined
+    then one literal JVM-side REPLACE per merge — aggregated to per-language
+    subword counts. The apply pass a tokenizing pipeline runs at corpus
+    scale; zero Python in the hot path."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias("w")
+    )
+    seg = toks.select(
+        "lang", bpe.segment_expr(F.col("w"), _BPE_FIXED_MERGES).alias("toks")
+    )
+    return seg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+        F.round(F.sum(F.size("toks")) / F.count(F.lit(1)), 6).alias(
+            "avg_tokens_per_word"
+        ),
+    )
+
+
+@query(
+    "deletion_propagation_audit",
+    oracle="""
+    -- right-to-be-forgotten propagation: a deletion-request set (synthetic:
+    -- every 37th doc) removes the requested docs AND every byte-identical
+    -- copy (same content fingerprint) anywhere in the corpus; audit per
+    -- source. A requested doc always fingerprint-matches itself, so
+    -- deleted == fp-match; copies = fp-match minus direct.
+    WITH d AS (
+      SELECT doc_id, source, md5(lower(text)) AS fp FROM documents
+    ), req AS (
+      SELECT fp FROM d WHERE doc_id % 37 = 0
+    ), flags AS (
+      SELECT d.source,
+             (d.doc_id % 37 = 0) AS direct,
+             (d.fp IN (SELECT fp FROM req)) AS fpm
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN direct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_direct_deleted,
+           CAST(SUM(CASE WHEN fpm AND NOT direct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_copies_deleted,
+           CAST(SUM(CASE WHEN NOT fpm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_remaining
+    FROM flags GROUP BY source
+    """,
+)
+def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance deletion propagation: requested doc_ids are removed
+    together with every byte-identical copy (content-fingerprint match) in
+    the corpus, audited per source. The request set is tiny in practice ->
+    broadcast join on the fingerprint; the corpus side is one map-side
+    fingerprint computation + hash-agg. No full-corpus shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.md5(F.lower("text")).alias("fp"),
+        (F.col("doc_id") % 37 == 0).alias("direct"),
+    )
+    req_fps = d.filter("direct").select("fp").distinct()
+    flags = d.join(
+        F.broadcast(req_fps.withColumn("_hit", F.lit(True))), "fp", "left"
+    ).select(
+        "source", "direct", F.coalesce(F.col("_hit"), F.lit(False)).alias("fpm")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("direct").cast("long")).cast("long").alias("n_direct_deleted"),
+        F.sum((F.col("fpm") & ~F.col("direct")).cast("long"))
+        .cast("long")
+        .alias("n_copies_deleted"),
+        F.sum((~F.col("fpm")).cast("long")).cast("long").alias("n_remaining"),
+    )

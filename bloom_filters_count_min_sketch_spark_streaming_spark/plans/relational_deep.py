@@ -646,3 +646,38 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "time_hierarchy_rollup",
+    oracle="""
+    -- hypertable-style time rollup: one pass produces hourly, daily and
+    -- grand-total aggregates (GROUPING bitmask disambiguates the levels).
+    -- value carries 2 decimals -> DECIMAL-exact sums
+    SELECT day(ts) AS d, hour(ts) AS h,
+           GROUPING(day(ts), hour(ts)) AS lvl,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(day(ts), hour(ts))
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
+    hour-level, day-level and grand-total aggregates from ONE scan via
+    ROLLUP — Spark expands the grouping sets map-side, so the shuffle
+    carries partially-aggregated rows for every level at once instead of
+    re-scanning per granularity. grouping_id() tags the level (same
+    bitmask semantics as DuckDB's GROUPING)."""
+    ev = load(spark, sf_dir, "events")
+    d, h = F.dayofmonth("ts").alias("d"), F.hour("ts").alias("h")
+    return (
+        ev.select(d, h, F.col("value").cast("decimal(12,2)").alias("v"))
+        .rollup("d", "h")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select("d", "h", "lvl", "n_events", "total_value")
+    )

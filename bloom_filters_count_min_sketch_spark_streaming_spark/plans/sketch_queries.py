@@ -544,3 +544,83 @@ def quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.min((F.col("bin") + 1) * 2.0).alias("est_q"))
     )
+
+
+@query(
+    "exact_percentiles_value",
+    oracle="""
+    -- exact continuous (interpolated) percentiles: the deterministic twin
+    -- of approx_quantiles_value's discrete GK sketch. Both engines sort
+    -- and linearly interpolate the same doubles -> identical IEEE results;
+    -- ROUND(6) guards the last bit.
+    SELECT 0.25 AS prob, ROUND(quantile_cont(value, 0.25), 6) AS quantile FROM events
+    UNION ALL
+    SELECT 0.5, ROUND(quantile_cont(value, 0.5), 6) FROM events
+    UNION ALL
+    SELECT 0.75, ROUND(quantile_cont(value, 0.75), 6) FROM events
+    UNION ALL
+    SELECT 0.9, ROUND(quantile_cont(value, 0.9), 6) FROM events
+    """,
+)
+def exact_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (SQL PERCENTILE_CONT semantics) via
+    Spark's `percentile` aggregate — the exact twin of the GK sketch path.
+    Scale note: exact percentiles need a global sort of the column's values
+    within the aggregate; at 100 TB the GK/KLL sketch path is the default
+    and this operator is the audit tool run on samples/partitions."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))").alias("qs")
+    ).select(F.posexplode("qs").alias("i", "q"))
+    probs = F.array(*[F.lit(p) for p in [0.25, 0.5, 0.75, 0.9]])
+    return agg.select(
+        F.element_at(probs, F.col("i") + 1).alias("prob"),
+        F.round(F.col("q"), 6).alias("quantile"),
+    )
+
+
+@query("cms_conservative_vs_standard")
+def cms_conservative_vs_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative-update CMS (Estan & Varghese 2002) vs the standard
+    sketch on a deliberately NARROW table (width 50, depth 3 — collisions
+    guaranteed at sf0.01's ~1k users): per-batch CU builds merged by
+    addition, so exact <= est_cu <= est_std holds for the merged sketch
+    (see functions/cms.py:add_longs_conservative for the proof sketch;
+    property-tested). CU magnitudes are order-sensitive by construction —
+    the build runs on the stable scan order, no shuffle — so the query is
+    rows-only for the driver; the ordering-invariant bound columns carry
+    the checkable signal."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_numpy,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    eps, conf, seed = 0.04, 0.875, 7
+    std = cms_build_numpy(ev, "user_id", eps, conf, seed)
+    cu = cms_build_numpy(ev, "user_id", eps, conf, seed, conservative=True)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+    import numpy as np
+
+    ids = np.array([r["user_id"] for r in top], dtype=np.int64)
+    est_std = std.estimate_longs(ids)
+    est_cu = cu.estimate_longs(ids)
+    rows = [
+        (
+            int(r["user_id"]),
+            int(r["exact_cnt"]),
+            int(s),
+            int(c),
+            bool(r["exact_cnt"] <= c <= s),
+        )
+        for r, s, c in zip(top, est_std, est_cu)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, exact_cnt long, est_std long, est_cu long, bound_holds boolean",
+    )

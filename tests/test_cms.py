@@ -104,3 +104,63 @@ def test_cms_inner_product_incompatible_raises(spark):
 
     with pytest.raises(ValueError):
         ta.inner_product(tb)
+
+
+def test_cms_conservative_update_bounds():
+    """CU estimates: exact <= est_cu <= est_std on zipf-skewed data."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import NumpyCMS
+
+    rng = np.random.default_rng(11)
+    keys = rng.zipf(1.3, size=20000).astype(np.int64) % 500
+    std = NumpyCMS.from_params(eps=0.04, confidence=0.875, seed=7)
+    cu = NumpyCMS.from_params(eps=0.04, confidence=0.875, seed=7)
+    std.add_longs(keys)
+    cu.add_longs_conservative(keys)
+    probe = np.arange(500, dtype=np.int64)
+    exact = np.bincount(keys, minlength=500)
+    e_std = std.estimate_longs(probe)
+    e_cu = cu.estimate_longs(probe)
+    assert (e_cu >= exact).all(), "CU must never underestimate"
+    assert (e_cu <= e_std).all(), "CU must be at most the standard estimate"
+    # the narrow sketch forces collisions, so CU must actually tighten
+    assert e_cu.sum() < e_std.sum(), "CU should strictly tighten somewhere"
+
+
+def test_cms_conservative_merge_preserves_bound():
+    """Addition-merge of per-partition CU sketches keeps est >= truth."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import NumpyCMS
+
+    rng = np.random.default_rng(13)
+    keys = rng.zipf(1.5, size=10000).astype(np.int64) % 200
+    halves = [keys[:5000], keys[5000:]]
+    parts = []
+    for h in halves:
+        sk = NumpyCMS.from_params(eps=0.05, confidence=0.875, seed=3)
+        sk.add_longs_conservative(h)
+        parts.append(sk)
+    merged = parts[0].merge(parts[1])
+    probe = np.arange(200, dtype=np.int64)
+    exact = np.bincount(keys, minlength=200)
+    assert (merged.estimate_longs(probe) >= exact).all()
+
+
+def test_cms_build_numpy_distributed_matches_local(spark):
+    """Standard-mode distributed build == one local sketch (addition is
+    order-independent); CU mode still respects both bounds."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        NumpyCMS,
+        cms_build_numpy,
+    )
+
+    keys = [int(x) for x in np.random.default_rng(5).integers(0, 50, 3000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    dist = cms_build_numpy(df, "k", eps=0.05, confidence=0.875, seed=9)
+    local = NumpyCMS.from_params(eps=0.05, confidence=0.875, seed=9)
+    local.add_longs(np.array(keys, dtype=np.int64))
+    probe = np.arange(50, dtype=np.int64)
+    assert (dist.estimate_longs(probe) == local.estimate_longs(probe)).all()
+
+    cu = cms_build_numpy(df, "k", eps=0.05, confidence=0.875, seed=9, conservative=True)
+    exact = np.bincount(np.array(keys), minlength=50)
+    assert (cu.estimate_longs(probe) >= exact).all()
+    assert (cu.estimate_longs(probe) <= dist.estimate_longs(probe)).all()
