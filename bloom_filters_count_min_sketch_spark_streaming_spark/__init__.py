@@ -54,4 +54,12 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity i
     ann_lsh_topk,
     centroids,
     cosine_topk_bruteforce,
+    semdedup,
 )
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.bpe import (  # noqa: F401
+    train_merges as bpe_train_merges,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (  # noqa: F401
+    duplicate_ngram_stats,
+)
+from bloom_filters_count_min_sketch_spark_streaming_spark.operators import quality  # noqa: F401

@@ -897,3 +897,81 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"])],
         "n_rows BIGINT, n_large BIGINT, total_price DOUBLE",
     )
+
+
+@query(
+    "cogroup_customer_reconcile",
+    oracle="""
+    -- per-key reconciliation of two tables (events activity vs orders
+    -- spend) — full-outer semantics, 2-decimal money summed exactly
+    WITH e AS (
+      SELECT user_id AS k, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_event_value
+      FROM events GROUP BY 1
+    ), o AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(e.k, o.k) AS user_id,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(total_event_value, 0.0) AS total_event_value,
+           COALESCE(total_spend, 0.0) AS total_spend,
+           CASE WHEN COALESCE(n_orders, 0) > 0
+                THEN ROUND(COALESCE(n_events, 0) * 1.0 / n_orders, 6)
+           END AS events_per_order
+    FROM e FULL OUTER JOIN o ON e.k = o.k
+    """,
+)
+def cogroup_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map API surface (df.groupBy().cogroup().applyInPandas):
+    both tables shuffle once on the key, then ONE Arrow-batched Python
+    function sees each key's rows from BOTH sides — the escape hatch for
+    per-key cross-table logic no join can express. Demonstrated on logic a
+    full-outer join CAN express, so the whole path sits under the driver's
+    value hash. Money summed as integer cents inside the UDF (exact, equal
+    to the oracle's DECIMAL sums); missing side -> zeros, full-outer key
+    set preserved."""
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    # no type hints: explicit schema + `from __future__ import annotations`
+    # breaks pandas-function hint inference (CLAUDE.md)
+    def reconcile(key, epdf, opdf):
+        uid = int(key[0])
+        n_events = len(epdf)
+        n_orders = len(opdf)
+        ev_cents = (
+            int(np.round(epdf["value"].to_numpy(dtype=np.float64) * 100).sum())
+            if n_events
+            else 0
+        )
+        sp_cents = (
+            int(np.round(opdf["o_totalprice"].to_numpy(dtype=np.float64) * 100).sum())
+            if n_orders
+            else 0
+        )
+        epo = round(n_events / n_orders, 6) if n_orders else None
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "total_event_value": [ev_cents / 100.0],
+                "total_spend": [sp_cents / 100.0],
+                "events_per_order": [epo],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_events long, n_orders long, "
+            "total_event_value double, total_spend double, events_per_order double",
+        )
+    )

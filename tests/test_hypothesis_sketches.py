@@ -61,3 +61,51 @@ def test_numpy_cms_merge_equals_union(a_vals, b_vals):
     m = a.merge(b)
     assert np.array_equal(m.table, u.table)
     assert m.total == u.total
+
+
+# --- BPE apply + CU-CMS properties (pure python, no Spark) -------------------
+
+words_st = st.text(alphabet="abcde", min_size=0, max_size=12)
+
+
+@given(
+    st.lists(words_st, min_size=1, max_size=30),
+    st.lists(
+        st.tuples(st.text("abcde", min_size=1, max_size=2),
+                  st.text("abcde", min_size=1, max_size=2)),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_roundtrip_and_monotone(words, merges):
+    """Concatenating a word's BPE tokens recovers the word, and every merge
+    step can only shorten (or keep) the token sequence."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.bpe import (
+        apply_merges_py,
+    )
+
+    for w in words:
+        toks = apply_merges_py(w, merges)
+        assert "".join(toks) == w
+        prev = len(w)
+        for i in range(1, len(merges) + 1):
+            cur = len(apply_merges_py(w, merges[:i]))
+            assert cur <= prev
+            prev = cur
+
+
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=800))
+@settings(max_examples=30, deadline=None)
+def test_cms_conservative_between_truth_and_standard(values):
+    v = np.array(values, dtype=np.int64)
+    std = NumpyCMS.from_params(eps=0.1, confidence=0.8, seed=3)
+    cu = NumpyCMS.from_params(eps=0.1, confidence=0.8, seed=3)
+    std.add_longs(v)
+    cu.add_longs_conservative(v)
+    probe = np.arange(61, dtype=np.int64)
+    exact = np.bincount(v, minlength=61)
+    e_std = std.estimate_longs(probe)
+    e_cu = cu.estimate_longs(probe)
+    assert (e_cu >= exact).all()
+    assert (e_cu <= e_std).all()

@@ -120,3 +120,35 @@ def test_referential_integrity_counts_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,)], ["p"])
     row = quality.referential_integrity(child, "k", parent, "p", "ref").collect()[0]
     assert row.metric_value == 1.0 and not row.passed
+
+
+def test_duplicate_ngram_stats_matches_bruteforce(spark):
+    """Distributed result == per-doc brute force on a seeded corpus."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_ngrams, r.dup_ngrams)
+        for r in dedup.duplicate_ngram_stats(df, n=3).collect()
+    }
+
+    def grams(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+
+    from collections import defaultdict
+
+    holders = defaultdict(set)
+    for i, t in docs:
+        for g in grams(t):
+            holders[g].add(i)
+    for i, t in docs:
+        gs = grams(t)
+        dup = sum(1 for g in gs if len(holders[g]) >= 2)
+        assert got[i] == (len(gs), dup), f"doc {i}"
