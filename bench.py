@@ -70,6 +70,8 @@ HEADLINE = [
     "semdedup_embeddings",
     "duplicate_ngram_spans",
     "data_quality_constraints",
+    "dedup_incremental_minhash",
+    "bpe_apply_fixed_merges",
     # streaming
     "stream_chained_windows",
     "stream_windowed_counts",

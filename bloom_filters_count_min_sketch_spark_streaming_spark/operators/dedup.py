@@ -463,3 +463,88 @@ def contamination_gate(
         hits.join(sizes, "doc")
         .select(F.col("doc").alias(id_col), "n_shingles", "n_contaminated")
     )
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band rows — the at-rest near-dup INDEX
+    payload: ``bands`` longs per document regardless of document size, so
+    a 100 TB corpus indexes into ~tens of GB that new batches join against
+    without ever re-reading corpus text."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    left_col: str,
+    right_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (left_col, right_col) id
+    pairs: re-shingles ONLY documents that appear in a candidate pair
+    (semi-join pushes the id filter to the scan), so verification cost is
+    linear in candidate volume, not corpus size."""
+    cand_ids = (
+        candidates.select(F.col(left_col).alias(id_col))
+        .unionAll(candidates.select(F.col(right_col).alias(id_col)))
+        .distinct()
+    )
+    sets = doc_shingle_sets(
+        docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = sets.select(F.col("doc").alias(left_col), "sh")
+    pb = sets.select(F.col("doc").alias(right_col), "sh")
+    common = (
+        pa.join(candidates, left_col)
+        .join(pb, ["sh", right_col])
+        .groupBy(left_col, right_col)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc").alias(left_col), F.col("n_sh").alias("na")),
+            left_col,
+        )
+        .join(
+            sizes.select(F.col("doc").alias(right_col), F.col("n_sh").alias("nb")),
+            right_col,
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_col, right_col, "jaccard")
+    )

@@ -975,3 +975,42 @@ def cogroup_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_event_value double, total_spend double, events_per_order double",
         )
     )
+
+
+@query(
+    "maparrow_log_value_stats",
+    oracle="""
+    -- per-term ROUND then DECIMAL sum (order-independent; the rounding
+    -- sweep test asserts every pre-round value is far from a boundary)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(ln(1 + value), 6) AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_log1p
+    FROM events GROUP BY event_type
+    """,
+)
+def maparrow_log_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow API surface (the zero-copy tier below pandas UDFs: the
+    function sees raw pyarrow RecordBatches, no pandas materialization) —
+    computes round(log1p(value), 6) with Arrow compute kernels, then a
+    normal JVM aggregation. Arrow-kernel math == libm, so the per-term
+    ROUND -> DECIMAL-sum determinism contract is identical to the JVM
+    math-function family."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    # no type hints: explicit schema + `from __future__ import annotations`
+    # breaks pandas/arrow UDF hint inference (CLAUDE.md)
+    def transform(batches):
+        for batch in batches:
+            l = pc.round(pc.log1p(batch.column("value")), 6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_type"), l], ["event_type", "l"]
+            )
+
+    mapped = ev.mapInArrow(transform, "event_type string, l double")
+    return mapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l").cast("decimal(28,6)")).cast("double").alias("sum_log1p"),
+    )

@@ -76,7 +76,9 @@ _PRIORITY = [
     # slot to cms_sketch_table_merge)
     # LLM-pipeline: dedup
     "dedup_exact_docs",
-    "doc_fingerprints",
+    # doc_fingerprints (thin md5 projection) ceded its slot to the
+    # incremental near-dup ingest op; still oracle-checked further down
+    "dedup_incremental_minhash",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     # LLM-pipeline: similarity / embeddings

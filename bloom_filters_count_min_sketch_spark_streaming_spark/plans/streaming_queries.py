@@ -651,3 +651,78 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.min((F.col("bin") + 1) * 2.0).alias("est_q"))
     )
+
+
+@query(
+    "stream_incremental_quality",
+    oracle="""
+    -- final state of the incrementally-maintained audit == the batch audit
+    -- (every metric is a mergeable counter, so batching cannot change it)
+    SELECT 'row_count' AS "constraint",
+           CAST(COUNT(*) AS DOUBLE) AS metric_value, COUNT(*) > 0 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'completeness_user_id',
+           ROUND(COUNT(user_id) * 1.0 / COUNT(*), 6),
+           ROUND(COUNT(user_id) * 1.0 / COUNT(*), 6) = 1.0
+    FROM events
+    UNION ALL
+    SELECT 'domain_event_type',
+           ROUND(SUM(CASE WHEN event_type IN
+                  ('click','error','purchase','signup','view')
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(event_type), 6),
+           ROUND(SUM(CASE WHEN event_type IN
+                  ('click','error','purchase','signup','view')
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(event_type), 6) = 1.0
+    FROM events
+    UNION ALL
+    SELECT 'value_observed_min', MIN(value), MIN(value) >= 0.0 FROM events
+    UNION ALL
+    SELECT 'value_observed_max', MAX(value), MAX(value) <= 1000.0 FROM events
+    """,
+)
+def stream_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate (the Deequ incremental-metrics design):
+    every constraint metric is kept as a MERGEABLE counter (counts, null
+    counts, domain-miss counts, min/max), one tiny counter row computed per
+    micro-batch inside foreachBatch and folded into the running state —
+    audits of an unbounded stream without ever re-reading it, and the final
+    audit is provably batching-independent (all counters are commutative
+    monoids), which is exactly what the oracle checks. Driver state is five
+    numbers; at scale the same counters live in an output sink keyed by
+    batch."""
+    src = events_stream_source(spark, sf_dir)
+    acc = {"n": 0, "n_user": 0, "n_type": 0, "n_domain_ok": 0, "mn": None, "mx": None}
+    allowed = ["click", "error", "purchase", "signup", "view"]
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("user_id").alias("n_user"),
+            F.count("event_type").alias("n_type"),
+            F.sum(F.col("event_type").isin(allowed).cast("long")).alias("ok"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        ).head()
+        if not row["n"]:
+            return
+        acc["n"] += row["n"]
+        acc["n_user"] += row["n_user"]
+        acc["n_type"] += row["n_type"]
+        acc["n_domain_ok"] += int(row["ok"] or 0)
+        acc["mn"] = row["mn"] if acc["mn"] is None else min(acc["mn"], row["mn"])
+        acc["mx"] = row["mx"] if acc["mx"] is None else max(acc["mx"], row["mx"])
+
+    run_foreach_batch(src, update)
+    compl = round(acc["n_user"] / acc["n"], 6)
+    dom = round(acc["n_domain_ok"] / acc["n_type"], 6)
+    rows = [
+        ("row_count", float(acc["n"]), acc["n"] > 0),
+        ("completeness_user_id", compl, compl == 1.0),
+        ("domain_event_type", dom, dom == 1.0),
+        ("value_observed_min", float(acc["mn"]), acc["mn"] >= 0.0),
+        ("value_observed_max", float(acc["mx"]), acc["mx"] <= 1000.0),
+    ]
+    return spark.createDataFrame(
+        rows, "constraint string, metric_value double, passed boolean"
+    )
