@@ -1014,3 +1014,132 @@ def maparrow_log_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l").cast("decimal(28,6)")).cast("double").alias("sum_log1p"),
     )
+
+
+@query(
+    "grouped_map_interarrival",
+    oracle="""
+    -- per-user inter-arrival gaps: median of exact integer microsecond
+    -- deltas. Kept in MICROSECONDS with no rounding: the continuous median
+    -- is either an integer or an exact .5 (mid-pair mean), both exactly
+    -- representable — dividing to seconds would park .5 values ON the
+    -- ROUND boundary where banker's vs half-away rounding diverge.
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           median(gap_us) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def grouped_map_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table grouped-map API surface (groupBy().applyInPandas):
+    each user's full event history arrives as one pandas frame — the shape
+    for per-entity sequence features (inter-arrival gaps, session stats,
+    Markov transitions) that window functions express awkwardly. Timestamps
+    are converted to integer microseconds JVM-side before the UDF, so the
+    Python math is exact integer deltas. One shuffle on the key; group
+    sizes are per-entity event counts (bounded), never corpus-scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    # no type hints: explicit schema + `from __future__ import annotations`
+    # breaks pandas-function hint inference (CLAUDE.md)
+    def gaps(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_gaps": pd.Series(dtype="int64"),
+                 "median_gap_us": pd.Series(dtype="float64")}
+            )
+        s = pdf.sort_values(["ts_us", "event_id"])
+        d = np.diff(s["ts_us"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(d)],
+                "median_gap_us": [float(np.median(d))],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps, "user_id long, n_gaps long, median_gap_us double"
+    )
+
+
+@query(
+    "transpose_event_metrics",
+    oracle="""
+    -- the metrics-by-type table flipped: one row per METRIC, one column
+    -- per event type (value sums DECIMAL-exact, emitted as double)
+    SELECT 'n_events' AS key,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS view
+    FROM events
+    UNION ALL
+    SELECT 'total_value',
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE),
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE),
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE),
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE),
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+    FROM events
+    """,
+)
+def transpose_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): the per-type metrics table flipped
+    so metrics are rows and event types are columns — the report-layout
+    operation analysts otherwise hand-roll with N UNION ALLs. Input is the
+    5-row aggregate, so the transpose is driver-cheap by construction;
+    metric columns are cast to a common double type as transpose requires."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    return m.transpose()
+
+
+@query(
+    "sql_scripting_batch_report",
+    oracle="""
+    -- the WHILE loop computes triangular(10) = 55 procedurally; the oracle
+    -- states the closed form next to the same relational aggregate
+    SELECT o_orderstatus, COUNT(*) AS n_orders, 55 AS tri_check
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_scripting_batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 SQL/PSM: BEGIN/DECLARE/WHILE/SET): a
+    procedural scalar computed by a loop is joined into an ordinary
+    aggregate over a real table — the migration surface for stored-
+    procedure workloads. The script's control flow runs on the driver;
+    the final SELECT is planned by Catalyst like any query."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE tri BIGINT DEFAULT 0;
+          WHILE i <= 10 DO
+            SET tri = tri + i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT o_orderstatus, COUNT(*) AS n_orders, tri AS tri_check
+          FROM orders_v GROUP BY o_orderstatus;
+        END
+        """
+    )

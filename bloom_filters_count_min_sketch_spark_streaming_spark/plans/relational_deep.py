@@ -681,3 +681,149 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d", "h", "lvl", "n_events", "total_value")
     )
+
+
+@query(
+    "robust_outlier_bounds",
+    oracle="""
+    -- median/MAD robust outlier rule (Hampel): both engines compute the
+    -- same continuous medians and the same IEEE threshold arithmetic from
+    -- identical doubles, so no rounding is needed anywhere
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, med, median(abs(e.value - med)) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med
+    )
+    SELECT m.event_type, m.med, m.mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY m.event_type, m.med, m.mad
+    """,
+)
+def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per event type — the Hampel
+    identifier a quality pipeline prefers over mean/stddev because a few
+    extreme rows cannot move the fence. Two exact-median aggregations and
+    one counting pass; the per-group medians are a ~5-row broadcast back
+    onto the fact scan."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select("event_type", "med", "mad", "n_outliers")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    -- signup -> purchase funnel: users whose FIRST signup is followed by a
+    -- purchase within 2 hours; conversion expressed over the signup cohort
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > s.signup_ts
+                       AND e.ts <= s.signup_ts + INTERVAL 2 HOUR
+                      THEN 1 ELSE 0 END) AS converted
+      FROM s JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate
+    FROM conv
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (the event-analytics staple): per user, anchor on
+    the FIRST signup, test for a purchase inside the 2-hour window, report
+    cohort-level conversion. One groupBy builds the anchor table (small —
+    one row per signup user), broadcast back onto the fact scan; the
+    window predicate evaluates join-side, so no per-user subquery ever
+    runs. Same shape at 100 TB with the anchor table hash-joined instead
+    of broadcast."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        ev.join(F.broadcast(s), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("signup_ts"))
+                    & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 HOURS"))
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signup_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conversion_rate"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    -- weekly retention triangle: cohort = ISO week of a user's first
+    -- event; each (cohort, active-week) cell counts distinct users
+    WITH first AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT f.user_id,
+             week(f.first_ts) AS cohort_week,
+             week(e.ts) AS active_week
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(active_week AS BIGINT) AS active_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, active_week
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the week of their first
+    event, counted in every week they return — the table behind every
+    retention curve. The first-event anchor is one row per user
+    (broadcast); the distinct collapses (user, cohort, week) before the
+    final count so the heavy agg runs on already-deduplicated rows."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            F.weekofyear("first_ts").cast("long").alias("cohort_week"),
+            F.weekofyear("ts").cast("long").alias("active_week"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
