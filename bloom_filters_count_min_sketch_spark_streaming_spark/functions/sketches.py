@@ -77,3 +77,36 @@ def histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     return agg.select(F.explode("bins").alias("b")).select(
         F.col("b.x").alias("bin_x"), F.col("b.y").alias("bin_y")
     )
+
+
+# --- KMV (k-minimum-values / bottom-k) distinct sketch -----------------------
+#
+# The one distinct-count sketch in the repo whose ESTIMATE is engine-portable:
+# the hash is md5 (identical everywhere), so the k-th smallest hash fraction —
+# and therefore the estimate (k-1)/h_k (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD 2007) — is a deterministic value both Spark and an ANSI-SQL oracle
+# compute bit-for-bit. That makes KMV queries fully hash-checkable, unlike
+# HLL (JVM-internal hashing, oracle can only mirror the exact twin).
+#
+# Scale shape: bottom-k by hash is `ORDER BY frac LIMIT k` — Spark plans a
+# TakeOrderedAndProject (per-partition top-k, k-row merge at the driver-side
+# reduce), i.e. one pass, no full sort, no full shuffle. Per-group bottom-k is
+# a row_number window over the group key: one hash-shuffle on the group key,
+# k rows kept per group. The sketch is mergeable by construction (union of
+# bottom-k sets, re-truncated to k), which is what the set-algebra query does.
+
+KMV_DENOM = float(1 << 48)  # 48-bit hash prefix -> fraction in (0, 1]
+
+
+def kmv_fraction(col) -> F.Column:
+    """Engine-portable uniform hash fraction: first 12 hex chars of md5 (48
+    bits), +1 to avoid exactly 0, over 2^48. Every arithmetic step (int ->
+    double, one division) is exact/identical IEEE in Spark and DuckDB:
+    DuckDB twin ``(('0x' || substr(md5(x), 1, 12))::BIGINT + 1) / 2^48``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("long")
+    return (h + F.lit(1)).cast("double") / F.lit(KMV_DENOM)
+
+
+def kmv_estimate_from_kth(kth_frac: F.Column, k: int) -> F.Column:
+    """Unbiased KMV estimator from the k-th smallest fraction: (k-1)/h_k."""
+    return F.lit(float(k - 1)) / kth_frac

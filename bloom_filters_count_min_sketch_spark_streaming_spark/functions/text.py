@@ -72,3 +72,34 @@ def quality_score(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Deterministic content fingerprint (md5 of lowercased text)."""
     return F.md5(F.lower(text))
+
+
+def bm25_doc_scores(docs, terms, k1: float = 1.2, b: float = 0.75):
+    """BM25 (Robertson-Sparck Jones) document scores for a fixed term set:
+    (doc_id, score), score = per-term-ROUNDed contributions summed as
+    DECIMAL (addition-order-proof — see bm25_ranked_search's oracle).
+
+    Scale shape: the token explode feeds document lengths (one aggregate)
+    and, filtered to the query's terms FIRST, the tf/df tables — the joins
+    run on |docs x terms|, not |tokens|; df broadcasts; n_docs/avgdl are
+    two driver scalars (like a COUNT), not join inputs.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.filter(F.col("term").isin(list(terms)))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("s"))
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score")
+    )

@@ -1128,3 +1128,165 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_copies_deleted"),
         F.sum((~F.col("fpm")).cast("long")).cast("long").alias("n_remaining"),
     )
+
+
+@query(
+    "quality_token_budget",
+    oracle="""
+    -- Token-budget curation: per language, take documents in quality order
+    -- (type-token ratio DESC, doc_id tie-break) while the running token
+    -- count stays within a 3000-token budget — the greedy "best docs until
+    -- the budget is spent" selection every pretraining mix uses. The
+    -- running SUM is over a totally-ordered ROWS frame (order-identical in
+    -- both engines); window SUM(BIGINT) is HUGEINT in DuckDB -> CAST.
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok,
+             len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_tok,
+             ROUND(n_uniq * 1.0 / n_tok, 6) AS quality
+      FROM t WHERE n_tok > 0
+    ), cum AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM scored
+    ), tot AS (
+      SELECT lang, COUNT(*) AS total_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM scored GROUP BY lang
+    ), kept AS (
+      SELECT lang, COUNT(*) AS kept_docs, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      FROM cum WHERE cum_tok <= 3000 GROUP BY lang
+    )
+    SELECT t.lang, kept_docs, kept_tokens, total_docs, total_tokens,
+           ROUND(kept_tokens * 1.0 / total_tokens, 4) AS token_share
+    FROM tot t JOIN kept USING (lang)
+    ORDER BY lang
+    """,
+)
+def quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token-budget selection: rank docs by a quality
+    signal (type-token ratio), keep the running-token prefix that fits a
+    3000-token budget. One shuffle on lang (the window), one aggregate —
+    at 100 TB the same plan holds because the window partitions by lang
+    and the per-doc token stats are map-side projections."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.word_tokens(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    scored = t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.round(F.col("n_uniq") * 1.0 / F.col("n_tok"), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    tot = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    kept = (
+        cum.filter(F.col("cum_tok") <= 3000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        tot.join(kept, "lang")
+        .select(
+            "lang",
+            "kept_docs",
+            "kept_tokens",
+            "total_docs",
+            "total_tokens",
+            F.round(F.col("kept_tokens") * 1.0 / F.col("total_tokens"), 4).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "corpus_divergence_kl",
+    oracle="""
+    -- Per-source token-distribution drift: KL(p_source || p_corpus) in
+    -- bits. q > 0 wherever p > 0 (the corpus distribution includes every
+    -- source). p, q and p/q are exact-integer divisions (identical doubles
+    -- in both engines); log2 can differ in the last ulp -> each term is
+    -- ROUNDed at 1e-8 first, then summed as DECIMAL so order can't matter.
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+    ), stot AS (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS s_tot FROM st GROUP BY source
+    ), g AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS gf FROM st GROUP BY term
+    ), gtot AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS g_tot FROM st
+    ), terms AS (
+      SELECT st.source,
+             ROUND((st.tf * 1.0 / stot.s_tot)
+                   * log2((st.tf * 1.0 / stot.s_tot) / (g.gf * 1.0 / gtot.g_tot)),
+                   8) AS c
+      FROM st
+      JOIN stot USING (source)
+      JOIN g USING (term)
+      CROSS JOIN gtot
+    )
+    SELECT t.source, stot.s_tot AS n_tokens,
+           CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE) AS kl_bits
+    FROM terms t JOIN stot ON t.source = stot.source
+    GROUP BY t.source, stot.s_tot
+    ORDER BY t.source
+    """,
+)
+def corpus_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: KL divergence (bits) between each source's
+    token distribution and the whole-corpus distribution — the "is this
+    source unlike the rest of the mix" signal used for mixture weighting
+    and drift monitoring.
+
+    Scale shape: two wordcount aggregations (source x term, term) off one
+    explode, a broadcastable term-frequency join (|vocab| rows), and scalar
+    totals — no doc-pair joins, everything partial-aggregated map-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    st = st.persist()
+    stot = st.groupBy("source").agg(F.sum("tf").cast("long").alias("s_tot"))
+    g = st.groupBy("term").agg(F.sum("tf").cast("long").alias("gf"))
+    g_tot = float(st.agg(F.sum("tf")).collect()[0][0])
+    p = F.col("tf") * 1.0 / F.col("s_tot")
+    q = F.col("gf") * 1.0 / F.lit(g_tot)
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(g, "term")
+        .select("source", F.round(p * F.log2(p / q), 8).alias("c"))
+    )
+    out = (
+        terms.groupBy("source")
+        .agg(F.sum(F.col("c").cast("decimal(28,8)")).cast("double").alias("kl_bits"))
+        .join(F.broadcast(stot), "source")
+        .select("source", F.col("s_tot").alias("n_tokens"), "kl_bits")
+        .orderBy("source")
+    )
+    return out

@@ -60,7 +60,11 @@ _PRIORITY = [
     "scd2_dimension_merge",
     "stream_stream_left_outer_join",
     "hll_distinct_event_types",
-    "hll_sketch_users",
+    # hll_sketch_users (near-twin of hll_distinct_event_types) ceded its
+    # slot to the KMV sketch — the one distinct-count sketch whose ESTIMATE
+    # is engine-portable, so the driver hash-checks a genuinely approximate
+    # regime; still oracle-checked further down
+    "kmv_distinct_per_type",
     "approx_quantiles_value",
     # round-3 third batch: quality/ops-surface queries (oracle-backed) take
     # the prefix slots of freq_items_event_types (thin built-in wrapper),
@@ -88,7 +92,10 @@ _PRIORITY = [
     # configs of the same code path stay rows-only further down
     "ann_ivf_full_probe_exact",
     "embedding_centroids",
-    "embedding_label_distances",
+    # embedding_label_distances (same posexplode-aggregate family as
+    # embedding_centroids) ceded its slot to the hybrid BM25+vector RRF
+    # retrieval query; still oracle-checked further down
+    "hybrid_search_rrf",
     # LLM-pipeline: text + multimodal
     "text_quality_by_source",
     "lang_id_heuristic",

@@ -624,3 +624,183 @@ def cms_conservative_vs_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "user_id long, exact_cnt long, est_std long, est_cu long, bound_holds boolean",
     )
+
+
+@query(
+    "kmv_distinct_per_type",
+    oracle="""
+    -- KMV bottom-k distinct sketch (k=64) per event_type over (user, day)
+    -- elements. md5-derived hash fractions are engine-portable, so the
+    -- ESTIMATE itself — (k-1)/h_k — is deterministic and hash-checked,
+    -- in the genuinely approximate regime (~1600 true distinct vs k=64).
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || '-' || CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+      FROM events
+    ), fr AS (
+      SELECT event_type, elem,
+             (('0x' || substr(md5(elem), 1, 12))::BIGINT + 1) / 281474976710656.0 AS frac
+      FROM elems
+    ), kth AS (
+      SELECT event_type, frac FROM (
+        SELECT event_type, frac,
+               row_number() OVER (PARTITION BY event_type ORDER BY frac, elem) AS rn
+        FROM fr
+      ) WHERE rn = 64
+    ), ex AS (
+      SELECT event_type, COUNT(*) AS exact_distinct FROM elems GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.exact_distinct,
+           ROUND(63.0 / kth.frac, 4) AS kmv_est,
+           ROUND(ABS(63.0 / kth.frac - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM ex JOIN kth USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    engine-portable distinct sketch (functions/sketches.py): unlike HLL,
+    the estimate itself is cross-engine deterministic, so this runs in the
+    truly approximate regime (k=64 vs ~1600 distinct user-days) under the
+    full value hash. Per-group bottom-k = one hash-shuffle on the group key
+    + row_number window; k rows survive per group."""
+    k = 64
+    ev = load(spark, sf_dir, "events")
+    elems = ev.select(
+        "event_type",
+        F.concat_ws(
+            "-", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("elem"),
+    ).distinct()
+    fr = elems.withColumn("frac", sketches.kmv_fraction(F.col("elem")))
+    w = Window.partitionBy("event_type").orderBy("frac", "elem")
+    kth = (
+        fr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("event_type", "frac")
+    )
+    est = sketches.kmv_estimate_from_kth(F.col("frac"), k)
+    ex = elems.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        ex.join(kth, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "kmv_set_overlap",
+    oracle="""
+    -- KMV set algebra (Beyer et al. SIGMOD 2007): union / intersection /
+    -- Jaccard estimates for click-vs-purchase user-day sets from two
+    -- mergeable bottom-k sketches (k=64), vs their exact values. The union
+    -- sketch is bottom-k of the merged sketches; rho = |kept hashes seen in
+    -- BOTH input sketches| / k estimates Jaccard; inter_est = rho * union_est.
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || '-' || CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), fr AS (
+      SELECT event_type, elem,
+             (('0x' || substr(md5(elem), 1, 12))::BIGINT + 1) / 281474976710656.0 AS frac
+      FROM elems
+    ), ka AS (
+      SELECT elem, frac FROM (
+        SELECT elem, frac, row_number() OVER (ORDER BY frac, elem) AS rn
+        FROM fr WHERE event_type = 'click'
+      ) WHERE rn <= 64
+    ), kb AS (
+      SELECT elem, frac FROM (
+        SELECT elem, frac, row_number() OVER (ORDER BY frac, elem) AS rn
+        FROM fr WHERE event_type = 'purchase'
+      ) WHERE rn <= 64
+    ), u AS (
+      SELECT elem, frac FROM (
+        SELECT elem, frac, row_number() OVER (ORDER BY frac, elem) AS rn
+        FROM (SELECT DISTINCT elem, frac FROM (SELECT * FROM ka UNION ALL SELECT * FROM kb))
+      ) WHERE rn <= 64
+    ), stats AS (
+      SELECT MAX(frac) AS kth_frac,
+             SUM(CASE WHEN elem IN (SELECT elem FROM ka)
+                       AND elem IN (SELECT elem FROM kb) THEN 1 ELSE 0 END) AS n_both
+      FROM u
+    ), exact AS (
+      SELECT COUNT(DISTINCT elem) AS exact_union,
+             COUNT(DISTINCT CASE WHEN cnt = 2 THEN elem END) AS exact_inter
+      FROM (SELECT elem, COUNT(DISTINCT event_type) AS cnt FROM elems GROUP BY elem)
+    )
+    SELECT ROUND(63.0 / kth_frac, 4) AS union_est,
+           ROUND(n_both / 64.0, 4) AS jaccard_est,
+           ROUND((63.0 / kth_frac) * (n_both / 64.0), 4) AS inter_est,
+           exact_union, exact_inter,
+           ROUND(exact_inter * 1.0 / exact_union, 4) AS exact_jaccard
+    FROM stats CROSS JOIN exact
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: estimate |A∪B|, |A∩B| and Jaccard(A,B) from
+    two bottom-k sketches alone — the distinct-count counterpart of Bloom
+    union / CMS merge. Each bottom-k is a TakeOrderedAndProject (per-
+    partition top-k, no full sort); the merge handles k+k=128 rows."""
+    k = 64
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    elems = ev.select(
+        "event_type",
+        F.concat_ws(
+            "-", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("elem"),
+    ).distinct()
+    fr = elems.withColumn("frac", sketches.kmv_fraction(F.col("elem")))
+    ka = (
+        fr.filter(F.col("event_type") == "click")
+        .select("elem", "frac")
+        .orderBy("frac", "elem")
+        .limit(k)
+    )
+    kb = (
+        fr.filter(F.col("event_type") == "purchase")
+        .select("elem", "frac")
+        .orderBy("frac", "elem")
+        .limit(k)
+    )
+    u = ka.unionAll(kb).distinct().orderBy("frac", "elem").limit(k)
+    flagged = (
+        u.join(ka.select(F.col("elem").alias("ea")), u.elem == F.col("ea"), "left")
+        .join(kb.select(F.col("elem").alias("eb")), u.elem == F.col("eb"), "left")
+        .select(
+            "frac",
+            (F.col("ea").isNotNull() & F.col("eb").isNotNull()).cast("int").alias(
+                "in_both"
+            ),
+        )
+    )
+    stats = flagged.agg(
+        F.max("frac").alias("kth_frac"), F.sum("in_both").alias("n_both")
+    )
+    exact = (
+        elems.groupBy("elem")
+        .agg(F.count_distinct("event_type").alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.count(F.when(F.col("cnt") == 2, F.lit(1))).alias("exact_inter"),
+        )
+    )
+    union_est = F.lit(float(k - 1)) / F.col("kth_frac")
+    jac_est = F.col("n_both") / F.lit(float(k))
+    return stats.crossJoin(exact).select(
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac_est, 4).alias("jaccard_est"),
+        F.round(union_est * jac_est, 4).alias("inter_est"),
+        "exact_union",
+        "exact_inter",
+        F.round(F.col("exact_inter") / F.col("exact_union"), 4).alias("exact_jaccard"),
+    )

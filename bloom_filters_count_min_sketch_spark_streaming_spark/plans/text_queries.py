@@ -461,40 +461,13 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (Robertson-Sparck Jones) for a fixed term
     query — the lexical-search complement to the embedding ANN operators.
 
-    Scale shape: the token explode feeds document lengths (one aggregate)
-    and, filtered to the query's terms FIRST, the tf/df tables — so the
-    expensive joins run on |docs x query_terms|, not |tokens|. df and the
-    scalar stats broadcast; the final ranking is one TakeOrderedAndProject.
+    Scale shape: see functions/text.py bm25_doc_scores (shared with
+    hybrid_search_rrf); the final ranking is one TakeOrderedAndProject.
     """
     from pyspark.sql import Window
 
-    k1, b = 1.2, 0.75
-    q_terms = ["join", "hash", "vector"]
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.word_tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    # one scalar to the driver (like n_docs) keeps the scalar out of the
-    # join graph -- a broadcast-nested-loop with a 1-row side adds a stage
-    # for nothing
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
-    qt = toks.filter(F.col("term").isin(q_terms))
-    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
-    per_term = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("s"),
-        )
-    )
-    scored = per_term.groupBy("doc_id").agg(
-        F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score")
-    )
+    scored = T.bm25_doc_scores(docs, ["join", "hash", "vector"])
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

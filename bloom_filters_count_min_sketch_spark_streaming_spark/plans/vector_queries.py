@@ -181,3 +181,131 @@ def ann_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(
         emb, queries, k=5, n_cells=16, n_probe=16, seed=42
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    -- Hybrid retrieval: reciprocal-rank fusion (Cormack et al. SIGIR 2009)
+    -- of a BM25 lexical ranking and an embedding-cosine ranking (doc_id and
+    -- vec_id share the id space). RRF = sum over lists of 1/(60+rank) for
+    -- docs in each list's top-20; per-list terms ROUNDed then summed as
+    -- DECIMAL. Cosine ranks use ROUND(cos, 6) with vec_id tie-break (same
+    -- double-exact formula as dedup_embedding_cosine's oracle).
+    WITH qv AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 7
+    ), vcos AS (
+      SELECT e.vec_id AS id,
+             ROUND(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], qv.q),
+                                           t -> t[1] * t[2]))
+                   / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv.q, x -> x * x)))),
+                   6) AS cos
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 7
+    ), vrank AS (
+      SELECT id, vr FROM (
+        SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS vr
+        FROM vcos
+      ) WHERE vr <= 20
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, (SELECT COUNT(*) FROM documents) AS n_docs FROM dl
+    ), q AS (SELECT unnest(['join', 'hash', 'vector']) AS term),
+    df AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM toks t JOIN q USING (term) GROUP BY t.term
+    ), tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q USING (term) GROUP BY doc_id, t.term
+    ), per_term AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   6) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
+      FROM per_term GROUP BY doc_id
+    ), brank AS (
+      SELECT id, br FROM (
+        SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS br
+        FROM scored
+      ) WHERE br <= 20
+    ), fused AS (
+      SELECT COALESCE(v.id, b.id) AS doc_id,
+             COALESCE(v.vr, 0) AS vec_rank,
+             COALESCE(b.br, 0) AS bm25_rank,
+             CAST(COALESCE(CAST(ROUND(1.0 / (60 + v.vr), 6) AS DECIMAL(28,6)), 0)
+                  + COALESCE(CAST(ROUND(1.0 / (60 + b.br), 6) AS DECIMAL(28,6)), 0)
+                  AS DOUBLE) AS rrf_score
+      FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
+    )
+    SELECT doc_id, rrf_score, vec_rank, bm25_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank fusion —
+    the standard RAG retrieval stack as one declarative plan: BM25 top-20
+    (functions/text.bm25_doc_scores, shared with bm25_ranked_search) FULL
+    OUTER JOINed with cosine top-20 (Arrow-batched numpy cosine), scored
+    1/(60+rank) per list.
+
+    Scale shape: each ranking is a TakeOrderedAndProject-sized head (20
+    rows), so the fusion join is trivially broadcast; the heavy stages are
+    the two underlying rankings, each already in its scale-safe form."""
+    from pyspark.sql import Window
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") != 7).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    cos = F.round(similarity.cosine_pandas(F.col("qv"), F.col("cv")), 6)
+    wv = Window.orderBy(F.desc("cos"), F.asc("id"))
+    # TakeOrderedAndProject head FIRST (distributed top-k, no global sort),
+    # then the rank window runs over 20 rows in one tiny partition.
+    vrank = (
+        corpus.join(F.broadcast(qv))
+        .select("id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(20)
+        .withColumn("vr", F.row_number().over(wv).cast("long"))
+        .select("id", "vr")
+    )
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    brank = (
+        T.bm25_doc_scores(docs, ["join", "hash", "vector"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("br", F.row_number().over(wb).cast("long"))
+        .select(F.col("doc_id").alias("id"), "br")
+    )
+    dec = "decimal(28,6)"
+    zero = F.lit(0).cast(dec)
+    term_v = F.coalesce(F.round(F.lit(1.0) / (60 + F.col("vr")), 6).cast(dec), zero)
+    term_b = F.coalesce(F.round(F.lit(1.0) / (60 + F.col("br")), 6).cast(dec), zero)
+    fused = (
+        vrank.join(brank, "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            (term_v + term_b).cast("double").alias("rrf_score"),
+            F.coalesce(F.col("vr"), F.lit(0)).alias("vec_rank"),
+            F.coalesce(F.col("br"), F.lit(0)).alias("bm25_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
