@@ -1,0 +1,163 @@
+"""Graph-analytics queries over relation-derived graphs.
+
+Connected components (the dedup endgame) lives in dedup_queries /
+pipeline_queries; this module adds PageRank — the canonical iterative
+graph computation — over the nation-to-nation trade graph derived from
+TPC-H (supplier nation -> customer nation, edge weight = shipped line
+items). The Spark side is the Pregel-style shape (edges joined to the
+current rank vector per superstep); the oracle unrolls the same fixed
+number of iterations as chained CTEs.
+
+Cross-engine determinism of an ITERATIVE float computation: every
+iteration's rank vector must be bit-identical in both engines, or errors
+compound. Achieved the same way the repo handles any float SUM — each
+edge contribution rank*weight_fraction is ROUNDed (1e-12) before a
+DECIMAL(38,12) sum, so addition order can't matter; everything else in
+the recurrence (0.15/n, 0.85*m, exact int weight ratios) is a pure
+elementwise double chain, identical IEEE in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+PR_ITERS = 5
+DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    sql = """
+    WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+    e AS (
+      SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w * 1.0 / ow.ow AS f FROM e JOIN ow USING (src)),
+    nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+    dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+    pr0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    md{i} AS (
+      SELECT COALESCE(CAST(SUM(CAST(ROUND(p.r, 12) AS DECIMAL(38,12))) AS DOUBLE),
+                      0.0) AS md
+      FROM pr{i - 1} p JOIN dang USING (node)
+    ),
+    pr{i} AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * (COALESCE(s.m, 0.0) + md{i}.md / nn.n) AS r
+      FROM nodes CROSS JOIN nn CROSS JOIN md{i}
+      LEFT JOIN (
+        SELECT ew.dst AS node,
+               CAST(SUM(CAST(ROUND(p.r * ew.f, 12) AS DECIMAL(38,12))) AS DOUBLE) AS m
+        FROM pr{i - 1} p JOIN ew ON p.node = ew.src
+        GROUP BY ew.dst
+      ) s ON s.node = nodes.node
+    )"""
+    sql += f"""
+    SELECT n.n_name AS nation, ROUND(p.r, 8) AS pagerank,
+           CAST(row_number() OVER (ORDER BY ROUND(p.r, 8) DESC, n.n_name) AS BIGINT)
+             AS rnk
+    FROM pr{iters} p JOIN nation n ON n.n_nationkey = p.node
+    ORDER BY rnk
+    """
+    return sql
+
+
+@query("pagerank_nation_trade", oracle=_pagerank_oracle())
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 5 supersteps) over the nation trade graph.
+
+    Scale shape: the classic Pregel-as-joins loop — the edge table (with
+    precomputed out-weight fractions) is built once and persisted; each
+    superstep is [rank ⋈ edges on src] -> hash-agg on dst -> left join back
+    to nodes. Edge partitioning by src is reused every step; the rank
+    vector is |V| rows (broadcastable here; at 100 TB both sides hash-join
+    on the same key so the shuffle is stable). Lineage stays constant-depth
+    per step because the rank vector is localCheckpoint()ed — the same
+    driver-held-state discipline as the k-means and BPE trainers."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            supp.s_nationkey.alias("src"),
+            cust.c_nationkey.alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    ew = (
+        edges.join(ow, "src")
+        .select("src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("f"))
+        .persist()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node")).persist()
+    n = float(nodes.count())
+    # dangling nodes (no out-edges): their mass is redistributed uniformly
+    # each superstep, keeping total mass exactly 1 (textbook PageRank)
+    dang = nodes.join(
+        ew.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(PR_ITERS):
+        md = (
+            pr.join(dang, "node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+            )
+            .collect()[0][0]
+        )
+        contrib = (
+            pr.join(ew, pr.node == ew.src)
+            .select("dst", F.round(F.col("r") * F.col("f"), 12).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("m"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(DAMPING)
+                    * (F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(md) / F.lit(n))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = (
+        pr.join(nation, pr.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.round("r", 8).alias("pagerank"))
+    )
+    w = F.row_number().over(Window.orderBy(F.desc("pagerank"), F.asc("nation")))
+    return (
+        out.withColumn("rnk", w.cast("long"))
+        .orderBy("rnk")
+        .select("nation", "pagerank", "rnk")
+    )

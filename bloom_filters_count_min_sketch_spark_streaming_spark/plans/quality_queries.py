@@ -180,3 +180,93 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_factor"
         ),
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+    -- Train/val/test leakage audit: near-duplicate pairs (exact Jaccard
+    -- >= 0.9; LSH recovers every pair at this threshold — see
+    -- dedup_minhash_lsh_pairs) classified by the hash-bucket split of each
+    -- endpoint (same md5 80/10/10 rule as dataset_split_stats). Any pair
+    -- whose endpoints land in different splits is leakage: the eval split
+    -- contains a near-copy of a training document.
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dup AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bkt
+        FROM documents
+      )
+    )
+    SELECT LEAST(a.split, b.split) AS split_a,
+           GREATEST(a.split, b.split) AS split_b,
+           COUNT(*) AS n_pairs,
+           (LEAST(a.split, b.split) <> GREATEST(a.split, b.split)) AS is_leakage
+    FROM dup
+    JOIN sp a ON a.doc_id = dup.doc_a
+    JOIN sp b ON b.doc_id = dup.doc_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination governance: near-dup pairs (MinHash-LSH
+    candidates, exact-Jaccard-verified at 0.9) joined against the
+    hash-bucket train/val/test assignment; cross-split pairs are leakage.
+
+    Scale shape: the pair graph comes from the banded LSH equi-join (no
+    all-pairs work); the split label is a pure projection recomputable from
+    the id, so the classification is two broadcast-sized joins on the
+    (small) pair set."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(lo.alias("split_a"), hi.alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -98,7 +98,10 @@ _PRIORITY = [
     "hybrid_search_rrf",
     # LLM-pipeline: text + multimodal
     "text_quality_by_source",
-    "lang_id_heuristic",
+    # lang_id_heuristic (text family already carried by text_quality_by_
+    # source + llm_corpus_pipeline) ceded its slot to the oracle-backed
+    # iterative graph op; still oracle-checked further down
+    "pagerank_nation_trade",
     "tfidf_top_terms",
     "llm_corpus_pipeline",
     "multimodal_payload_stats",
@@ -128,6 +131,7 @@ _QUERY_MODULES = [
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.streaming_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries",
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.graph_queries",
 ]
 
 

@@ -804,3 +804,50 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_inter",
         F.round(F.col("exact_inter") / F.col("exact_union"), 4).alias("exact_jaccard"),
     )
+
+
+@query(
+    "time_decayed_event_weight",
+    oracle="""
+    -- Exponentially time-decayed frequency (half-life 7 days, anchored at
+    -- the stream's max timestamp) — the decayed-count companion of the CMS
+    -- point queries: recency-weighted heavy hitters. age is an exact
+    -- integer microsecond difference; POWER can differ in the last ulp ->
+    -- each term is ROUNDed at 1e-8, then summed as DECIMAL.
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (
+      SELECT event_type,
+             ROUND(POWER(0.5, ((epoch_us(mx.m) - epoch_us(ts)) / 86400000000.0) / 7.0),
+                   8) AS wt
+      FROM events CROSS JOIN mx
+    )
+    SELECT event_type,
+           COUNT(*) AS exact_cnt,
+           CAST(SUM(CAST(wt AS DECIMAL(28,8))) AS DOUBLE) AS decayed_weight
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_decayed_event_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed counts per key (exponential decay, 7-day half-life):
+    the recency-weighted view of heavy hitters that sliding windows
+    approximate with buckets. One scan + one aggregate; the max-timestamp
+    anchor is a 1-row broadcast, so the plan is a single hash aggregation
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age_days = (F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts"))) / F.lit(
+        86400000000.0
+    )
+    wt = F.round(F.pow(F.lit(0.5), age_days / 7.0), 8)
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("event_type", wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_cnt"),
+            F.sum(F.col("wt").cast("decimal(28,8)")).cast("double").alias(
+                "decayed_weight"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -726,3 +726,78 @@ def stream_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "constraint string, metric_value double, passed boolean"
     )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    -- the upsert-merged keyed table must equal the batch aggregate over
+    -- the whole stream; DECIMAL partials make the merge addition exact and
+    -- associative, so batching cannot change the result
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style keyed upsert sink without Delta (C13): each micro-batch
+    aggregates its rows per key inside foreachBatch, FULL OUTER merges them
+    into a versioned parquet state table (read v, merge, write v+1 — the
+    copy-on-write MERGE INTO pattern), and the final table is compared to
+    the one-shot batch aggregate. Partials are DECIMAL so the merge is
+    exact and associative — the result is provably batching-independent.
+
+    Scale shape: state is O(|keys|) and the merge is a key-partitioned
+    full-outer join; versioned directories give atomic swap semantics
+    (what table formats do with a manifest)."""
+    import tempfile
+
+    src = events_stream_source(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    latest: dict[str, str | None] = {"path": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias(
+                "total_value"
+            ),
+        )
+        if latest["path"] is not None:
+            cur = batch_df.sparkSession.read.parquet(latest["path"])
+            a = cur.select(
+                "event_type",
+                F.col("n_events").alias("n_a"),
+                F.col("total_value").alias("t_a"),
+            )
+            b = inc.select(
+                "event_type",
+                F.col("n_events").alias("n_b"),
+                F.col("total_value").alias("t_b"),
+            )
+            merged = a.join(b, "event_type", "full_outer").select(
+                "event_type",
+                (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (
+                    F.coalesce(F.col("t_a"), F.lit(0).cast("decimal(28,6)"))
+                    + F.coalesce(F.col("t_b"), F.lit(0).cast("decimal(28,6)"))
+                )
+                .cast("decimal(28,6)")
+                .alias("total_value"),
+            )
+        else:
+            merged = inc
+        out = f"{root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    run_foreach_batch(src, upsert)
+    final = spark.read.parquet(latest["path"])
+    return final.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")
