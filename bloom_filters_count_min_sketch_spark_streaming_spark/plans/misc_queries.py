@@ -1143,3 +1143,34 @@ def sql_scripting_batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "arrow_python_udf_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value >= 100 THEN 2 WHEN value >= 10 THEN 1
+                         ELSE 0 END) AS BIGINT) AS bucket_sum
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def arrow_python_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``, Spark 3.5+/4.x): the
+    middle tier of the Python UDF ladder — row-wise author experience,
+    Arrow-batched transfer (no pickle per row). Completes the API matrix:
+    row UDF / arrow UDF / pandas UDF / mapInPandas / mapInArrow /
+    applyInPandas / cogroup / UDAF / UDTF, each a registered query."""
+
+    @F.udf("int", useArrow=True)
+    def bucket(v: float) -> int:
+        return 2 if v >= 100 else (1 if v >= 10 else 0)
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return (
+        ev.select("event_type", bucket("value").alias("b"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("b").cast("long").alias("bucket_sum"))
+        .orderBy("event_type")
+    )

@@ -270,3 +270,80 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@query(
+    "analyze_column_stats",
+    oracle="""
+    -- ANALYZE-style planner statistics per column in ONE scan-sharing
+    -- pass: NDV, null count, numeric min/max (string columns carry min/max
+    -- lexicographically in the *_str columns). These are the CBO inputs
+    -- (join reordering, broadcast thresholds) every engine collects.
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_orderkey) AS ndv_ok, COUNT(o_orderkey) AS nn_ok,
+             MIN(o_orderkey) AS mn_ok, MAX(o_orderkey) AS mx_ok,
+             COUNT(DISTINCT o_custkey) AS ndv_ck, COUNT(o_custkey) AS nn_ck,
+             MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck,
+             COUNT(DISTINCT o_totalprice) AS ndv_tp, COUNT(o_totalprice) AS nn_tp,
+             MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+             COUNT(DISTINCT o_orderstatus) AS ndv_os, COUNT(o_orderstatus) AS nn_os,
+             MIN(o_orderstatus) AS mns_os, MAX(o_orderstatus) AS mxs_os,
+             COUNT(DISTINCT o_orderpriority) AS ndv_op, COUNT(o_orderpriority) AS nn_op,
+             MIN(o_orderpriority) AS mns_op, MAX(o_orderpriority) AS mxs_op
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, ndv_ok AS ndv, n_rows - nn_ok AS n_nulls,
+           CAST(mn_ok AS DOUBLE) AS min_num, CAST(mx_ok AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM s
+    UNION ALL
+    SELECT 'o_custkey', ndv_ck, n_rows - nn_ck,
+           CAST(mn_ck AS DOUBLE), CAST(mx_ck AS DOUBLE), NULL, NULL FROM s
+    UNION ALL
+    SELECT 'o_totalprice', ndv_tp, n_rows - nn_tp, mn_tp, mx_tp, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', ndv_os, n_rows - nn_os, NULL, NULL, mns_os, mxs_os FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', ndv_op, n_rows - nn_op, NULL, NULL, mns_op, mxs_op FROM s
+    ORDER BY column_name
+    """,
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics (NDV / nulls / min / max) for
+    five orders columns in a single shared scan — one wide aggregate, then
+    a stack() unpivot to one row per column. At scale NDV would come from
+    the HLL sketches (hll_sketch_table_merge); here exact NDV keeps the
+    oracle exact."""
+    o = load(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
+        ]
+    s = o.agg(*aggs)
+    parts = []
+    # bare column refs inside stack() would carry their own struct field
+    # names (STACK_COLUMN_DIFF_TYPES); CASTs normalize them
+    for c in num_cols:
+        parts.append(
+            f"'{c}', CAST(ndv_{c} AS BIGINT), n_rows - nn_{c}, "
+            f"CAST(mn_{c} AS DOUBLE), CAST(mx_{c} AS DOUBLE), "
+            f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', CAST(ndv_{c} AS BIGINT), n_rows - nn_{c}, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"CAST(mn_{c} AS STRING), CAST(mx_{c} AS STRING)"
+        )
+    stacked = s.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)}) AS "
+        "(column_name, ndv, n_nulls, min_num, max_num, min_str, max_str)"
+    )
+    return stacked.orderBy("column_name")

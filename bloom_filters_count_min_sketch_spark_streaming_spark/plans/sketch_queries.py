@@ -851,3 +851,92 @@ def time_decayed_event_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kmv_sketch_table_merge",
+    oracle="""
+    -- KMV sketch table at rest: one bottom-64 sketch per (day, event_type)
+    -- cell over the users active in that cell, merged across days per
+    -- event_type (bottom-k of the distinct union rows) — completing the
+    -- sketch-at-rest family (CMS / HLL / quantile / KMV). The merged
+    -- estimate is engine-portable, so it is hash-checked outright.
+    WITH elems AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(user_id AS VARCHAR) AS elem
+      FROM events
+    ), fr AS (
+      SELECT day, event_type, elem,
+             (('0x' || substr(md5(elem), 1, 12))::BIGINT + 1) / 281474976710656.0 AS frac
+      FROM elems
+    ), daily AS (
+      -- the sketch table: <= 64 rows per (day, event_type) cell
+      SELECT day, event_type, elem, frac FROM (
+        SELECT day, event_type, elem, frac,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY frac, elem) AS rn
+        FROM fr
+      ) WHERE rn <= 64
+    ), merged AS (
+      SELECT event_type, elem, frac FROM (
+        SELECT event_type, elem, frac,
+               row_number() OVER (PARTITION BY event_type ORDER BY frac, elem) AS rn
+        FROM (SELECT DISTINCT event_type, elem, frac FROM daily)
+      ) WHERE rn <= 64
+    ), kth AS (
+      SELECT event_type, MAX(frac) AS kth_frac,
+             CAST(COUNT(*) AS BIGINT) AS n_day_rows
+      FROM merged GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT elem) AS exact_distinct_users,
+             COUNT(DISTINCT day) AS n_day_sketches
+      FROM elems GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_day_sketches, ex.exact_distinct_users,
+           ROUND(63.0 / kth.kth_frac, 4) AS kmv_est
+    FROM ex JOIN kth USING (event_type)
+    ORDER BY ex.event_type
+    """,
+)
+def kmv_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches AT REST: per-(day, event_type) bottom-64 sketch rows
+    persisted as a table, merged across days per event_type by re-
+    truncating the distinct union — incremental distinct-count maintenance
+    where each new day only sketches its own rows. The merge is the exact
+    set identity tested in tests/test_kmv.py; with every per-type union
+    >= k the merged k-th hash exists and (k-1)/h_k estimates the per-type
+    distinct users, hash-checked cross-engine."""
+    k = 64
+    ev = load(spark, sf_dir, "events")
+    elems = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        F.col("user_id").cast("string").alias("elem"),
+    ).distinct()
+    fr = elems.withColumn("frac", sketches.kmv_fraction(F.col("elem")))
+    wd = Window.partitionBy("day", "event_type").orderBy("frac", "elem")
+    daily = (
+        fr.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= k).drop("rn")
+    )
+    wm = Window.partitionBy("event_type").orderBy("frac", "elem")
+    merged = (
+        daily.select("event_type", "elem", "frac")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= k)
+    )
+    kth = merged.groupBy("event_type").agg(F.max("frac").alias("kth_frac"))
+    ex = elems.groupBy("event_type").agg(
+        F.count_distinct("elem").alias("exact_distinct_users"),
+        F.count_distinct("day").alias("n_day_sketches"),
+    )
+    return (
+        ex.join(kth, "event_type")
+        .select(
+            "event_type",
+            "n_day_sketches",
+            "exact_distinct_users",
+            F.round(F.lit(float(k - 1)) / F.col("kth_frac"), 4).alias("kmv_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -537,3 +537,48 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_bmp_payload(docs, "doc_id")
     return decode_bmp_features(media)
+
+
+@query(
+    "phrase_search_positions",
+    oracle="""
+    -- Positional phrase search for "table hash": adjacency of the two
+    -- terms' posting lists. Positions are 1-based list indices.
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest([i for i in range(1, len(ws))
+                     if ws[i] = 'table' AND ws[i+1] = 'hash']) AS pos
+      FROM toks WHERE len(ws) >= 2
+    )
+    SELECT doc_id, COUNT(*) AS n_occurrences, CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM occ GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search: the posting lists of the
+    phrase's terms (posexplode positions, filtered to each term BEFORE the
+    join) are equi-joined on (doc, pos+1=pos) — the scalable phrase-query
+    plan: per-term postings shuffle on doc_id, no document-wide arrays in
+    the hot path (the repo's interpreted-lambda-HOF hazard)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.word_tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    t1 = toks.filter(F.col("term") == "table").select("doc_id", F.col("pos").alias("p1"))
+    t2 = toks.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    occ = t1.join(
+        t2, (t1.doc_id == t2.doc_id2) & (t2.p2 == t1.p1 + 1)
+    ).select("doc_id", F.col("p1").alias("pos"))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
