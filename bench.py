@@ -72,6 +72,14 @@ HEADLINE = [
     "data_quality_constraints",
     "dedup_incremental_minhash",
     "bpe_apply_fixed_merges",
+    # round-3 eighth-tenth passes (KMV sketches, retrieval, curation, graph)
+    "kmv_distinct_per_type",
+    "kmv_sketch_table_merge",
+    "hybrid_search_rrf",
+    "pagerank_nation_trade",
+    "corpus_divergence_kl",
+    "quality_token_budget",
+    "phrase_search_positions",
     # streaming
     "stream_chained_windows",
     "stream_windowed_counts",
@@ -80,6 +88,7 @@ HEADLINE = [
     "stream_cms_running_freq",
     "stream_windowed_cms_freq",
     "stream_windowed_hll_distinct",
+    "stream_foreachbatch_upsert",
 ]
 
 
