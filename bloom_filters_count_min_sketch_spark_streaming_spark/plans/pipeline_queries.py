@@ -1290,3 +1290,52 @@ def corpus_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+@query("compression_ratio_quality")
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (CCNet / RefinedWeb-style filter):
+    zlib-compressed size over raw utf-8 size per document — highly
+    repetitive (low-ratio) docs are boilerplate/spam candidates. zlib at a
+    fixed level is bit-deterministic, so the query is reproducible, but no
+    SQL engine exposes it -> rows-only for the driver; pytest verifies the
+    Spark output against direct python zlib on the same parquet
+    (tests/test_pipeline_ops.py::test_compression_ratio_matches_zlib).
+
+    Scale shape: embarrassingly parallel Arrow-batched map (one zlib call
+    per doc), then one small aggregate per source."""
+    import pandas as pd
+    import zlib
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    # no type hints: `from __future__ import annotations` breaks pandas_udf
+    # hint inference (returnType is explicit)
+    @F.pandas_udf("double")
+    def zratio(texts):
+        def r(t):
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(r)
+
+    scored = docs.select("source", zratio(F.col("text")).alias("ratio"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ratio"),
+            F.sum((F.col("ratio") < 0.35).cast("long")).cast("long").alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -827,3 +827,109 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "active_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    -- First-order Markov transition matrix of event types per user: the
+    -- sequence-analytics staple (what follows what?). Transitions come
+    -- from LEAD over (user, ts, event_id) — a totally-ordered window, so
+    -- both engines see identical successor pairs; probabilities are
+    -- exact-int ratios rounded once.
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), t AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS n_out FROM t GROUP BY cur
+    )
+    SELECT t.cur, t.nxt, t.n AS n_transitions,
+           ROUND(t.n * 1.0 / tot.n_out, 6) AS p
+    FROM t JOIN tot USING (cur)
+    ORDER BY t.cur, t.nxt
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov chain):
+    LEAD over the (user, time) window pairs each event with its successor,
+    then one hash aggregate per (cur, next) cell. The window shuffles once
+    on user_id; the matrix is |types|^2 rows — broadcastable planner food
+    for sequence models and anomaly baselines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = t.groupBy("cur").agg(F.sum("n_transitions").cast("long").alias("n_out"))
+    return (
+        t.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n_transitions",
+            F.round(F.col("n_transitions") * 1.0 / F.col("n_out"), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    -- Skyline / Pareto-dominance preference query (Borzsony et al. ICDE
+    -- 2001): orders not dominated on (low price, recent date) by any other
+    -- order of the same status. Dominance is an anti-join against a
+    -- strictly-better witness; ties on both dims keep the row.
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_orderstatus = o.o_orderstatus
+        AND d.o_totalprice <= o.o_totalprice
+        AND d.o_orderdate >= o.o_orderdate
+        AND (d.o_totalprice < o.o_totalprice OR d.o_orderdate > o.o_orderdate)
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: the Pareto frontier of (minimize price, maximize
+    recency) per order status, as a dominance ANTI-join.
+
+    Scale shape: the dominance join is equi on o_orderstatus (hash
+    partitionable); within a partition the frontier is tiny. At 100 TB
+    you would pre-filter with a grid/quantile pruning pass (any point
+    below the per-cell min is dominated) before the pairwise check — the
+    partition-key structure here is that design's skeleton."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderstatus").alias("d_status"),
+        F.col("o_totalprice").alias("d_price"),
+        F.col("o_orderdate").alias("d_date"),
+    )
+    dominated = (
+        (F.col("d_status") == F.col("o_orderstatus"))
+        & (F.col("d_price") <= F.col("o_totalprice"))
+        & (F.col("d_date") >= F.col("o_orderdate"))
+        & ((F.col("d_price") < F.col("o_totalprice")) | (F.col("d_date") > F.col("o_orderdate")))
+    )
+    return (
+        o.join(d, dominated, "left_anti")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .orderBy("o_orderkey")
+    )

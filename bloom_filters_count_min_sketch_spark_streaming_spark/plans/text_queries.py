@@ -582,3 +582,75 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "unigram_perplexity_scores",
+    oracle="""
+    -- Per-doc cross-entropy under a corpus unigram LM with add-one
+    -- smoothing: p(w) = (c_w + 1) / (N + V). The language-model quality
+    -- signal (high avg bits = out-of-distribution doc). p is an exact
+    -- int ratio; log2 can differ in the last ulp -> per-token bits are
+    -- ROUNDed at 1e-8 and DECIMAL-summed; the per-doc mean divides that
+    -- exact sum by an exact int, identical in both engines.
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    ), stats AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM vocab
+    ), bits AS (
+      SELECT t.doc_id,
+             ROUND(-log2((v.c + 1) * 1.0 / (s.n_total + s.v_size)), 8) AS b
+      FROM toks t JOIN vocab v USING (term) CROSS JOIN stats s
+      WHERE t.doc_id < 25
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(b AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bits
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (bits/token) of each document under the corpus's own
+    add-one-smoothed unigram LM — the classic LM-based quality/outlier
+    filter (KenLM-perplexity's shape with a SQL-expressible model).
+
+    Scale shape: one wordcount pass builds the model; scoring is a
+    broadcastable |vocab| join against the token stream, partial-aggregated
+    per doc. Model "training" and scoring are both single-shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    row = vocab.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    ).collect()[0]
+    denom = float(row["n_total"] + row["v_size"])
+    bits = (
+        toks.filter(F.col("doc_id") < 25)
+        .join(F.broadcast(vocab), "term")
+        .select(
+            "doc_id",
+            F.round(-F.log2((F.col("c") + 1) * 1.0 / F.lit(denom)), 8).alias("b"),
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("b").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )

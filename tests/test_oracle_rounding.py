@@ -35,7 +35,14 @@ NOISE_REL = 1e-9
 # construction, so boundary proximity is harmless:
 # - window_running_value_per_user: running SUM over a totally-ordered ROWS
 #   frame — both engines accumulate in the exact same order, bit-for-bit.
-EXEMPT = {"window_running_value_per_user"}
+EXEMPT = {
+    "window_running_value_per_user",
+    # unigram_perplexity_scores: the final ROUND wraps
+    # decimal_sum(pre-rounded terms) / COUNT — the sum is exact DECIMAL
+    # arithmetic (order-independent) and the divisor an exact int, so both
+    # engines compute the identical double before the ROUND.
+    "unigram_perplexity_scores",
+}
 
 _AGG_RE = re.compile(
     r"(?i)\b(sum|avg|mean|stddev|stddev_samp|stddev_pop|var_samp|var_pop|corr|covar_samp|covar_pop)\s*\("

@@ -1,0 +1,36 @@
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    """The Spark compression-ratio aggregate equals a direct python zlib
+    computation over the same parquet — the rows-only query's exactness
+    witness (zlib at a fixed level is bit-deterministic)."""
+    import zlib
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    got = {
+        r["source"]: r
+        for r in QUERIES["compression_ratio_quality"](spark, sf_dir).collect()
+    }
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    acc: dict[str, list] = {}
+    for source, text in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        raw = text.encode("utf-8")
+        ratio = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 1.0
+        acc.setdefault(source, []).append(ratio)
+    for source, ratios in acc.items():
+        r = got[source]
+        assert r["n_docs"] == len(ratios)
+        want_avg = float(
+            sum(Decimal(f"{x:.6f}") for x in ratios)
+        ) / len(ratios)
+        assert abs(r["avg_ratio"] - round(want_avg, 6)) < 1e-9
+        assert r["n_repetitive"] == sum(1 for x in ratios if x < 0.35)

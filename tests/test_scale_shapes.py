@@ -168,6 +168,7 @@ _NESTED_LOOP_OK = {
     "asof_join_last_click_before_error",  # union+window, no join at all
     "language_balanced_resample",  # 1-row broadcast global-min seed join
     "corpus_curation_e2e",         # same 1-row global-min seed, composed
+    "hybrid_search_rrf",           # corpus x broadcast 1-row query vector
 }
 
 
