@@ -122,6 +122,21 @@ def main() -> None:
 
     warm.select(_warm_udf(F.col("n_nationkey").cast("long"))).collect()
 
+    # Host-speed calibration: a fixed reference workload (pure JVM
+    # hash-agg over a generated range, no I/O, engine-version-stable)
+    # timed min-of-3. The shared host's speed varies ±3x between rounds;
+    # dividing the headline total by this figure separates "the code got
+    # slower" from "the host got slower" when comparing BENCH_r{N} files.
+    cal = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().collect()
+        cal.append(time.time() - t0)
+    calibration = round(min(cal), 3)
+    print(f"# calibration (fixed 50M-row hash-agg): {calibration}s", file=sys.stderr)
+
     # The host is shared and noisy (observed ±3x run-to-run on identical
     # plans): time each query twice and keep the min — the standard way to
     # report the plan's cost rather than the scheduler's mood.
@@ -169,6 +184,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration,
             }
         )
     )

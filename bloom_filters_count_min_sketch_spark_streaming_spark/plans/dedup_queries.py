@@ -460,3 +460,67 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_jaccard_pairs(
         docs, candidates, "doc_incoming", "doc_corpus", threshold=0.9
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    -- Containment similarity c(A,B) = |A ∩ B| / |A| (the GB-KMV /
+    -- asymmetric-dedup measure): catches a small document embedded inside
+    -- a larger one, which symmetric Jaccard misses (|A∩B|/|A∪B| stays
+    -- small when |B| >> |A|). Same inverted-index shape as the Jaccard
+    -- pairs; both directions reported for each unordered pair.
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(c * 1.0 / sa.n, 6) AS containment_a,
+           ROUND(c * 1.0 / sb.n, 6) AS containment_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / sa.n >= 0.9 OR c * 1.0 / sb.n >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric) near-dup pairs: c(A,B) = |A∩B|/|A| over
+    3-gram shingle sets — flags a document whose content is (nearly) a
+    subset of another even when their sizes differ wildly. Reuses the
+    inverted-index equi-join on shingles (work ∝ shared shingles, never
+    |docs|²); thresholded at 0.9 in either direction."""
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.doc_shingle_sets(docs, "doc_id", "text").distinct().persist()
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sets.select(F.col("doc").alias("doc_a"), "sh")
+    b = sets.select(F.col("doc").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    ca = F.col("c") * 1.0 / F.col("na")
+    cb = F.col("c") * 1.0 / F.col("nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((ca >= 0.9) | (cb >= 0.9))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

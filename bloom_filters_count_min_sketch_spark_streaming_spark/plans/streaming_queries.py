@@ -801,3 +801,84 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "stream_kmv_distinct",
+    oracle="""
+    -- the streaming KMV merge must equal the batch KMV over the whole
+    -- stream (bottom-k union-truncate is associative + commutative), and
+    -- KMV's md5 hashing makes the ESTIMATE itself engine-portable — this
+    -- is the one streaming distinct-count whose approximate value is
+    -- hash-checked outright (the HLL twin can only be oracle'd exactly).
+    WITH elems AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '-'
+             || CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+      FROM events
+    ), fr AS (
+      SELECT elem,
+             (('0x' || substr(md5(elem), 1, 12))::BIGINT + 1) / 281474976710656.0 AS frac
+      FROM elems
+    ), k AS (
+      SELECT frac FROM (
+        SELECT frac, row_number() OVER (ORDER BY frac, elem) AS rn FROM fr
+      ) WHERE rn = 64
+    )
+    SELECT (SELECT COUNT(*) FROM elems) AS exact_distinct,
+           ROUND(63.0 / k.frac, 4) AS kmv_est
+    FROM k
+    """,
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via a KMV sketch folded over micro-batches:
+    each batch computes its own bottom-64 (a TakeOrderedAndProject over
+    only that batch's rows), the driver keeps the running bottom-64 (a
+    64-entry sorted merge — the same O(k) state as the CMS/Bloom streaming
+    twins). Union-truncate is associative, so the result is batching-
+    independent, and md5 portability means the oracle checks the ESTIMATE,
+    not just an exact twin."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import sketches
+
+    k = 64
+    src = events_stream_source(spark, sf_dir)
+    state: dict[str, list] = {"bk": []}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_bk = (
+            batch_df.select(
+                F.concat_ws(
+                    "-", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+                ).alias("elem")
+            )
+            .distinct()
+            .withColumn("frac", sketches.kmv_fraction(F.col("elem")))
+            .orderBy("frac", "elem")
+            .limit(k)
+            .collect()
+        )
+        merged = {(r["frac"], r["elem"]) for r in state["bk"]} | {
+            (r["frac"], r["elem"]) for r in batch_bk
+        }
+        state["bk"] = [
+            {"frac": f, "elem": e} for f, e in sorted(merged)[:k]
+        ]
+
+    run_foreach_batch(src, fold)
+    sketch = state["bk"]
+    assert len(sketch) == k
+    kth = sketch[-1]["frac"]
+    exact = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.concat_ws(
+                "-", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+            ).alias("elem")
+        )
+        .distinct()
+        .count()
+    )
+    # ROUND in Spark, not python: python's round() is half-even, the
+    # oracle's ROUND is half-away — same rule on both sides by construction
+    return spark.createDataFrame(
+        [(exact, (k - 1) / kth)], "exact_distinct bigint, kmv_est double"
+    ).select("exact_distinct", F.round("kmv_est", 4).alias("kmv_est"))
