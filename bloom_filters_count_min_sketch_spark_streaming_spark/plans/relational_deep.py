@@ -933,3 +933,128 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "trend_slope_per_type",
+    oracle="""
+    -- Per-key OLS trend (closed form): slope/intercept of value vs hours-
+    -- since-2024-01-01. REGR_SLOPE's internal float accumulation is order-
+    -- dependent, so the moments are built the repo's way instead: each
+    -- term ROUNDed, summed as DECIMAL (exact, order-free), and the final
+    -- slope arithmetic is an identical IEEE chain in both engines.
+    WITH m AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS x,
+             value AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise linear-regression trend (is `value` drifting over the
+    month?) via the closed-form OLS moments — one hash aggregate per key,
+    no iteration, deterministic by per-term round + DECIMAL sums. The
+    portable alternative to REGR_SLOPE/REGR_INTERCEPT, whose float
+    accumulators are summation-order-dependent."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) - F.lit(1704067200000000)) / F.lit(3600000000.0)
+    m = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+
+    def dsum(col, scale, prec=28):
+        return F.sum(F.round(col, scale).cast(f"decimal({prec},{scale})")).cast(
+            "double"
+        )
+
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), 6).alias("sx"),
+        dsum(F.col("y"), 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 4).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 4).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    -- Winsorized robust mean per key: clamp value to its group's exact
+    -- [p05, p95] (quantile_cont — identical sort+interpolate doubles in
+    -- both engines), then a rounded-term DECIMAL mean. The standard
+    -- outlier-resistant aggregate for noisy metrics.
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type,
+             e.value AS raw,
+             LEAST(GREATEST(e.value, q.lo), q.hi) AS w
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(raw, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS raw_mean,
+           ROUND(CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clamp to exact per-group [p05, p95], then average):
+    robust central tendency for heavy-tailed metrics. percentile_cont is a
+    sort-based exact aggregate in both engines; the clamp is elementwise;
+    the means are rounded-term DECIMAL sums over exact counts. Two hash
+    aggregates + one broadcastable |keys|-row join."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    c = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        F.col("value").alias("raw"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+
+    def dmean(col):
+        return F.round(
+            F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dmean(F.col("raw")).alias("raw_mean"),
+            dmean(F.col("w")).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -35,18 +35,29 @@ NOISE_REL = 1e-9
 # construction, so boundary proximity is harmless:
 # - window_running_value_per_user: running SUM over a totally-ordered ROWS
 #   frame — both engines accumulate in the exact same order, bit-for-bit.
-EXEMPT = {
-    "window_running_value_per_user",
-    # unigram_perplexity_scores: the final ROUND wraps
-    # decimal_sum(pre-rounded terms) / COUNT — the sum is exact DECIMAL
-    # arithmetic (order-independent) and the divisor an exact int, so both
-    # engines compute the identical double before the ROUND.
-    "unigram_perplexity_scores",
-}
+EXEMPT = {"window_running_value_per_user"}
 
 _AGG_RE = re.compile(
     r"(?i)\b(sum|avg|mean|stddev|stddev_samp|stddev_pop|var_samp|var_pop|corr|covar_samp|covar_pop)\s*\("
 )
+
+
+def _decimal_sums_only(expr: str) -> bool:
+    """True if every float aggregate in ``expr`` is an order-independent
+    decimal sum — SUM(CAST(... AS DECIMAL(p,s))) — and no window is present.
+    COUNT(*) divisors and +-*/ of such sums stay exact-then-identical."""
+    if re.search(r"(?i)\bover\b", expr):
+        return False
+    aggs = list(_AGG_RE.finditer(expr))
+    if not aggs:
+        return False
+    for m in aggs:
+        if m.group(1).lower() != "sum":
+            return False
+        after = expr[expr.index("(", m.start()) + 1 :]
+        if not re.match(r"(?is)\s*cast\b", after):
+            return False
+    return bool(re.search(r"(?i)AS\s+DECIMAL", expr))
 
 
 def _strip_agg_rounds(sql: str) -> tuple[str, list[int]]:
@@ -74,6 +85,13 @@ def _strip_agg_rounds(sql: str) -> tuple[str, list[int]]:
                 k += 1
             parts.append(sql[last:k])
             expr = parts[0]
+            if _decimal_sums_only(expr):
+                # every aggregate inside is SUM(CAST(ROUND(term) AS DECIMAL)):
+                # exact decimal arithmetic, order-independent by construction —
+                # both engines compute the identical pre-round double, so
+                # boundary proximity is harmless (the per-TERM rounding is the
+                # controlled step, and that is what the DECIMAL sum preserves)
+                continue
             if _AGG_RE.search(expr) or re.search(r"(?i)\bover\b", expr):
                 try:
                     scales.append(int(parts[1].strip()) if len(parts) > 1 else 0)
