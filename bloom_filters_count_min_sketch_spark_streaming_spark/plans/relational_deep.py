@@ -1058,3 +1058,136 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "bitmap_dau_mau",
+    oracle="""
+    -- Bitmap presence aggregation (the roaring-bitmap pattern in pure
+    -- SQL): users packed 32-per-word via bit_or of shifted ones, DAU =
+    -- popcount per day, MAU = popcount of the month-OR, stickiness =
+    -- DAU/MAU. All integer bit ops — bit-exact in any engine; the bitmap
+    -- words are the mergeable "sketch" (exact, O(|users|/32) bytes).
+    WITH bits AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             user_id // 32 AS word,
+             (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS b
+      FROM events
+    ), daily AS (
+      SELECT day, word, bit_or(b) AS bm FROM bits GROUP BY day, word
+    ), dau AS (
+      SELECT day, CAST(SUM(bit_count(bm)) AS BIGINT) AS dau FROM daily GROUP BY day
+    ), monthly AS (
+      SELECT word, bit_or(bm) AS bm FROM daily GROUP BY word
+    ), mau AS (
+      SELECT CAST(SUM(bit_count(bm)) AS BIGINT) AS mau FROM monthly
+    )
+    SELECT day, dau.dau, mau.mau,
+           ROUND(dau.dau * 1.0 / mau.mau, 4) AS stickiness
+    FROM dau CROSS JOIN mau ORDER BY day
+    """,
+)
+def bitmap_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness via bitmap aggregation: each (day, word) cell
+    OR-packs 32 users into one BIGINT, popcounts give exact distinct
+    counts, and the month bitmap is the OR of the day bitmaps — an exact,
+    mergeable presence sketch at |users|/32 longs per period. The pattern
+    behind roaring-bitmap engines (Druid/ClickHouse groupBitmap), here as
+    two hash aggregates of integer bit ops."""
+    ev = load(spark, sf_dir, "events")
+    bits = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        (F.col("user_id") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("b"),
+    ).distinct()
+    daily = bits.groupBy("day", "word").agg(F.bit_or("b").alias("bm"))
+    dau = daily.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("dau")
+    )
+    monthly = daily.groupBy("word").agg(F.bit_or("bm").alias("bm"))
+    mau = monthly.agg(F.sum(F.bit_count("bm")).cast("long").alias("mau"))
+    return (
+        dau.crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    -- Association rules over order baskets: support / confidence / lift
+    -- for brand pairs co-occurring in an order (Agrawal-Srikant's measure
+    -- set). All ratios are exact-int divisions; top-15 by lift with a
+    -- total tie-break.
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+    brand_cnt AS (
+      SELECT brand, COUNT(*) AS cnt FROM items GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_cnt
+      FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, pair_cnt,
+           ROUND(pair_cnt * 1.0 / n.n_orders, 6) AS support,
+           ROUND(pair_cnt * 1.0 / ca.cnt, 6) AS confidence,
+           ROUND(pair_cnt * 1.0 * n.n_orders / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN brand_cnt ca ON ca.brand = brand_a
+    JOIN brand_cnt cb ON cb.brand = brand_b
+    CROSS JOIN n
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 15
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) for
+    brand pairs within an order — the Apriori single-level measure set.
+
+    Scale shape: the basket self-join is equi on the order key (hash
+    partitionable, work ∝ Σ basket²); brand counts and the scalar order
+    count broadcast. At 100 TB you'd cap basket size and prune by minimum
+    support first — both knobs are one filter on these intermediates."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n_orders = items.select("okey").distinct().count()
+    brand_cnt = items.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("okey", F.col("brand").alias("brand_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.okey == b.okey_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("ca"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") * 1.0 / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("pair_cnt") * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("pair_cnt") * 1.0 * F.lit(n_orders) / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(15)
+    )
