@@ -5,7 +5,7 @@ complex OR predicates, percentage-of-total aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
@@ -1190,4 +1190,107 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(15)
+    )
+
+
+# --- Spark 4 collation-aware grouping -----------------------------------------
+
+
+@query(
+    "collated_group_counts",
+    oracle="""
+    SELECT lower(seg) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                  WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                  ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                              lower(substr(c_mktsegment, 2)))
+             END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    WHERE lower(seg) <> 'machinery'
+    GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+)
+def collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 string collations): customers
+    whose market segment arrives in inconsistent casing (lower / UPPER /
+    Title, deterministically derived from the key) are grouped and
+    filtered under the UTF8_LCASE collation — the engine's hash agg and
+    comparisons are collation-aware, no normalize-then-group rewrite.
+
+    The oracle (DuckDB has no collations) IS that rewrite — lower() both
+    places — which is exactly the equivalence the collation feature
+    guarantees. Output key lower()ed + cast back to the default collation
+    so the representative's case can't leak nondeterminism."""
+    cust = load(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+    )
+    segk = F.collate(F.col("seg"), "UTF8_LCASE")
+    return (
+        cust.select(seg.alias("seg"), "c_acctbal")
+        .filter(segk != F.lit("MACHINERY"))
+        .groupBy(segk.alias("segk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.lower("segk").cast("string").alias("segment"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("segment")
+    )
+
+
+# --- sequence mining: most common event-type paths ----------------------------
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, COUNT(*) AS n_paths
+    FROM seq
+    WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_paths DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across user journeys (sequence-mining
+    counterpart of the first-order transition matrix): two LEADs over the
+    totally-ordered (user, ts, event_id) window, one hash agg, top-20 with
+    a full tie-break. Scale shape: the window shuffles once on user_id and
+    both LEADs ride the same sort; the path-count agg is map-side
+    combinable (trigram space is tiny vs events)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
     )
