@@ -654,3 +654,168 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Unicode normalization audit (corpus-cleaning NFC pass) -------------------
+
+
+@query(
+    "unicode_nfc_stats",
+    oracle="""
+    -- DuckDB's nfc_normalize (utf8proc) and Python's unicodedata.normalize
+    -- implement the same Unicode NFC algorithm, so both engines compose the
+    -- planted e + U+0301 sequences to U+00E9 identically; length() counts
+    -- code points in both.
+    WITH mutated AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN replace(text, 'e', 'e' || chr(769))
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    norm AS (SELECT source, raw, nfc_normalize(raw) AS nfc FROM mutated)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN nfc <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_denormalized,
+           CAST(SUM(length(raw) - length(nfc)) AS BIGINT) AS codepoints_saved
+    FROM norm GROUP BY source ORDER BY source
+    """,
+)
+def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit — the corpus-cleaning pass that
+    collapses decomposed combining sequences before tokenization (decomposed
+    text breaks exact dedup and inflates token counts). The fixture corpus
+    is ASCII, so denormalized docs are planted deterministically (every
+    'e' in doc_id % 7 == 0 becomes e + COMBINING ACUTE); Spark normalizes
+    with an Arrow-batched unicodedata.normalize UDF (no JVM builtin exists)
+    and audits docs-changed / code-points-saved per source.
+
+    Scale shape: embarrassingly parallel map over docs, one tiny agg."""
+    import unicodedata
+
+    docs = load(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+    ).otherwise(F.col("text"))
+
+    # no type hints: `from __future__ import annotations` breaks pandas_udf
+    # hint inference (returnType is explicit)
+    @F.pandas_udf("string")
+    def nfc(texts):
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    m = docs.select("source", raw.alias("raw")).withColumn("nfc", nfc(F.col("raw")))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("nfc") != F.col("raw")).cast("long"))
+            .cast("long")
+            .alias("n_denormalized"),
+            F.sum(F.length("raw") - F.length("nfc"))
+            .cast("long")
+            .alias("codepoints_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- weighted sparse similarity: tf-idf cosine all-pairs ----------------------
+
+
+@query(
+    "sparse_cosine_topk_pairs",
+    oracle="""
+    -- identical doubles cross-engine: tf/df are exact ints, ln() is one
+    -- libm call on the same double, norms and dot products are per-term
+    -- ROUND -> DECIMAL sums (order-independent), everything else is an
+    -- elementwise IEEE chain
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term, tf * ln(n_docs * 1.0 / df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df BETWEEN 2 AND 1000
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(ROUND(w * w, 8) AS DECIMAL(28,8))) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY 1
+    ),
+    u AS (SELECT w.doc_id, term, w / nrm AS u FROM w JOIN nrm USING (doc_id)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(ROUND(a.u * b.u, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               AS cos
+      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(cos, 6) AS cosine
+    FROM p
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse similarity: tf-idf cosine between documents via the
+    inverted-index self-join (Bayardo et al. AllPairs shape) — the WEIGHTED
+    counterpart of the Jaccard / containment dedup family: boilerplate
+    terms contribute ~nothing (idf), rare shared terms dominate.
+
+    Scale shape: work is sum over terms of df², so the df cap [2, 1000] is
+    the AllPairs hot-term defense (df=1 terms can't pair; ubiquitous terms
+    are idf≈0 noise and would otherwise dominate the join). The vocabulary
+    (df table) broadcasts; postings equi-join on term; top-k is
+    TakeOrderedAndProject, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.count()
+    w = (
+        tf.join(F.broadcast(df.filter((F.col("df") >= 2) & (F.col("df") <= 1000))), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    u = w.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    a = u.select(F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua"))
+    b = u.select(F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.round(F.col("ua") * F.col("ub"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("cos")
+        )
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )
