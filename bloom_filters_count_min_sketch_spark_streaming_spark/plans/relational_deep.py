@@ -1294,3 +1294,144 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+# --- distributed Poisson bootstrap --------------------------------------------
+
+# Poisson(1) cumulative thresholds (double literals, identical in both
+# engines); resampling weight = inverse-CDF of an md5-uniform, capped at 6
+# (P(w > 6) < 1e-4 — the truncation is part of the resampling definition,
+# applied identically everywhere).
+_POIS_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+]
+
+_BOOT_R = 32
+
+_pois_case_sql = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    + " ELSE 6 END"
+)
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    -- Distributed Poisson bootstrap (Chamandy et al.): per (row, replicate)
+    -- weight ~ Poisson(1) from an md5-uniform — no sampling coordination,
+    -- one pass, embarrassingly parallel. CI bounds are ORDER STATISTICS of
+    -- the {_BOOT_R} replicate means (rank 2 / rank {_BOOT_R - 1}), not
+    -- interpolated quantiles, so cross-engine equality is exact.
+    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r),
+    h AS (
+      SELECT event_type, value, r,
+             (('0x' || substr(md5(event_id::VARCHAR || ':' || r::VARCHAR),
+                              1, 12))::BIGINT + 1) / 281474976710656.0 AS u
+      FROM events CROSS JOIN reps
+    ),
+    wt AS (SELECT event_type, value, r, {_pois_case_sql} AS wt FROM h),
+    rm AS (
+      SELECT event_type, r,
+             CAST(SUM(wt * CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(wt) AS DOUBLE) AS m
+      FROM wt GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, r) AS rnk
+      FROM rm
+    ),
+    pt AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS point_mean
+      FROM events GROUP BY 1
+    )
+    SELECT pt.event_type, pt.n_events, pt.point_mean,
+           ROUND(lo.m, 6) AS boot_lo, ROUND(hi.m, 6) AS boot_hi
+    FROM pt
+    JOIN (SELECT event_type, m FROM rk WHERE rnk = 2) lo USING (event_type)
+    JOIN (SELECT event_type, m FROM rk WHERE rnk = {_BOOT_R - 1}) hi
+      USING (event_type)
+    ORDER BY pt.event_type
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95%-ish bootstrap CI for the mean event value per type, via the
+    distributed Poisson bootstrap: instead of drawing n rows with
+    replacement per replicate (a global shuffle per replicate), each row
+    independently contributes Poisson(1) copies to every replicate — the
+    weights come from an md5 hash of (row id, replicate), so the resample
+    is deterministic, engine-portable, and needs NO coordination: one
+    map to explode 32 weighted copies, one hash agg, one |types|x32
+    window. The standard error machinery for metrics at 100 TB (per-row
+    RNG never leaves the executor; replicate count is a constant).
+
+    CI = order statistics (2nd / 31st of 32 replicate means) — exact
+    cross-engine equality, no quantile interpolation arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    h = ev.select("event_type", "value", "event_id").select(
+        "event_type", "value", "event_id", reps
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**48))
+    wt_col = F.when(u < float(_POIS_CDF[0]), 0)
+    for k, c in enumerate(_POIS_CDF[1:], start=1):
+        wt_col = wt_col.when(u < float(c), k)
+    wt_col = wt_col.otherwise(6)
+    wt = h.select("event_type", "value", "r", wt_col.alias("wt"))
+    rm = wt.groupBy("event_type", "r").agg(
+        (
+            F.sum(F.col("wt") * F.round("value", 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.sum("wt").cast("double")
+        ).alias("m")
+    )
+    rk = rm.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("m", "r")),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+    )
+    lo = rk.filter(F.col("rnk") == 2).select(
+        "event_type", F.round("m", 6).alias("boot_lo")
+    )
+    hi = rk.filter(F.col("rnk") == _BOOT_R - 1).select(
+        "event_type", F.round("m", 6).alias("boot_hi")
+    )
+    return (
+        pt.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select("event_type", "n_events", "point_mean", "boot_lo", "boot_hi")
+        .orderBy("event_type")
+    )

@@ -34,3 +34,22 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
         ) / len(ratios)
         assert abs(r["avg_ratio"] - round(want_avg, 6)) < 1e-9
         assert r["n_repetitive"] == sum(1 for x in ratios if x < 0.35)
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """Poisson-bootstrap CI sanity: lo <= hi, both bracket the point mean
+    for every event type at fixture scale (thousands of rows per type →
+    the resample means concentrate tightly around the population mean)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    rows = QUERIES["bootstrap_mean_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["boot_lo"] <= r["boot_hi"]
+        assert r["boot_lo"] <= r["point_mean"] <= r["boot_hi"]
+        # a 95% CI from thousands of rows is narrow relative to the mean
+        assert (r["boot_hi"] - r["boot_lo"]) < 0.5 * abs(r["point_mean"]) + 1.0
