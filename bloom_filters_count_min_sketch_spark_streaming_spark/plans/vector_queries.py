@@ -309,3 +309,184 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+_MMR_K = 5
+_MMR_CAND = 10
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle(k: int = _MMR_K, cand_k: int = _MMR_CAND, lam: float = _MMR_LAM) -> str:
+    """Unrolled greedy MMR as chained CTEs (the pagerank-oracle technique):
+    every dot product is a per-dim ROUND -> DECIMAL sum, so relevance and
+    pairwise similarity are bit-identical doubles in both engines and the
+    greedy argmax sequence is engine-stable."""
+    sql = f"""
+    WITH dims AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)  -- fixture dim = 64, all SFs
+    ),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE))
+               AS nrm
+      FROM dims GROUP BY vec_id
+    ),
+    qd AS (SELECT i, x FROM dims WHERE vec_id = 0),
+    rel0 AS (
+      SELECT d.vec_id,
+             CAST(SUM(CAST(ROUND(d.x * q.x, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               AS dot
+      FROM dims d JOIN qd q USING (i) WHERE d.vec_id <> 0 GROUP BY d.vec_id
+    ),
+    cand AS (
+      SELECT r.vec_id, ROUND(r.dot / (n.nrm * qn.qnrm), 8) AS rel
+      FROM rel0 r
+      JOIN nrm n USING (vec_id)
+      CROSS JOIN (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0) qn
+      ORDER BY rel DESC, r.vec_id
+      LIMIT {cand_k}
+    ),
+    sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND(
+               CAST(SUM(CAST(ROUND(da.x * db.x, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / (na.nrm * nb.nrm), 8) AS sim
+      FROM cand a
+      JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN dims da ON da.vec_id = a.vec_id
+      JOIN dims db ON db.vec_id = b.vec_id AND db.i = da.i
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+    ),
+    s1 AS (
+      SELECT vec_id, rel, 1 AS step, rel AS score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT * FROM s1)"""
+    for i in range(2, k + 1):
+        sql += f""",
+    p{i} AS (
+      SELECT c.vec_id, c.rel,
+             ROUND({lam} * c.rel - {round(1 - lam, 10)} * MAX(s.sim), 8) AS score
+      FROM cand c
+      JOIN sims s ON s.va = c.vec_id
+      JOIN sel{i - 1} t ON t.vec_id = s.vb
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    s{i} AS (
+      SELECT vec_id, rel, {i} AS step, score
+      FROM p{i} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+    sql += f"""
+    SELECT step, vec_id, rel AS relevance, score AS mmr_score
+    FROM sel{k} ORDER BY step
+    """
+    return sql
+
+
+@query("mmr_diversified_rerank", oracle=_mmr_oracle())
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from the cosine top-10 for one query vector, greedily select 5 results
+    maximizing lam*relevance - (1-lam)*max-similarity-to-already-selected —
+    the standard diversity pass between retrieval and a RAG context window.
+
+    Scale shape: relevance is the corpus-wide stage (here the relational
+    decimal-summed dot product so the oracle can reproduce it bit-for-bit;
+    the production kNN path is the Arrow/numpy batch matmul) — the greedy
+    runs on a CANDIDATE LIST of constant size k, so its 4 extra jobs touch
+    ~100 rows regardless of corpus size; nothing iterative ever re-reads
+    the corpus. Every score is a per-dim ROUND -> DECIMAL sum, making the
+    greedy argmax sequence engine-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    nrm = dims.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    qd = dims.filter(F.col("vec_id") == 0).select("i", F.col("x").alias("qx"))
+    qnrm = float(nrm.filter(F.col("vec_id") == 0).head()[1])
+    rel0 = (
+        dims.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qd), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("qx"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cand = (
+        rel0.join(nrm, "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.lit(qnrm)), 8).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_CAND)
+        .persist()
+    )
+    ca = cand.select(F.col("vec_id").alias("va"))
+    cb = cand.select(F.col("vec_id").alias("vb"))
+    na = nrm.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    da = dims.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    sims = (
+        ca.join(cb, ca.va != cb.vb)
+        .join(da, "va")
+        .join(db, ["vb", "i"])
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(na, "va")
+        .join(nb, "vb")
+        .select(
+            "va", "vb", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 8).alias("sim")
+        )
+        .persist()
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("step"), F.col("rel").alias("score"))
+    )
+    selected = first
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        pi = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(sims, cand.vec_id == sims.va)
+            .join(sel_ids.withColumnRenamed("vec_id", "vb"), "vb")
+            .groupBy(cand.vec_id, "rel")
+            .agg(
+                F.round(
+                    F.lit(_MMR_LAM) * F.col("rel")
+                    - F.lit(round(1 - _MMR_LAM, 10)) * F.max("sim"),
+                    8,
+                ).alias("score")
+            )
+        )
+        si = (
+            pi.orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", F.lit(i).alias("step"), "score")
+        )
+        selected = selected.unionAll(si).localCheckpoint(eager=True)
+    return selected.select(
+        "step", "vec_id", F.col("rel").alias("relevance"), F.col("score").alias("mmr_score")
+    ).orderBy("step")
