@@ -490,3 +490,53 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "step", "vec_id", F.col("rel").alias("relevance"), F.col("score").alias("mmr_score")
     ).orderBy("step")
+
+
+# --- PCA / whitening ----------------------------------------------------------
+
+
+@query("embedding_pca_variance")
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding corpus: top-8 eigenvalues of the
+    covariance matrix with explained-variance ratios — the embedding-health
+    audit (collapsed dimensions show up as a cliff in this table).
+    Rows-only for the driver (eigendecomposition isn't SQL); exactness
+    property-tested in tests/test_pca.py. Scale shape: one mapInPandas
+    moment pass (O(dim²) shuffle bytes per partition), driver-side eigh of
+    a 64×64 matrix."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import pca
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    _, w, _, _ = pca.covariance_eigh(emb, "embedding", 64)
+    total = float(w.sum())
+    rows = [
+        (int(c + 1), round(float(w[c]), 6), round(float(w[c]) / total, 6))
+        for c in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal-component projection of the first 50 embeddings
+    (the dimensionality-reduction step before clustering / visualization /
+    cheap ANN). Deterministic end-to-end: integer moment sums (partition-
+    order invariant), canonical eigenvector signs, one broadcast matmul.
+    Rows-only (eigh isn't SQL); invariants in tests/test_pca.py."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import pca
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    mean, w, v, _ = pca.covariance_eigh(emb, "embedding", 64)
+    projected = pca.project(
+        emb.filter(F.col("vec_id") < 50), mean, v[:, :4], "embedding", "pcs"
+    )
+    return projected.select(
+        "vec_id",
+        *[F.round(F.col("pcs")[c], 5).alias(f"pc{c + 1}") for c in range(4)],
+    ).orderBy("vec_id")
