@@ -1174,3 +1174,66 @@ def arrow_python_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("b").cast("long").alias("bucket_sum"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+    WITH dim(month, quarter) AS (
+      VALUES ('1997-01', '1997-Q1'), ('1997-02', '1997-Q1'),
+             ('1997-03', '1997-Q1'), ('1997-04', '1997-Q2'),
+             ('1997-05', '1997-Q2'), ('1997-06', '1997-Q2')
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = dim.month
+    WHERE dim.quarter = '1997-Q1'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the star-schema scan pattern at 100 TB.
+
+    The fact table at rest is month-partitioned parquet (same layout as
+    sink_partitioned_pruned_scan); the quarter filter lives on a DIM
+    table, so no static partition filter exists at plan time. Catalyst's
+    DPP injects the dim-side subquery into the fact scan's
+    PartitionFilters (``dynamicpruning#``) and reuses the broadcast, so
+    only the three matching month directories are read — the difference
+    between scanning 3 months and scanning the whole table.
+    test_dpp_prunes_fact_partitions asserts the plan shape."""
+    src = load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"bfcms_dpp_orders_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src.withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        ).write.mode("overwrite").partitionBy("o_month").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            ("1997-01", "1997-Q1"),
+            ("1997-02", "1997-Q1"),
+            ("1997-03", "1997-Q1"),
+            ("1997-04", "1997-Q2"),
+            ("1997-05", "1997-Q2"),
+            ("1997-06", "1997-Q2"),
+        ],
+        "month string, quarter string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim),
+            (fact.o_month == dim.month) & (dim.quarter == "1997-Q1"),
+        )
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_month")
+    )

@@ -383,3 +383,10 @@ def test_zorder_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     assert z_hit <= max(2, nat_hit // 3), (
         f"z-order pruned {z_total - z_hit}/{z_total} vs natural {nat_total - nat_hit}/{nat_total}"
     )
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic partition pruning: the quarter filter on the dim side must
+    appear as a runtime subquery in the fact scan's PartitionFilters."""
+    plan = _plan(spark, "dpp_partitioned_join", sf_dir)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
