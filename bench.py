@@ -89,6 +89,11 @@ HEADLINE = [
     "stream_windowed_cms_freq",
     "stream_windowed_hll_distinct",
     "stream_foreachbatch_upsert",
+    # round-3 (this session): graph, statistics, weighted similarity, PCA
+    "triangle_count_trade",
+    "sparse_cosine_topk_pairs",
+    "bootstrap_mean_ci",
+    "embedding_pca_variance",
 ]
 
 

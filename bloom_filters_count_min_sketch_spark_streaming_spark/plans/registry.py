@@ -53,10 +53,16 @@ _PRIORITY = [
     # ann_ivf_topk — weak driver signal anyway) and of near-twins
     # (multimodal_decode_features, stream_sliding_counts,
     # stream_update_mode_counts, text_token_counts)
-    "dataset_split_stats",
-    "domain_frequency_caps",
+    # round-3 (this session): bootstrap/statistics, weighted sparse
+    # similarity, and diversified retrieval take the prefix slots of three
+    # thinner ops (dataset_split_stats: pure projection; bpe_pair_counts:
+    # inner-loop demo superseded by bpe_train/apply further down;
+    # domain_frequency_caps: window-rank cap) — all still oracle-checked
+    # locally further down the registry
+    "bootstrap_mean_ci",
+    "sparse_cosine_topk_pairs",
     "language_balanced_resample",
-    "bpe_pair_counts",
+    "mmr_diversified_rerank",
     "scd2_dimension_merge",
     "stream_stream_left_outer_join",
     "hll_distinct_event_types",
