@@ -347,3 +347,212 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, ndv, n_nulls, min_num, max_num, min_str, max_str)"
     )
     return stacked.orderBy("column_name")
+
+
+@query(
+    "parquet_footer_stats",
+    oracle="""
+    -- Both engines decode the SAME parquet footer bytes, so every count
+    -- is exact. (The oracle harness runs at sf0.01 — the literal path
+    -- mirrors the view registration; queries() stays sf-parametric.)
+    SELECT path_in_schema AS col,
+           CAST(SUM(num_values) AS BIGINT) AS n_values,
+           CAST(SUM(stats_null_count) AS BIGINT) AS null_count,
+           CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    GROUP BY path_in_schema
+    ORDER BY compressed_bytes DESC, col
+    """,
+)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage introspection from parquet footers — which columns dominate
+    the table's bytes, what compresses well, where the nulls are. The
+    footer is O(KB) regardless of table size, so reading it driver-side
+    (pyarrow) is the legitimately-cheap path; at 100 TB the same audit
+    maps this per-file over the file listing. The DuckDB oracle decodes
+    the identical footer via parquet_metadata(), making the decode itself
+    the thing under test."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(_os.path.join(sf_dir, "lineitem.parquet"))
+    acc: dict[str, list[int]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            a = acc.setdefault(name, [0, 0, 0, 0])
+            a[0] += c.num_values
+            a[1] += (c.statistics.null_count or 0) if c.statistics else 0
+            a[2] += c.total_compressed_size
+            a[3] += c.total_uncompressed_size
+    rows = [(k, *v) for k, v in acc.items()]
+    return spark.createDataFrame(
+        rows,
+        "col string, n_values long, null_count long, "
+        "compressed_bytes long, uncompressed_bytes long",
+    ).orderBy(F.desc("compressed_bytes"), "col")
+
+
+@query(
+    "quality_logistic_score",
+    oracle="""
+    -- fixed-weight logistic quality classifier: the linear combination is
+    -- ONE elementwise expression (no float aggregation), textually
+    -- identical in both engines, so the doubles agree bit-for-bit through
+    -- exp(); the per-source means are rounded-term DECIMAL sums
+    WITH f AS (
+      SELECT source,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains(
+                               ['the','a','of','and','to','in','is','it','that','for'],
+                               w)))
+               AS n_stop,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             ROUND(1.0 / (1.0 + exp(-(
+               -1.5
+               + 4.0 * (n_stop * 1.0 / n_tok)
+               - 6.0 * (n_punct * 1.0 / n_chars)
+               + 0.004 * n_tok
+             ))), 6) AS score
+      FROM f WHERE n_tok > 0 AND n_chars > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, engine-native: a fixed-weight
+    logistic classifier over cheap text features (stopword density,
+    punctuation density, length) evaluated as ONE whole-stage-codegen'd
+    expression — the shape of fastText-style quality scoring when the
+    model is distilled to a linear scorer, with zero Python in the hot
+    path. Per-source keep rates audit the gate before it drops data."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    toks = T.word_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(T.EN_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    n_chars = F.length("text")
+    lin = (
+        F.lit(-1.5)
+        + F.lit(4.0) * (n_stop * F.lit(1.0) / n_tok)
+        - F.lit(6.0) * (n_punct * F.lit(1.0) / n_chars)
+        + F.lit(0.004) * n_tok
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6)
+    s = docs.filter((n_tok > 0) & (n_chars > 0)).select(
+        "source", score.alias("score")
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).cast("long").alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+    -- Welch two-sample z-test between every pair of event types: moments
+    -- from rounded-term DECIMAL sums (order-independent), then a pure
+    -- elementwise IEEE chain for variance / standard error / z
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM m
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+           ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS z,
+           CAST(CASE WHEN abs((a.mean - b.mean)
+                              / sqrt(a.var / a.n + b.var / b.n)) > 1.96
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test machinery: Welch z-scores for the difference in mean value
+    between every pair of event types. One moment-aggregation pass
+    (count / sum / sum-of-squares as rounded-term DECIMAL sums — the same
+    order-independence contract every float aggregate here uses), then a
+    |types|² broadcast self-join of 5 rows. The distributed shape of
+    experiment scorecards: moments shuffle once, pair arithmetic is free."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    st = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("mean").alias("ma"),
+        F.col("var").alias("va"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    z = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round("ma", 6).alias("mean_a"),
+            F.round("mb", 6).alias("mean_b"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 1.96).cast("long").alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
