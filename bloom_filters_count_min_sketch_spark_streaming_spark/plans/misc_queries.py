@@ -1237,3 +1237,94 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+@query(
+    "versioned_upsert_time_travel",
+    oracle="""
+    -- time travel over a versioned COW table: version v holds the merge of
+    -- ingest batches 0..v (batch b = event_id % 4 = b), so reading any
+    -- retained version equals the batch aggregate over its prefix
+    SELECT v.version,
+           CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_keys,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_value
+    FROM (VALUES (0), (1), (2), (3)) v(version)
+    JOIN events e ON e.event_id % 4 <= v.version
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def versioned_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-style time travel without a table format: four ingest
+    batches MERGE into a copy-on-write keyed table, each merge writing an
+    immutable version directory (what Delta/Iceberg do with manifests);
+    the query then TIME-TRAVELS across every retained version and audits
+    key-count / row-count / totals per version. DECIMAL partials make each
+    merge exact and associative, so version v provably equals the batch
+    aggregate over ingest prefix 0..v — which is what the oracle checks.
+
+    Scale shape: each merge is a key-partitioned full-outer join of
+    O(|keys|) rows; versions are O(|keys|) parquet, so retention is cheap
+    and every historical read is a plain scan."""
+    ev = load(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(), f"bfcms_timetravel_{os.path.basename(sf_dir)}"
+    )
+    versions: list[str] = []
+    state = None
+    for b in range(4):
+        inc = (
+            ev.filter(F.col("event_id") % 4 == b)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias(
+                    "total_value"
+                ),
+            )
+        )
+        if state is None:
+            merged = inc
+        else:
+            cur = spark.read.parquet(state)
+            a = cur.select(
+                "event_type",
+                F.col("n_events").alias("n_a"),
+                F.col("total_value").alias("t_a"),
+            )
+            bdf = inc.select(
+                "event_type",
+                F.col("n_events").alias("n_b"),
+                F.col("total_value").alias("t_b"),
+            )
+            merged = a.join(bdf, "event_type", "full_outer").select(
+                "event_type",
+                (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (
+                    F.coalesce(F.col("t_a"), F.lit(0).cast("decimal(28,6)"))
+                    + F.coalesce(F.col("t_b"), F.lit(0).cast("decimal(28,6)"))
+                )
+                .cast("decimal(28,6)")
+                .alias("total_value"),
+            )
+        out = f"{root}/v{b}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+        state = out
+
+    audits = None
+    for v, path in enumerate(versions):
+        tbl = spark.read.parquet(path)
+        audit = tbl.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_value").cast("decimal(28,6)").cast("double").alias(
+                "total_value"
+            ),
+        )
+        audits = audit if audits is None else audits.unionAll(audit)
+    return audits.orderBy("version")

@@ -819,3 +819,142 @@ def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# --- interpolated bigram LM scoring -------------------------------------------
+
+
+@query(
+    "bigram_perplexity_scores",
+    oracle="""
+    -- Interpolated bigram LM (Jelinek-Mercer, lambda = 0.75): p(w2|w1) =
+    -- 0.75 * (c(w1 w2)+1)/(c1(w1)+V) + 0.25 * (c(w2)+1)/(N+V), where c1
+    -- is the bigram-context count (so the bigram term normalizes). All
+    -- probabilities are exact int ratios -> identical doubles; per-token
+    -- bits ROUND@1e-8 -> DECIMAL sum; first token scored by the unigram.
+    WITH lsts AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS lst
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(lst) AS term FROM lsts),
+    vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    stats AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM vocab
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([struct_pack(w1 := lst[i], w2 := lst[i + 1])
+                     for i in range(1, len(lst))]) AS p
+      FROM lsts WHERE len(lst) >= 2
+    ),
+    bgc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+    bits AS (
+      SELECT b.doc_id,
+             ROUND(-log2(
+               0.75 * (g.cb + 1) * 1.0 / (x.c1 + s.v_size)
+               + 0.25 * (v.c + 1) * 1.0 / (s.n_total + s.v_size)
+             ), 8) AS b
+      FROM bg b
+      JOIN bgc g ON g.w1 = b.p.w1 AND g.w2 = b.p.w2
+      JOIN ctx x ON x.w1 = b.p.w1
+      JOIN vocab v ON v.term = b.p.w2
+      CROSS JOIN stats s
+      WHERE b.doc_id < 25
+    ),
+    first_tok AS (
+      SELECT l.doc_id,
+             ROUND(-log2((v.c + 1) * 1.0 / (s.n_total + s.v_size)), 8) AS b,
+             len(l.lst) AS n_tokens
+      FROM lsts l JOIN vocab v ON v.term = l.lst[1] CROSS JOIN stats s
+      WHERE l.doc_id < 25 AND len(l.lst) >= 1
+    )
+    SELECT f.doc_id,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(
+                   SUM(CAST(g.b AS DECIMAL(28,8))) + ANY_VALUE(CAST(f.b AS DECIMAL(28,8)))
+                 AS DOUBLE) / f.n_tokens, 6) AS avg_bits
+    FROM first_tok f JOIN bits g USING (doc_id)
+    GROUP BY f.doc_id, f.n_tokens
+    ORDER BY f.doc_id
+    """,
+)
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy under an interpolated bigram LM (Jelinek-Mercer
+    smoothing) — the sequence-aware upgrade of the unigram scorer: word-
+    order-scrambled or template-stitched text scores high here while
+    passing unigram filters.
+
+    Scale shape: bigram stream via arrays_zip of shifted slices (no
+    interpreted element_at lambdas), two wordcount-shaped model passes
+    (bigram counts, context counts), scoring joins are broadcast-sized
+    (vocab / bigram vocab); everything partial-aggregates per doc."""
+    docs = load(spark, sf_dir, "documents")
+    lsts = docs.select("doc_id", T.word_tokens(F.col("text")).alias("lst"))
+    toks = lsts.select("doc_id", F.explode("lst").alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    srow = vocab.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    ).collect()[0]
+    n_total, v_size = int(srow["n_total"]), int(srow["v_size"])
+
+    sz = F.size("lst")
+    bg = (
+        lsts.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lst", 1, sz - 1).alias("w1"),
+                    F.slice(F.col("lst"), 2, sz - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    ctx = bgc.groupBy("w1").agg(F.sum("cb").cast("long").alias("c1"))
+    p_bi = (F.col("cb") + 1) * 1.0 / (F.col("c1") + F.lit(v_size))
+    p_uni = (F.col("c") + 1) * 1.0 / F.lit(float(n_total + v_size))
+    bits = (
+        bg.filter(F.col("doc_id") < 25)
+        .join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vocab), F.col("w2") == F.col("term"))
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.lit(0.75) * p_bi + F.lit(0.25) * p_uni), 8).alias("b"),
+        )
+    )
+    first_tok = (
+        lsts.filter((F.col("doc_id") < 25) & (sz >= 1))
+        .select("doc_id", F.col("lst")[0].alias("term"), sz.alias("n_tokens"))
+        .join(F.broadcast(vocab), "term")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2((F.col("c") + 1) * 1.0 / F.lit(float(n_total + v_size))), 8
+            ).alias("fb"),
+            "n_tokens",
+        )
+    )
+    return (
+        first_tok.join(bits, "doc_id")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("b").cast("decimal(28,8)"))
+                    + F.any_value(F.col("fb").cast("decimal(28,8)"))
+                ).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_bits")
+        )
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "avg_bits")
+        .orderBy("doc_id")
+    )
