@@ -1328,3 +1328,127 @@ def versioned_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         audits = audit if audits is None else audits.unionAll(audit)
     return audits.orderBy("version")
+
+
+@query(
+    "ivm_join_delta_maintenance",
+    oracle="""
+    -- IVM correctness statement: the incrementally-maintained view must
+    -- equal the full recompute over base + delta
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join-aggregate: the materialized
+    view γ(lineitem ⋈ orders) is updated for an appended lineitem batch by
+    the delta rule ΔMV = γ(Δlineitem ⋈ orders) — the base fact table is
+    NEVER rescanned (the merged plan reads only the materialized parquet
+    and the delta). DECIMAL partials make the merge exact/associative, so
+    incremental == full recompute, which is what the oracle checks.
+
+    At 100 TB this is the nightly-append path: maintenance cost is
+    O(|delta| + |keys|), not O(|base|). (Two-sided delta joins add the
+    symmetric ΔA⋈B / A⋈ΔB terms; the fact-append case shown here is the
+    one a warehouse actually runs.)"""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit("1.00").cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+    def gamma(items):
+        return (
+            items.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+                       items.l_orderkey == F.col("o_orderkey"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("decimal(28,6)").alias("rev"),
+            )
+        )
+
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    mv_path = os.path.join(
+        tempfile.gettempdir(), f"bfcms_ivm_mv_{os.path.basename(sf_dir)}"
+    )
+    gamma(base).write.mode("overwrite").parquet(mv_path)
+
+    mv_old = spark.read.parquet(mv_path).select(
+        "priority", F.col("n_items").alias("n_a"), F.col("rev").alias("r_a")
+    )
+    mv_delta = gamma(delta).select(
+        "priority", F.col("n_items").alias("n_b"), F.col("rev").alias("r_b")
+    )
+    merged = mv_old.join(mv_delta, "priority", "full_outer").select(
+        "priority",
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n_items"),
+        (
+            F.coalesce(F.col("r_a"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("r_b"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("rev"),
+    )
+    return merged.select(
+        "priority", "n_items", F.col("rev").cast("double").alias("revenue")
+    ).orderBy("priority")
+
+
+@query(
+    "null_safe_join_counts",
+    oracle="""
+    -- null-safe equality (IS NOT DISTINCT FROM / <=>): NULL keys MATCH,
+    -- unlike plain = which drops them — the semantics gap that silently
+    -- loses rows in key-reconciliation joins
+    WITH a AS (
+      SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey % 50 END AS k,
+             COUNT(*) AS cnt_a
+      FROM orders WHERE o_custkey < 500 GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey % 50 END AS k,
+             COUNT(*) AS cnt_b
+      FROM customer WHERE c_custkey < 500 GROUP BY 1
+    )
+    SELECT COALESCE(a.k, -1) AS k, a.cnt_a, b.cnt_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join (eqNullSafe / <=>): grouped keys where 10% collapse
+    to NULL; the null-safe equi-join matches the NULL buckets instead of
+    dropping them. Still a hash-partitionable equi-join (Catalyst plans
+    <=> as a normal join key), so the scale shape is unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a = (
+        orders.filter(F.col("o_custkey") < 500)
+        .select(
+            F.when(F.col("o_custkey") % 10 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("o_custkey") % 50)
+            .alias("ka")
+        )
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        cust.filter(F.col("c_custkey") < 500)
+        .select(
+            F.when(F.col("c_custkey") % 10 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("c_custkey") % 50)
+            .alias("kb")
+        )
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .select(F.coalesce(F.col("ka"), F.lit(-1)).alias("k"), "cnt_a", "cnt_b")
+        .orderBy("k")
+    )
