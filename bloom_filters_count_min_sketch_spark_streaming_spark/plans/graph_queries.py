@@ -247,3 +247,86 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "n_triangles")
         .orderBy("nation")
     )
+
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS) -> str:
+    """Unrolled BFS frontier expansion; all-integer math, exact."""
+    sql = """
+    WITH d AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    e AS (
+      SELECT src, dst FROM d
+      UNION
+      SELECT dst, src FROM d
+    ),
+    dist0 AS (SELECT 0 AS node, 0 AS dist)"""
+    for i in range(1, hops + 1):
+        sql += f""",
+    dist{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM dist{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM dist{i - 1} p JOIN e ON e.src = p.node
+      ) GROUP BY node
+    )"""
+    sql += f"""
+    SELECT n.n_name AS nation, CAST(d.dist AS BIGINT) AS hops
+    FROM dist{hops} d JOIN nation n ON n.n_nationkey = d.node
+    ORDER BY hops, nation
+    """
+    return sql
+
+
+@query("bfs_shortest_hops", oracle=_bfs_oracle())
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop counts (BFS) over the undirected nation
+    trade graph — the third member of the graph family (PageRank /
+    triangles / BFS). Pregel-style frontier expansion: each superstep
+    joins the current distance vector to the edge list and takes the
+    per-node MIN — all-integer math, so the iteration is exact in any
+    engine and the oracle just unrolls it. Scale shape: |V|-row distance
+    vector hash-joined to the edge table on the same key every superstep;
+    localCheckpoint keeps lineage constant-depth (the k-means / PageRank
+    discipline)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(supp.s_nationkey != cust.c_nationkey)
+        .select(supp.s_nationkey.alias("src"), cust.c_nationkey.alias("dst"))
+        .distinct()
+    )
+    e = d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().persist()
+
+    dist = spark.createDataFrame([(0, 0)], "node int, dist int")
+    for _ in range(_BFS_HOPS):
+        expanded = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.join(F.broadcast(nation), dist.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("dist").cast("long").alias("hops"))
+        .orderBy("hops", "nation")
+    )

@@ -556,3 +556,60 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "mutual_information_lang_source",
+    oracle="""
+    -- MI(lang; source) in bits from exact joint/marginal counts: each
+    -- cell's p*log2 term is an exact-int-ratio double, ROUNDed, then
+    -- DECIMAL-summed — the KL-machinery determinism contract
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+    ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM j GROUP BY lang),
+    ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM j GROUP BY source),
+    terms AS (
+      SELECT ROUND(
+               (j.c * 1.0 / n.n)
+               * log2((j.c * 1.0 * n.n) / (ml.cl * 1.0 * ms.cs)), 10) AS t
+      FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+    )
+    SELECT ROUND(CAST(SUM(CAST(t AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS mi_bits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_cells
+    FROM terms
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source in bits —
+    the dependence/feature-relevance audit (high MI between a metadata
+    column and the content source flags collection bias). One joint-count
+    pass; marginals re-aggregate the |lang|x|source| cell table; per-cell
+    terms are exact int ratios through log2, rounded then DECIMAL-summed."""
+    docs = load(spark, sf_dir, "documents")
+    j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c")).persist()
+    n = int(j.agg(F.sum("c")).collect()[0][0])
+    ml = j.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    n_cells = j.count()
+    t = F.round(
+        (F.col("c") * 1.0 / F.lit(float(n)))
+        * F.log2(
+            (F.col("c") * 1.0 * F.lit(float(n)))
+            / (F.col("cl") * 1.0 * F.col("cs"))
+        ),
+        10,
+    )
+    return (
+        j.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .select(t.alias("t"))
+        .agg(
+            F.round(
+                F.sum(F.col("t").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("mi_bits"),
+            F.lit(n_cells).cast("long").alias("n_cells"),
+        )
+    )
