@@ -750,8 +750,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: state is O(|keys|) and the merge is a key-partitioned
     full-outer join; versioned directories give atomic swap semantics
-    (what table formats do with a manifest)."""
+    (what table formats do with a manifest). The merge reads state by
+    BATCH ID (versioned_merge_upsert), so a retried micro-batch rebuilds
+    its version from the untouched predecessor instead of double-applying
+    — the idempotence contract a foreachBatch sink must supply itself
+    (tests/test_streaming.py::test_versioned_upsert_retry_idempotent)."""
     import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        versioned_merge_upsert,
+    )
 
     src = events_stream_source(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="upsert_state_")
@@ -764,35 +772,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value"
             ),
         )
-        if latest["path"] is not None:
-            cur = batch_df.sparkSession.read.parquet(latest["path"])
-            a = cur.select(
-                "event_type",
-                F.col("n_events").alias("n_a"),
-                F.col("total_value").alias("t_a"),
-            )
-            b = inc.select(
-                "event_type",
-                F.col("n_events").alias("n_b"),
-                F.col("total_value").alias("t_b"),
-            )
-            merged = a.join(b, "event_type", "full_outer").select(
-                "event_type",
-                (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
-                    "n_events"
-                ),
-                (
-                    F.coalesce(F.col("t_a"), F.lit(0).cast("decimal(28,6)"))
-                    + F.coalesce(F.col("t_b"), F.lit(0).cast("decimal(28,6)"))
-                )
-                .cast("decimal(28,6)")
-                .alias("total_value"),
-            )
-        else:
-            merged = inc
-        out = f"{root}/v{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        latest["path"] = out
+        latest["path"] = versioned_merge_upsert(inc, root, batch_id)
 
     run_foreach_batch(src, upsert)
     final = spark.read.parquet(latest["path"])

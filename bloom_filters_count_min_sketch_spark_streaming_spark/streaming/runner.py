@@ -24,6 +24,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 
@@ -132,3 +133,54 @@ def run_foreach_batch(stream_df: DataFrame, fn) -> int:
     )
     q.awaitTermination()
     return counter["n"]
+
+
+def versioned_merge_upsert(inc: DataFrame, root: str, version: int) -> str:
+    """MERGE a per-batch keyed aggregate into a versioned COW parquet table.
+
+    Reads version ``version - 1`` (if any), FULL OUTER merges the increment
+    (count add, DECIMAL total add), writes version ``version`` — the
+    copy-on-write MERGE INTO pattern table formats implement with
+    manifests. Deriving the read-side from the VERSION NUMBER (never a
+    "latest" pointer) makes a retried micro-batch IDEMPOTENT: Structured
+    Streaming re-invokes foreachBatch with the same batch_id after a
+    failure, and this sink then rebuilds v{id} from the untouched
+    v{id - 1} instead of double-applying the increment — the exactly-once
+    contract a foreachBatch sink must supply itself. Expected increment
+    schema: (event_type, n_events long, total_value decimal(28,6)).
+
+    Returns the written version path.
+    """
+    import os as _os
+
+    prev_path = _os.path.join(root, f"v{version - 1}")
+    out = _os.path.join(root, f"v{version}")
+    spark = inc.sparkSession
+    if version > 0 and _os.path.isdir(prev_path):
+        cur = spark.read.parquet(prev_path)
+        a = cur.select(
+            "event_type",
+            F.col("n_events").alias("n_a"),
+            F.col("total_value").alias("t_a"),
+        )
+        b = inc.select(
+            "event_type",
+            F.col("n_events").alias("n_b"),
+            F.col("total_value").alias("t_b"),
+        )
+        merged = a.join(b, "event_type", "full_outer").select(
+            "event_type",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(F.col("t_a"), F.lit(0).cast("decimal(28,6)"))
+                + F.coalesce(F.col("t_b"), F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("decimal(28,6)")
+            .alias("total_value"),
+        )
+    else:
+        merged = inc.select("event_type", "n_events", F.col("total_value").cast("decimal(28,6)"))
+    merged.write.mode("overwrite").parquet(out)
+    return out

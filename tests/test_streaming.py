@@ -352,3 +352,59 @@ def test_stateful_session_event_time_timeout(spark, tmp_path):
     assert ("A", us("2024-01-01T10:00:00"), 2, "gap") in rows
     assert ("A", us("2024-01-01T11:00:00"), 1, "timeout") in rows
     assert len(rows) == 2, rows
+
+
+def test_versioned_upsert_retry_idempotent(spark, sf_dir):
+    """foreachBatch retry semantics: re-invoking the versioned merge with
+    the SAME batch id must produce the identical version (state is read by
+    version number, never a latest-pointer), so a post-failure replay
+    cannot double-apply an increment."""
+    import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        versioned_merge_upsert,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="upsert_retry_")
+
+    def inc(b):
+        return (
+            ev.filter(F.col("event_id") % 2 == b)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias(
+                    "total_value"
+                ),
+            )
+        )
+
+    versioned_merge_upsert(inc(0), root, 0)
+    versioned_merge_upsert(inc(1), root, 1)
+    first = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(f"{root}/v1").collect()
+    }
+    # simulate the retry of batch 1
+    versioned_merge_upsert(inc(1), root, 1)
+    retried = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(f"{root}/v1").collect()
+    }
+    assert retried == first
+    # and the totals equal the batch aggregate over everything
+    want = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    assert retried == want
