@@ -1452,3 +1452,110 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce(F.col("ka"), F.lit(-1)).alias("k"), "cnt_a", "cnt_b")
         .orderBy("k")
     )
+
+
+@query(
+    "argmax_family",
+    oracle="""
+    -- max_by / min_by (arg_max / arg_min): which event carried the
+    -- extreme value. The ordering key packs (value rounded to 1e-6,
+    -- event_id) into ONE exact integer, so ties break on id identically
+    -- in both engines — the total-order discipline every ORDER BY here
+    -- follows, applied to an aggregate's internal comparison
+    SELECT event_type,
+           arg_max(event_id, CAST(ROUND(value * 1000000) AS BIGINT) * 100000000
+                             + event_id) AS max_value_event,
+           arg_min(event_id, CAST(ROUND(value * 1000000) AS BIGINT) * 100000000
+                             + event_id) AS min_value_event,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(MIN(value), 6) AS min_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by: the O(1)-state argmax aggregate — replaces the
+    window-rank-then-filter idiom for "which row had the max" with a
+    single hash agg (no sort, no second pass). Composite integer ordering
+    key = (value@1e-6, event_id) for an engine-stable tie-break."""
+    ev = load(spark, sf_dir, "events")
+    ordk = (
+        F.round(F.col("value") * 1000000).cast("long") * F.lit(100000000)
+        + F.col("event_id")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", ordk).alias("max_value_event"),
+            F.min_by("event_id", ordk).alias("min_value_event"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "interval_join_binned",
+    oracle="""
+    -- overlap semantics stated directly; the engine side computes the
+    -- same pairs via time-bin bucketing (work ∝ overlaps, not |A|x|B|)
+    WITH iv AS (
+      SELECT event_id AS click_id, user_id, ts AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'click' AND user_id < 50
+    ),
+    err AS (SELECT event_id AS err_id, ts FROM events WHERE event_type = 'error')
+    SELECT iv.user_id,
+           COUNT(*) AS n_overlaps,
+           CAST(COUNT(DISTINCT err.err_id) AS BIGINT) AS n_errors
+    FROM iv JOIN err ON err.ts >= iv.start_ts AND err.ts < iv.end_ts
+    GROUP BY iv.user_id ORDER BY iv.user_id
+    """,
+)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bin bucketing — the 100 TB answer to
+    a theta join: intervals explode to the (few) 30-min bins they cover,
+    points carry their single bin, the pair space becomes an EQUI-join on
+    bin refined by the exact containment predicate. A point's bin is
+    unique so no pair is double-counted. Work scales with actual overlap
+    density instead of |intervals| x |points| (a nested-loop join here is
+    quadratic and unshardable; the bin key hash-partitions).
+
+    Semantics under test: 30-min click windows of users < 50 catching
+    error events, per-user overlap and distinct-error counts."""
+    ev = load(spark, sf_dir, "events")
+    bin_s = 1800
+    iv = (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_ts").cast("double") / bin_s),
+                    F.floor(F.col("end_ts").cast("double") / bin_s),
+                )
+            ),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        F.floor(F.col("ts").cast("double") / bin_s).alias("bin"),
+    )
+    pairs = iv.join(err, "bin").filter(
+        (F.col("err_ts") >= F.col("start_ts")) & (F.col("err_ts") < F.col("end_ts"))
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.count_distinct("err_id").cast("long").alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
