@@ -1339,3 +1339,56 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "priority_sample_per_lang",
+    oracle="""
+    -- per-group weighted sampling without replacement: priority = w / u
+    -- (Duffield-Lund-Thorup) with the md5-portable uniform; top-3 PER
+    -- LANGUAGE via one window — the stratified variant of
+    -- priority_sample_docs
+    WITH pr AS (
+      SELECT lang, doc_id, n_chars,
+             n_chars / ((('0x' || substr(md5('ps-' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                        / 281474976710656.0) AS priority
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id)
+               AS rnk
+      FROM pr
+    ) WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+)
+def priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: 3 docs per language, inclusion odds
+    proportional to length (priority sampling, seed 'ps-'), reproducible
+    across engines/runs from the doc id alone. One hash-shuffle on lang +
+    a window; no RNG state, no coordination — the per-stratum sampling
+    primitive for building balanced eval slices."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps-"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**48))
+    pr = docs.select(
+        "lang", "doc_id", "n_chars", (F.col("n_chars") / u).alias("priority")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), "doc_id")
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("lang", "rnk")
+    )

@@ -1435,3 +1435,54 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "point_mean", "boot_lo", "boot_hi")
         .orderBy("event_type")
     )
+
+
+# --- NOT IN vs NOT EXISTS null semantics --------------------------------------
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    -- the classic three-valued-logic trap: a NULL in the NOT IN subquery
+    -- makes `x NOT IN (...)` UNKNOWN for every x (so zero rows survive),
+    -- while NOT EXISTS anti-joins as intended — both engines implement
+    -- ANSI semantics, so the counts agree
+    WITH keys AS (
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey < 1000
+    )
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey < 1000 AND o_custkey NOT IN (SELECT k FROM keys))
+        AS n_not_in,
+      (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey < 1000
+         AND NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = o.o_custkey))
+        AS n_not_exists
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS with a NULL-poisoned subquery — the SQL
+    correctness edge that silently empties pipelines. Run through
+    spark.sql so Catalyst's null-aware anti-join (NOT IN) and regular
+    anti-join (NOT EXISTS) are both exercised; a null-aware anti-join at
+    scale degrades to broadcast-nested-loop if the subquery is large —
+    one more reason production code prefers NOT EXISTS."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("nin_orders")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k
+          FROM nin_customer WHERE c_custkey < 1000
+        )
+        SELECT
+          (SELECT COUNT(*) FROM nin_orders
+           WHERE o_custkey < 1000 AND o_custkey NOT IN (SELECT k FROM keys))
+            AS n_not_in,
+          (SELECT COUNT(*) FROM nin_orders o
+           WHERE o.o_custkey < 1000
+             AND NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = o.o_custkey))
+            AS n_not_exists
+        """
+    )

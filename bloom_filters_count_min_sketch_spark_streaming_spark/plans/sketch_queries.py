@@ -940,3 +940,90 @@ def kmv_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rollup_kmv_distinct",
+    oracle="""
+    -- KMV + rollup: the TOTAL row is computed by MERGING the per-type
+    -- sketches (union of bottom-64 rows, re-truncated to bottom-64) —
+    -- never by re-reading the raw elements. Valid because each type's
+    -- bottom-64 is a superset of that type's contribution to the global
+    -- bottom-64 (the KMV merge theorem); md5 portability makes the merged
+    -- ESTIMATE itself hash-checked.
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || '-' || CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+      FROM events
+    ), fr AS (
+      SELECT event_type, elem,
+             (('0x' || substr(md5(elem), 1, 12))::BIGINT + 1) / 281474976710656.0 AS frac
+      FROM elems
+    ), sk AS (
+      SELECT event_type, elem, frac FROM (
+        SELECT event_type, elem, frac,
+               row_number() OVER (PARTITION BY event_type ORDER BY frac, elem) AS rn
+        FROM fr
+      ) WHERE rn <= 64
+    ), per_type AS (
+      SELECT 'event_type' AS scope, event_type AS key,
+             ROUND(63.0 / MAX(frac), 4) AS kmv_est
+      FROM (
+        SELECT event_type, frac,
+               row_number() OVER (PARTITION BY event_type ORDER BY frac, elem) AS rn
+        FROM sk
+      ) WHERE rn <= 64 GROUP BY event_type
+    ), merged AS (
+      SELECT 'total' AS scope, 'ALL' AS key, ROUND(63.0 / frac, 4) AS kmv_est
+      FROM (
+        SELECT frac,
+               row_number() OVER (ORDER BY frac, elem) AS rn
+        FROM (SELECT DISTINCT elem, frac FROM sk)
+      ) WHERE rn = 64
+    )
+    SELECT scope, key, kmv_est FROM per_type
+    UNION ALL SELECT scope, key, kmv_est FROM merged
+    ORDER BY scope, key
+    """,
+)
+def rollup_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra meets rollup: per-type KMV distinct estimates plus a
+    grand-total row derived by MERGING the per-type sketches (union the
+    bottom-64 row sets, dedup elements, re-truncate) — the raw elements
+    are read exactly once. This is how a sketch-backed OLAP cube answers
+    every grouping level from one pass: coarser cells are unions of finer
+    cells' sketches. All md5 arithmetic -> the merged estimate is
+    value-hash-checked, not just sanity-checked."""
+    k = 64
+    ev = load(spark, sf_dir, "events")
+    elems = ev.select(
+        "event_type",
+        F.concat_ws(
+            "-", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("elem"),
+    ).distinct()
+    fr = elems.withColumn("frac", sketches.kmv_fraction(F.col("elem")))
+    w = Window.partitionBy("event_type").orderBy("frac", "elem")
+    sk = fr.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn").persist()
+    per_type = (
+        sk.groupBy("event_type")
+        .agg(F.round(F.lit(float(k - 1)) / F.max("frac"), 4).alias("kmv_est"))
+        .select(
+            F.lit("event_type").alias("scope"),
+            F.col("event_type").alias("key"),
+            "kmv_est",
+        )
+    )
+    wg = Window.orderBy("frac", "elem")
+    merged = (
+        sk.select("elem", "frac")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == k)
+        .select(
+            F.lit("total").alias("scope"),
+            F.lit("ALL").alias("key"),
+            F.round(F.lit(float(k - 1)) / F.col("frac"), 4).alias("kmv_est"),
+        )
+    )
+    return per_type.unionAll(merged).orderBy("scope", "key")
