@@ -1392,3 +1392,91 @@ def priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("lang", "rnk")
     )
+
+
+@query(
+    "scd2_as_of_lookup",
+    oracle="""
+    -- point-in-time (temporal) lookup against the SCD2 dimension built by
+    -- scd2_dimension_merge: each fact probes the version valid AT its
+    -- as-of date via a validity-range join (ISO date strings compare
+    -- lexicographically). Exactly one version matches per (key, date).
+    WITH chg AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    dim AS (
+      SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+             '2024-01-01' AS valid_from,
+             CASE WHEN g.c_custkey IS NULL THEN '9999-12-31'
+                  ELSE '2024-06-01' END AS valid_to
+      FROM customer c LEFT JOIN chg g USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, new_bal, '2024-06-01', '9999-12-31' FROM chg
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN '2024-03-01'
+                  ELSE '2024-08-01' END AS as_of
+      FROM orders WHERE o_custkey < 1000
+    )
+    SELECT f.as_of,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(d.acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM facts f
+    JOIN dim d ON d.c_custkey = f.o_custkey
+              AND f.as_of >= d.valid_from AND f.as_of < d.valid_to
+    GROUP BY f.as_of ORDER BY f.as_of
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: facts probe the SCD2 dimension AS OF
+    their own date, so March orders see the original balance and August
+    orders see the post-change version — the lookup every
+    feature-backfill / training-data join must get right to avoid
+    time-travel leakage. Validity-range join = equi-join on the key plus a
+    range predicate; the dim broadcasts, and at scale the range predicate
+    prunes to exactly one version per probe."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    chg = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal")
+    )
+    old = cust.join(F.broadcast(chg), "c_custkey", "left").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.when(F.col("new_bal").isNull(), "9999-12-31")
+        .otherwise("2024-06-01")
+        .alias("valid_to"),
+    )
+    new = chg.select(
+        "c_custkey",
+        F.col("new_bal").alias("acctbal"),
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    dim = old.unionAll(new)
+    facts = orders.filter(F.col("o_custkey") < 1000).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, "2024-03-01")
+        .otherwise("2024-08-01")
+        .alias("as_of"),
+    )
+    return (
+        facts.join(
+            F.broadcast(dim),
+            (facts.o_custkey == dim.c_custkey)
+            & (F.col("as_of") >= F.col("valid_from"))
+            & (F.col("as_of") < F.col("valid_to")),
+        )
+        .groupBy("as_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("as_of")
+    )

@@ -1486,3 +1486,87 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+# --- metric change decomposition ----------------------------------------------
+
+
+@query(
+    "metric_change_decomposition",
+    oracle="""
+    -- "why did revenue move quarter-over-quarter": per-segment deltas and
+    -- contribution shares of the total change. All sums are DECIMAL until
+    -- the final share division (identical numerators/denominators ->
+    -- identical doubles).
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderdate < DATE '1997-04-01' THEN 'q1' ELSE 'q2' END
+               AS q,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+               AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-07-01'
+      GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT segment,
+             SUM(CASE WHEN q = 'q1' THEN r ELSE 0 END) AS r1,
+             SUM(CASE WHEN q = 'q2' THEN r ELSE 0 END) AS r2
+      FROM rev GROUP BY segment
+    ),
+    tot AS (SELECT SUM(r2 - r1) AS td FROM piv)
+    SELECT segment,
+           CAST(r1 AS DOUBLE) AS rev_q1,
+           CAST(r2 AS DOUBLE) AS rev_q2,
+           CAST(r2 - r1 AS DOUBLE) AS delta,
+           ROUND(CAST(r2 - r1 AS DOUBLE) / CAST(tot.td AS DOUBLE), 6)
+             AS contribution
+    FROM piv CROSS JOIN tot
+    ORDER BY segment
+    """,
+)
+def metric_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause decomposition of a metric movement: quarter-over-quarter
+    revenue delta split by customer segment with contribution shares —
+    the segment-drilldown every metrics platform runs when a topline
+    moves. One fact scan (both quarters in one pass, pivoted by a
+    conditional aggregate), dims broadcast, the scalar total broadcast
+    back; all arithmetic DECIMAL until the final share division."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rev_expr = _revenue()
+    q = F.when(F.col("o_orderdate") < F.lit("1997-04-01").cast("date"), "q1").otherwise("q2")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+              orders.o_custkey == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), q.alias("q"))
+        .agg(F.sum(rev_expr).alias("r"))
+    )
+    piv = rev.groupBy("segment").agg(
+        F.sum(F.when(F.col("q") == "q1", F.col("r")).otherwise(F.lit(0))).alias("r1"),
+        F.sum(F.when(F.col("q") == "q2", F.col("r")).otherwise(F.lit(0))).alias("r2"),
+    )
+    tot = piv.agg(F.sum(F.col("r2") - F.col("r1")).alias("td"))
+    return (
+        piv.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("r1").cast("double").alias("rev_q1"),
+            F.col("r2").cast("double").alias("rev_q2"),
+            (F.col("r2") - F.col("r1")).cast("double").alias("delta"),
+            F.round(
+                (F.col("r2") - F.col("r1")).cast("double") / F.col("td").cast("double"),
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy("segment")
+    )
