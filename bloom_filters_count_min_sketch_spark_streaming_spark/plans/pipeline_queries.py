@@ -1480,3 +1480,77 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("as_of")
     )
+
+
+_ER_RECORDS_SQL = """
+      SELECT c_custkey * 2 AS rid, c_name AS name,
+             ROUND(c_acctbal, 2) AS bal, 'crm' AS src
+      FROM customer WHERE c_custkey < 800
+      UNION ALL
+      SELECT c_custkey * 2 + 1 AS rid,
+             'Customer%' || substr(c_name, 10) AS name,
+             ROUND(c_acctbal, 2) AS bal, 'web' AS src
+      FROM customer WHERE c_custkey < 800 AND c_custkey % 5 = 0
+"""
+
+_ER_SQL = """
+    WITH RECURSIVE
+    records AS ({records}),
+    blocked AS (
+      -- block on the digit suffix: stable under the planted prefix typo,
+      -- distinct per entity -> blocks of size <= 2
+      SELECT rid, name, bal, substr(name, 10) AS blk
+      FROM records
+    ),
+    edges AS (
+      SELECT a.rid AS ra, b.rid AS rb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.rid < b.rid
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    undirected AS (
+      SELECT ra AS src, rb AS dst FROM edges
+      UNION ALL
+      SELECT rb AS src, ra AS dst FROM edges
+    ),
+    walk (node, label, depth) AS (
+      SELECT src, src, 0 FROM undirected
+      UNION ALL
+      SELECT u.src, w.label, w.depth + 1
+      FROM undirected u JOIN walk w ON u.dst = w.node
+      WHERE w.depth < 4 AND w.label < u.src
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    clustered AS (
+      SELECT COALESCE(c.component, r.rid) AS component, r.rid, r.name, r.bal
+      FROM records r LEFT JOIN comp c ON c.node = r.rid
+    )
+    SELECT component,
+           COUNT(*) AS n_members,
+           MIN(name) AS canonical_name,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM clustered
+    GROUP BY component
+    HAVING COUNT(*) >= 2
+    ORDER BY component
+"""
+
+
+@query("entity_resolution_e2e", oracle=_ER_SQL.format(records=_ER_RECORDS_SQL))
+def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: two source systems emit overlapping
+    customer records (every 5th record reappears with a one-character
+    typo); BLOCKING on the name prefix bounds the candidate space,
+    edit-distance <= 1 inside blocks yields match edges, a recursive-CTE
+    min-label walk clusters them, and the golden record aggregates each
+    cluster (canonical name, merged balance). The standard MDM pipeline —
+    blocking is what makes it 100 TB-shaped: the pair space is
+    sum-of-block-sizes², never |records|², and blocks hash-partition.
+
+    The identical WITH RECURSIVE text runs on both engines (Spark 4
+    recursive CTE; records/edges inlined so the oracle is self-contained).
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("er_customer")
+    return spark.sql(
+        _ER_SQL.format(records=_ER_RECORDS_SQL.replace("customer", "er_customer"))
+    )
