@@ -1554,3 +1554,99 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ER_SQL.format(records=_ER_RECORDS_SQL.replace("customer", "er_customer"))
     )
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+    -- contrastive-training negative sampling: per (user, item) positive,
+    -- 3 hash-derived candidate negatives in the same item space; any
+    -- candidate that collides with one of the user's OWN positives is
+    -- removed (anti-join), the standard rejection step. All md5 integer
+    -- arithmetic -> fully deterministic, no RNG state.
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey % 100 AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 50
+    ),
+    cand AS (
+      SELECT p.user_id, p.item,
+             (('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':'
+                                  || CAST(p.item AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 12))::BIGINT) % 100
+               AS neg_item
+      FROM pos p CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) r
+    ),
+    neg AS (
+      SELECT c.user_id, c.neg_item
+      FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos q
+        WHERE q.user_id = c.user_id AND q.item = c.neg_item
+      )
+    )
+    SELECT p.user_id,
+           CAST(COUNT(DISTINCT p.item) AS BIGINT) AS n_pos,
+           CAST(ANY_VALUE(n.n_neg) AS BIGINT) AS n_neg
+    FROM pos p
+    JOIN (SELECT user_id, COUNT(*) AS n_neg FROM neg GROUP BY user_id) n
+      USING (user_id)
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / two-tower
+    training: 3 hash-derived negatives per positive interaction, with the
+    user's own positives rejected by an anti-join — reproducible across
+    engines, retries, and cluster sizes because the 'randomness' is a
+    content hash, never an RNG. Scale shape: one map to expand candidates,
+    one key-partitioned anti-join; no coordination, no sampling state."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    pos = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand = pos.select(
+        "user_id",
+        "item",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+    ).select(
+        "user_id",
+        "item",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            F.col("item").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("neg_item"),
+    )
+    neg = cand.join(
+        pos.select("user_id", F.col("item").alias("neg_item")),
+        ["user_id", "neg_item"],
+        "left_anti",
+    )
+    n_neg = neg.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_neg"))
+    n_pos = pos.groupBy("user_id").agg(
+        F.count_distinct("item").cast("long").alias("n_pos")
+    )
+    return n_pos.join(n_neg, "user_id").orderBy("user_id")

@@ -1570,3 +1570,106 @@ def metric_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- training-feature generation: trailing time-range windows ----------------
+
+
+@query(
+    "feature_rolling_windows",
+    oracle="""
+    -- per-event trailing aggregates over REAL time ranges (1h / 24h), the
+    -- feature-store primitive: frame bounds in exact integer microseconds
+    -- so both engines cut identical windows; the windowed value sum is a
+    -- rounded-term DECIMAL sum
+    WITH e AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS us
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS cnt_1h,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             AS cnt_24h,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS val_24h
+    FROM e ORDER BY event_id
+    """,
+)
+def feature_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-range features per event (activity in the last hour /
+    day, trailing value sum) — what a feature store materializes for every
+    training example, computed with RANGE frames over event time so gaps
+    and bursts are handled exactly (a ROWS frame would be wrong under
+    irregular arrival). One shuffle on user_id serves all three frames.
+    Frame bounds are integer microseconds: identical window membership in
+    any engine."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = ev.select("event_id", "user_id", "value", F.unix_micros("ts").alias("us"))
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w1).alias("cnt_1h"),
+        F.count(F.lit(1)).over(w24).alias("cnt_24h"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)"))
+        .over(w24)
+        .cast("double")
+        .alias("val_24h"),
+    ).orderBy("event_id")
+
+
+@query(
+    "debounce_events",
+    oracle="""
+    -- debounce: drop an event if the SAME (user, type) fired within the
+    -- previous 5 minutes — the clickstream noise filter; pure LAG + an
+    -- exact microsecond comparison
+    WITH lagged AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debouncing (double-fire suppression): an event is noise if the same
+    (user, type) occurred <= 5 minutes earlier. LAG over the totally
+    ordered per-key window + one integer-microsecond comparison; the
+    stateless batch twin of streaming dropDuplicatesWithinWatermark."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    lagged = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    keep = F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum((~keep).cast("long")).cast("long").alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )
