@@ -103,3 +103,21 @@ def bm25_doc_scores(docs, terms, k1: float = 1.2, b: float = 0.75):
     return per_term.groupBy("doc_id").agg(
         F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score")
     )
+
+
+def logistic_quality_linear(text: Column) -> Column:
+    """Fixed-weight linear score under the logistic quality gate (shared by
+    quality_logistic_score and score_threshold_sweep): one codegen'd
+    expression, bit-identical cross-engine because the textual operation
+    order matches the oracle SQL."""
+    toks = word_tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(EN_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_chars = F.length(text)
+    return (
+        F.lit(-1.5)
+        + F.lit(4.0) * (n_stop * F.lit(1.0) / n_tok)
+        - F.lit(6.0) * (n_punct * F.lit(1.0) / n_chars)
+        + F.lit(0.004) * n_tok
+    )

@@ -446,17 +446,9 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
 
     docs = load(spark, sf_dir, "documents")
-    toks = T.word_tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(T.EN_STOPWORDS)))
-    n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    n_tok = F.size(T.word_tokens(F.col("text")))
     n_chars = F.length("text")
-    lin = (
-        F.lit(-1.5)
-        + F.lit(4.0) * (n_stop * F.lit(1.0) / n_tok)
-        - F.lit(6.0) * (n_punct * F.lit(1.0) / n_chars)
-        + F.lit(0.004) * n_tok
-    )
+    lin = T.logistic_quality_linear(F.col("text"))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6)
     s = docs.filter((n_tok > 0) & (n_chars > 0)).select(
         "source", score.alias("score")
@@ -612,4 +604,80 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("mi_bits"),
             F.lit(n_cells).cast("long").alias("n_cells"),
         )
+    )
+
+
+@query(
+    "score_threshold_sweep",
+    oracle="""
+    -- classifier-gate evaluation: confusion counts and precision/recall
+    -- at five thresholds in ONE pass (scores computed once, thresholds a
+    -- broadcast cross join); label = doc is English. Counts are exact
+    -- ints; ratios are exact-int divisions rounded at the end.
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(1.0 / (1.0 + exp(-(
+               -1.5
+               + 4.0 * (len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains(
+                               ['the','a','of','and','to','in','is','it','that','for'],
+                               w))) * 1.0
+                        / len(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')))
+               - 6.0 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                        / length(text))
+               + 0.004 * len(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> ''))
+             ))), 6) AS score
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+        AND length(text) > 0
+    ),
+    th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold)
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END), 0), 6)
+             AS precision,
+           ROUND(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(y), 0), 6) AS recall
+    FROM f CROSS JOIN th
+    GROUP BY th.threshold ORDER BY th.threshold
+    """,
+)
+def score_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for the logistic quality gate (ROC/PR points):
+    confusion counts, precision, recall at five cutoffs against an
+    is-English proxy label — the eval harness you run before trusting a
+    filter to drop data. Scores are computed ONCE; the threshold table
+    cross-joins (5 broadcast rows), so the sweep costs one scan
+    regardless of how many operating points are evaluated."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.word_tokens(F.col("text")))
+    lin = T.logistic_quality_linear(F.col("text"))
+    f = docs.filter((n_tok > 0) & (F.length("text") > 0)).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6).alias("score"),
+    )
+    th = spark.createDataFrame([(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7)], "threshold double")
+    j = f.crossJoin(F.broadcast(th))
+    pred = (F.col("score") >= F.col("threshold")).cast("long")
+    return (
+        j.groupBy("threshold")
+        .agg(
+            F.sum(pred * F.col("y")).cast("long").alias("tp"),
+            F.sum(pred * (1 - F.col("y"))).cast("long").alias("fp"),
+            F.sum((1 - pred) * F.col("y")).cast("long").alias("fn"),
+            F.round(
+                F.sum(pred * F.col("y")) * 1.0 / F.nullif(F.sum(pred), F.lit(0)), 6
+            ).alias("precision"),
+            F.round(
+                F.sum(pred * F.col("y")) * 1.0 / F.nullif(F.sum("y"), F.lit(0)), 6
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
     )

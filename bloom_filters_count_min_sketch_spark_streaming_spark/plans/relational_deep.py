@@ -1673,3 +1673,104 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+
+@query(
+    "attribution_position_weighted",
+    oracle="""
+    -- position-based (40/20/40) multi-touch attribution: every purchase
+    -- distributes one unit of credit over the user's clicks in the prior
+    -- 2 hours — first and last 0.4 each, middles split 0.2 (n=1 -> 1.0,
+    -- n=2 -> 0.5/0.5). Weights are exact small ratios; the credit sums
+    -- are rounded-term DECIMAL sums.
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click' AND user_id < 200
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase' AND user_id < 200
+    ),
+    touches AS (
+      SELECT p.purchase_id, c.click_id, c.cts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.cts, c.click_id) AS rn,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id
+                   AND c.cts >= p.pts - INTERVAL 2 HOUR AND c.cts < p.pts
+    ),
+    credit AS (
+      SELECT EXTRACT(hour FROM cts) AS click_hour,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 OR rn = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS w
+      FROM touches
+    )
+    SELECT CAST(click_hour AS BIGINT) AS click_hour,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CAST(ROUND(w, 8) AS DECIMAL(28,8))) AS DOUBLE) AS credit
+    FROM credit GROUP BY 1 ORDER BY 1
+    """,
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution (the 40/20/40 U-shape):
+    each purchase's unit of credit is split across the user's clicks in
+    the trailing 2-hour window, then credit is profiled by click
+    hour-of-day. The range join is user-keyed (hash-partitionable; the
+    binned-interval device applies verbatim at scale), ranking is one
+    window per purchase, and credit conservation (sum == #attributed
+    purchases) falls out of the weight definition."""
+    ev = load(spark, sf_dir, "events")
+    # distinct column names on each side of the self-join: reusing
+    # `user_id` on both would resolve to one attribute and silently turn
+    # the equi-join into a filtered cross product
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 200)).select(
+        F.col("user_id").alias("c_uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 200)
+    ).select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = (
+        purchases.join(
+            clicks,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("cts") < F.col("pts")),
+        )
+        .select("purchase_id", "click_id", "cts")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("purchase_id")))
+    )
+    w = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credit = touches.select(
+        F.hour("cts").cast("long").alias("click_hour"), w.alias("w")
+    )
+    return (
+        credit.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.round("w", 8).cast("decimal(28,8)")).cast("double").alias("credit"),
+        )
+        .orderBy("click_hour")
+    )

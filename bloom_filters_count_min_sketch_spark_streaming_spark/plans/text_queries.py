@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
@@ -957,4 +957,66 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "avg_bits")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "vocab_oov_rates",
+    oracle="""
+    -- tokenizer-coverage audit: fix the vocabulary to the corpus's top-1k
+    -- words (count desc, word asc — a total order), then measure the
+    -- out-of-vocabulary token rate per source. All exact integers until
+    -- the final ratio.
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+        FROM toks GROUP BY term
+      ) WHERE rn <= 1000
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: per-source fraction of tokens
+    outside the corpus top-1000 vocabulary — the pre-training check that a
+    tokenizer (or frequency-capped vocab) won't shred a particular source
+    into unknowns. One wordcount pass fixes the vocab (broadcast-sized),
+    one left join scores the stream; the top-1000 cut uses a total order
+    so the vocabulary itself is engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    w = Window.orderBy(F.desc("c"), "term")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1000)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.col("in_vocab").isNull().cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
     )
