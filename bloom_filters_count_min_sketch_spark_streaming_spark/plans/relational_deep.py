@@ -1774,3 +1774,113 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_hour")
     )
+
+
+@query(
+    "bitwise_agg_family",
+    oracle="""
+    -- bitwise aggregate family over exact integers: AND / OR / XOR folds
+    -- are associative+commutative, so any partition order gives the same
+    -- bits — natural partial-aggregation citizens
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+           CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS uid_xor,
+           CAST(SUM(bit_count(user_id)) AS BIGINT) AS popcount_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitwise_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor aggregates + popcount — the integer-fold
+    family behind bitmap indexes and feature-flag rollups; associative by
+    construction, so map-side partials are exact."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").cast("long").alias("uid_and"),
+            F.bit_or("user_id").cast("long").alias("uid_or"),
+            F.bit_xor("user_id").cast("long").alias("uid_xor"),
+            F.sum(F.bit_count("user_id")).cast("long").alias("popcount_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "session_entry_exit",
+    oracle="""
+    -- product-analytics path view: per gaps-and-islands session, the
+    -- entry and exit event types, then the top (entry, exit) combos
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM ordered
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             -- x4096 keeps the composite inside int64 (epoch_us ~ 1.7e15);
+             -- (user, ts) is unique in the fixtures at every sf, so the id
+             -- component is pure defense against future exact-ts ties
+             arg_min(event_type, epoch_us(ts) * 4096 + event_id % 4096) AS entry,
+             arg_max(event_type, epoch_us(ts) * 4096 + event_id % 4096) AS exit,
+             COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, session_id
+    )
+    SELECT entry, exit,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM paths
+    GROUP BY entry, exit
+    ORDER BY n_sessions DESC, entry, exit
+    LIMIT 15
+    """,
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit analysis: gaps-and-islands sessionization, then
+    per-session first/last event type via min_by/max_by on the exact
+    (microsecond, event_id) composite — no second window pass — and the
+    top landing->leaving combos. The argmax-aggregate trick replaces a
+    rank window wherever only the extreme row of a group is needed."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
+                > 1800.0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("long")
+    )
+    ordk = F.unix_micros("ts") * F.lit(4096) + F.col("event_id") % 4096
+    paths = islands.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", ordk).alias("entry"),
+        F.max_by("event_type", ordk).alias("exit"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        paths.groupBy("entry", "exit")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "entry", "exit")
+        .limit(15)
+    )

@@ -91,3 +91,52 @@ def struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     packed = F.to_json(F.struct(F.col("event_type").alias("t"), F.col("cnt").alias("n")))
     return agg.groupBy("event_type").agg(F.max(packed).alias("packed"))
+
+
+@query(
+    "quarantine_bad_records",
+    oracle="""
+    -- dead-letter routing: deterministically corrupt every 13th props
+    -- payload, parse leniently, quarantine what fails — counts audit the
+    -- split. Validity of the identical corrupted string is decided by
+    -- each engine's own JSON parser (truncated '{\"k\":' is invalid JSON
+    -- everywhere).
+    WITH mutated AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 5)
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(payload)
+                         THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_k_ok
+    FROM mutated GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter / quarantine flow: lenient parse of a semi-structured
+    payload, bad records counted into a quarantine bucket instead of
+    failing the job (every 13th payload is deterministically truncated).
+    try_parse_json returns NULL on garbage — the PERMISSIVE-mode pattern
+    every production ingest needs; the oracle decides validity with its
+    own parser on the identical bytes."""
+    ev = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 13 == 0, F.substring("props", 1, 5)
+    ).otherwise(F.col("props"))
+    m = ev.select("event_type", payload.alias("payload"))
+    v = F.try_parse_json(F.col("payload"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(v.isNull().cast("long")).cast("long").alias("n_quarantined"),
+            F.sum(F.coalesce(k, F.lit(0))).cast("long").alias("sum_k_ok"),
+        )
+        .orderBy("event_type")
+    )
