@@ -1559,3 +1559,88 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the fourth query surface next
+    to DataFrame / SQL / streaming — pandas syntax compiling to the same
+    Catalyst plans, so pandas-fluent users get distributed execution
+    without a rewrite. The groupby-agg here round-trips through
+    pandas_api() and back via to_spark(); the decimal-sum determinism
+    contract applies unchanged because the underlying expressions are
+    ordinary Spark columns."""
+    import pyspark.pandas as ps
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round("value", 6).cast("decimal(28,6)").alias("v"),
+    )
+    psdf = ev.pandas_api()
+    out = psdf.groupby("event_type").agg(n=("v", "count"), total_value=("v", "sum"))
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "small_file_compaction",
+    oracle="""
+    -- lakehouse maintenance: a fragmented table (192 files) compacted to
+    -- ceil(rows / 50000) files; row counts must survive exactly, and the
+    -- file counts are closed-form from the row count
+    SELECT 'before' AS stage,
+           192 AS n_files,
+           COUNT(*) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'after',
+           CAST(CEIL(COUNT(*) / 50000.0) AS INTEGER),
+           COUNT(*)
+    FROM events
+    ORDER BY stage
+    """,
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem and its fix: the events table fragmented
+    into 192 files (what streaming ingest leaves behind), then compacted
+    with repartition(ceil(rows / 50k)) — bounded file sizes, exact row
+    preservation, and a deterministic post-compaction layout. At 100 TB
+    this is the scheduled OPTIMIZE job; the audit row pair (before/after
+    file + row counts) is what its run log must prove."""
+    ev = load(spark, sf_dir, "events")
+    frag_path = os.path.join(
+        tempfile.gettempdir(), f"bfcms_frag_{os.path.basename(sf_dir)}"
+    )
+    comp_path = os.path.join(
+        tempfile.gettempdir(), f"bfcms_compact_{os.path.basename(sf_dir)}"
+    )
+    ev.repartition(192).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_rows = frag.count()
+    n_after = -(-n_rows // 50000)
+    frag.repartition(n_after).write.mode("overwrite").parquet(comp_path)
+
+    def count_files(p):
+        return len([f for f in os.listdir(p) if f.endswith(".parquet")])
+
+    comp_rows = spark.read.parquet(comp_path).count()
+    return spark.createDataFrame(
+        [
+            ("after", count_files(comp_path), comp_rows),
+            ("before", count_files(frag_path), n_rows),
+        ],
+        "stage string, n_files int, n_rows long",
+    ).orderBy("stage")
