@@ -862,3 +862,73 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(exact, (k - 1) / kth)], "exact_distinct bigint, kmv_est double"
     ).select("exact_distinct", F.round("kmv_est", 4).alias("kmv_est"))
+
+
+@query(
+    "stream_rate_source_agg",
+    oracle="""
+    -- rate-micro-batch is the DETERMINISTIC built-in stream source (value
+    -- = 0..N-1 split evenly across batches), so the whole run has a
+    -- closed form the oracle regenerates from generate_series
+    SELECT CAST(id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(id) AS BIGINT) AS value_sum
+    FROM generate_series(0, 4999) t(id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate-micro-batch source (C1 breadth): Spark's deterministic
+    load-generator stream — rowsPerBatch values per micro-batch with
+    reproducible contents, the source you smoke-test streaming topologies
+    with before pointing them at Kafka (which is env-blocked here, same
+    replay contract). Five 1000-row batches aggregate to the closed-form
+    table the oracle computes from generate_series."""
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    rows_per_batch, n_batches = 1000, 5
+    total = rows_per_batch * n_batches
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .load()
+    )
+    bounded = src.filter(F.col("value") < total)
+    agg = bounded.groupBy((F.col("value") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("long").alias("value_sum"),
+    )
+    name = f"rate_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", f"{tempfile.gettempdir()}/bfcms_ckpt_{name}")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spark.sql(
+                f"SELECT COALESCE(SUM(n), 0) AS s FROM {name}"
+            ).collect()[0]["s"]
+            if done >= total:
+                break
+            time.sleep(0.3)
+    finally:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except StreamingQueryException:
+            pass
+    return (
+        spark.table(name)
+        .select("bucket", "n", "value_sum")
+        .orderBy("bucket")
+    )

@@ -390,3 +390,16 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     appear as a runtime subquery in the fact scan's PartitionFilters."""
     plan = _plan(spark, "dpp_partitioned_join", sf_dir)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_rebalance_hint_inserts_aqe_rebalance(spark, sf_dir):
+    """The REBALANCE hint (AQE-driven output rebalancing — the skew-safe
+    alternative to a fixed repartition before a write) must plan a
+    RebalancePartitions exchange."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("rebal_events")
+    df = spark.sql("SELECT /*+ REBALANCE(event_type) */ * FROM rebal_events")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan or "rebalance" in plan.lower(), plan[:1500]
