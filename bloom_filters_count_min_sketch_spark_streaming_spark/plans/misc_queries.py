@@ -1644,3 +1644,86 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage string, n_files int, n_rows long",
     ).orderBy("stage")
+
+
+@query(
+    "regex_function_family",
+    oracle="""
+    -- regexp_count / regexp_substr / regexp_instr family over doc text;
+    -- all exact integers and strings
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+             AS digit_runs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[A-Z]{2,}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_acronym,
+           MIN(NULLIF(regexp_extract(text, '[a-z]{12,}', 0), ''))
+             AS min_long_word
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def regex_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / rlike / regexp_substr coverage (B24 depth): digit-run
+    counts, acronym detection, lexicographically-smallest long word per
+    source — all JVM regex, codegen'd, zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.regexp_count("text", F.lit(r"[0-9]+")))
+            .cast("long")
+            .alias("digit_runs"),
+            F.sum(F.col("text").rlike("[A-Z]{2,}").cast("long"))
+            .cast("long")
+            .alias("docs_with_acronym"),
+            F.min(F.nullif(F.regexp_extract("text", "[a-z]{12,}", 0), F.lit("")))
+            .alias("min_long_word"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "map_hof_family",
+    oracle="""
+    -- value-level twin of the map HOF pipeline: the engine builds a map
+    -- from arrays, rescales values with transform_values, filters entries
+    -- with map_filter, and explodes back to rows — which must equal this
+    -- direct computation on the base columns
+    SELECT event_type, 'v1' AS metric,
+           CAST(SUM(CASE WHEN user_id * 2 > 100 THEN user_id * 2 END) AS BIGINT)
+             AS total
+    FROM events
+    GROUP BY event_type
+    HAVING SUM(CASE WHEN user_id * 2 > 100 THEN user_id * 2 END) IS NOT NULL
+    UNION ALL
+    SELECT event_type, 'v2',
+           CAST(SUM(CASE WHEN event_id * 3 > 100 THEN event_id * 3 END) AS BIGINT)
+    FROM events
+    GROUP BY event_type
+    HAVING SUM(CASE WHEN event_id * 3 > 100 THEN event_id * 3 END) IS NOT NULL
+    ORDER BY event_type, metric
+    """,
+)
+def map_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (B28 depth): map_from_arrays ->
+    transform_values (per-key rescale) -> map_filter (threshold) ->
+    explode back to rows, aggregated. The oracle computes the same
+    numbers straight from the base columns — the HOF pipeline must be a
+    pure refactoring of that arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("v1"), F.lit("v2")),
+        F.array(F.col("user_id"), F.col("event_id")),
+    )
+    scaled = F.transform_values(
+        m, lambda k, v: F.when(k == "v1", v * 2).otherwise(v * 3)
+    )
+    kept = F.map_filter(scaled, lambda k, v: v > 100)
+    exploded = ev.select(
+        "event_type", F.explode(kept).alias("metric", "val")
+    )
+    return (
+        exploded.groupBy("event_type", "metric")
+        .agg(F.sum("val").cast("long").alias("total"))
+        .orderBy("event_type", "metric")
+    )

@@ -188,3 +188,37 @@ def test_parquet_rowgroup_bloom_filter_written(spark, sf_dir, tmp_path):
         reader.close()
     assert offsets["event_type"] > 0, "flagged column must carry a bloom filter"
     assert offsets["user_id"] == -1, "unflagged columns must not pay the bloom cost"
+
+
+def test_analyze_table_catalog_stats(spark, sf_dir):
+    """CBO catalog statistics: ANALYZE TABLE writes row-count + column
+    stats the optimizer reads for join sizing. Row count must be exact;
+    column NDV exists (HLL-approximate, so only sanity-bounded)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "bfcms_stats_nation"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE bfcms_stats_nation COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        stats = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED bfcms_stats_nation"
+            ).collect()
+            if r["col_name"] == "Statistics"
+        }
+        assert "rows" in stats.get("Statistics", ""), stats
+        n = spark.table("bfcms_stats_nation").count()
+        assert f"{n} rows" in stats["Statistics"]
+        col = spark.sql(
+            "DESCRIBE TABLE EXTENDED bfcms_stats_nation n_nationkey"
+        ).collect()
+        got = {r["info_name"]: r["info_value"] for r in col}
+        assert int(got["distinct_count"]) > 0
+        assert int(got["distinct_count"]) <= n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bfcms_stats_nation")
