@@ -1727,3 +1727,60 @@ def map_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").cast("long").alias("total"))
         .orderBy("event_type", "metric")
     )
+
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    -- INSERT OVERWRITE with dynamic partition mode: only the partitions
+    -- present in the incoming batch are replaced (1997-03 repriced to
+    -- zero), siblings untouched — so the final table is expressible as a
+    -- CASE over the source
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-03'
+                         THEN CAST(0.00 AS DECIMAL(12,2))
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-04'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): an
+    incremental reprice batch touching ONLY 1997-03 replaces exactly that
+    partition directory; static mode would have wiped every partition of
+    the table first — the difference between an incremental backfill and
+    a table truncation. The read-back audit proves siblings survived
+    byte-for-byte (counts and DECIMAL totals unchanged)."""
+    src = load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"bfcms_dpo_orders_{os.path.basename(sf_dir)}"
+    )
+    base = src.filter(
+        F.date_format("o_orderdate", "yyyy-MM").between("1997-01", "1997-04")
+    ).withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    base.write.mode("overwrite").partitionBy("o_month").parquet(out)
+
+    reprice = base.filter(F.col("o_month") == "1997-03").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reprice.write.mode("overwrite").partitionBy("o_month").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_month")
+    )

@@ -1027,3 +1027,71 @@ def rollup_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionAll(merged).orderBy("scope", "key")
+
+
+@query("bloom_sketch_table_merge")
+def bloom_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filters AT REST — the namesake sketch joins the sketch-table
+    family (CMS/HLL/quantile/KMV): one Bloom filter per day over that
+    day's active users, persisted as (day, filter_bytes) rows; the month
+    membership filter is the bitwise-OR union of the day filters (exact
+    Bloom merge), so per-day partitions append independently and the
+    global filter never re-reads raw history. Probes: every present key
+    must hit (Bloom guarantees no false negatives — asserted by
+    tests/test_bloom.py::test_bloom_sketch_table_no_false_negatives);
+    absent-key positives are the measured false-positive count.
+    Rows-only: filter bits aren't SQL, the no-false-negative and
+    FPP-bound invariants are the tested contract."""
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        NumpyBloom,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+
+    def build(pdf):
+        b = NumpyBloom.from_params(expected_items=4096, fpp=0.01)
+        b.add_longs(pdf["user_id"].to_numpy(dtype="int64"))
+        return pd.DataFrame(
+            {"day": [pdf["day"].iloc[0]], "filter": [b.to_bytes()]}
+        )
+
+    table = (
+        days.groupBy("day")
+        .applyInPandas(build, "day date, filter binary")
+        .collect()
+    )
+    merged = None
+    for r in table:
+        b = NumpyBloom.from_bytes(bytes(r["filter"]))
+        merged = b if merged is None else merged_union(merged, b)
+
+    present = [r[0] for r in days.select("user_id").distinct().limit(100).collect()]
+    import numpy as np
+
+    absent = np.arange(1_000_000, 1_000_100, dtype=np.int64)
+    hits_present = int(
+        merged.might_contain_longs(np.array(present, dtype=np.int64)).sum()
+    )
+    hits_absent = int(merged.might_contain_longs(absent).sum())
+    return spark.createDataFrame(
+        [
+            ("absent", len(absent), hits_absent),
+            ("present", len(present), hits_present),
+        ],
+        "probe_set string, n_probes int, n_positive int",
+    ).orderBy("probe_set")
+
+
+def merged_union(a, b):
+    """Bitwise-OR union of two NumpyBloom filters (same params)."""
+    import numpy as np
+
+    assert a.n_bits == b.n_bits and np.array_equal(a.hash_a, b.hash_a)
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        NumpyBloom,
+    )
+
+    return NumpyBloom(a.n_bits, a.hash_a, a.bits | b.bits)

@@ -139,3 +139,20 @@ def test_bloom_serialization_roundtrip(spark):
     raw = bloom_build(df, "k", expected_items=1000, fpp=0.05)
     sk = BloomFilterSketch.from_bytes(raw)
     assert sk.to_bytes() == raw
+
+
+def test_bloom_sketch_table_no_false_negatives(spark, sf_dir):
+    """The merged day-filter table can NEVER miss a present key (Bloom
+    no-false-negative guarantee survives the OR-merge), and absent-key
+    positives stay within a loose multiple of the configured fpp."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    rows = {r["probe_set"]: r for r in QUERIES["bloom_sketch_table_merge"](spark, sf_dir).collect()}
+    assert rows["present"]["n_positive"] == rows["present"]["n_probes"]
+    # fpp=0.01 per day-filter; OR-merging k filters inflates the union's
+    # fill factor, so allow a loose bound
+    assert rows["absent"]["n_positive"] <= rows["absent"]["n_probes"] * 0.25
