@@ -1784,3 +1784,118 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+@query(
+    "locf_gap_fill",
+    oracle="""
+    -- LOCF (last observation carried forward): dense hourly grid for one
+    -- day, missing hours forward-filled from the last seen hourly mean.
+    -- The hourly means are rounded-term DECIMAL means; LOCF is pure
+    -- row-motion, so cross-engine equality is exact.
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0 FROM events
+    ),
+    slots AS (
+      SELECT unnest(generate_series(d0, d0 + INTERVAL 23 HOUR, INTERVAL 1 HOUR))
+        AS slot
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS slot,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.slot, a.v FROM slots s LEFT JOIN actual a USING (slot)
+    )
+    SELECT strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot,
+           (v IS NULL) AS was_gap,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             ORDER BY slot ROWS UNBOUNDED PRECEDING
+           ) AS v_filled
+    FROM grid ORDER BY slot
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) over a dense hourly grid — the other half of
+    time-series gap handling next to zero-fill (timeseries_gap_fill_daily):
+    sequence() builds the grid, a left join marks the gaps, and
+    last_value(... ignoreNulls) carries the prior observation forward in
+    one ordered window. The fill is pure row-motion over already-rounded
+    values, so both engines emit identical series."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0")).collect()[0]["d0"]
+    slots = spark.sql(
+        f"SELECT explode(sequence(timestamp'{d0}', "
+        f"timestamp'{d0}' + INTERVAL 23 HOURS, INTERVAL 1 HOUR)) AS slot"
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("slot"))
+        .agg(
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    grid = slots.join(actual, "slot", "left")
+    w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return grid.select(
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot"),
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("slot")
+
+
+@query(
+    "url_parse_family",
+    oracle="""
+    -- web-corpus URL handling: host / path / query-param extraction and
+    -- per-host rollups. URLs are synthesized deterministically; the
+    -- oracle parses with string ops, the engine with parse_url — same
+    -- components on this shape by construction.
+    WITH urls AS (
+      SELECT 'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+           COUNT(*) AS n_urls,
+           CAST(COUNT(DISTINCT split_part(split_part(url, '?', 1), '://', 2))
+                AS BIGINT) AS n_paths,
+           MIN(split_part(url, 'lang=', 2)) AS min_lang
+    FROM urls GROUP BY 1 ORDER BY 1
+    """,
+)
+def url_parse_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url coverage (B24, web-corpus shape): HOST / PATH / QUERY
+    param extraction with per-host rollups — the URL normalization step a
+    crawl-derived corpus runs before domain caps and dedup. parse_url is
+    a JVM expression (no UDF); the oracle reconstructs the same
+    components with string splits on the synthesized shape."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = docs.select(url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    path = F.concat(host, F.parse_url("url", F.lit("PATH")))
+    lang_q = F.parse_url("url", F.lit("QUERY"), F.lit("lang"))
+    return (
+        u.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(path).cast("long").alias("n_paths"),
+            F.min(lang_q).alias("min_lang"),
+        )
+        .orderBy("host")
+    )

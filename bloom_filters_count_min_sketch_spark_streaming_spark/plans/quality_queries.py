@@ -681,3 +681,71 @@ def score_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "chi_square_lang_source",
+    oracle="""
+    -- chi-square independence test for (lang, source): expected counts
+    -- are exact int ratios, per-cell terms ROUND -> DECIMAL-summed; df =
+    -- (|lang|-1)(|source|-1). The frequentist twin of the MI audit.
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+    ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM j GROUP BY lang),
+    ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM j GROUP BY source),
+    cells AS (
+      SELECT l.lang, s.source,
+             COALESCE(j.c, 0) AS o,
+             ml.cl * 1.0 * ms.cs / n.n AS e
+      FROM (SELECT DISTINCT lang FROM j) l
+      CROSS JOIN (SELECT DISTINCT source FROM j) s
+      LEFT JOIN j ON j.lang = l.lang AND j.source = s.source
+      JOIN ml ON ml.lang = l.lang
+      JOIN ms ON ms.source = s.source
+      CROSS JOIN n
+    )
+    SELECT ROUND(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 8)
+                               AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells
+    FROM cells
+    """,
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between document language and
+    source — the frequentist counterpart of the MI audit, including the
+    zero-observed cells a naive join drops (full lang × source grid via
+    cross join). Expected counts are exact int ratios; the statistic is a
+    rounded-term DECIMAL sum."""
+    docs = load(spark, sf_dir, "documents")
+    j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c")).persist()
+    n = int(j.agg(F.sum("c")).collect()[0][0])
+    ml = j.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    langs = j.select("lang").distinct()
+    sources = j.select("source").distinct()
+    cells = (
+        langs.crossJoin(sources)
+        .join(j, ["lang", "source"], "left")
+        .join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("c", F.lit(0)).alias("o"),
+            (F.col("cl") * 1.0 * F.col("cs") / F.lit(float(n))).alias("e"),
+        )
+        .persist()
+    )
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 8)
+    n_cells = cells.count()
+    return cells.agg(
+        F.round(F.sum(term.cast("decimal(28,8)")).cast("double"), 4).alias("chi2"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+    )
