@@ -1899,3 +1899,59 @@ def url_parse_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@query(
+    "schema_merge_read",
+    oracle="""
+    -- schema evolution: batch v1 lacks the later 'score' column; a
+    -- mergeSchema read unions the schemas and nulls the missing column —
+    -- expressible as a CASE on batch membership
+    WITH unioned AS (
+      SELECT doc_id, lang, NULL AS score FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 1000 AS score
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_score,
+           CAST(SUM(CAST(ROUND(COALESCE(score, 0), 6) AS DECIMAL(28,6)))
+                AS DOUBLE) AS score_sum
+    FROM unioned GROUP BY lang ORDER BY lang
+    """,
+)
+def schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: an old batch written before the
+    'score' column existed and a new batch carrying it are read together
+    with mergeSchema=true — the union schema appears, old rows surface
+    NULL for the added column, and aggregates must handle both. The
+    pattern every long-lived parquet dataset hits; the audit counts the
+    schema-gap rows per language."""
+    docs = load(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(), f"bfcms_schemamerge_{os.path.basename(sf_dir)}"
+    )
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.col("n_chars").cast("double") / 1000).alias("score")
+    )
+    v1.write.mode("overwrite").parquet(f"{root}/batch=v1")
+    v2.write.mode("overwrite").parquet(f"{root}/batch=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch=v1", f"{root}/batch=v2"
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("score").isNull().cast("long"))
+            .cast("long")
+            .alias("n_missing_score"),
+            F.sum(F.round(F.coalesce("score", F.lit(0.0)), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("score_sum"),
+        )
+        .orderBy("lang")
+    )

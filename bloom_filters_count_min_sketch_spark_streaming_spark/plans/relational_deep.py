@@ -1884,3 +1884,111 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "entry", "exit")
         .limit(15)
     )
+
+
+@query(
+    "conversion_lag_histogram",
+    oracle="""
+    -- distribution of signup -> first-purchase lag in whole hours; the
+    -- funnel's time dimension. First purchase via a per-user MIN over the
+    -- candidates; integer hour buckets are exact.
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT CAST(FLOOR((epoch_us(p.p_ts) - epoch_us(s.s_ts)) / 3600000000.0)
+                AS BIGINT) AS lag_hours,
+           COUNT(*) AS n_users
+    FROM s JOIN p USING (user_id)
+    GROUP BY 1 ORDER BY 1 LIMIT 48
+    """,
+)
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution: whole-hour histogram of the gap
+    between a user's first signup and first subsequent purchase — the
+    time axis of the funnel. Two MIN aggregates (no window needed),
+    integer-microsecond arithmetic, exact buckets."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lag = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 3600000000.0
+    ).cast("long")
+    return (
+        s.join(p, "user_id")
+        .groupBy(lag.alias("lag_hours"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("lag_hours")
+        .limit(48)
+    )
+
+
+@query(
+    "mean_family",
+    oracle="""
+    -- arithmetic / geometric / harmonic means per type, every float fold
+    -- a rounded-term DECIMAL sum (geometric via exp(mean(ln)), harmonic
+    -- via n/sum(1/x)); AM >= GM >= HM by construction
+    WITH t AS (SELECT event_type, value FROM events WHERE value > 0)
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_arith,
+           ROUND(exp(CAST(SUM(CAST(ROUND(ln(value), 8) AS DECIMAL(28,8)))
+                          AS DOUBLE) / COUNT(*)), 6) AS mean_geom,
+           ROUND(COUNT(*) / CAST(SUM(CAST(ROUND(1.0 / value, 10)
+                                          AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS mean_harm
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / geometric / harmonic means (the Pythagorean family)
+    per event type — rate-style metrics need the harmonic, multiplicative
+    growth the geometric; each is one decimal-safe fold, all three share
+    a single aggregation pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double") / n,
+                6,
+            ).alias("mean_arith"),
+            F.round(
+                F.exp(
+                    F.sum(F.round(F.log("value"), 8).cast("decimal(28,8)")).cast(
+                        "double"
+                    )
+                    / n
+                ),
+                6,
+            ).alias("mean_geom"),
+            F.round(
+                n
+                / F.sum(F.round(F.lit(1.0) / F.col("value"), 10).cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mean_harm"),
+        )
+        .orderBy("event_type")
+    )
