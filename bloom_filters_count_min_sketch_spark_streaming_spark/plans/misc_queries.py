@@ -1955,3 +1955,45 @@ def schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ansi_try_arithmetic",
+    oracle="""
+    -- Spark 4 runs ANSI mode by default: plain arithmetic THROWS on
+    -- div-by-zero/overflow, and the try_* family is the lenient opt-out
+    -- returning NULL. The oracle states the NULL semantics directly.
+    -- Quotients are exact halves (denominator 1 or 2), so the doubled
+    -- sum is an exact integer in both engines.
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE o_custkey / (o_orderkey % 3) END) * 2 AS BIGINT)
+             AS safe_div_sum_x2,
+           CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN NULL
+                         ELSE 1 / (o_custkey % 2) END) AS BIGINT)
+             AS n_odd_cust
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode arithmetic (Spark 4 default) with the try_* escape hatch:
+    every third order produces a zero denominator, so plain division
+    would raise DIVIDE_BY_ZERO and kill the job; try_divide yields NULL
+    and the aggregate skips it — the lenient path a production pipeline
+    opts into per-expression instead of disabling ANSI globally."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.try_divide(F.col("o_custkey"), F.col("o_orderkey") % 3)) * 2)
+            .cast("long")
+            .alias("safe_div_sum_x2"),
+            F.sum(F.try_divide(F.lit(1), F.col("o_custkey") % 2))
+            .cast("long")
+            .alias("n_odd_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -403,3 +403,30 @@ def test_rebalance_hint_inserts_aqe_rebalance(spark, sf_dir):
     df = spark.sql("SELECT /*+ REBALANCE(event_type) */ * FROM rebal_events")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in plan or "rebalance" in plan.lower(), plan[:1500]
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """All four join-strategy hints must reach the physical plan: the
+    lever for overriding Catalyst when its size estimates are wrong at
+    scale (a mis-broadcast 10 GB dim is an OOM; a shuffled 1 MB dim is a
+    wasted stage)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("jh_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("jh_customer")
+    cases = {
+        "BROADCAST(c)": "BroadcastHashJoin",
+        "SHUFFLE_MERGE(c)": "SortMergeJoin",
+        "SHUFFLE_HASH(c)": "ShuffledHashJoin",
+        "SHUFFLE_REPLICATE_NL(c)": "CartesianProduct",
+    }
+    for hint, node in cases.items():
+        df = spark.sql(
+            f"SELECT /*+ {hint} */ COUNT(*) FROM jh_orders o "
+            "JOIN jh_customer c ON o.o_custkey = c.c_custkey"
+            if node != "CartesianProduct"
+            else f"SELECT /*+ {hint} */ COUNT(*) FROM jh_orders o "
+            "JOIN jh_customer c"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{hint} did not produce {node}: {plan[:800]}"
