@@ -1095,3 +1095,180 @@ def merged_union(a, b):
     )
 
     return NumpyBloom(a.n_bits, a.hash_a, a.bits | b.bits)
+
+
+@query(
+    "ams_f2_estimate",
+    oracle="""
+    -- AMS (Alon-Matias-Szegedy) F2 sketch: 16 md5-derived ±1 sign
+    -- estimators, Z_i = sum of signs over the stream, median-of-means of
+    -- Z_i² estimates F2 = Σ f_x² (the self-join size). Every step is
+    -- integer or exact-dyadic arithmetic, so the ESTIMATE of this
+    -- genuinely randomized sketch is value-hash-checked — like KMV, the
+    -- portability comes from hashing, not from de-randomizing.
+    WITH est AS (SELECT unnest(generate_series(0, 15)) AS i),
+    signs AS (
+      SELECT e.i,
+             CAST(SUM(1 - 2 * (('0x' || substr(md5(CAST(ev.user_id AS VARCHAR)
+                                    || ':' || CAST(e.i AS VARCHAR)), 1, 1))::BIGINT % 2))
+                  AS BIGINT) AS z
+      FROM events ev CROSS JOIN est e
+      GROUP BY e.i
+    ),
+    means AS (
+      SELECT i // 4 AS g, SUM(z * z) / 4.0 AS m
+      FROM signs GROUP BY 1
+    ),
+    med AS (
+      SELECT (m1 + m2) / 2.0 AS f2_est FROM (
+        SELECT MAX(CASE WHEN rn = 2 THEN m END) AS m1,
+               MAX(CASE WHEN rn = 3 THEN m END) AS m2
+        FROM (SELECT m, row_number() OVER (ORDER BY m, g) AS rn FROM means)
+      )
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2
+      FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+    )
+    SELECT exact.f2 AS f2_exact,
+           med.f2_est AS f2_estimate,
+           ROUND(ABS(med.f2_est - exact.f2) / exact.f2, 4) AS rel_err
+    FROM exact CROSS JOIN med
+    """,
+)
+def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment (F2) sketch — the third classic from
+    the same literature as Bloom/CMS: F2 = Σ f_x² is the self-join size,
+    estimated from 16 counters regardless of key cardinality. Each
+    estimator is one ±1-signed sum over the stream (md5-derived signs, so
+    the randomized estimate itself is engine-portable and hash-checked);
+    median-of-means over 4 groups of 4 gives the standard
+    accuracy/confidence trade. One pass, 16 integers of state, trivially
+    mergeable (signed sums add) — the join-size planner statistic at
+    stream speed."""
+    ev = load(spark, sf_dir, "events")
+    est = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i")
+    rows = ev.select(F.col("user_id")).select("user_id", est)
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("user_id").cast("string"), F.col("i").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    signs = rows.groupBy("i").agg(
+        F.sum(F.lit(1) - 2 * bit).cast("long").alias("z")
+    )
+    means = signs.groupBy((F.col("i") / 4).cast("int").alias("g")).agg(
+        (F.sum(F.col("z") * F.col("z")) / 4.0).alias("m")
+    )
+    w = Window.orderBy("m", "g")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    med = ranked.agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == 2, F.col("m")))
+                + F.max(F.when(F.col("rn") == 3, F.col("m")))
+            )
+            / 2.0
+        ).alias("f2_est")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"))
+    )
+    return exact.crossJoin(med).select(
+        F.col("f2").alias("f2_exact"),
+        F.col("f2_est").alias("f2_estimate"),
+        F.round(F.abs(F.col("f2_est") - F.col("f2")) / F.col("f2"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+@query("count_sketch_vs_cms")
+def count_sketch_vs_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch vs Count-Min on the same narrow table (width 32):
+    CMS only ever OVERestimates (collisions add), Count-Sketch's signed
+    collisions cancel, so its errors are centered on zero — the estimator
+    you want when frequencies feed a model rather than a threshold.
+    Built distributed: per-partition tables via mapInPandas, merged by
+    cellwise addition (both sketches are mergeable monoids). Rows-only
+    (table bits aren't SQL); estimator contracts property-tested in
+    tests/test_countsketch.py."""
+    import numpy as np
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        NumpyCMS,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.countsketch import (
+        NumpyCountSketch,
+    )
+
+    ev = load(spark, sf_dir, "events").repartition(8)
+
+    def build(batches):
+        cs = NumpyCountSketch.from_params(width=32, depth=5)
+        cm = NumpyCMS.from_params(eps=2.0 / 32, confidence=0.96)
+        for pdf in batches:
+            v = pdf["user_id"].to_numpy(dtype="int64") % 97
+            cs.add_longs(v)
+            cm.add_longs(v)
+        yield pd.DataFrame(
+            {
+                "cs_table": [cs.table.tobytes()],
+                "cm_table": [cm.table.tobytes()],
+                "n": [cs.total],
+            }
+        )
+
+    parts = ev.select("user_id").mapInPandas(
+        build, "cs_table binary, cm_table binary, n long"
+    ).collect()
+    cs = NumpyCountSketch.from_params(width=32, depth=5)
+    cm = NumpyCMS.from_params(eps=2.0 / 32, confidence=0.96)
+    for r in parts:
+        cs.table += np.frombuffer(bytes(r["cs_table"]), dtype=np.int64).reshape(
+            cs.table.shape
+        )
+        cm.table += np.frombuffer(bytes(r["cm_table"]), dtype=np.int64).reshape(
+            cm.table.shape
+        )
+
+    exact = {
+        int(r[0]): int(r[1])
+        for r in ev.select((F.col("user_id") % 97).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    keys = np.array(sorted(exact), dtype=np.int64)
+    cs_est = cs.estimate_longs(keys)
+    cm_est = cm.estimate_longs(keys)
+    rows = [
+        (
+            int(k),
+            exact[int(k)],
+            float(cs_e),
+            int(cm_e),
+            float(cs_e) - exact[int(k)],
+            int(cm_e) - exact[int(k)],
+        )
+        for k, cs_e, cm_e in zip(keys, cs_est, cm_est)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key long, exact long, cs_est double, cms_est long, "
+        "cs_err double, cms_err long",
+    ).orderBy("key")
