@@ -94,6 +94,10 @@ HEADLINE = [
     "sparse_cosine_topk_pairs",
     "bootstrap_mean_ci",
     "embedding_pca_variance",
+    "ams_f2_estimate",
+    "bigram_perplexity_scores",
+    "entity_resolution_e2e",
+    "ivm_join_delta_maintenance",
 ]
 
 

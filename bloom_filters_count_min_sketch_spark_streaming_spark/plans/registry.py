@@ -45,7 +45,6 @@ _PRIORITY = [
     # round-3 pipeline ops (driver-visible slots; exact twins / near-twins
     # further down the prefix ceded their place — see r3 notes)
     "text_repetition_stats",
-    "priority_sample_docs",
     "dedup_incremental_ingest",
     "stream_chained_windows",
     # round-3 second batch: corpus-hygiene + CDC ops (oracle-backed) take
@@ -60,6 +59,11 @@ _PRIORITY = [
     # domain_frequency_caps: window-rank cap) — all still oracle-checked
     # locally further down the registry
     "bootstrap_mean_ci",
+    # AMS F2: the third classic sketch (signed-sum join-size estimator)
+    # whose randomized ESTIMATE is hash-checked via md5 signs; takes
+    # priority_sample_docs' slot (weighted sampling still carried by
+    # priority_sample_per_lang + local checks)
+    "ams_f2_estimate",
     "sparse_cosine_topk_pairs",
     "language_balanced_resample",
     "mmr_diversified_rerank",
