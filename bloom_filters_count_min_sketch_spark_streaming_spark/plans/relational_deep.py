@@ -1992,3 +1992,144 @@ def mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    -- RFM segmentation: quintile-bucket customers on Recency (days since
+    -- last order), Frequency (order count), Monetary (decimal total),
+    -- label = concatenated bucket digits. ntile needs a total order ->
+    -- every ORDER BY carries the custkey tie-break.
+    WITH rfm AS (
+      SELECT o_custkey AS cust,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cust,
+             NTILE(5) OVER (ORDER BY last_order DESC, cust) AS r,
+             NTILE(5) OVER (ORDER BY freq DESC, cust) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, cust) AS m
+      FROM rfm
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY 1
+    HAVING COUNT(*) >= 5
+    ORDER BY n_customers DESC, segment
+    LIMIT 20
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid: one aggregate pass builds the per-customer RFM
+    vector, three ntile windows bucket it (each with a total order), and
+    the segment label is the digit triple. Top segments by population."""
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "cust",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "cust")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "cust")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "cust")).alias("m"),
+    )
+    seg = F.concat(
+        F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+    )
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+        .orderBy(F.desc("n_customers"), "segment")
+        .limit(20)
+    )
+
+
+@query(
+    "funnel_three_step",
+    oracle="""
+    -- strict-order three-step funnel: signup -> first LATER click ->
+    -- first click-later purchase, each within 24h of the prior step;
+    -- per-step user counts + conversion rates (exact-int ratios)
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+        AND e.ts <= s.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM s), 6) AS rate_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS rate_purchase
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order three-step funnel (signup → click → purchase, each
+    step within 24h of the previous): successive MIN-aggregate semi-join
+    stages — no window over the whole stream, each stage shrinks the user
+    set, all joins hash-partition on user. Step counts and conversion
+    rates as exact-int ratios."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_s, n_c, n_p = s.count(), c.count(), p.count()
+    # rates rounded by Spark's ROUND (half-away, matching the oracle) —
+    # python round() is banker's and has bitten this repo before
+    return spark.createDataFrame(
+        [(n_s, n_c, n_p)], "n_signup long, n_click long, n_purchase long"
+    ).select(
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") * 1.0 / F.col("n_signup"), 6).alias("rate_click"),
+        F.round(
+            F.col("n_purchase") * 1.0 / F.nullif(F.col("n_click"), F.lit(0)), 6
+        ).alias("rate_purchase"),
+    )
