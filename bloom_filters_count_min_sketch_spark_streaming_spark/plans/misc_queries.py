@@ -1997,3 +1997,118 @@ def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "spatial_grid_join",
+    oracle="""
+    -- spatial self-join via grid bucketing: points hashed to 0.5-degree
+    -- cells, candidates = point x 3x3 neighborhood of the other point's
+    -- home cell, exact haversine verify at 50 km. Coordinates are
+    -- md5-derived doubles (identical cross-engine); trig is elementwise
+    -- libm on identical inputs; distances ROUNDed before the threshold
+    -- and the ranking.
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             40.0 + (('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT + 1)
+                    / 281474976710656.0 * 10.0 AS lat,
+             -5.0 + (('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT + 1)
+                    / 281474976710656.0 * 10.0 AS lon
+      FROM customer WHERE c_custkey < 2000
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(2.0 * 6371.0088 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+             )), 6) AS dist_km
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       -- 0.5 deg lat ~= 55 km >= 50; lon shrinks with cos(lat) (~36 km
+       -- per 0.5 deg at 50N), so lon cells are 1.0 deg (~71 km) to keep
+       -- the 3x3 neighborhood a superset of every 50 km pair
+       AND abs(floor(a.lat / 0.5) - floor(b.lat / 0.5)) <= 1
+       AND abs(floor(a.lon / 1.0) - floor(b.lon / 1.0)) <= 1
+    )
+    SELECT id_a, id_b, dist_km
+    FROM pairs WHERE dist_km <= 50.0
+    ORDER BY dist_km, id_a, id_b
+    LIMIT 20
+    """,
+)
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via grid bucketing — the 2-D instance of
+    the binned-join technique (interval_join_binned is the 1-D case):
+    each point gets a 0.5° home cell; one side explodes to its 3×3 cell
+    neighborhood so every ≤50 km pair coexists in some cell key, the join
+    is a plain EQUI-join on the cell, and exact haversine verifies. Work
+    ∝ per-cell density², never |points|² — the geohash/S2 sharding shape.
+    Closest 20 pairs, rounded distance + id tie-breaks."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+
+    def md5frac(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).cast("double") / F.lit(float(2**48))
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(40.0) + md5frac("lat:") * 10.0).alias("lat"),
+        (F.lit(-5.0) + md5frac("lon:") * 10.0).alias("lon"),
+    )
+    # lat cells 0.5 deg (~55 km); lon cells 1.0 deg (~71 km at 50N, where
+    # cos(lat) shrinks them most) so the 3x3 neighborhood provably covers
+    # every 50 km pair
+    cell_lat = F.floor(F.col("lat") / 0.5)
+    cell_lon = F.floor(F.col("lon") / 1.0)
+    home = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.concat_ws(":", cell_lat, cell_lon).alias("cell"),
+    )
+    neigh = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda di: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dj: F.concat_ws(":", cell_lat + di, cell_lon + dj),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    rad = lambda c: F.radians(c)
+    dlat = rad(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = rad(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rad(F.col("lat_a")))
+        * F.cos(rad(F.col("lat_b")))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    dist = F.round(2.0 * 6371.0088 * F.asin(F.sqrt(hav)), 6)
+    return (
+        home.join(neigh, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 50.0)
+        .orderBy("dist_km", "id_a", "id_b")
+        .limit(20)
+    )
