@@ -222,3 +222,22 @@ def test_analyze_table_catalog_stats(spark, sf_dir):
         assert int(got["distinct_count"]) <= n
     finally:
         spark.sql("DROP TABLE IF EXISTS bfcms_stats_nation")
+
+
+def test_declarative_pipelines_env_blocked():
+    """Spark Declarative Pipelines (4.1): the API ships in this pyspark,
+    but execution requires Spark Connect, whose python client needs
+    protobuf — absent here (same blocker as transformWithStateInPandas).
+    Record the state: decorators import, the Connect-side registry is the
+    only execution path."""
+    from pyspark import pipelines
+
+    assert hasattr(pipelines, "materialized_view")
+    assert hasattr(pipelines, "create_streaming_table")
+    try:
+        import google.protobuf  # noqa: F401
+
+        blocked = False
+    except ImportError:
+        blocked = True
+    assert blocked, "protobuf appeared — wire up a real SDP execution test"
