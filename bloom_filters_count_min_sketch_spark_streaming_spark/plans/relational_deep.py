@@ -2133,3 +2133,122 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchase") * 1.0 / F.nullif(F.col("n_click"), F.lit(0)), 6
         ).alias("rate_purchase"),
     )
+
+
+@query(
+    "weighted_median_family",
+    oracle="""
+    -- weighted median: first value whose running weight reaches half the
+    -- group total. All-integer weights and DECIMAL values -> exact; the
+    -- ordering carries a full tie-break.
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, v, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM t
+    )
+    SELECT flag,
+           CAST(MIN(v) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def weighted_median_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price per return flag): running
+    weight over the value-ordered window, first row to reach half the
+    total — the robust central price where every unit shipped votes, not
+    every line item. Exact integer weights + DECIMAL values; one shuffle
+    on the group key serves the running sum, the group total, and the
+    final aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = t.select(
+        "flag",
+        "v",
+        F.sum("w").over(w_run).cast("long").alias("cw"),
+        F.sum("w").over(w_all).cast("long").alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").cast("double").alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+    -- Benford's-law first-digit audit: observed leading-digit shares of
+    -- order totals vs log10(1 + 1/d) expectation — the classic
+    -- fabricated-numbers screen. Counts exact; expected shares are one
+    -- libm log10 on exact constants; deviation per digit rounded.
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit,
+           COUNT(*) AS observed,
+           ROUND(COUNT(*) * 1.0 / MAX(n.n), 6) AS obs_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND(COUNT(*) * 1.0 / MAX(n.n) - log10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM d CROSS JOIN n
+    GROUP BY digit ORDER BY digit
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: leading-digit shares vs
+    the log10(1 + 1/d) law — the forensic-accounting screen for
+    fabricated or truncated numeric columns, one scan + a 9-row result.
+    (TPC-H prices are uniform-ish, so the deviations themselves are the
+    interesting output.)"""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("long")
+    d = orders.select(digit.alias("digit"))
+    n = d.count()
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed") * 1.0 / F.lit(n), 6).alias("obs_share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+            F.round(
+                F.col("observed") * 1.0 / F.lit(n)
+                - F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
