@@ -169,6 +169,7 @@ _NESTED_LOOP_OK = {
     "language_balanced_resample",  # 1-row broadcast global-min seed join
     "corpus_curation_e2e",         # same 1-row global-min seed, composed
     "hybrid_search_rrf",           # corpus x broadcast 1-row query vector
+    "ams_f2_estimate",             # 1-row exact x 1-row estimate scalar join
 }
 
 
