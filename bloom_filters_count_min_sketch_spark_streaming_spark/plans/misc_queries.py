@@ -2112,3 +2112,81 @@ def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_km", "id_a", "id_b")
         .limit(20)
     )
+
+
+@query(
+    "sql_surface_family",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 100
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_surface_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface in one statement: IDENTIFIER() table
+    parameterization (SQL-injection-safe dynamic names), named parameter
+    markers (:lang / :min_chars via spark.sql args), and GROUP BY ALL /
+    ORDER BY ALL (Spark 4 + DuckDB share the dialect — the oracle uses
+    the same text minus the parameterization)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("sqlsurf_docs")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM IDENTIFIER(:tbl)
+        WHERE lang = :lang AND n_chars >= :min_chars
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"tbl": "sqlsurf_docs", "lang": "en", "min_chars": 100},
+    )
+
+
+@query(
+    "cached_multi_output_report",
+    oracle="""
+    -- two report facets over ONE cached base aggregate: by-lang and
+    -- by-source rollups of the same per-(lang,source) cells
+    WITH base AS (
+      SELECT lang, source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang, source
+    )
+    SELECT 'by_lang' AS facet, lang AS key,
+           CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM base GROUP BY lang
+    UNION ALL
+    SELECT 'by_source', source,
+           CAST(SUM(n) AS BIGINT), CAST(SUM(chars) AS BIGINT)
+    FROM base GROUP BY source
+    ORDER BY facet, key
+    """,
+)
+def cached_multi_output_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output reporting over a CACHED intermediate: the
+    per-(lang, source) cell table is computed once (persist), then two
+    facets aggregate it — the second facet reads InMemoryTableScan, not
+    the parquet (tests/test_scale_shapes.py asserts the plan). The
+    cache-or-recompute decision is THE recurring dashboard-pipeline
+    trade; here the cells are tiny and hot, the textbook cache case."""
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .persist()
+    )
+    by_lang = base.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    ).select(F.lit("by_lang").alias("facet"), F.col("lang").alias("key"), "n_docs", "total_chars")
+    by_source = base.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    ).select(F.lit("by_source").alias("facet"), F.col("source").alias("key"), "n_docs", "total_chars")
+    return by_lang.unionAll(by_source).orderBy("facet", "key")

@@ -431,3 +431,12 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert node in plan, f"{hint} did not produce {node}: {plan[:800]}"
+
+
+def test_cached_report_reuses_inmemory_scan(spark, sf_dir):
+    """The second facet of the cached multi-output report must read the
+    persisted cells (InMemoryTableScan), not re-scan parquet."""
+    df = entrymod.queries()["cached_multi_output_report"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p, p[:1200]

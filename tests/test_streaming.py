@@ -408,3 +408,40 @@ def test_versioned_upsert_retry_idempotent(spark, sf_dir):
         .collect()
     }
     assert retried == want
+
+
+def test_stream_progress_exposes_state_and_watermark(spark, sf_dir):
+    """Streaming observability: StreamingQueryProgress must report state
+    rows for the windowed aggregate and an advanced event-time watermark
+    — what a production stream's health monitor actually reads."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        events_stream_source,
+    )
+
+    src = events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("progress_probe")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bfcms_prog_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses, "no progress events recorded"
+    state_ops = [p for p in progresses if p.get("stateOperators")]
+    assert state_ops, "no stateOperators in any progress"
+    last = state_ops[-1]
+    assert last["stateOperators"][0]["numRowsTotal"] > 0
+    wm = last.get("eventTime", {}).get("watermark")
+    assert wm and wm > "1970", wm
