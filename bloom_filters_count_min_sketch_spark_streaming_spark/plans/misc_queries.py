@@ -2190,3 +2190,74 @@ def cached_multi_output_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars").cast("long").alias("total_chars"),
     ).select(F.lit("by_source").alias("facet"), F.col("source").alias("key"), "n_docs", "total_chars")
     return by_lang.unionAll(by_source).orderBy("facet", "key")
+
+
+@query(
+    "table_diff_audit",
+    oracle="""
+    -- keyed diff between two versions of the aggregate table (versions =
+    -- ingest prefixes of event_id % 4): classification per key into
+    -- added / changed / unchanged, with numeric deltas. The data-diff
+    -- primitive behind regression-testing a pipeline change.
+    WITH v2 AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS t
+      FROM events WHERE event_id % 4 <= 2 GROUP BY event_type
+    ),
+    v3 AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS t
+      FROM events GROUP BY event_type
+    )
+    SELECT COALESCE(v3.event_type, v2.event_type) AS key,
+           CASE WHEN v2.event_type IS NULL THEN 'added'
+                WHEN v3.event_type IS NULL THEN 'removed'
+                WHEN v2.n <> v3.n OR v2.t <> v3.t THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COALESCE(v3.n, 0) - COALESCE(v2.n, 0) AS BIGINT) AS n_delta,
+           CAST(COALESCE(v3.t, 0) - COALESCE(v2.t, 0) AS DOUBLE) AS t_delta
+    FROM v2 FULL OUTER JOIN v3 USING (event_type)
+    ORDER BY key
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff (the data-diff / regression-test primitive): two
+    versions of the aggregate table FULL OUTER joined on the key, each
+    key classified added / removed / changed / unchanged with exact
+    numeric deltas (DECIMAL arithmetic, so 'changed' can never fire on
+    float noise). One key-partitioned join regardless of table width —
+    at 100 TB you diff hash-of-row first and only widen changed keys."""
+    ev = load(spark, sf_dir, "events")
+
+    def version(pred):
+        return ev.filter(pred).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("t"),
+        )
+
+    v2 = version(F.col("event_id") % 4 <= 2).select(
+        F.col("event_type").alias("k2"), F.col("n").alias("n2"), F.col("t").alias("t2")
+    )
+    v3 = version(F.lit(True)).select(
+        F.col("event_type").alias("k3"), F.col("n").alias("n3"), F.col("t").alias("t3")
+    )
+    j = v2.join(v3, v2.k2 == v3.k3, "full_outer")
+    status = (
+        F.when(F.col("k2").isNull(), "added")
+        .when(F.col("k3").isNull(), "removed")
+        .when(
+            (F.col("n2") != F.col("n3")) | (F.col("t2") != F.col("t3")), "changed"
+        )
+        .otherwise("unchanged")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return j.select(
+        F.coalesce("k3", "k2").alias("key"),
+        status.alias("status"),
+        (F.coalesce("n3", F.lit(0)) - F.coalesce("n2", F.lit(0)))
+        .cast("long")
+        .alias("n_delta"),
+        (F.coalesce(F.col("t3"), zero) - F.coalesce(F.col("t2"), zero))
+        .cast("double")
+        .alias("t_delta"),
+    ).orderBy("key")

@@ -440,3 +440,19 @@ def test_cached_report_reuses_inmemory_scan(spark, sf_dir):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in p, p[:1200]
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE must coalesce the 32 configured shuffle partitions down when
+    the data is tiny — the runtime right-sizing that keeps task overhead
+    from dominating small stages."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    df = (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .count()
+    )
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in p and "coalesced" in p, p[:1200]
