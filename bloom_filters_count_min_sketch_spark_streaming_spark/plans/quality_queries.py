@@ -749,3 +749,67 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.lit(n_cells).cast("long").alias("n_cells"),
     )
+
+
+@query(
+    "score_calibration_bins",
+    oracle="""
+    -- reliability diagram for the logistic gate: score-decile bins vs
+    -- observed is-English rate per bin. Bin edges are fixed (0.1 grid) so
+    -- binning is exact; rates are exact-int ratios.
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(1.0 / (1.0 + exp(-(
+               -1.5
+               + 4.0 * (len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains(
+                               ['the','a','of','and','to','in','is','it','that','for'],
+                               w))) * 1.0
+                        / len(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')))
+               - 6.0 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                        / length(text))
+               + 0.004 * len(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> ''))
+             ))), 6) AS score
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+        AND length(text) > 0
+    )
+    SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS observed_rate
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability diagram) of the logistic quality gate:
+    decile score bins vs the observed positive rate — a well-calibrated
+    gate has mean_score ≈ observed_rate per bin, and miscalibration is
+    what turns a threshold into a silent over/under-filter. Completes the
+    gate-evaluation pair next to score_threshold_sweep."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.word_tokens(F.col("text")))
+    lin = T.logistic_quality_linear(F.col("text"))
+    f = docs.filter((n_tok > 0) & (F.length("text") > 0)).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6).alias("score"),
+    )
+    bin_ = F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+    return (
+        f.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round("score", 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )

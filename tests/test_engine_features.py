@@ -241,3 +241,36 @@ def test_declarative_pipelines_env_blocked():
     except ImportError:
         blocked = True
     assert blocked, "protobuf appeared — wire up a real SDP execution test"
+
+
+def test_concurrent_queries_share_session(spark, sf_dir):
+    """Thread-safety of one SparkSession under concurrent query
+    submission (the shared-cluster reality): 8 queries race on a pool and
+    must produce exactly their sequential results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    names = [
+        "q1_pricing_summary",
+        "events_hourly_counts",
+        "cms_event_type_freq",
+        "heavy_hitters_approx",
+        "text_quality_by_source",
+        "dedup_exact_docs",
+        "mean_family",
+        "argmax_family",
+    ]
+
+    def run(name):
+        return name, [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+
+    sequential = dict(run(n) for n in names)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = dict(pool.map(run, names))
+    for n in names:
+        assert sorted(map(str, concurrent[n])) == sorted(map(str, sequential[n])), n
