@@ -2252,3 +2252,124 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "rollup_percent_of_parent",
+    oracle="""
+    -- hierarchical report with percent-of-parent at each level: nation
+    -- revenue as a share of its region, region as share of total. All
+    -- shares are ratios of identical DECIMAL sums.
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+               AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    rr AS (SELECT region, SUM(rev) AS rrev FROM nr GROUP BY region),
+    tot AS (SELECT SUM(rev) AS trev FROM nr)
+    SELECT nr.region, nr.nation,
+           CAST(nr.rev AS DOUBLE) AS revenue,
+           ROUND(CAST(nr.rev AS DOUBLE) / CAST(rr.rrev AS DOUBLE), 6)
+             AS pct_of_region,
+           ROUND(CAST(rr.rrev AS DOUBLE) / CAST(tot.trev AS DOUBLE), 6)
+             AS region_pct_of_total
+    FROM nr JOIN rr USING (region) CROSS JOIN tot
+    ORDER BY region, nation
+    """,
+)
+def rollup_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical report (nation share of region,
+    region share of total): the drilldown table every OLAP frontend
+    renders. One fact aggregation feeds all three levels (re-aggregation
+    of the nation cells, not a rescan); shares divide identical DECIMAL
+    sums so the doubles agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit("1.00").cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev"))
+        .persist()
+    )
+    rr = nr.groupBy("region").agg(F.sum("rev").alias("rrev"))
+    tot = nr.agg(F.sum("rev").alias("trev"))
+    return (
+        nr.join(rr, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("rrev").cast("double"), 6
+            ).alias("pct_of_region"),
+            F.round(
+                F.col("rrev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("region_pct_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "running_distinct_event_types",
+    oracle="""
+    -- running DISTINCT count over an ordered window without windowed
+    -- COUNT(DISTINCT) (neither engine supports it): flag each row that is
+    -- the FIRST occurrence of its (user, type), then cumulate the flags —
+    -- the dedup-in-window rewrite
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events WHERE user_id < 10
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged ORDER BY user_id, event_id
+    """,
+)
+def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user (how many event types has this
+    user touched so far): windowed COUNT(DISTINCT) doesn't exist in any
+    engine, so it's rewritten as first-occurrence flags + a running sum —
+    two windows sharing one user_id shuffle. The exact twin of what a
+    streaming HLL-per-key approximates."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    ).orderBy("user_id", "event_id")
