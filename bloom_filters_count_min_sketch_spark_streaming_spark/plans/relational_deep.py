@@ -2373,3 +2373,94 @@ def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "pareto_concentration_gini",
+    oracle="""
+    -- revenue concentration: share of customers covering 80% of revenue
+    -- plus the Gini coefficient, from one sorted cumulative pass. Gini =
+    -- (2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n) over ascending x;
+    -- all sums are DECIMAL with exact integer ranks.
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS rnk,
+             CAST(SUM(CAST(rev AS DECIMAL(28,2)))
+                    OVER (ORDER BY rev DESC, o_custkey DESC
+                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2))
+               AS cum_desc
+      FROM cr
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS t,
+             CAST(SUM(CAST(rnk AS DECIMAL(28,2)) * CAST(rev AS DECIMAL(28,2)))
+                  AS DECIMAL(38,2)) AS iwx
+      FROM ranked
+    ),
+    p80 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ranked, tot
+      WHERE cum_desc < CAST(0.8 AS DECIMAL(3,2)) * tot.t
+    )
+    SELECT tot.n AS n_customers,
+           ROUND((p80.k + 1) * 1.0 / tot.n, 6) AS top_share_for_80pct,
+           ROUND(2.0 * CAST(tot.iwx AS DOUBLE) / (tot.n * CAST(tot.t AS DOUBLE))
+                 - (tot.n + 1.0) / tot.n, 6) AS gini
+    FROM tot CROSS JOIN p80
+    """,
+)
+def pareto_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the 80/20 check (what fraction of customers
+    produce 80% of revenue) and the Gini coefficient — distribution-shape
+    audits that decide whether per-key skew handling is even needed. One
+    per-customer aggregate, one sorted window pass, all DECIMAL with
+    exact ranks; the 0.8 threshold is a DECIMAL comparison so the
+    crossing index is engine-exact."""
+    orders = load(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    w_rank = Window.orderBy("rev", "o_custkey")
+    w_desc = Window.orderBy(F.desc("rev"), F.desc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cr.select(
+        F.col("rev"),
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum(F.col("rev").cast("decimal(28,2)"))
+        .over(w_desc)
+        .cast("decimal(28,2)")
+        .alias("cum_desc"),
+    ).persist()
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rev").cast("decimal(28,2)")).cast("decimal(28,2)").alias("t"),
+        F.sum(
+            F.col("rnk").cast("decimal(28,2)") * F.col("rev").cast("decimal(28,2)")
+        )
+        .cast("decimal(38,2)")
+        .alias("iwx"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    k80 = j.filter(
+        F.col("cum_desc") < F.lit("0.8").cast("decimal(3,2)") * F.col("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return (
+        tot.crossJoin(F.broadcast(k80))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round((F.col("k") + 1) * 1.0 / F.col("n"), 6).alias(
+                "top_share_for_80pct"
+            ),
+            F.round(
+                2.0 * F.col("iwx").cast("double") / (F.col("n") * F.col("t").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -1020,3 +1020,80 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "zipf_fit_slope",
+    oracle="""
+    -- Zipf exponent of the corpus: OLS slope of log(freq) on log(rank)
+    -- over the top-500 words — natural text sits near -1, templated or
+    -- deduplicated-to-death corpora drift off. Closed-form slope from
+    -- rounded-term DECIMAL moments (the trend_slope_per_type machinery).
+    WITH wc AS (
+      SELECT term, COUNT(*) AS c FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+          AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+      FROM wc
+    ),
+    pts AS (
+      SELECT ROUND(ln(rnk), 8) AS x, ROUND(ln(c), 8) AS y
+      FROM ranked WHERE rnk <= 500
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: OLS slope
+    of the log-log rank/frequency curve over the top-500 words. Natural
+    language sits near slope -1; big deviations flag templated/synthetic
+    text or over-aggressive dedup — a one-number corpus-health metric.
+    One wordcount pass + a 500-row regression via decimal moments."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.word_tokens(F.col("text"))).alias("term"))
+    wc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), "term")
+    pts = (
+        wc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 500)
+        .select(
+            F.round(F.log("rnk"), 8).alias("x"), F.round(F.log("c"), 8).alias("y")
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
