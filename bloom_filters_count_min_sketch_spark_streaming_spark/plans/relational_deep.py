@@ -2464,3 +2464,224 @@ def pareto_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@query(
+    "exp_smoothing_forecast",
+    oracle="""
+    -- single exponential smoothing (alpha = 0.3) of the daily error-count
+    -- series, evaluated in closed form: the smoothed level is a weighted
+    -- sum alpha*(1-alpha)^k over the reversed series (+ the (1-alpha)^T
+    -- seed term), so no recursion is needed. POWER on identical doubles,
+    -- per-term ROUND -> DECIMAL sum.
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    slots AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    series AS (
+      SELECT s.day, COALESCE(a.n, 0) AS x,
+             row_number() OVER (ORDER BY s.day) AS t
+      FROM slots s LEFT JOIN (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+      ) a USING (day)
+    ),
+    tmax AS (SELECT MAX(t) AS tm FROM series),
+    terms AS (
+      SELECT CASE WHEN s.t = 1
+                  THEN ROUND(POWER(0.7, tm - 1) * s.x, 10)
+                  ELSE ROUND(0.3 * POWER(0.7, tm - s.t) * s.x, 10) END AS w
+      FROM series s CROSS JOIN tmax
+    )
+    SELECT (SELECT CAST(tm AS BIGINT) FROM tmax) AS n_days,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS forecast_next_day
+    FROM terms
+    """,
+)
+def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single exponential smoothing over the zero-filled daily error
+    series, as a CLOSED FORM instead of a recursion: the level after T
+    days is alpha * sum((1-alpha)^age * x) plus the decayed seed — one
+    weighted aggregate, no sequential scan, trivially distributable (the
+    same de-recursion trick as the decayed-count operator). The smoothed
+    level IS the one-step forecast."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    ).collect()[0]
+    slots = spark.sql(
+        f"SELECT explode(sequence(timestamp'{b['lo']}', timestamp'{b['hi']}', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = (
+        slots.join(actual, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("x"))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .persist()
+    )
+    tm = series.agg(F.max("t")).collect()[0][0]
+    w = F.when(
+        F.col("t") == 1, F.round(F.pow(F.lit(0.7), F.lit(tm - 1)) * F.col("x"), 10)
+    ).otherwise(
+        F.round(F.lit(0.3) * F.pow(F.lit(0.7), F.lit(tm) - F.col("t")) * F.col("x"), 10)
+    )
+    return series.select(w.alias("w")).agg(
+        F.lit(tm).cast("long").alias("n_days"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("forecast_next_day"),
+    )
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+    -- Kaplan-Meier time-to-first-purchase with right-censoring (users who
+    -- never purchase are censored at their last observed event):
+    -- S(t) = prod over death times <= t of (1 - d_i / n_i), computed as
+    -- exp of a cumulative DECIMAL sum of ROUNDed ln terms — the
+    -- distributed product-over-ordered-groups trick.
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    death AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s USING (user_id)
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id,
+             CASE WHEN d.td IS NOT NULL THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR((epoch_us(COALESCE(d.td, l.tl)) - epoch_us(s.t0))
+                        / 3600000000.0) AS BIGINT) AS dur_h
+      FROM s
+      LEFT JOIN death d USING (user_id)
+      JOIN last_seen l USING (user_id)
+    ),
+    dt AS (
+      SELECT dur_h AS t, COUNT(*) AS d
+      FROM obs WHERE died = 1 GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dt.t, dt.d,
+             (SELECT COUNT(*) FROM obs WHERE obs.dur_h >= dt.t) AS n
+      FROM dt
+    ),
+    curve AS (
+      -- d = n (everyone remaining converts) sends S to exactly 0: that
+      -- step contributes a zero-flag instead of ln(0)
+      SELECT t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_deaths,
+             CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE ROUND(exp(CAST(SUM(CAST(ROUND(ln(1.0 - d * 1.0 / n), 10)
+                                          AS DECIMAL(28,10)))
+                                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                                 AS DOUBLE)), 6) END AS survival
+      FROM risk WHERE d < n
+      UNION ALL
+      SELECT t, CAST(n AS BIGINT), CAST(d AS BIGINT), 0.0
+      FROM risk WHERE d >= n
+    )
+    SELECT t AS hours, n_risk, n_deaths, survival
+    FROM curve ORDER BY hours LIMIT 24
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimator for time-to-first-purchase, with users who
+    never convert right-censored at their last observed event — the
+    statistically correct conversion curve (a naive rate systematically
+    understates late conversion). The ordered product Π(1 - d/n) runs as
+    exp of a cumulative decimal sum of ln terms, so the curve is both
+    distributable and engine-exact; at-risk counts come from one
+    duration table scanned per death time (|death times| is tiny after
+    hour-bucketing)."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    death = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    last_seen = ev.join(s.select("user_id"), "user_id").groupBy("user_id").agg(
+        F.max("ts").alias("tl")
+    )
+    obs = (
+        s.join(death, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.when(F.col("td").isNotNull(), 1).otherwise(0).alias("died"),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("td", "tl")) - F.unix_micros("t0")
+                )
+                / 3600000000.0
+            )
+            .cast("long")
+            .alias("dur_h"),
+        )
+        .persist()
+    )
+    dt = (
+        obs.filter(F.col("died") == 1)
+        .groupBy(F.col("dur_h").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    at_risk = obs.select(F.col("dur_h"))
+    risk = (
+        dt.join(at_risk, at_risk.dur_h >= dt.t)
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    alive = risk.filter(F.col("d") < F.col("n")).select(
+        "t",
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n")), 10).cast(
+                        "decimal(28,10)"
+                    )
+                )
+                .over(w)
+                .cast("double")
+            ),
+            6,
+        ).alias("survival"),
+    )
+    # d = n steps pin S to exactly 0 (ln(0) is the signal, not an error)
+    dead = risk.filter(F.col("d") >= F.col("n")).select(
+        "t",
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.lit(0.0).alias("survival"),
+    )
+    curve = alive.unionAll(dead)
+    return curve.select(
+        F.col("t").alias("hours"), "n_risk", "n_deaths", "survival"
+    ).orderBy("hours").limit(24)
