@@ -2685,3 +2685,95 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.select(
         F.col("t").alias("hours"), "n_risk", "n_deaths", "survival"
     ).orderBy("hours").limit(24)
+
+
+@query(
+    "diff_in_diff_estimate",
+    oracle="""
+    -- difference-in-differences: treatment = odd user_id, post = second
+    -- half of the event-time range (fixed cutoff from the data's own
+    -- midpoint, floored to whole days so the boundary is exact). The 2x2
+    -- cell means come from one decimal-moment pass; DiD and its pooled
+    -- standard error are elementwise arithmetic on identical doubles.
+    WITH b AS (
+      SELECT date_trunc('day', MIN(ts)) + CAST(FLOOR(
+               date_diff('day', date_trunc('day', MIN(ts)),
+                         date_trunc('day', MAX(ts))) / 2) AS BIGINT)
+               * INTERVAL 1 DAY AS cut
+      FROM events
+    ),
+    cells AS (
+      SELECT (user_id % 2) AS treated,
+             CASE WHEN ts >= b.cut THEN 1 ELSE 0 END AS post,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS s2
+      FROM events CROSS JOIN b
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT treated, post, n, s1 / n AS m,
+             (s2 - s1 * s1 / n) / (n - 1) / n AS vm
+      FROM cells
+    )
+    SELECT ROUND((t1.m - t0.m) - (c1.m - c0.m), 6) AS did,
+           ROUND(sqrt(t1.vm + t0.vm + c1.vm + c0.vm), 6) AS se,
+           CAST(t1.n + t0.n + c1.n + c0.n AS BIGINT) AS n_events
+    FROM st t1, st t0, st c1, st c0
+    WHERE t1.treated = 1 AND t1.post = 1
+      AND t0.treated = 1 AND t0.post = 0
+      AND c1.treated = 0 AND c1.post = 1
+      AND c0.treated = 0 AND c0.post = 0
+    """,
+)
+def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the workhorse quasi-experimental
+    estimator — (treated post - treated pre) minus (control post -
+    control pre), with a pooled standard error from the four cell
+    variances. One moment pass builds the 2x2 design; everything after
+    is arithmetic on four rows. Assignment and cutoff are deterministic
+    (user parity, the series' own midpoint day)."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    ).collect()[0]
+    half_days = int(((b["hi"] - b["lo"]).days) // 2)
+    cut = b["lo"] + __import__("datetime").timedelta(days=half_days)
+    cells = (
+        ev.groupBy(
+            (F.col("user_id") % 2).alias("treated"),
+            (F.col("ts") >= F.lit(cut)).cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("s1"),
+            F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    st = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("vm"),
+    ).collect()
+    cell = {(r["treated"], r["post"]): r for r in st}
+    t1, t0, c1, c0 = cell[(1, 1)], cell[(1, 0)], cell[(0, 1)], cell[(0, 0)]
+    return spark.createDataFrame(
+        [(t1["m"] - t0["m"] - (c1["m"] - c0["m"]),
+          (t1["vm"] + t0["vm"] + c1["vm"] + c0["vm"]),
+          t1["n"] + t0["n"] + c1["n"] + c0["n"])],
+        "did_raw double, var_sum double, n_events long",
+    ).select(
+        F.round("did_raw", 6).alias("did"),
+        F.round(F.sqrt("var_sum"), 6).alias("se"),
+        "n_events",
+    )
