@@ -98,6 +98,9 @@ HEADLINE = [
     "bigram_perplexity_scores",
     "entity_resolution_e2e",
     "ivm_join_delta_maintenance",
+    "spatial_grid_join",
+    "kaplan_meier_survival",
+    "pareto_concentration_gini",
 ]
 
 
