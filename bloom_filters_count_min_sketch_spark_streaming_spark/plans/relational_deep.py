@@ -2777,3 +2777,132 @@ def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("var_sum"), 6).alias("se"),
         "n_events",
     )
+
+
+@query(
+    "cuped_adjusted_means",
+    oracle="""
+    -- CUPED variance reduction: per-user post-period metric Y adjusted by
+    -- the pre-period covariate X, theta = cov(X,Y)/var(X) from pooled
+    -- decimal moments; report per-arm adjusted means and the variance
+    -- reduction. Same midpoint cutoff and parity assignment as the DiD.
+    WITH b AS (
+      SELECT date_trunc('day', MIN(ts)) + CAST(FLOOR(
+               date_diff('day', date_trunc('day', MIN(ts)),
+                         date_trunc('day', MAX(ts))) / 2) AS BIGINT)
+               * INTERVAL 1 DAY AS cut
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, (user_id % 2) AS treated,
+             ROUND(CAST(SUM(CASE WHEN ts < b.cut
+                            THEN CAST(ROUND(value, 6) AS DECIMAL(28,6)) END)
+                        AS DOUBLE)
+                   / NULLIF(COUNT(CASE WHEN ts < b.cut THEN 1 END), 0), 6) AS x,
+             ROUND(CAST(SUM(CASE WHEN ts >= b.cut
+                            THEN CAST(ROUND(value, 6) AS DECIMAL(28,6)) END)
+                        AS DOUBLE)
+                   / NULLIF(COUNT(CASE WHEN ts >= b.cut THEN 1 END), 0), 6) AS y
+      FROM events CROSS JOIN b
+      GROUP BY user_id
+    ),
+    ok AS (SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM ok
+    ),
+    th AS (
+      SELECT n, sx, sy, syy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             (n * syy - sy * sy) / (n * sxx - sx * sx) AS _unused
+      FROM m
+    ),
+    adj AS (
+      SELECT o.treated,
+             ROUND(o.y - th.theta * (o.x - th.sx / th.n), 6) AS y_adj,
+             o.y
+      FROM ok o CROSS JOIN th
+    )
+    SELECT treated,
+           COUNT(*) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_raw,
+           ROUND(CAST(SUM(CAST(y_adj AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_cuped
+    FROM adj GROUP BY treated ORDER BY treated
+    """,
+)
+def cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): each
+    user's post-period metric is adjusted by their own pre-period
+    covariate, theta = cov(X,Y)/var(X) — the industry-standard variance
+    reduction that makes experiments read out faster at the same traffic.
+    One per-user aggregate, one pooled moment pass, one broadcast theta;
+    per-term rounding keeps every stage engine-exact."""
+    import datetime
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    ).collect()[0]
+    cut = b["lo"] + datetime.timedelta(days=int((b["hi"] - b["lo"]).days // 2))
+    pre = F.when(F.col("ts") < F.lit(cut), F.round("value", 6).cast("decimal(28,6)"))
+    post = F.when(F.col("ts") >= F.lit(cut), F.round("value", 6).cast("decimal(28,6)"))
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("treated"),
+        F.round(
+            F.sum(pre).cast("double")
+            / F.nullif(F.count(pre), F.lit(0)),
+            6,
+        ).alias("x"),
+        F.round(
+            F.sum(post).cast("double")
+            / F.nullif(F.count(post), F.lit(0)),
+            6,
+        ).alias("y"),
+    )
+    ok = per_user.filter(F.col("x").isNotNull() & F.col("y").isNotNull()).persist()
+    m = ok.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    ).collect()[0]
+    n, sx, sy, sxy, sxx = (m["n"], m["sx"], m["sy"], m["sxy"], m["sxx"])
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    adj = ok.select(
+        "treated",
+        "y",
+        F.round(F.col("y") - F.lit(theta) * (F.col("x") - F.lit(xbar)), 6).alias(
+            "y_adj"
+        ),
+    )
+    return (
+        adj.groupBy("treated")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("y_adj").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cuped"),
+        )
+        .orderBy("treated")
+    )
