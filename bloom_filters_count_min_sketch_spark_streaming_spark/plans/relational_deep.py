@@ -2906,3 +2906,178 @@ def cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treated")
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    -- canonical growth accounting: per week, users split into new
+    -- (first-ever week), retained (also active previous week),
+    -- resurrected (active, not last week, not new); churned = last
+    -- week's actives missing this week. All exact set logic on
+    -- (user, week) actives.
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    first_wk AS (
+      SELECT user_id, MIN(week) AS fw FROM wk GROUP BY user_id
+    ),
+    weeks AS (SELECT DISTINCT week FROM wk),
+    states AS (
+      SELECT w.week,
+             CAST(SUM(CASE WHEN f.fw = w.week THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN f.fw < w.week AND p.user_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN f.fw < w.week AND p.user_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM wk w
+      JOIN first_wk f USING (user_id)
+      LEFT JOIN wk p ON p.user_id = w.user_id
+                    AND p.week = w.week - INTERVAL 7 DAY
+      GROUP BY w.week
+    ),
+    churn AS (
+      SELECT p.week + INTERVAL 7 DAY AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM wk p
+      LEFT JOIN wk c ON c.user_id = p.user_id
+                    AND c.week = p.week + INTERVAL 7 DAY
+      WHERE c.user_id IS NULL
+      GROUP BY p.week
+    )
+    SELECT strftime(s.week, '%Y-%m-%d') AS week,
+           s.n_new, s.n_retained, s.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM states s
+    LEFT JOIN churn c ON c.week = s.week
+    JOIN weeks ww ON ww.week = s.week
+    ORDER BY week
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the canonical new / retained /
+    resurrected / churned decomposition): exact set logic over distinct
+    (user, week) actives — one dedup aggregate, a self-join shifted by a
+    week, and a first-week table. Week arithmetic is pure timestamp
+    math, so every engine buckets identically."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct().persist()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("fw"))
+    prev = wk.select(
+        F.col("user_id").alias("p_user"),
+        (F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("p_next"),
+    )
+    states = (
+        wk.join(first_wk, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("p_user")) & (F.col("week") == F.col("p_next")),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.sum((F.col("fw") == F.col("week")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                ((F.col("fw") < F.col("week")) & F.col("p_user").isNotNull()).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                ((F.col("fw") < F.col("week")) & F.col("p_user").isNull()).cast("long")
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    nxt = wk.select(
+        F.col("user_id").alias("c_user"), F.col("week").alias("c_week")
+    )
+    churn = (
+        wk.join(
+            nxt,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_week") == F.col("week") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .filter(F.col("c_user").isNull())
+        .groupBy((F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        states.join(churn, "week", "left")
+        .join(wk.select("week").distinct(), "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "weekday_seasonality_profile",
+    oracle="""
+    -- day-of-week seasonality indices: weekday mean volume over the
+    -- all-days mean (index 1.0 = no seasonality); exact counts, one
+    -- division at the end. ISO weekday numbering both engines.
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days FROM daily
+    )
+    SELECT CAST(isodow(day) AS BIGINT) AS weekday,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_days,
+           ROUND((SUM(n) * 1.0 / COUNT(*))
+                 / (tot.total * 1.0 / tot.n_days), 6) AS seasonality_index
+    FROM daily CROSS JOIN tot
+    GROUP BY isodow(day), tot.total, tot.n_days
+    ORDER BY weekday
+    """,
+)
+def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices (weekday mean volume / overall
+    daily mean): the decomposition input every anomaly detector and
+    forecast needs before it can tell a quiet Sunday from an incident.
+    Exact integer counts; ISO weekday numbering matches across engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy(F.dayofweek("day").alias("dow_sun1"), "total", "n_days")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_wdays"),
+        )
+        .select(
+            # Spark dayofweek: 1=Sunday; ISO: 1=Monday..7=Sunday
+            F.when(F.col("dow_sun1") == 1, 7)
+            .otherwise(F.col("dow_sun1") - 1)
+            .cast("long")
+            .alias("weekday"),
+            "n_events",
+            F.col("n_wdays").alias("n_days"),
+            F.round(
+                (F.col("n_events") * 1.0 / F.col("n_wdays"))
+                / (F.col("total") * 1.0 / F.col("n_days")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("weekday")
+    )
