@@ -3081,3 +3081,116 @@ def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+@query(
+    "autocorr_daily_events",
+    oracle="""
+    -- lag-1 autocorrelation of the daily event-count series: the
+    -- burstiness/momentum statistic from one LAG window + decimal
+    -- moments (Pearson r on (x_t, x_{t-1}) pairs).
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(n AS DOUBLE) AS y,
+             CAST(LAG(n) OVER (ORDER BY day) AS DOUBLE) AS x
+      FROM daily
+    ),
+    ok AS (SELECT x, y FROM pairs WHERE x IS NOT NULL),
+    m AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM ok
+    )
+    SELECT k AS n_pairs,
+           ROUND((k * sxy - sx * sy)
+                 / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS lag1_r
+    FROM m
+    """,
+)
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily volume — does yesterday predict
+    today (momentum) or not (noise)? The statistic that decides whether a
+    forecast needs an AR term at all. One daily aggregate, one LAG, one
+    decimal-moment Pearson r."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("n").cast("double").alias("y"),
+        F.lag("n").over(w).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    r = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(F.col("k").alias("n_pairs"), F.round(r, 6).alias("lag1_r"))
+
+
+@query(
+    "anomaly_seasonal_days",
+    oracle="""
+    -- seasonality-adjusted daily anomaly flags: each day's volume over
+    -- its weekday's mean, flagged when the ratio leaves [0.75, 1.25] —
+    -- the adjustment that keeps every Sunday from paging on a weekday
+    -- threshold. Exact counts; one ratio at the end.
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    wd AS (
+      SELECT isodow(day) AS dow, SUM(n) * 1.0 / COUNT(*) AS wd_mean
+      FROM daily GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           ROUND(d.n / wd.wd_mean, 6) AS vs_weekday_mean,
+           (d.n / wd.wd_mean < 0.75 OR d.n / wd.wd_mean > 1.25) AS anomalous
+    FROM daily d JOIN wd ON wd.dow = isodow(d.day)
+    ORDER BY day
+    """,
+)
+def anomaly_seasonal_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection on daily volume: each day
+    compared to ITS OWN weekday's mean (the weekday_seasonality_profile
+    applied as a detector), flagged outside ±25%. Deterministic, exact,
+    and the shape that generalizes to per-key baselines at scale (the
+    weekday table just gains a key column)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    iso = F.when(F.dayofweek("day") == 1, 7).otherwise(F.dayofweek("day") - 1)
+    wd = daily.groupBy(iso.alias("dow")).agg(
+        (F.sum("n") * 1.0 / F.count(F.lit(1))).alias("wd_mean")
+    )
+    j = daily.join(F.broadcast(wd), iso == F.col("dow"))
+    ratio = F.col("n") / F.col("wd_mean")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(ratio, 6).alias("vs_weekday_mean"),
+        ((ratio < 0.75) | (ratio > 1.25)).alias("anomalous"),
+    ).orderBy("day")
