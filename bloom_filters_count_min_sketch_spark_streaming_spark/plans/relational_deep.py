@@ -3194,3 +3194,83 @@ def anomaly_seasonal_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("vs_weekday_mean"),
         ((ratio < 0.75) | (ratio > 1.25)).alias("anomalous"),
     ).orderBy("day")
+
+
+@query(
+    "ltv_cohort_curve",
+    oracle="""
+    -- cohort LTV curve: customers cohorted by first-order month,
+    -- cumulative revenue per customer by months-since-first-order.
+    -- DECIMAL revenue, exact month arithmetic, one window per cohort.
+    WITH first_order AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_sizes AS (
+      SELECT cohort, COUNT(*) AS n_customers FROM first_order GROUP BY cohort
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+               AS age,
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS r
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(rev.cohort, '%Y-%m') AS cohort,
+           CAST(age AS BIGINT) AS age_months,
+           CAST(cs.n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(28,2)))
+                        OVER (PARTITION BY rev.cohort ORDER BY age
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / cs.n_customers, 4) AS cum_ltv_per_customer
+    FROM rev JOIN cohort_sizes cs ON cs.cohort = rev.cohort
+    WHERE rev.cohort < DATE '1993-01-01'
+    ORDER BY cohort, age_months
+    """,
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per customer by
+    months since first order, per acquisition cohort (restricted to the
+    1992 cohorts so the curve is long). The payback-period table every
+    growth model is built on: one first-order aggregate, one month-diff
+    aggregate, one cumulative window per cohort — all DECIMAL."""
+    orders = load(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    cohort_sizes = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        orders.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(cohort_sizes), "cohort")
+        .filter(F.col("cohort") < F.lit("1993-01-01").cast("timestamp"))
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            F.col("age").alias("age_months"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("r").cast("decimal(28,2)")).over(w).cast("double")
+                / F.col("n_customers"),
+                4,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_months")
+    )
