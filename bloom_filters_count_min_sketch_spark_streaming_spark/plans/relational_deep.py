@@ -3274,3 +3274,145 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+@query(
+    "abc_inventory_classification",
+    oracle="""
+    -- ABC classification: parts ranked by revenue, class A = first 80% of
+    -- cumulative revenue, B to 95%, C the tail. DECIMAL cumulative over a
+    -- total order; class sizes + revenue shares audited.
+    WITH pr AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS t FROM pr),
+    ranked AS (
+      SELECT rev,
+             CAST(SUM(CAST(rev AS DECIMAL(28,2)))
+                    OVER (ORDER BY rev DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS cum
+      FROM pr
+    ),
+    classed AS (
+      SELECT rev,
+             CASE WHEN cum <= CAST(0.80 AS DECIMAL(3,2)) * tot.t THEN 'A'
+                  WHEN cum <= CAST(0.95 AS DECIMAL(3,2)) * tot.t THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT cls,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(MAX(tot2.t) AS DOUBLE), 6) AS rev_share
+    FROM classed CROSS JOIN tot tot2
+    GROUP BY cls ORDER BY cls
+    """,
+)
+def abc_inventory_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification (the inventory-management Pareto): parts ranked
+    by revenue, class A carries the first 80% of cumulative revenue, B to
+    95%, C the long tail. DECIMAL cumulative sums over a total order, so
+    class boundaries are engine-exact; the output audits each class's
+    size and revenue share."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev")
+    )
+    tot = pr.agg(
+        F.sum(F.col("rev").cast("decimal(28,2)")).cast("decimal(28,2)").alias("t")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pr.select(
+        "rev",
+        F.sum(F.col("rev").cast("decimal(28,2)")).over(w).cast("decimal(28,2)").alias("cum"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.col("cum") <= F.lit("0.80").cast("decimal(3,2)") * F.col("t"), "A")
+        .when(F.col("cum") <= F.lit("0.95").cast("decimal(3,2)") * F.col("t"), "B")
+        .otherwise("C")
+    )
+    return (
+        j.select(cls.alias("cls"), "rev", "t")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("rev").cast("decimal(28,2)")).cast("double").alias("revenue"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(28,2)")).cast("double")
+                / F.max("t").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+        .orderBy("cls")
+    )
+
+
+@query(
+    "price_elasticity_estimate",
+    oracle="""
+    -- log-log price elasticity across parts: slope of ln(total quantity)
+    -- on ln(avg unit price) per part (cross-sectional), via the decimal-
+    -- moment OLS machinery. Unit price = extendedprice / quantity is
+    -- exact-ratio-derived; both logs are one libm call on identical
+    -- doubles; terms ROUND -> DECIMAL sum.
+    WITH pp AS (
+      SELECT l_partkey,
+             ROUND(ln(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)), 8) AS y,
+             ROUND(ln(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                      / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)), 8) AS x
+      FROM lineitem GROUP BY l_partkey
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM pp
+    )
+    SELECT n AS n_parts,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+    FROM m
+    """,
+)
+def price_elasticity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price elasticity: OLS slope of log quantity on log
+    unit price across parts — the pricing team's first regression.
+    (TPC-H prices are size-driven, so the estimate mostly measures that
+    correlation — the machinery, one aggregate + one decimal-moment
+    regression, is the point.)"""
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        F.round(F.log(F.sum(F.col("l_quantity").cast("long")).cast("double")), 8).alias(
+            "y"
+        ),
+        F.round(
+            F.log(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("long")).cast("double")
+            ),
+            8,
+        ).alias("x"),
+    )
+    m = pp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_parts"), F.round(slope, 6).alias("elasticity")
+    )
