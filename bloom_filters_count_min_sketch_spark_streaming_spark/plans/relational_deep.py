@@ -3416,3 +3416,94 @@ def price_elasticity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_parts"), F.round(slope, 6).alias("elasticity")
     )
+
+
+@query(
+    "mix_shift_decomposition",
+    oracle="""
+    -- rate-vs-mix decomposition of the change in revenue-per-order
+    -- between 1997H1 and 1997H2: for each segment, rate effect =
+    -- share_pre * (rate_post - rate_pre), mix effect = (share_post -
+    -- share_pre) * rate_post; the effects sum exactly to the total
+    -- change. All ratios divide DECIMAL sums by exact counts.
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderdate < DATE '1997-07-01' THEN 0 ELSE 1 END AS h,
+             COUNT(*) AS n,
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= DATE '1997-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, CAST(SUM(n) AS BIGINT) AS tn FROM base GROUP BY h),
+    cells AS (
+      SELECT b.segment, b.h,
+             b.n * 1.0 / t.tn AS share,
+             CAST(b.rev AS DOUBLE) / b.n AS rate
+      FROM base b JOIN tot t USING (h)
+    )
+    SELECT p.segment,
+           ROUND(p.share, 6) AS share_pre,
+           ROUND(q.share, 6) AS share_post,
+           ROUND(p.rate, 4) AS rate_pre,
+           ROUND(q.rate, 4) AS rate_post,
+           ROUND(p.share * (q.rate - p.rate), 4) AS rate_effect,
+           ROUND((q.share - p.share) * q.rate, 4) AS mix_effect
+    FROM cells p JOIN cells q ON p.segment = q.segment
+    WHERE p.h = 0 AND q.h = 1
+    ORDER BY p.segment
+    """,
+)
+def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-vs-mix decomposition: when revenue-per-order moves, was it
+    segments changing their own rates (rate effect) or traffic shifting
+    between segments (mix effect)? The two effects sum exactly to the
+    topline change — the decomposition behind every 'why did the average
+    move' investigation, one level deeper than the contribution shares of
+    metric_change_decomposition. One aggregation pass, 2x|segments|
+    cells, broadcast arithmetic after."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    h = F.when(F.col("o_orderdate") < F.lit("1997-07-01").cast("date"), 0).otherwise(1)
+    base = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+        )
+    )
+    tot = base.groupBy("h").agg(F.sum("n").cast("long").alias("tn"))
+    cells = base.join(tot, "h").select(
+        "segment",
+        "h",
+        (F.col("n") * 1.0 / F.col("tn")).alias("share"),
+        (F.col("rev").cast("double") / F.col("n")).alias("rate"),
+    )
+    p = cells.filter(F.col("h") == 0).select(
+        "segment", F.col("share").alias("sp"), F.col("rate").alias("rp")
+    )
+    q = cells.filter(F.col("h") == 1).select(
+        F.col("segment").alias("segment_q"),
+        F.col("share").alias("sq"),
+        F.col("rate").alias("rq"),
+    )
+    return (
+        p.join(q, p.segment == q.segment_q)
+        .select(
+            "segment",
+            F.round("sp", 6).alias("share_pre"),
+            F.round("sq", 6).alias("share_post"),
+            F.round("rp", 4).alias("rate_pre"),
+            F.round("rq", 4).alias("rate_post"),
+            F.round(F.col("sp") * (F.col("rq") - F.col("rp")), 4).alias("rate_effect"),
+            F.round((F.col("sq") - F.col("sp")) * F.col("rq"), 4).alias("mix_effect"),
+        )
+        .orderBy("segment")
+    )
