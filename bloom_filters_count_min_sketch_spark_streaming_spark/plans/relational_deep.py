@@ -3507,3 +3507,74 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    -- Herfindahl-Hirschman index of supplier revenue concentration per
+    -- nation: HHI = sum over suppliers of (share * 10000)^2 scaled — here
+    -- sum of squared fractional shares * 10000. Shares divide identical
+    -- DECIMAL sums; per-supplier terms ROUND -> DECIMAL-summed.
+    WITH sr AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nt AS (
+      SELECT s_nationkey, CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS t,
+             COUNT(*) AS n_suppliers
+      FROM sr GROUP BY 1
+    ),
+    terms AS (
+      SELECT sr.s_nationkey,
+             ROUND(POWER(CAST(sr.rev AS DOUBLE) / nt.t, 2) * 10000, 8) AS h
+      FROM sr JOIN nt USING (s_nationkey)
+    )
+    SELECT n.n_name AS nation,
+           CAST(MAX(nt.n_suppliers) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(28,8))) AS DOUBLE), 2) AS hhi
+    FROM terms
+    JOIN nt USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = terms.s_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation (10000 = monopoly, →0 = atomized): the antitrust-grade
+    concentration statistic, and operationally the 'is this nation's
+    supply single-sourced' risk flag. One revenue aggregate, shares
+    against broadcast nation totals, squared-share decimal sum."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    sr = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("rev"))
+    )
+    nt = sr.groupBy("s_nationkey").agg(
+        F.sum(F.col("rev").cast("decimal(28,2)")).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    terms = sr.join(F.broadcast(nt), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.round(
+            F.pow(F.col("rev").cast("double") / F.col("t"), 2) * 10000, 8
+        ).alias("h"),
+    )
+    return (
+        terms.join(F.broadcast(nation), terms.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("h").cast("decimal(28,8)")).cast("double"), 2
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

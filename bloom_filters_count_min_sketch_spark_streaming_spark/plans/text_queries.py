@@ -1097,3 +1097,77 @@ def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "readability_scores",
+    oracle="""
+    -- Flesch-Kincaid grade per source from pure regex counts: sentences =
+    -- [.!?]+ runs (min 1), words = whitespace tokens, syllables ≈ vowel
+    -- groups per word (min 1 per word). All exact integers; the FK
+    -- formula is one elementwise double chain.
+    WITH f AS (
+      SELECT source,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS words,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                      len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> ''))) AS sylls
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(
+             0.39 * (words * 1.0 / sents)
+             + 11.8 * (sylls * 1.0 / words) - 15.59, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_fk_grade,
+           ROUND(CAST(SUM(CAST(ROUND(words * 1.0 / sents, 6)
+                               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_words_per_sentence
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per source — the classic text-quality
+    feature (too-low grade = fragments/boilerplate, too-high = OCR salad
+    or legalese) computed entirely from regex counts: sentence runs,
+    whitespace words, vowel-group syllable approximation (floored at one
+    per word). Zero Python; one scan; per-term ROUND -> DECIMAL means."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(T.word_tokens(F.col("text")))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    sylls = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        ),
+        words,
+    )
+    fk = F.round(
+        F.lit(0.39) * (words * F.lit(1.0) / sents)
+        + F.lit(11.8) * (sylls * F.lit(1.0) / words)
+        - F.lit(15.59),
+        6,
+    )
+    wps = F.round(words * F.lit(1.0) / sents, 6)
+    f = docs.filter(words > 0).select("source", fk.alias("fk"), wps.alias("wps"))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("fk").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_fk_grade"),
+            F.round(
+                F.sum(F.col("wps").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_words_per_sentence"),
+        )
+        .orderBy("source")
+    )
