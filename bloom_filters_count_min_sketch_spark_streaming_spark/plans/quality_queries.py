@@ -813,3 +813,99 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "psi_feature_drift",
+    oracle="""
+    -- Population Stability Index between the first and second half of the
+    -- event stream: bins = the reference half's own deciles
+    -- (percentile_cont on identical doubles), PSI = sum (p - q) ln(p/q)
+    -- with per-bin ROUND -> DECIMAL sum. PSI > 0.2 is the classic
+    -- retrain/investigate trigger.
+    WITH b AS (
+      SELECT epoch_us(MIN(ts))
+             + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2) AS BIGINT)
+               AS cut_us
+      FROM events
+    ),
+    halves AS (
+      SELECT CASE WHEN epoch_us(ts) < b.cut_us THEN 0 ELSE 1 END AS h, value
+      FROM events CROSS JOIN b
+    ),
+    edges AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS e
+      FROM halves WHERE h = 0
+    ),
+    binned AS (
+      SELECT h,
+             1 + CAST(
+               (value > e[1])::INT + (value > e[2])::INT + (value > e[3])::INT
+               + (value > e[4])::INT + (value > e[5])::INT + (value > e[6])::INT
+               + (value > e[7])::INT + (value > e[8])::INT + (value > e[9])::INT
+               AS BIGINT) AS bin
+      FROM halves CROSS JOIN edges
+    ),
+    dist AS (
+      SELECT bin,
+             SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) * 1.0
+               / (SELECT COUNT(*) FROM binned WHERE h = 0) AS p,
+             SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) * 1.0
+               / (SELECT COUNT(*) FROM binned WHERE h = 1) AS q
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q), 10)
+                               AS DECIMAL(28,10))) AS DOUBLE), 6) AS psi
+    FROM dist
+    """,
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution between
+    the stream's first and second half — THE production drift metric for
+    deployed models (PSI > 0.2 = investigate, > 0.25 = retrain). Bin
+    edges are the reference period's own deciles, so the reference
+    distribution is uniform by construction and PSI measures pure shift.
+    One percentile pass on the reference half, one binned count pass, a
+    10-term decimal sum."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    halves = ev.select(
+        (F.unix_micros("ts") >= F.lit(cut)).cast("int").alias("h"), "value"
+    ).persist()
+    probs = [i / 10 for i in range(1, 10)]
+    edges = (
+        halves.filter(F.col("h") == 0)
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_cont({p}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"e{i}")
+                for i, p in enumerate(probs, 1)
+            ]
+        )
+        .collect()[0]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, 10):
+        bin_expr = bin_expr + (F.col("value") > F.lit(float(edges[f"e{i}"]))).cast(
+            "int"
+        )
+    binned = halves.select("h", bin_expr.cast("long").alias("bin"))
+    n0 = binned.filter(F.col("h") == 0).count()
+    n1 = binned.filter(F.col("h") == 1).count()
+    dist = binned.groupBy("bin").agg(
+        (F.sum(F.when(F.col("h") == 0, 1).otherwise(0)) * 1.0 / F.lit(n0)).alias("p"),
+        (F.sum(F.when(F.col("h") == 1, 1).otherwise(0)) * 1.0 / F.lit(n1)).alias("q"),
+    )
+    term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 10)
+    return dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.sum(term.cast("decimal(28,10)")).cast("double"), 6
+        ).alias("psi"),
+    )

@@ -3578,3 +3578,44 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "dow_hour_activity_matrix",
+    oracle="""
+    -- weekday x hour activity matrix (the calendar-heatmap source): exact
+    -- counts plus each cell's share of its weekday row
+    WITH cells AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT weekday, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1)
+    SELECT c.weekday, c.hour, CAST(c.n AS BIGINT) AS n_events,
+           ROUND(c.n * 1.0 / r.rn, 6) AS share_of_weekday
+    FROM cells c JOIN rows_ r USING (weekday)
+    ORDER BY weekday, hour
+    """,
+)
+def dow_hour_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity matrix with row-normalized shares — the
+    calendar-heatmap data source (when does this system actually get
+    used) and the base table for staffing / maintenance-window decisions.
+    One grouped count, one broadcast row-total join."""
+    ev = load(spark, sf_dir, "events")
+    iso = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    cells = ev.groupBy(
+        iso.cast("long").alias("weekday"), F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rows_ = cells.groupBy("weekday").agg(F.sum("n").cast("long").alias("rn"))
+    return (
+        cells.join(F.broadcast(rows_), "weekday")
+        .select(
+            "weekday",
+            "hour",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("n") * 1.0 / F.col("rn"), 6).alias("share_of_weekday"),
+        )
+        .orderBy("weekday", "hour")
+    )
