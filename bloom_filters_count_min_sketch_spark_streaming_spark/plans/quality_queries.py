@@ -909,3 +909,84 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(28,10)")).cast("double"), 6
         ).alias("psi"),
     )
+
+
+@query(
+    "ks_test_two_sample",
+    oracle="""
+    -- exact two-sample Kolmogorov-Smirnov statistic between the stream's
+    -- halves: D = max |ECDF1 - ECDF2| over the pooled sample. ECDFs are
+    -- exact-int running counts over a totally ordered pooled sort; the
+    -- critical value at alpha=0.05 is the closed form 1.358*sqrt((n+m)/nm).
+    WITH b AS (
+      SELECT epoch_us(MIN(ts))
+             + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2) AS BIGINT)
+               AS cut_us
+      FROM events
+    ),
+    pooled AS (
+      SELECT CASE WHEN epoch_us(ts) < b.cut_us THEN 0 ELSE 1 END AS h,
+             value, event_id
+      FROM events CROSS JOIN b
+    ),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS n1
+      FROM pooled
+    ),
+    walk AS (
+      SELECT SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS c0,
+             SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS c1
+      FROM pooled
+    )
+    SELECT n.n0, n.n1,
+           ROUND(MAX(ABS(c0 * 1.0 / n.n0 - c1 * 1.0 / n.n1)), 6) AS ks_d,
+           ROUND(1.358 * sqrt((n.n0 + n.n1) * 1.0 / (n.n0 * n.n1)), 6)
+             AS crit_05
+    FROM walk CROSS JOIN n
+    GROUP BY n.n0, n.n1
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the stream's
+    halves — the nonparametric companion to the PSI drift metric (PSI
+    needs bins; KS sees every quantile). One pooled sort (single window
+    over a total order), running ECDF counts, max gap; the alpha=0.05
+    critical value comes from the asymptotic closed form. At 100 TB you'd
+    run this on a uniform sample — the statistic converges at sqrt(n)."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    pooled = ev.select(
+        (F.unix_micros("ts") >= F.lit(cut)).cast("int").alias("h"),
+        "value",
+        "event_id",
+    ).persist()
+    nrow = pooled.agg(
+        F.sum((F.col("h") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("h") == 1).cast("long")).alias("n1"),
+    ).collect()[0]
+    n0, n1 = int(nrow["n0"]), int(nrow["n1"])
+    w = Window.orderBy("value", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = pooled.select(
+        F.sum((F.col("h") == 0).cast("long")).over(w).alias("c0"),
+        F.sum((F.col("h") == 1).cast("long")).over(w).alias("c1"),
+    )
+    d = F.max(
+        F.abs(F.col("c0") * 1.0 / F.lit(n0) - F.col("c1") * 1.0 / F.lit(n1))
+    )
+    import math
+
+    crit = round(1.358 * math.sqrt((n0 + n1) * 1.0 / (n0 * n1)), 6)
+    return walk.agg(
+        F.lit(n0).cast("long").alias("n0"),
+        F.lit(n1).cast("long").alias("n1"),
+        F.round(d, 6).alias("ks_d"),
+        F.lit(crit).alias("crit_05"),
+    )

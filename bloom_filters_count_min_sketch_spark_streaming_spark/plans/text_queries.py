@@ -1171,3 +1171,59 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "vocab_novelty_by_batch",
+    oracle="""
+    -- vocabulary novelty curve over ingest order (batches of 200 docs):
+    -- share of each batch's distinct terms never seen in earlier batches.
+    -- Declining novelty = the crawl is saturating; a spike = a new domain
+    -- entered the pipeline. Exact set logic on (term, first batch).
+    WITH toks AS (
+      SELECT CAST(doc_id // 200 AS BIGINT) AS batch,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    bt AS (SELECT DISTINCT batch, term FROM toks),
+    first_b AS (SELECT term, MIN(batch) AS fb FROM bt GROUP BY term)
+    SELECT bt.batch,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CASE WHEN f.fb = bt.batch THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_terms,
+           ROUND(SUM(CASE WHEN f.fb = bt.batch THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty_rate
+    FROM bt JOIN first_b f USING (term)
+    GROUP BY bt.batch ORDER BY bt.batch
+    """,
+)
+def vocab_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary novelty curve across ingest batches (200 docs each):
+    the fraction of each batch's distinct terms appearing for the first
+    time — the saturation signal that tells a crawl when marginal data
+    stops adding vocabulary (and flags a new domain when it spikes). One
+    distinct (batch, term) table, a min-batch aggregate, one join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") / 200).cast("long").alias("batch"),
+        F.explode(T.word_tokens(F.col("text"))).alias("term"),
+    )
+    bt = toks.distinct().persist()
+    first_b = bt.groupBy("term").agg(F.min("batch").alias("fb"))
+    return (
+        bt.join(first_b, "term")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum((F.col("fb") == F.col("batch")).cast("long"))
+            .cast("long")
+            .alias("n_new_terms"),
+            F.round(
+                F.sum((F.col("fb") == F.col("batch")).cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
