@@ -990,3 +990,59 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("ks_d"),
         F.lit(crit).alias("crit_05"),
     )
+
+
+@query(
+    "experiment_sample_size",
+    oracle="""
+    -- sample-size calculator from the metric's own observed variance:
+    -- n per arm = 2 * (z_alpha/2 + z_beta)^2 * var / mde^2 for a 5%/80%
+    -- test at several minimum-detectable relative effects. Variance from
+    -- rounded-term DECIMAL moments; z constants are exact literals.
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS s2
+      FROM events
+    ),
+    st AS (
+      SELECT s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1) AS var FROM m
+    ),
+    mde AS (SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS rel)
+    SELECT mde.rel AS relative_mde,
+           ROUND(st.mean, 6) AS metric_mean,
+           CAST(CEIL(2 * POWER(1.959963985 + 0.8416212336, 2) * st.var
+                     / POWER(mde.rel * st.mean, 2)) AS BIGINT) AS n_per_arm
+    FROM st CROSS JOIN mde
+    ORDER BY relative_mde
+    """,
+)
+def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size planning from the metric's own variance: users per arm
+    to detect 1/2/5/10% relative effects at alpha=0.05, power=0.80 — the
+    'can we even run this test' table computed before any experiment
+    ships. One decimal-moment pass; the z constants are exact literals so
+    the closed form is an identical double chain."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    ).collect()[0]
+    n, s1, s2 = int(m["n"]), float(m["s1"]), float(m["s2"])
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    mdes = spark.createDataFrame([(r,) for r in (0.01, 0.02, 0.05, 0.10)], "rel double")
+    z2 = (1.959963985 + 0.8416212336) ** 2
+    return mdes.select(
+        F.col("rel").alias("relative_mde"),
+        F.round(F.lit(mean), 6).alias("metric_mean"),
+        F.ceil(
+            F.lit(2.0) * F.lit(z2) * F.lit(var) / F.pow(F.col("rel") * F.lit(mean), 2)
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    ).orderBy("relative_mde")

@@ -1227,3 +1227,69 @@ def vocab_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@query(
+    "source_vocab_jaccard",
+    oracle="""
+    -- corpus-level similarity between sources: Jaccard of their
+    -- vocabularies via one distinct (source, term) table self-joined on
+    -- term (intersections) against per-source vocab sizes (union by
+    -- inclusion-exclusion). Top-10 most similar pairs; exact ints.
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(i AS BIGINT) AS n_shared_terms,
+           ROUND(i * 1.0 / (sa.v + sb.v - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY jaccard DESC, src_a, src_b
+    LIMIT 10
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source vocabulary Jaccard: which data sources speak the
+    same language (near-identical vocab = likely mirrors or shared
+    boilerplate; disjoint vocab = genuinely new material). The
+    inverted-index self-join shape again — work ∝ shared terms, never
+    |sources|² × |vocab| — with union sizes by inclusion-exclusion."""
+    docs = load(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    ).distinct().persist()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("i").cast("long").alias("n_shared_terms"),
+            F.round(
+                F.col("i") * 1.0 / (F.col("va") + F.col("vb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(10)
+    )
