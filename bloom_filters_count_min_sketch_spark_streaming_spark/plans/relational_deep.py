@@ -3619,3 +3619,70 @@ def dow_hour_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday", "hour")
     )
+
+
+@query(
+    "concurrent_sessions_curve",
+    oracle="""
+    -- sweep-line concurrency: each 30-min click session emits +1 at start
+    -- and -1 at end; the running sum over the ordered boundary stream IS
+    -- the number of concurrent sessions — no interval self-join at all
+    -- (the O(n log n) answer to an O(n^2) stabbing query). Peak
+    -- concurrency per hour; ties broken on (us, delta, event_id) with
+    -- ends before starts at the same instant.
+    WITH s AS (
+      SELECT event_id, epoch_us(ts) AS a, epoch_us(ts) + 1800000000 AS b
+      FROM events WHERE event_type = 'click'
+    ),
+    bounds AS (
+      SELECT a AS us, 1 AS delta, event_id FROM s
+      UNION ALL
+      SELECT b AS us, -1 AS delta, event_id FROM s
+    ),
+    walk AS (
+      SELECT us,
+             CAST(SUM(delta) OVER (ORDER BY us, delta, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM bounds
+    )
+    SELECT CAST(us // 3600000000 AS BIGINT) AS hour_bucket,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           COUNT(*) AS n_boundaries
+    FROM walk
+    GROUP BY 1
+    ORDER BY hour_bucket
+    LIMIT 48
+    """,
+)
+def concurrent_sessions_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session curve by sweep line: sessions become +1/-1
+    boundary events and one ordered running sum yields concurrency at
+    every instant — the technique that answers 'how many X were open at
+    time T' without any interval self-join (capacity planning's favorite
+    query, O(n log n) instead of O(n²)). Peak per hour for the first two
+    days; deterministic total order on (time, delta, id) closes ends
+    before opens at equal instants."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.unix_micros("ts").alias("a"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("b"),
+    )
+    starts = s.select(F.col("a").alias("us"), F.lit(1).alias("delta"), "event_id")
+    ends = s.select(F.col("b").alias("us"), F.lit(-1).alias("delta"), "event_id")
+    bounds = starts.unionAll(ends)
+    w = Window.orderBy("us", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = bounds.select(
+        "us", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    return (
+        walk.groupBy((F.col("us") / 3_600_000_000).cast("long").alias("hour_bucket"))
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrent"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .orderBy("hour_bucket")
+        .limit(48)
+    )
