@@ -3686,3 +3686,52 @@ def concurrent_sessions_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_bucket")
         .limit(48)
     )
+
+
+@query(
+    "tax_discount_interplay",
+    oracle="""
+    -- effective charged amount per return flag: the TPC-H charge formula
+    -- price * (1 - discount) * (1 + tax), all DECIMAL, with the average
+    -- effective multiplier vs list price
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS total_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                          * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6)
+             AS effective_multiplier
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def tax_discount_interplay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective charge per return flag — the full TPC-H charge formula
+    price*(1-disc)*(1+tax) as exact DECIMAL arithmetic, and the average
+    effective multiplier against list price (does tax out-pace discount).
+    Completes fixture-column coverage: every lineitem column now feeds at
+    least one checked query."""
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one - F.col("l_discount").cast("decimal(4,2)"))
+        * (one + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(charge).cast("double").alias("total_charge"),
+            F.round(
+                F.sum(charge).cast("double")
+                / F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"),
+                6,
+            ).alias("effective_multiplier"),
+        )
+        .orderBy("flag")
+    )
