@@ -1,12 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+Prints ONE COMPACT JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {family: sec, ...}, "sf": ..., "n_queries": ...,
+"full": "BENCH_FULL.json"}. The per-query map outgrew the driver's output
+tail window in round 3 (BENCH_r03.json parsed:null), so the final stdout
+line now carries per-FAMILY rollups only and the complete per-query map
+(plus per-query run spread) is written to BENCH_FULL.json at the repo
+root.
 
 Materialization is via the noop sink (full evaluation of every column, no
 driver collect, no pruning shortcut), except streaming queries which
 already run to completion internally (their cost is the stream run).
+Streaming queries are timed min-of-3 (batch min-of-2): they dominate the
+noisy tail on this shared host (+20-40% uniform drift r2->r3), and the
+recorded spread lets a reader distinguish regression from host noise.
 """
 
 from __future__ import annotations
@@ -101,7 +109,62 @@ HEADLINE = [
     "spatial_grid_join",
     "kaplan_meier_survival",
     "pareto_concentration_gini",
+    # round-4: deletable membership, LSH exactness witness, FD matrix
+    # sketch, streaming LSH dedup
+    "counting_bloom_delete_membership",
+    "ann_lsh_full_tables_exact",
+    "frequent_directions_spectrum",
+    "stream_minhash_lsh_dedup",
 ]
+
+
+def _family(name: str) -> str:
+    """Per-family rollup keys for the compact driver line. Prefix-based so
+    new headline queries classify without maintenance."""
+    if name.startswith("stream_"):
+        return "streaming"
+    if name.startswith(("dedup_", "semdedup", "duplicate_", "entity_resolution")):
+        return "dedup"
+    if name.startswith(
+        ("ann_", "knn_", "embedding_", "kmeans", "sparse_cosine", "hybrid_search")
+    ):
+        return "vector"
+    if name.startswith(
+        (
+            "cms_",
+            "bloom_",
+            "counting_bloom",
+            "hll_",
+            "kmv_",
+            "heavy_hitters",
+            "ams_",
+            "mergeable_topk",
+            "frequent_directions",
+        )
+    ):
+        return "sketch"
+    if name.startswith(
+        (
+            "text_",
+            "bm25",
+            "bpe_",
+            "llm_",
+            "corpus_",
+            "doc_",
+            "pii_",
+            "phrase_",
+            "bigram_",
+            "quality_",
+            "language_",
+            "contamination",
+            "dataset_split",
+            "domain_frequency",
+            "priority_sample",
+            "data_quality",
+        )
+    ):
+        return "text_pipeline"
+    return "relational"
 
 
 def main() -> None:
@@ -153,18 +216,28 @@ def main() -> None:
     # plans): time each query twice and keep the min — the standard way to
     # report the plan's cost rather than the scheduler's mood.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        runs = 2
-        best = None
+        # Streaming runs carry state-store + micro-batch scheduling
+        # overhead that the shared host perturbs far more than batch plans:
+        # min-of-3 for streams, min-of-2 for batch.
+        runs = 3 if name.startswith("stream_") else 2
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            samples.append(time.time() - t0)
+        best = min(samples)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # spread = worst/best across this invocation's runs — >1.5 means
+        # the host was noisy while this query ran; read its timing softly.
+        spreads[name] = round(max(samples) / best, 2) if best > 0 else 1.0
+        print(
+            f"# {name}: {timings[name]}s (spread x{spreads[name]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -188,15 +261,40 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Full per-query record (the r1-r3 format plus spreads) goes to a
+    # file; the driver's tail window only needs the compact line below.
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "spreads": spreads,
+                "sf": sf,
+                "calibration_sec": calibration,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+    fam: dict[str, float] = {}
+    for name, t in timings.items():
+        key = _family(name)
+        fam[key] = round(fam.get(key, 0.0) + t, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": fam,
                 "sf": sf,
                 "calibration_sec": calibration,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
             }
         )
     )
@@ -204,17 +302,35 @@ def main() -> None:
 
 
 def _latest_round_bench() -> dict | None:
-    """Parsed JSON of the highest-numbered BENCH_r{N}.json next to this file."""
+    """Most recent full per-query bench record for the regression check.
+
+    BENCH_FULL.json (committed each round since r4) is the per-query map;
+    BENCH_r{N}.json now carries only family rollups in its parsed line, so
+    older round files are the fallback for pre-r4 history."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
+    full = os.path.join(root, "BENCH_FULL.json")
+    try:
+        with open(full) as fh:
+            data = json.load(fh)
+        if isinstance(data, dict) and "queries" in data:
+            return {**data, "file": "BENCH_FULL.json"}
+    except (OSError, json.JSONDecodeError):
+        pass
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     for path in reversed(paths):
         try:
             with open(path) as fh:
                 data = json.load(fh)
             parsed = data.get("parsed", data)
-            if isinstance(parsed, dict) and "queries" in parsed:
+            # pre-r4 rounds stored the per-query map in the parsed line;
+            # r4+ family rollups are useless for per-query comparison
+            if (
+                isinstance(parsed, dict)
+                and isinstance(parsed.get("queries"), dict)
+                and "full" not in parsed
+            ):
                 return {**parsed, "file": os.path.basename(path)}
         except (OSError, json.JSONDecodeError):
             continue

@@ -207,6 +207,136 @@ class NumpyBloom:
         return cls(n_bits, hash_a, bits)
 
 
+class CountingBloom:
+    """Counting Bloom filter (Fan et al., ToN 2000): int64 counters instead
+    of bits, so the sketch supports DELETE — the one operation a plain
+    Bloom filter cannot do. Same multiply-shift hash family as NumpyBloom
+    (so the two are position-compatible for the same params/seed).
+
+    Invariants:
+    - insert(x) then delete(x) restores the exact counter state (counters
+      form an abelian group under element-wise add).
+    - After any multiset of inserts/deletes with deletes ⊆ inserts,
+      membership has NO false negatives for remaining items and the usual
+      Bloom FPP for absent ones.
+    - Merge = element-wise counter sum (commutative/associative), so the
+      distributed build can combine per-partition contributions in any
+      order — see ``counting_bloom_counter_deltas`` for the shuffle shape.
+    """
+
+    def __init__(self, n_counters: int, hash_a: np.ndarray, counters: np.ndarray) -> None:
+        self.n_counters = n_counters
+        self.hash_a = hash_a
+        self.counters = counters  # int64[n_counters]
+
+    @classmethod
+    def from_params(cls, expected_items: int, fpp: float, seed: int = 42) -> "CountingBloom":
+        import math
+
+        n = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+        n = ((n + 63) // 64) * 64
+        k = max(1, round(n / expected_items * math.log(2)))
+        rng = np.random.default_rng(seed)
+        hash_a = rng.integers(1, 2**62, size=2 * k, dtype=np.int64) | np.int64(1)
+        return cls(n, hash_a, np.zeros(n, dtype=np.int64))
+
+    def _positions(self, v: np.ndarray) -> np.ndarray:
+        k = len(self.hash_a) // 2
+        a = self.hash_a[:k, None]
+        b = self.hash_a[k:, None]
+        with np.errstate(over="ignore"):
+            prod = a * (v[None, :] ^ b)
+            h = (prod + (prod >> np.int64(32))) & np.int64(0x7FFFFFFF)
+            return h.astype(np.int64) % np.int64(self.n_counters)
+
+    def add_longs(self, values: np.ndarray, delta: int = 1) -> None:
+        pos = self._positions(values.astype(np.int64, copy=False)).ravel()
+        np.add.at(self.counters, pos, np.int64(delta))
+
+    def delete_longs(self, values: np.ndarray) -> None:
+        self.add_longs(values, delta=-1)
+
+    def might_contain_longs(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(values.astype(np.int64, copy=False))
+        return (self.counters[pos] > 0).all(axis=0)
+
+    def merge(self, other: "CountingBloom") -> "CountingBloom":
+        if self.n_counters != other.n_counters or not np.array_equal(
+            self.hash_a, other.hash_a
+        ):
+            raise ValueError("incompatible counting Bloom filters")
+        return CountingBloom(self.n_counters, self.hash_a, self.counters + other.counters)
+
+
+def counting_bloom_build(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float,
+    delete_df: DataFrame | None = None,
+    delete_col: str | None = None,
+    seed: int = 42,
+) -> CountingBloom:
+    """Distributed counting-Bloom build: inserts from ``df[col]`` minus
+    deletes from ``delete_df[delete_col]`` (every delete must correspond to
+    an inserted occurrence for membership soundness — multiset semantics).
+
+    Scale shape: each side maps rows to SPARSE (position, ±1) pairs inside
+    an Arrow batch, partial-aggregated map-side by the groupBy — the
+    shuffle carries O(distinct touched counters) rows, never a dense
+    counter array per partition, and only the final merged sparse counter
+    table (≤ n_counters rows) reaches the driver. This is the CMS/Bloom
+    "move the sketch, not the data" contract with group (not just monoid)
+    merge.
+    """
+    proto = CountingBloom.from_params(expected_items, fpp, seed)
+    hash_a = proto.hash_a
+    n_counters = proto.n_counters
+
+    def deltas(side_df: DataFrame, side_col: str, delta: int) -> DataFrame:
+        probe = CountingBloom(n_counters, hash_a, proto.counters)  # counters unused
+
+        @F.pandas_udf("array<long>")
+        def positions(keys: pd.Series) -> pd.Series:
+            v = keys.to_numpy(dtype=np.int64, na_value=0)
+            pos = probe._positions(v)  # noqa: SLF001 — same-module helper
+            return pd.Series(list(pos.T))
+
+        keyed = side_df.select(_as_long(side_df, side_col).alias("k")).where(
+            F.col("k").isNotNull()
+        )
+        return keyed.select(
+            F.explode(positions(F.col("k"))).alias("pos"), F.lit(delta).alias("d")
+        )
+
+    parts = deltas(df, col, 1)
+    if delete_df is not None:
+        parts = parts.unionAll(deltas(delete_df, delete_col or col, -1))
+    sparse = parts.groupBy("pos").agg(F.sum("d").alias("c")).filter(F.col("c") != 0)
+    counters = np.zeros(n_counters, dtype=np.int64)
+    for r in sparse.collect():
+        counters[r["pos"]] = r["c"]
+    return CountingBloom(n_counters, hash_a, counters)
+
+
+def counting_bloom_might_contain(
+    df: DataFrame, col: str, sketch: CountingBloom, out: str = "might_contain"
+) -> DataFrame:
+    """Boolean ``out`` column: membership against the counting filter
+    (all k counters > 0). Sketch ships via closure capture, per-row work
+    is vectorized numpy — same probe contract as bloom_might_contain."""
+
+    @F.pandas_udf(BooleanType())
+    def _probe(keys: pd.Series) -> pd.Series:
+        mask = keys.isna().to_numpy()
+        values = keys.to_numpy(dtype=np.int64, na_value=0)
+        result = pd.Series(sketch.might_contain_longs(values), dtype="object")
+        result[mask] = None
+        return result
+
+    return df.withColumn(out, _probe(_as_long(df, col)))
+
+
 def bloom_build(df: DataFrame, col: str, expected_items: int, fpp: float) -> bytes:
     """Build a Bloom filter over ``df[col]`` distributively; return its bytes.
 

@@ -81,23 +81,33 @@ def bm25_doc_scores(docs, terms, k1: float = 1.2, b: float = 0.75):
 
     Scale shape: the token explode feeds document lengths (one aggregate)
     and, filtered to the query's terms FIRST, the tf/df tables — the joins
-    run on |docs x terms|, not |tokens|; df broadcasts; n_docs/avgdl are
-    two driver scalars (like a COUNT), not join inputs.
+    run on |docs x terms|, not |tokens|; df broadcasts. The two corpus
+    scalars (n_docs, avgdl) are 1-row aggregates fused into the plan via
+    crossJoin(broadcast(...)) — no .collect() at build time, so the whole
+    score is ONE lazy plan (the r3 version forced an extra scan-job during
+    construction).
     """
     from pyspark.sql import functions as F
 
     toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    # 1-row scalar aggregates, broadcast-fused (not collected):
+    stats = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+            dl.agg(F.avg("dl").alias("avgdl"))
+        )
+    )
     qt = toks.filter(F.col("term").isin(list(terms)))
     tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     per_term = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
+        .crossJoin(stats)
         .select("doc_id", F.round(idf * F.col("tf") * (k1 + 1) / denom, 6).alias("s"))
     )
     return per_term.groupBy("doc_id").agg(

@@ -548,3 +548,43 @@ def verify_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(left_col, right_col, "jaccard")
     )
+
+
+def portable_minhash_band_buckets(
+    text: Column, num_perms: int = 16, bands: int = 8
+) -> Column:
+    """array<struct<band:long, bucket:string>> — per-document MinHash band
+    buckets computed MAP-ONLY (no shuffle), with an md5-derived hash so the
+    construction is reproducible in any engine (same portability trick as
+    simhash_portable_fingerprints; the shuffle-based xxhash64 pipeline in
+    ``minhash_signatures`` stays the batch fast path).
+
+    Permutation p of token w = first 15 hex chars of md5(w || '|p'):
+    fixed-length lowercase hex, so lexicographic MIN == numeric MIN of the
+    60-bit value in both Spark and DuckDB. A band's bucket key is its
+    signature rows joined with '_'.
+
+    Per-doc cost is num_perms interpreted HOF passes over the token array
+    (Catalyst lambdas don't codegen) — fine for streaming micro-batches
+    and modest batch jobs; the xxhash64 groupBy path wins on huge batch
+    corpora.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    r = num_perms // bands
+
+    # single-arg lambda via factory: a `lambda w, p=p:` would have arity 2,
+    # which pyspark's transform() interprets as an (element, index) lambda
+    # and silently binds p to the array INDEX
+    def perm_hash(p: int):
+        return lambda w: F.substring(F.md5(F.concat(w, F.lit(f"|{p}"))), 1, 15)
+
+    sigs = [F.array_min(F.transform(toks, perm_hash(p))) for p in range(num_perms)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws("_", *sigs[b * r : (b + 1) * r]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )

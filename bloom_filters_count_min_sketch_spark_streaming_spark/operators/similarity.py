@@ -185,6 +185,30 @@ def ann_lsh_topk(
     )
 
 
+def _seed_centroids(corpus, id_col: str, vec_col: str, n_cells: int, seed: int):
+    """Seed-deterministic UNIFORM pick of n_cells corpus vectors as IVF
+    cell centroids: bottom-k by xxhash64(id, seed) over the whole corpus.
+
+    Spark compiles orderBy+limit to TakeOrderedAndProject — a per-partition
+    size-n_cells heap merged on the driver, one O(n) scan of (id, vec), no
+    global sort and no shuffle of the corpus. The r3 version bounded the
+    scan with LIMIT n_cells*64 *before* the hash ordering, which made the
+    candidate pool "whatever file sorts first" — at 100 TB that skews cell
+    balance toward one ingest shard; hashing over the full corpus keeps
+    candidates uniform for one cheap extra column-pruned scan at BUILD
+    time only (at real scale you'd follow with a few Lloyd rounds on a
+    larger sample — the partitioning structure is unchanged).
+    """
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -208,22 +232,8 @@ def ann_ivf_topk(
     — the same contract as FAISS-style IVF flat.
     """
     spark = corpus.sparkSession
-    # Deterministic seeded sample of corpus vectors as cell centroids.
-    # Bounded-scan seeding: LIMIT pushes into the scan (CollectLimit reads
-    # only the first split(s), not the corpus), then the hash-order pick
-    # inside that slice keeps the choice seed-deterministic. At 100 TB the
-    # alternative — hash-ordering the whole corpus — reads every row just
-    # to pick n_cells seeds. For better-balanced cells at real scale, run a
-    # few Lloyd rounds over a larger sample; the partitioning is unchanged.
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .limit(n_cells * 64)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
-    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    # uniform seed-deterministic centroid pick (see _seed_centroids)
+    cent_unit = _seed_centroids(corpus, id_col, vec_col, n_cells, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def nearest_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
@@ -441,16 +451,8 @@ def ann_ivf_int8_topk(
         F.col(id_col).alias("neighbor_id"), "qv8"
     )
 
-    # seeded coarse quantizer (same bounded-scan pick as ann_ivf_topk)
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .limit(n_cells * 64)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
-    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    # seeded coarse quantizer (same uniform pick as ann_ivf_topk)
+    cent_unit = _seed_centroids(corpus, id_col, vec_col, n_cells, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells_int8(vecs: pd.Series, n: pd.Series) -> pd.Series:

@@ -20,6 +20,24 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import 
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 
 
+def _path_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file or directory: hash of
+    every part's (name, size, mtime_ns). Used to key derived temp copies
+    so a fixture refresh invalidates them instead of being silently
+    shadowed by a stale cache."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, entry))
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 # --- B8 cross join & theta join ---------------------------------------------
 
 
@@ -1204,8 +1222,14 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     between scanning 3 months and scanning the whole table.
     test_dpp_prunes_fact_partitions asserts the plan shape."""
     src = load(spark, sf_dir, "orders")
+    # Key the cached month-partitioned copy on a fixture fingerprint
+    # (mtime_ns + size of every part file), not just the sf name: a stale
+    # copy from an earlier fixture version (or a concurrent session) would
+    # otherwise be reused silently whenever _SUCCESS exists and produce
+    # hard-to-debug oracle mismatches.
     out = os.path.join(
-        tempfile.gettempdir(), f"bfcms_dpp_orders_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"bfcms_dpp_orders_{os.path.basename(sf_dir)}_{_path_fingerprint(os.path.join(sf_dir, 'orders.parquet'))}",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         src.withColumn(

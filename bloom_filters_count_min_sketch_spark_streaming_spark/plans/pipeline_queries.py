@@ -1274,12 +1274,15 @@ def corpus_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = st.persist()
     stot = st.groupBy("source").agg(F.sum("tf").cast("long").alias("s_tot"))
     g = st.groupBy("term").agg(F.sum("tf").cast("long").alias("gf"))
-    g_tot = float(st.agg(F.sum("tf")).collect()[0][0])
+    # corpus-total scalar fused into the plan as a broadcast 1-row join
+    # (not .collect()ed — keeps construction lazy, one job at execution)
+    gtot = F.broadcast(st.agg(F.sum("tf").cast("double").alias("g_tot")))
     p = F.col("tf") * 1.0 / F.col("s_tot")
-    q = F.col("gf") * 1.0 / F.lit(g_tot)
+    q = F.col("gf") * 1.0 / F.col("g_tot")
     terms = (
         st.join(F.broadcast(stot), "source")
         .join(g, "term")
+        .crossJoin(gtot)
         .select("source", F.round(p * F.log2(p / q), 8).alias("c"))
     )
     out = (

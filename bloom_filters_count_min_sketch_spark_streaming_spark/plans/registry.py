@@ -69,7 +69,12 @@ _PRIORITY = [
     "mmr_diversified_rerank",
     "scd2_dimension_merge",
     "stream_stream_left_outer_join",
-    "hll_distinct_event_types",
+    # r4: the counting Bloom filter (deletable membership — the one Bloom
+    # operation the reference's bit-array filter can't do; group-mergeable
+    # sparse-delta build) takes hll_distinct_event_types' slot: the
+    # distinct-count-sketch signal stays carried by kmv_distinct_per_type
+    # (below), and hll remains oracle-checked locally further down.
+    "counting_bloom_delete_membership",
     # hll_sketch_users (near-twin of hll_distinct_event_types) ceded its
     # slot to the KMV sketch — the one distinct-count sketch whose ESTIMATE
     # is engine-portable, so the driver hash-checks a genuinely approximate
@@ -101,6 +106,15 @@ _PRIORITY = [
     # hash-checked oracle (nprobe=nlist == brute force); the recall<1
     # configs of the same code path stay rows-only further down
     "ann_ivf_full_probe_exact",
+    # r4: the LSH-family analogue of the line above — 24 one-bit tables
+    # make the bucket-join candidates a verified superset of the true
+    # top-5 (tests/test_similarity.py::test_lsh_full_tables_covers_exact_
+    # topk pins this at every sf), so the hyperplane-signature + banded
+    # bucket-join + re-rank path carries a driver hash check, not just
+    # recall tests. Takes tfidf_top_terms' slot (text family keeps three
+    # other prefix signals: text_quality_by_source, llm_corpus_pipeline,
+    # text_repetition_stats; tfidf stays oracle-checked locally).
+    "ann_lsh_full_tables_exact",
     "embedding_centroids",
     # embedding_label_distances (same posexplode-aggregate family as
     # embedding_centroids) ceded its slot to the hybrid BM25+vector RRF
@@ -112,7 +126,6 @@ _PRIORITY = [
     # source + llm_corpus_pipeline) ceded its slot to the oracle-backed
     # iterative graph op; still oracle-checked further down
     "pagerank_nation_trade",
-    "tfidf_top_terms",
     "llm_corpus_pipeline",
     "multimodal_payload_stats",
     # streaming
@@ -124,7 +137,13 @@ _PRIORITY = [
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
     "stream_stateful_bloom_distinct",
-    "stream_cms_running_freq",
+    # r4: streaming MinHash-LSH dedup (stateful first-seen bucket index —
+    # the reference's streaming+sketch identity composed into online
+    # near-dup detection, hash-checked via the ordered-replay == min-doc
+    # equivalence) takes stream_cms_running_freq's slot: the streaming-CMS
+    # signal stays carried by stream_stateful_cms_per_key (above); the
+    # foreachBatch CMS variant remains oracle-checked locally.
+    "stream_minhash_lsh_dedup",
     "salted_heavy_key_counts",
 ]
 

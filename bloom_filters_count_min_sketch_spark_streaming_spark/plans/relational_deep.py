@@ -1854,13 +1854,17 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window wherever only the extreme row of a group is needed."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer-microsecond gap (NOT double-cast subtraction: at epoch
+    # magnitude a double has ~0.24us granularity, which can flip a
+    # boundary-exact 30-min comparison vs the oracle's exact INTERVAL) —
+    # same discipline as debounce_events / feature_rolling_windows
     flagged = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
-                > 1800.0
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > F.lit(1_800_000_000)
             ),
             1,
         ).otherwise(0),
@@ -3220,21 +3224,28 @@ def anomaly_seasonal_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(rev.cohort, '%Y-%m') AS cohort,
            CAST(age AS BIGINT) AS age_months,
            CAST(cs.n_customers AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(CAST(r AS DECIMAL(28,2)))
+           -- exact integer division at 1e-4 dollars: double ROUND of the
+           -- quotient sits exactly on .00005 boundaries for some cohorts
+           -- and the two engines' last bits flip it differently
+           CAST((CAST(SUM(CAST(r AS DECIMAL(28,2)))
                         OVER (PARTITION BY rev.cohort ORDER BY age
-                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                 / cs.n_customers, 4) AS cum_ltv_per_customer
+                              ROWS UNBOUNDED PRECEDING) * 10000 AS BIGINT)
+                 // cs.n_customers) / 10000.0 AS DOUBLE)
+             AS cum_ltv_per_customer
     FROM rev JOIN cohort_sizes cs ON cs.cohort = rev.cohort
-    WHERE rev.cohort < DATE '1993-01-01'
+    WHERE rev.cohort < DATE '1996-01-01'
     ORDER BY cohort, age_months
     """,
 )
 def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: cumulative revenue per customer by
     months since first order, per acquisition cohort (restricted to the
-    1992 cohorts so the curve is long). The payback-period table every
-    growth model is built on: one first-order aggregate, one month-diff
-    aggregate, one cumulative window per cohort — all DECIMAL."""
+    earliest — 1995 — cohorts so the curve is long; fixture orders span
+    1995-2001, so a pre-1995 cutoff would select zero rows and the oracle
+    check would pass vacuously, which is exactly what r3 shipped). The
+    payback-period table every growth model is built on: one first-order
+    aggregate, one month-diff aggregate, one cumulative window per cohort
+    — all DECIMAL."""
     orders = load(spark, sf_dir, "orders")
     first_order = orders.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
@@ -3259,18 +3270,21 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("age")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # per-customer LTV floored at 1e-4 dollars via exact int64 division
+    # (cum DECIMAL(28,2) * 10000 is an exact integer; DIV is exact in both
+    # engines; double ROUND of the raw quotient flips on .00005 boundaries)
+    micro = (F.sum(F.col("r").cast("decimal(28,2)")).over(w) * 10000).cast("long")
     return (
         rev.join(F.broadcast(cohort_sizes), "cohort")
-        .filter(F.col("cohort") < F.lit("1993-01-01").cast("timestamp"))
+        .filter(F.col("cohort") < F.lit("1996-01-01").cast("timestamp"))
+        .withColumn("micro", micro)
         .select(
             F.date_format("cohort", "yyyy-MM").alias("cohort"),
             F.col("age").alias("age_months"),
             F.col("n_customers").cast("long").alias("n_customers"),
-            F.round(
-                F.sum(F.col("r").cast("decimal(28,2)")).over(w).cast("double")
-                / F.col("n_customers"),
-                4,
-            ).alias("cum_ltv_per_customer"),
+            F.expr("CAST(micro DIV n_customers AS DOUBLE) / 10000.0").alias(
+                "cum_ltv_per_customer"
+            ),
         )
         .orderBy("cohort", "age_months")
     )

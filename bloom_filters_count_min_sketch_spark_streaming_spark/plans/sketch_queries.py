@@ -294,6 +294,47 @@ def bloom_union_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "counting_bloom_delete_membership",
+    oracle="""
+    -- Counting Bloom filter (Fan et al. 2000): insert every o_custkey
+    -- occurrence, DELETE every occurrence belonging to an 'F'-status
+    -- order; remaining membership == "has at least one non-F order".
+    -- Deletes ⊆ inserts by construction -> zero false negatives; fpp
+    -- 1e-9 over 3000 probes -> expected false positives ~3e-6, so the
+    -- exact IN over the surviving multiset is a valid oracle.
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')
+    ORDER BY key
+    """,
+)
+def counting_bloom_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletable approximate membership — the one Bloom operation the
+    plain bit-array filter cannot support. Counters form an abelian GROUP
+    (not just a monoid), so inserts and deletes partial-aggregate map-side
+    in any order; the build shuffles sparse (position, ±1) deltas, never
+    dense arrays (functions/bloom.py:counting_bloom_build). Deleting the
+    'F'-status occurrences leaves membership == customers with a live
+    order — the classic cache-invalidation / retraction use case."""
+    orders = load(spark, sf_dir, "orders")
+    sketch = bloom.counting_bloom_build(
+        orders,
+        "o_custkey",
+        expected_items=200_000,
+        fpp=1e-9,
+        delete_df=orders.filter(F.col("o_orderstatus") == "F"),
+        delete_col="o_custkey",
+        seed=SEED,
+    )
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    return (
+        bloom.counting_bloom_might_contain(probe, "key", sketch)
+        .filter("might_contain")
+        .select("key")
+    )
+
+
+@query(
     "cms_sketch_table_merge",
     oracle="""
     SELECT event_type, COUNT(*) AS exact_cnt, COUNT(*) AS merged_est

@@ -25,7 +25,98 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner impor
     events_stream_source,
     run_available_now,
     run_foreach_batch,
+    table_stream_source,
 )
+
+# --- streaming MinHash-LSH dedup (stateful first-seen bucket index) ----------
+
+_LSH_PERMS = 16
+_LSH_BANDS = 8
+_LSH_R = _LSH_PERMS // _LSH_BANDS
+
+
+def _stream_lsh_oracle() -> str:
+    sig_cols = ", ".join(
+        f"MIN(substr(md5(w || '|{p}'), 1, 15)) AS s{p}" for p in range(_LSH_PERMS)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN "
+        + " || '_' || ".join(f"s{p}" for p in range(b * _LSH_R, (b + 1) * _LSH_R))
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    -- batch twin of the streaming first-seen LSH index: with the replay
+    -- source ordered by doc_id, "arrived before" == "smaller doc_id", so a
+    -- doc is flagged in band b iff it shares b's bucket with a smaller doc,
+    -- and its owner is the bucket minimum. md5-derived MinHash makes the
+    -- signature engine-portable (same trick as simhash_portable_
+    -- fingerprints).
+    WITH tok AS (
+      -- duplicates don't affect MIN, so no DISTINCT needed (the Spark side
+      -- applies array_distinct purely for clarity)
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS w
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM tok GROUP BY doc_id
+    ), bk AS (
+      SELECT doc_id, b.band,
+             CASE b.band {band_case} END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS band) b
+    ), flagged AS (
+      SELECT band, doc_id,
+             MIN(doc_id) OVER (PARTITION BY band, bucket) AS owner
+      FROM bk
+    )
+    SELECT doc_id, COUNT(*) AS n_bands_hit, CAST(MIN(owner) AS BIGINT) AS first_owner
+    FROM flagged WHERE doc_id > owner
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("stream_minhash_lsh_dedup", oracle=_stream_lsh_oracle())
+def stream_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-duplicate detection — the reference's two themes
+    (streaming micro-batches + sketch state) composed into the LLM-era
+    operation: documents stream in doc_id order, each micro-batch computes
+    map-only portable MinHash band buckets, and a stateful first-seen
+    index (applyInPandasWithState keyed by (band, bucket), one int64 per
+    occupied bucket) flags every document that lands in a bucket an
+    earlier document owns. Per-doc output: how many bands hit and the
+    earliest owner.
+
+    Scale shape: signature is per-row (no shuffle before the state op);
+    state is O(distinct buckets) regardless of stream length; each batch
+    shuffles only its own (band, bucket) rows — ingest-time dedup without
+    re-running a corpus pair-join per batch (the batch analogue is
+    dedup_incremental_minhash). Deterministic because the replay source
+    mtime-orders batches and first_seen_flags sorts within batch."""
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+
+    buckets = src.filter(
+        F.size(dedup.tokens_col(F.col("text"))) > 0
+    ).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            dedup.portable_minhash_band_buckets(
+                F.col("text"), num_perms=_LSH_PERMS, bands=_LSH_BANDS
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    flags = stateful.first_seen_flags(buckets)
+    out = run_available_now(flags, "append")
+    return (
+        out.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_hit"),
+            F.min("owner").cast("long").alias("first_owner"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_bands_hit", "first_owner")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -183,6 +183,61 @@ def ann_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("frequent_directions_spectrum")
+def frequent_directions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions (Liberty KDD'13) spectrum of the embedding
+    corpus: per-partition ell x d streaming sketches, deterministic
+    partition-order fold, driver-side SVD of the ell x d result. The
+    mergeable-matrix-sketch path to covariance/PCA at 100 TB — O(ell*d)
+    memory per task, sketch-sized shuffle, scan-count 1 (vs the exact
+    dim^2 moment accumulation in embedding_pca_variance). SVD is not
+    SQL-expressible -> rows-only for the driver; the GLPW error bound,
+    PSD deficit, mergeability, and run-to-run determinism are property-
+    tested in tests/test_fd.py."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import fd
+
+    emb = load(spark, sf_dir, "embeddings")
+    sk = fd.fd_sketch(emb, ell=16, dim=64)
+    rows = [(c, round(s, 6)) for c, s in fd.fd_spectrum(sk, top=8)]
+    return spark.createDataFrame(rows, "component int, sigma double")
+
+
+@query(
+    "ann_lsh_full_tables_exact",
+    oracle="""
+    -- LSH exactness witness (the LSH-family analogue of
+    -- ann_ivf_full_probe_exact): with 1-bit tables, a candidate pair is
+    -- missed only if the two vectors disagree on EVERY one of the 24
+    -- hyperplanes — P ~ (theta/pi)^24, and on the fixtures (verified at
+    -- every sf by tests/test_similarity.py::test_lsh_full_tables_covers_
+    -- exact_topk) the candidate set is a superset of the true top-5, so
+    -- the re-rank must reproduce brute-force kNN rank-for-rank. This puts
+    -- the ENTIRE LSH code path (plane signatures, banded bucket join,
+    -- dedup, exact re-rank) under the hash-checked oracle; recall<1
+    -- configurations of the same path are covered by recall tests.
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def ann_lsh_full_tables_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH exactness witness: same operator as ann_lsh_topk but with 24
+    one-bit tables — OR-amplification so aggressive that on the fixture
+    corpora the bucket-join candidates provably contain the true top-5
+    (asserted per-sf in tests), making the output equal brute-force kNN.
+    The hash-checked twin that promotes the LSH path out of rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_lsh_topk(
+        emb, queries, k=5, dim=64, bits_per_table=1, n_tables=24, seed=42
+    )
+
+
 @query(
     "hybrid_search_rrf",
     oracle="""

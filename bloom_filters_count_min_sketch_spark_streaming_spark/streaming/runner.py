@@ -37,22 +37,37 @@ def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
     The one-time split is range-partitioned by event_id so batch contents
     are deterministic and roughly time-ordered (event_id increases with ts).
     """
+    return table_stream_source(spark, sf_dir, "events", "event_id", n_files)
+
+
+def table_stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_col: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """Unbounded DataFrame replaying any fixture table as n_files
+    deterministic micro-batches in ``order_col`` order (range-partitioned
+    split + strictly ascending mtime stamps, see events_stream_source)."""
     # Cache key includes the fixture's identity (size+mtime), so a changed
     # fixture under the same path can't silently replay stale batches.
-    fixture = os.path.join(sf_dir, "events.parquet")
+    fixture = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(fixture)
         fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fingerprint = "nofile"
-    key = hashlib.md5(f"{sf_dir}|{n_files}|{fingerprint}".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf_dir}|{table}|{order_col}|{n_files}|{fingerprint}".encode()
+    ).hexdigest()[:12]
     src_dir = os.path.join(_STREAM_CACHE_ROOT, key)
     if not os.path.isdir(src_dir):
         # Write to a temp dir, then atomically rename into place, so a
         # concurrent first run can never observe a partial split.
         tmp_dir = f"{src_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        batch = load(spark, sf_dir, "events")
-        batch.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(tmp_dir)
+        batch = load(spark, sf_dir, table)
+        batch.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(tmp_dir)
         try:
             os.rename(tmp_dir, src_dir)
         except OSError:

@@ -254,3 +254,56 @@ def sessionize_with_timeout(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+_FIRST_SEEN_OUT = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("doc", LongType()),
+        StructField("owner", LongType()),
+    ]
+)
+_FIRST_SEEN_STATE = StructType([StructField("owner", LongType())])
+
+
+def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: str = "bucket", doc_col: str = "doc") -> DataFrame:
+    """Streaming first-seen index keyed by (band, bucket): the stateful
+    heart of STREAMING MinHash-LSH dedup. State per key is the first doc
+    id that ever occupied the bucket; every later arrival is emitted as a
+    duplicate candidate (doc, owner). With the replay source ordered by
+    doc id, "first seen" == global min, so the final output equals the
+    batch SQL ``doc > MIN(doc) OVER (PARTITION BY band, bucket)`` — which
+    is the oracle.
+
+    State is one int64 per occupied (band, bucket) — O(corpus distinct
+    buckets), independent of stream length; at 100 TB this is the
+    fixed-size "have I seen this region of signature space" index that
+    lets ingest flag near-dups ONLINE instead of re-running a corpus-wide
+    pair join per batch.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        docs = np.sort(
+            np.concatenate([pdf[doc_col].to_numpy(dtype=np.int64) for pdf in pdfs])
+        )
+        if len(docs) == 0:
+            yield pd.DataFrame({"band": [], "doc": [], "owner": []})
+            return
+        if state.exists:
+            (owner,) = state.get
+            dups = docs
+        else:
+            owner = int(docs[0])
+            dups = docs[1:]
+        state.update((int(owner),))
+        yield pd.DataFrame(
+            {
+                "band": np.full(len(dups), int(key[0]), dtype=np.int64),
+                "doc": dups,
+                "owner": np.full(len(dups), int(owner), dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy(band_col, bucket_col).applyInPandasWithState(
+        update, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "append", GroupStateTimeout.NoTimeout
+    )

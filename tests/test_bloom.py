@@ -156,3 +156,53 @@ def test_bloom_sketch_table_no_false_negatives(spark, sf_dir):
     # fpp=0.01 per day-filter; OR-merging k filters inflates the union's
     # fill factor, so allow a loose bound
     assert rows["absent"]["n_positive"] <= rows["absent"]["n_probes"] * 0.25
+
+
+def test_counting_bloom_insert_delete_roundtrip():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        CountingBloom,
+    )
+
+    cb = CountingBloom.from_params(1000, 1e-6, seed=7)
+    keys = np.arange(0, 500, dtype=np.int64)
+    cb.add_longs(keys)
+    snapshot = cb.counters.copy()
+    extra = np.arange(500, 700, dtype=np.int64)
+    cb.add_longs(extra)
+    cb.delete_longs(extra)
+    # group property: insert then delete restores the exact counter state
+    assert np.array_equal(cb.counters, snapshot)
+    # no false negatives for survivors
+    assert cb.might_contain_longs(keys).all()
+
+
+def test_counting_bloom_merge_is_counter_sum():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        CountingBloom,
+    )
+
+    a = CountingBloom.from_params(1000, 1e-6, seed=7)
+    b = CountingBloom.from_params(1000, 1e-6, seed=7)
+    a.add_longs(np.arange(0, 300, dtype=np.int64))
+    b.add_longs(np.arange(200, 500, dtype=np.int64))
+    merged = a.merge(b)
+    assert np.array_equal(merged.counters, a.counters + b.counters)
+    assert merged.might_contain_longs(np.arange(0, 500, dtype=np.int64)).all()
+
+
+def test_counting_bloom_distributed_build_matches_local(spark):
+    """Spark sparse-delta build == local numpy build on the same multiset."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        CountingBloom,
+        counting_bloom_build,
+    )
+
+    ins = spark.range(0, 400).withColumn("k", F.col("id") % 250)
+    dels = spark.range(0, 100).withColumn("k", F.col("id") % 50)
+    dist = counting_bloom_build(
+        ins, "k", expected_items=1000, fpp=1e-6, delete_df=dels, delete_col="k", seed=7
+    )
+    local = CountingBloom.from_params(1000, 1e-6, seed=7)
+    local.add_longs(np.array([i % 250 for i in range(400)], dtype=np.int64))
+    local.delete_longs(np.array([i % 50 for i in range(100)], dtype=np.int64))
+    assert np.array_equal(dist.counters, local.counters)

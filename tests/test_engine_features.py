@@ -274,3 +274,87 @@ def test_concurrent_queries_share_session(spark, sf_dir):
         concurrent = dict(pool.map(run, names))
     for n in names:
         assert sorted(map(str, concurrent[n])) == sorted(map(str, sequential[n])), n
+
+
+def test_timestamp_nanos_canary_all_surface_forms(spark, tmp_path):
+    """Canary for the pyspark parquet-timestamp reader contract.
+
+    The pyspark 4.1.2 upgrade silently broke 45 queries mid-round-3: the
+    legacy ``parquet.nanosAsLong`` conf stopped applying and events.ts
+    stopped surfacing as LONG. ``sources/io.load`` now branches on the
+    surfaced dtype. This test fabricates every surface form the same
+    instants can arrive in and pins today's contract per form:
+
+    - raw-nanos LONG               -> load converts, micros TIMESTAMP
+    - micros TIMESTAMP_NTZ         -> load casts, micros TIMESTAMP
+      (this is what every current fixture stores)
+    - micros TIMESTAMP (UTC)       -> passes through unchanged
+    - parquet TIMESTAMP(NANOS)     -> pyspark 4.1.2 REFUSES the scan
+      (PARQUET_TYPE_ILLEGAL); if a future runtime starts reading it, it
+      must floor to the identical micros
+
+    The next runtime upgrade that changes parquet timestamp inference
+    fails this one test instead of 45 oracle checks.
+    """
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql.types import TimestampType
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    # Instants with sub-micro nanos to pin the floor-to-micros truncation.
+    nanos = [
+        1_700_000_000_123_456_789,
+        1_700_000_001_000_000_999,
+        1_700_086_400_999_999_001,
+    ]
+    micros = [n // 1000 for n in nanos]
+    ids = list(range(len(nanos)))
+
+    def write(form, arr):
+        d = tmp_path / form
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def read(d):
+        df = load(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), df.schema[
+            "ts"
+        ].dataType
+        return [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
+
+    expected = [
+        datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=m)
+        for m in micros
+    ]
+
+    got_long = read(write("long_nanos", pa.array(nanos, pa.int64())))
+    assert got_long == expected, f"LONG nanos diverged: {got_long}"
+
+    got_ntz = read(write("ts_ntz_micros", pa.array(micros, pa.timestamp("us"))))
+    assert got_ntz == expected, f"TIMESTAMP_NTZ micros diverged: {got_ntz}"
+
+    got_utc = read(
+        write("ts_utc_micros", pa.array(micros, pa.timestamp("us", tz="UTC")))
+    )
+    assert got_utc == expected, f"TIMESTAMP micros diverged: {got_utc}"
+
+    # parquet TIMESTAMP(NANOS): pyspark 4.1.2 refuses the scan outright.
+    # Accept either today's refusal or a future runtime that reads it —
+    # but a read MUST floor to the identical micros.
+    nanos_dir = write("ts_nanos", pa.array(nanos, pa.timestamp("ns")))
+    try:
+        got_ns = read(nanos_dir)
+    except AnalysisException as exc:
+        assert "PARQUET_TYPE_ILLEGAL" in str(exc), str(exc)
+    except Exception as exc:  # collect-time failure surfaces wrapped
+        assert "PARQUET_TYPE_ILLEGAL" in str(exc), str(exc)
+    else:
+        assert got_ns == expected, f"TIMESTAMP(NANOS) diverged: {got_ns}"

@@ -170,6 +170,10 @@ _NESTED_LOOP_OK = {
     "corpus_curation_e2e",         # same 1-row global-min seed, composed
     "hybrid_search_rrf",           # corpus x broadcast 1-row query vector
     "ams_f2_estimate",             # 1-row exact x 1-row estimate scalar join
+    "bm25_ranked_search",          # 1-row broadcast (n_docs, avgdl) scalar
+                                   # join — the lazy fusion of what r3
+                                   # collect()ed at build time
+    "corpus_divergence_kl",        # 1-row broadcast corpus-total scalar join
     "kaplan_meier_survival",       # at-risk counting: deaths x durations
                                    # range join (|death times| is tiny after
                                    # hour bucketing; sort-once at scale)

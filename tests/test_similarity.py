@@ -129,3 +129,30 @@ def test_ivf_int8_recall_and_agreement(spark, sf_dir):
     }
     agree = len(fl & q8) / len(fl)
     assert agree >= 0.8, f"int8 vs float IVF agreement {agree:.2f} too low"
+
+
+def test_lsh_full_tables_covers_exact_topk(spark):
+    """ann_lsh_full_tables_exact's premise, asserted at EVERY fixture sf:
+    with 24 one-bit tables the LSH bucket join's candidate set contains
+    the true top-5 for each query, so the re-ranked output must equal
+    brute-force kNN rank-for-rank (that equality is what the registered
+    query's hash-checked oracle certifies at sf0.01; this test pins the
+    superset premise at the other scale factors too)."""
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+        }
+        full = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.ann_lsh_topk(
+                emb, queries, k=5, dim=64, bits_per_table=1, n_tables=24, seed=42
+            ).collect()
+        }
+        assert full == exact, f"{sf_dir}: LSH full-tables output != brute force"
