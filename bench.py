@@ -284,6 +284,20 @@ def main() -> None:
     for name, t in timings.items():
         key = _family(name)
         fam[key] = round(fam.get(key, 0.0) + t, 3)
+
+    # The driver parses the TAIL of combined stdout+stderr, so the JSON
+    # line must be the LAST thing emitted. JVM teardown used to spew a
+    # state-store RPC stack to stderr *after* the line (BENCH_r03/r04
+    # parsed:null): silence logging, stop the session first, and print
+    # the JSON only once teardown noise is done.
+    spark.sparkContext.setLogLevel("OFF")
+    sys.stderr.flush()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # teardown noise must not eat the bench record
+    time.sleep(1.0)  # let async maintenance threads finish their last gasp
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -296,20 +310,36 @@ def main() -> None:
                 "n_queries": len(timings),
                 "full": "BENCH_FULL.json",
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 def _latest_round_bench() -> dict | None:
     """Most recent full per-query bench record for the regression check.
 
-    BENCH_FULL.json (committed each round since r4) is the per-query map;
-    BENCH_r{N}.json now carries only family rollups in its parsed line, so
-    older round files are the fallback for pre-r4 history."""
+    The baseline is the COMMITTED BENCH_FULL.json (`git show
+    HEAD:BENCH_FULL.json`), not the working-tree file: every bench run
+    overwrites the working-tree copy, so an in-round rerun would otherwise
+    compare against the run just before it instead of the prior round.
+    Falls back to the working-tree file, then pre-r4 round files."""
     import glob
+    import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        blob = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if blob.returncode == 0:
+            data = json.loads(blob.stdout)
+            if isinstance(data, dict) and "queries" in data:
+                return {**data, "file": "BENCH_FULL.json@HEAD"}
+    except (OSError, json.JSONDecodeError, subprocess.SubprocessError):
+        pass
     full = os.path.join(root, "BENCH_FULL.json")
     try:
         with open(full) as fh:

@@ -296,26 +296,30 @@ def counting_bloom_build(
     def deltas(side_df: DataFrame, side_col: str, delta: int) -> DataFrame:
         probe = CountingBloom(n_counters, hash_a, proto.counters)  # counters unused
 
-        @F.pandas_udf("array<long>")
-        def positions(keys: pd.Series) -> pd.Series:
-            v = keys.to_numpy(dtype=np.int64, na_value=0)
-            pos = probe._positions(v)  # noqa: SLF001 — same-module helper
-            return pd.Series(list(pos.T))
+        def batch_deltas(batches):
+            # Pre-aggregate WITHIN each Arrow batch: k positions per row
+            # collapse to (pos, count) via np.unique before anything hits
+            # the shuffle — the exploded k×rows stream never materializes
+            # as shuffle input, only ≤ distinct-touched-counters rows do.
+            for pdf in batches:
+                v = pdf["k"].to_numpy(dtype=np.int64, na_value=0)
+                pos = probe._positions(v).ravel()  # noqa: SLF001 — same-module helper
+                upos, cnt = np.unique(pos, return_counts=True)
+                yield pd.DataFrame({"pos": upos, "d": cnt.astype(np.int64) * delta})
 
         keyed = side_df.select(_as_long(side_df, side_col).alias("k")).where(
             F.col("k").isNotNull()
         )
-        return keyed.select(
-            F.explode(positions(F.col("k"))).alias("pos"), F.lit(delta).alias("d")
-        )
+        return keyed.mapInPandas(batch_deltas, "pos long, d long")
 
     parts = deltas(df, col, 1)
     if delete_df is not None:
         parts = parts.unionAll(deltas(delete_df, delete_col or col, -1))
     sparse = parts.groupBy("pos").agg(F.sum("d").alias("c")).filter(F.col("c") != 0)
+    # Arrow transfer + one vectorized scatter — no per-row driver loop.
+    pdf = sparse.toPandas()
     counters = np.zeros(n_counters, dtype=np.int64)
-    for r in sparse.collect():
-        counters[r["pos"]] = r["c"]
+    counters[pdf["pos"].to_numpy(dtype=np.int64)] = pdf["c"].to_numpy(dtype=np.int64)
     return CountingBloom(n_counters, hash_a, counters)
 
 
@@ -323,14 +327,21 @@ def counting_bloom_might_contain(
     df: DataFrame, col: str, sketch: CountingBloom, out: str = "might_contain"
 ) -> DataFrame:
     """Boolean ``out`` column: membership against the counting filter
-    (all k counters > 0). Sketch ships via closure capture, per-row work
-    is vectorized numpy — same probe contract as bloom_might_contain."""
+    (all k counters > 0). The counter array can be tens of MB (it is
+    n_counters int64s), so it ships as a Spark BROADCAST — once per
+    executor, torrent-distributed — not a closure capture pickled into
+    every task. Per-row work is vectorized numpy."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        (sketch.n_counters, sketch.hash_a, sketch.counters)
+    )
 
     @F.pandas_udf(BooleanType())
     def _probe(keys: pd.Series) -> pd.Series:
+        n, hash_a, counters = bc.value
+        probe = CountingBloom(n, hash_a, counters)
         mask = keys.isna().to_numpy()
         values = keys.to_numpy(dtype=np.int64, na_value=0)
-        result = pd.Series(sketch.might_contain_longs(values), dtype="object")
+        result = pd.Series(probe.might_contain_longs(values), dtype="object")
         result[mask] = None
         return result
 

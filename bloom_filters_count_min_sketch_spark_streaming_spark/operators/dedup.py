@@ -569,6 +569,12 @@ def portable_minhash_band_buckets(
     and modest batch jobs; the xxhash64 groupBy path wins on huge batch
     corpora.
     """
+    if num_perms % bands != 0:
+        raise ValueError(
+            f"num_perms ({num_perms}) must be divisible by bands ({bands}); "
+            "otherwise the trailing permutations are silently dropped from "
+            "every band's bucket key"
+        )
     toks = F.array_distinct(tokens_col(text))
     r = num_perms // bands
 

@@ -120,17 +120,14 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
     for _ in range(PR_ITERS):
-        md = (
-            pr.join(dang, "node")
-            .agg(
-                F.coalesce(
-                    F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast(
-                        "double"
-                    ),
-                    F.lit(0.0),
-                )
-            )
-            .collect()[0][0]
+        # dangling mass as a broadcast 1-row crossJoin instead of a per-
+        # iteration driver collect: the superstep stays ONE job (the
+        # eager localCheckpoint below), not two
+        md_df = pr.join(dang, "node").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast("double"),
+                F.lit(0.0),
+            ).alias("md")
         )
         contrib = (
             pr.join(ew, pr.node == ew.src)
@@ -140,12 +137,16 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(md_df))
             .select(
                 "node",
                 (
                     F.lit(0.15) / F.lit(n)
                     + F.lit(DAMPING)
-                    * (F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(md) / F.lit(n))
+                    * (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.col("md") / F.lit(n)
+                    )
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

@@ -557,8 +557,12 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             q.stop()
             q.awaitTermination(30)
-        except StreamingQueryException:
-            pass
+        except StreamingQueryException as exc:
+            # stop() can surface the query's own terminal exception; the
+            # results were already drained above, but don't hide it
+            import sys
+
+            print(f"# stream stop(): {exc}", file=sys.stderr)
     return spark.table(name)
 
 

@@ -582,14 +582,18 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
     terms are exact int ratios through log2, rounded then DECIMAL-summed."""
     docs = load(spark, sf_dir, "documents")
     j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c")).persist()
-    n = int(j.agg(F.sum("c")).collect()[0][0])
+    # grand total as a broadcast 1-row crossJoin, not a driver collect —
+    # construction stays lazy, one job materializes everything
+    tot = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
     ml = j.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
     ms = j.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
-    n_cells = j.count()
     t = F.round(
-        (F.col("c") * 1.0 / F.lit(float(n)))
+        (F.col("c") * 1.0 / F.col("n"))
         * F.log2(
-            (F.col("c") * 1.0 * F.lit(float(n)))
+            (F.col("c") * 1.0 * F.col("n"))
             / (F.col("cl") * 1.0 * F.col("cs"))
         ),
         10,
@@ -597,12 +601,13 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         j.join(F.broadcast(ml), "lang")
         .join(F.broadcast(ms), "source")
-        .select(t.alias("t"))
+        .crossJoin(F.broadcast(tot))
+        .select(t.alias("t"), "n_cells")
         .agg(
             F.round(
                 F.sum(F.col("t").cast("decimal(28,10)")).cast("double"), 6
             ).alias("mi_bits"),
-            F.lit(n_cells).cast("long").alias("n_cells"),
+            F.max("n_cells").alias("n_cells"),
         )
     )
 
@@ -722,7 +727,8 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-term DECIMAL sum."""
     docs = load(spark, sf_dir, "documents")
     j = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c")).persist()
-    n = int(j.agg(F.sum("c")).collect()[0][0])
+    # grand total via broadcast 1-row crossJoin (no eager driver collect)
+    tot = j.agg(F.sum("c").cast("long").alias("n"))
     ml = j.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
     ms = j.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
     langs = j.select("lang").distinct()
@@ -732,22 +738,21 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(j, ["lang", "source"], "left")
         .join(F.broadcast(ml), "lang")
         .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
         .select(
             "lang",
             "source",
             F.coalesce("c", F.lit(0)).alias("o"),
-            (F.col("cl") * 1.0 * F.col("cs") / F.lit(float(n))).alias("e"),
+            (F.col("cl") * 1.0 * F.col("cs") / F.col("n")).alias("e"),
         )
-        .persist()
     )
     term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 8)
-    n_cells = cells.count()
     return cells.agg(
         F.round(F.sum(term.cast("decimal(28,8)")).cast("double"), 4).alias("chi2"),
         (
             (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
         ).cast("long").alias("dof"),
-        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
 
 

@@ -287,7 +287,10 @@ def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: s
             np.concatenate([pdf[doc_col].to_numpy(dtype=np.int64) for pdf in pdfs])
         )
         if len(docs) == 0:
-            yield pd.DataFrame({"band": [], "doc": [], "owner": []})
+            # typed empty: object/float64 columns would fight the LongType
+            # output schema if Arrow conversion ever tightens
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame({"band": empty, "doc": empty, "owner": empty})
             return
         if state.exists:
             (owner,) = state.get
