@@ -35,96 +35,52 @@ _PRIORITY = [
     "q5_local_supplier_volume",
     "window_top3_orders_per_customer",
     "asof_join_last_click_before_error",
-    "range_join_purchases_after_signup",
     # probabilistic core (the reference's identity)
     "bloom_membership",
     "bloom_prefilter_join_counts",
     "cms_event_type_freq",
-    "cms_sketch_table_merge",
     "heavy_hitters_approx",
-    # round-3 pipeline ops (driver-visible slots; exact twins / near-twins
-    # further down the prefix ceded their place — see r3 notes)
-    "text_repetition_stats",
-    "dedup_incremental_ingest",
-    "stream_chained_windows",
-    # round-3 second batch: corpus-hygiene + CDC ops (oracle-backed) take
-    # the prefix slots of rows-only variants (dedup_simhash_candidates,
-    # ann_ivf_topk — weak driver signal anyway) and of near-twins
-    # (multimodal_decode_features, stream_sliding_counts,
-    # stream_update_mode_counts, text_token_counts)
-    # round-3 (this session): bootstrap/statistics, weighted sparse
-    # similarity, and diversified retrieval take the prefix slots of three
-    # thinner ops (dataset_split_stats: pure projection; bpe_pair_counts:
-    # inner-loop demo superseded by bpe_train/apply further down;
-    # domain_frequency_caps: window-rank cap) — all still oracle-checked
-    # locally further down the registry
-    "bootstrap_mean_ci",
-    # AMS F2: the third classic sketch (signed-sum join-size estimator)
-    # whose randomized ESTIMATE is hash-checked via md5 signs; takes
-    # priority_sample_docs' slot (weighted sampling still carried by
-    # priority_sample_per_lang + local checks)
-    "ams_f2_estimate",
-    "sparse_cosine_topk_pairs",
-    "language_balanced_resample",
-    "mmr_diversified_rerank",
-    "scd2_dimension_merge",
-    "stream_stream_left_outer_join",
-    # r4: the counting Bloom filter (deletable membership — the one Bloom
-    # operation the reference's bit-array filter can't do; group-mergeable
-    # sparse-delta build) takes hll_distinct_event_types' slot: the
-    # distinct-count-sketch signal stays carried by kmv_distinct_per_type
-    # (below), and hll remains oracle-checked locally further down.
     "counting_bloom_delete_membership",
-    # hll_sketch_users (near-twin of hll_distinct_event_types) ceded its
-    # slot to the KMV sketch — the one distinct-count sketch whose ESTIMATE
-    # is engine-portable, so the driver hash-checks a genuinely approximate
-    # regime; still oracle-checked further down
     "kmv_distinct_per_type",
     "approx_quantiles_value",
-    # round-3 third batch: quality/ops-surface queries (oracle-backed) take
-    # the prefix slots of freq_items_event_types (thin built-in wrapper),
-    # histogram_fixed_bins (exact twin of the rows-only histogram), and
-    # dedup_embedding_cosine (all-pairs exact baseline; semdedup carries
-    # the embedding-dedup signal with the cluster-scoped scale story) —
-    # all three still oracle-checked locally further down the registry
-    "semdedup_embeddings",
-    "duplicate_ngram_spans",
-    "data_quality_constraints",
-    # (histogram_event_value is the rows-only approximate twin; its exact
-    # twin above carries the driver-green signal, so it yields its prefix
-    # slot to cms_sketch_table_merge)
+    "ams_f2_estimate",
+    # r5 rotation: twelve oracle-backed queries that had NEVER appeared in
+    # a driver CORRECTNESS round take the slots of twelve r4-green
+    # near-twins (range_join_purchases_after_signup, cms_sketch_table_
+    # merge, text_repetition_stats, dedup_incremental_ingest,
+    # stream_chained_windows, bootstrap_mean_ci, sparse_cosine_topk_pairs,
+    # language_balanced_resample, mmr_diversified_rerank,
+    # scd2_dimension_merge, duplicate_ngram_spans,
+    # data_quality_constraints) — all twelve displaced queries remain
+    # registered and locally oracle-checked further down; their r4 driver
+    # green is on record. Goal: driver-green coverage rotates instead of
+    # re-proving the same fixed 50.
+    "hll_sketch_table_merge",
+    "kmv_set_overlap",
+    "multimodal_wav_decode",
+    "multimodal_bmp_decode",
+    "versioned_upsert_time_travel",
+    "ivm_join_delta_maintenance",
+    "bfs_shortest_hops",
+    "collated_group_counts",
+    "recursive_cte_components",
+    "spatial_grid_join",
+    "stream_foreachbatch_upsert",
+    "entity_resolution_e2e",
     # LLM-pipeline: dedup
     "dedup_exact_docs",
-    # doc_fingerprints (thin md5 projection) ceded its slot to the
-    # incremental near-dup ingest op; still oracle-checked further down
     "dedup_incremental_minhash",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    "semdedup_embeddings",
     # LLM-pipeline: similarity / embeddings
     "knn_cosine_bruteforce",
-    # ann_ivf_full_probe_exact exercises the full IVF machinery under a
-    # hash-checked oracle (nprobe=nlist == brute force); the recall<1
-    # configs of the same code path stay rows-only further down
     "ann_ivf_full_probe_exact",
-    # r4: the LSH-family analogue of the line above — 24 one-bit tables
-    # make the bucket-join candidates a verified superset of the true
-    # top-5 (tests/test_similarity.py::test_lsh_full_tables_covers_exact_
-    # topk pins this at every sf), so the hyperplane-signature + banded
-    # bucket-join + re-rank path carries a driver hash check, not just
-    # recall tests. Takes tfidf_top_terms' slot (text family keeps three
-    # other prefix signals: text_quality_by_source, llm_corpus_pipeline,
-    # text_repetition_stats; tfidf stays oracle-checked locally).
     "ann_lsh_full_tables_exact",
     "embedding_centroids",
-    # embedding_label_distances (same posexplode-aggregate family as
-    # embedding_centroids) ceded its slot to the hybrid BM25+vector RRF
-    # retrieval query; still oracle-checked further down
     "hybrid_search_rrf",
-    # LLM-pipeline: text + multimodal
+    # LLM-pipeline: text + graph + multimodal plumbing
     "text_quality_by_source",
-    # lang_id_heuristic (text family already carried by text_quality_by_
-    # source + llm_corpus_pipeline) ceded its slot to the oracle-backed
-    # iterative graph op; still oracle-checked further down
     "pagerank_nation_trade",
     "llm_corpus_pipeline",
     "multimodal_payload_stats",
@@ -134,15 +90,10 @@ _PRIORITY = [
     "stream_dedup_counts",
     "stream_static_join_counts",
     "stream_stream_join_pairs",
+    "stream_stream_left_outer_join",
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
     "stream_stateful_bloom_distinct",
-    # r4: streaming MinHash-LSH dedup (stateful first-seen bucket index —
-    # the reference's streaming+sketch identity composed into online
-    # near-dup detection, hash-checked via the ordered-replay == min-doc
-    # equivalence) takes stream_cms_running_freq's slot: the streaming-CMS
-    # signal stays carried by stream_stateful_cms_per_key (above); the
-    # foreachBatch CMS variant remains oracle-checked locally.
     "stream_minhash_lsh_dedup",
     "salted_heavy_key_counts",
 ]

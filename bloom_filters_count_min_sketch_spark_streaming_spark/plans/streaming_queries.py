@@ -304,6 +304,27 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_rocksdb_stateful_counts",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS final_total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_rocksdb_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 made testable: the SAME stateful per-key counter as
+    stream_stateful_running_counts, executed on the RocksDB state-store
+    provider (the 100 TB provider — state spills to local disk with
+    incremental checkpointing instead of living in executor heap). The
+    oracle is identical to the HDFS-provider twin, so provider choice
+    provably does not change results; tests/test_streaming.py also
+    asserts row-level equality between the two providers directly."""
+    src = events_stream_source(spark, sf_dir)
+    running = stateful.running_counts(src, "user_id")
+    out = run_available_now(running, "append", state_provider="rocksdb")
+    return out.groupBy("key").agg(F.max("running_total").alias("final_total"))
+
+
+@query(
     "stream_stateful_cms_per_key",
     oracle="""
     WITH probes AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS probe_id),

@@ -96,11 +96,18 @@ def table_stream_source(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
     state_partitions: int = 8,
+    state_provider: str | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink and
     return the resulting table. availableNow = process the whole backlog
@@ -110,12 +117,23 @@ def run_available_now(
     first run). Fixture state is kilobytes, so a handful of partitions
     avoids per-partition commit overhead dominating; at real scale size
     this to state volume / executor count instead.
+
+    ``state_provider``: ``"rocksdb"`` runs the query on the RocksDB state
+    store (spilling, incremental-checkpoint — the 100 TB provider, where
+    state outgrows executor heap); default is the HDFS-backed in-memory
+    provider. The conf is read at query START and baked into the
+    checkpoint, so it's set/restored around start() here.
     """
     spark = stream_df.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_provider == "rocksdb":
+        spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    elif state_provider is not None:
+        spark.conf.set(_PROVIDER_CONF, state_provider)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -128,6 +146,11 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     return spark.table(name)
 
 

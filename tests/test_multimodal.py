@@ -68,6 +68,29 @@ def test_strict_mode_raises_where_codec_would_plug_in(spark, sf_dir):
             op()
 
 
+def test_strict_mode_real_codec_for_self_describing_formats(spark):
+    """decode_features(strict=True) must NOT raise for WAV/BMP payloads:
+    magic-byte sniffing routes them to the real pure-stdlib codecs, and
+    the feature vector carries the parsed header fields."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_bytes,
+        _wav_bytes,
+    )
+
+    rows = [
+        (1, "audio/wav", _wav_bytes(1)),
+        (2, "image/bmp", _bmp_bytes(2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r["features"] for r in decode_features(media, strict=True).collect()}
+    # WAV id=1: rate 8000, n = 100 + (1 % 50) * 10 = 110 samples, rms 1000
+    assert got[1][0] == 8000.0
+    assert got[1][1] == 110.0
+    assert got[1][3] == 1000.0
+    # BMP id=2: width 4 + 2 % 13 = 6, height 3 + 2 % 7 = 5, mean_r = 2
+    assert got[2][:3] == [6.0, 5.0, 2.0]
+
+
 def test_wav_decode_real_parse(spark):
     """The WAV path is a real parser: it reads rate/bits/samples from the
     bytes (not from metadata), and rejects non-RIFF payloads."""

@@ -445,3 +445,35 @@ def test_stream_progress_exposes_state_and_watermark(spark, sf_dir):
     assert last["stateOperators"][0]["numRowsTotal"] > 0
     wm = last.get("eventTime", {}).get("watermark")
     assert wm and wm > "1970", wm
+
+
+def test_rocksdb_provider_matches_hdfs_provider(spark, sf_dir):
+    """C14: the RocksDB state-store provider must produce byte-identical
+    results to the default HDFS-backed provider for the same stateful
+    query — provider choice is an executor-memory/scale decision, never a
+    semantics one. Also pins that the provider conf is restored after the
+    run (it's baked into each query's checkpoint at start)."""
+    from pyspark.sql import functions as F
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import stateful
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        _PROVIDER_CONF,
+        events_stream_source,
+        run_available_now,
+    )
+
+    def final_counts(provider):
+        src = events_stream_source(spark, sf_dir)
+        running = stateful.running_counts(src, "user_id")
+        out = run_available_now(running, "append", state_provider=provider)
+        return {
+            r["key"]: r["final_total"]
+            for r in out.groupBy("key")
+            .agg(F.max("running_total").alias("final_total"))
+            .collect()
+        }
+
+    hdfs = final_counts(None)
+    rocks = final_counts("rocksdb")
+    assert rocks == hdfs and len(hdfs) > 0
+    assert spark.conf.get(_PROVIDER_CONF, None) is None
