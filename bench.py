@@ -115,6 +115,12 @@ HEADLINE = [
     "ann_lsh_full_tables_exact",
     "frequent_directions_spectrum",
     "stream_minhash_lsh_dedup",
+    # round-5: sharded-sketch streaming retraction, RocksDB provider,
+    # real-codec multimodal decodes
+    "stream_counting_bloom_retraction",
+    "stream_rocksdb_stateful_counts",
+    "multimodal_wav_decode",
+    "multimodal_bmp_decode",
 ]
 
 
@@ -161,6 +167,7 @@ def _family(name: str) -> str:
             "domain_frequency",
             "priority_sample",
             "data_quality",
+            "multimodal",
         )
     ):
         return "text_pipeline"

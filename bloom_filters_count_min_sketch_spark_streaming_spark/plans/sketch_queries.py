@@ -299,11 +299,12 @@ def bloom_union_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- Counting Bloom filter (Fan et al. 2000): insert every o_custkey
     -- occurrence, DELETE every occurrence belonging to an 'F'-status
     -- order; remaining membership == "has at least one non-F order".
-    -- Deletes ⊆ inserts by construction -> zero false negatives; fpp
-    -- 1e-6 over 3000 probes -> expected false positives ~3e-3, so the
-    -- exact IN over the surviving multiset is a valid oracle (a single
-    -- FP in a round is a ~0.3% event; the seed is fixed, and the fixed
-    -- seed/params were verified FP-free against the sf0.01 fixture).
+    -- Deletes ⊆ inserts by construction -> zero false negatives.
+    -- Sizing: expected_items=20k bounds DISTINCT custkeys at every
+    -- fixture sf (15k at sf0.1); occupancy ≈ 0.41 worst case -> FP per
+    -- probe ≈ 0.41^20 ≈ 2e-8, ~6e-5 over 3000 probes, so the exact IN
+    -- over the surviving multiset is a valid oracle (fixed seed,
+    -- verified FP-free against the sf0.01 and sf0.1 fixtures).
     SELECT t.k AS key
     FROM range(0, 3000) t(k)
     WHERE t.k IN (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')
@@ -317,12 +318,16 @@ def counting_bloom_delete_membership(spark: SparkSession, sf_dir: str) -> DataFr
     in any order; the build shuffles sparse (position, ±1) deltas, never
     dense arrays (functions/bloom.py:counting_bloom_build). Deleting the
     'F'-status occurrences leaves membership == customers with a live
-    order — the classic cache-invalidation / retraction use case."""
+    order — the classic cache-invalidation / retraction use case.
+    expected_items is sized to the DISTINCT key cardinality (counting
+    filters re-hit the same k positions per repeated key), which keeps
+    the sparse-delta shuffle and the driver-held counter array
+    O(distinct keys × k), not O(rows)."""
     orders = load(spark, sf_dir, "orders")
     sketch = bloom.counting_bloom_build(
         orders,
         "o_custkey",
-        expected_items=200_000,
+        expected_items=20_000,
         fpp=1e-6,
         delete_df=orders.filter(F.col("o_orderstatus") == "F"),
         delete_col="o_custkey",

@@ -10,6 +10,7 @@ Streaming offers: stream output == batch output on the same data.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -301,6 +302,86 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
     running = stateful.running_counts(src, "user_id")
     out = run_available_now(running, "append")
     return out.groupBy("key").agg(F.max("running_total").alias("final_total"))
+
+
+@query(
+    "stream_counting_bloom_retraction",
+    oracle="""
+    -- Streaming counting-Bloom with RETRACTION: orders replay as
+    -- micro-batches; every row inserts its o_custkey into the sharded
+    -- counter state, 'F'-status rows also emit delete-deltas. Counters
+    -- form an abelian group, so the final state equals the batch build
+    -- regardless of delta order/batching; params (20k items, fpp 1e-6,
+    -- seed 42) are the batch query's, verified FP-free at sf0.01/sf0.1,
+    -- so the exact IN is a valid oracle.
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')
+    ORDER BY key
+    """,
+)
+def stream_counting_bloom_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming+sketch identity extended to DELETABLE
+    membership: a counting Bloom filter maintained ONLINE in the state
+    store. Map-only mapInPandas turns each micro-batch into signed sparse
+    (pos, d) deltas (inserts for every order, retractions for 'F'-status
+    ones), sharded by position range; ``sharded_counter_state`` holds one
+    8 KB int64 block per shard and applies the deltas batch-by-batch.
+    At 100 TB: deltas shuffle to their shard, total state is O(n_counters)
+    bytes forever, and the sketch reads out as O(shards) rows — raw keys
+    are never retained, yet membership supports retraction."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        CountingBloom,
+        counting_bloom_might_contain,
+    )
+
+    shard_bits = 10
+    width = 1 << shard_bits
+    proto = CountingBloom.from_params(20_000, 1e-6, seed=42)
+    n_counters, hash_a = proto.n_counters, proto.hash_a
+
+    def batch_deltas(batches):
+        hasher = CountingBloom(n_counters, hash_a, np.zeros(0, dtype=np.int64))
+        for pdf in batches:
+            keys = pdf["o_custkey"].to_numpy(dtype=np.int64)
+            status = pdf["o_orderstatus"].to_numpy()
+            parts = []
+            ins, cnt = np.unique(hasher._positions(keys).ravel(), return_counts=True)  # noqa: SLF001
+            parts.append(pd.DataFrame({"pos": ins, "d": cnt.astype(np.int64)}))
+            mask = status == "F"
+            if mask.any():
+                dele, dcnt = np.unique(
+                    hasher._positions(keys[mask]).ravel(), return_counts=True  # noqa: SLF001
+                )
+                parts.append(pd.DataFrame({"pos": dele, "d": -dcnt.astype(np.int64)}))
+            yield pd.concat(parts, ignore_index=True)
+
+    src = table_stream_source(spark, sf_dir, "orders", "o_orderkey")
+    deltas = (
+        src.select("o_custkey", "o_orderstatus")
+        .mapInPandas(batch_deltas, "pos long, d long")
+        .withColumn("shard", F.shiftright("pos", shard_bits).cast("long"))
+    )
+    blocks = stateful.sharded_counter_state(deltas, shard_bits=shard_bits)
+    out = run_available_now(blocks, "append")
+    # O(shards) bounded collect (~562 blocks x 8 KB): assemble the final
+    # counter array from each shard's last emission, then probe.
+    final = (
+        out.groupBy("shard").agg(F.max_by("counters", "seq").alias("counters")).collect()
+    )
+    counters = np.zeros(n_counters, dtype=np.int64)
+    for r in final:
+        base = int(r["shard"]) * width
+        block = np.frombuffer(bytes(r["counters"]), dtype=np.int64)
+        end = min(base + width, n_counters)
+        counters[base:end] = block[: end - base]
+    sketch = CountingBloom(n_counters, hash_a, counters)
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    return (
+        counting_bloom_might_contain(probe, "key", sketch)
+        .filter("might_contain")
+        .select("key")
+    )
 
 
 @query(

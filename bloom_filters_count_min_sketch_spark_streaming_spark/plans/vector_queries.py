@@ -34,6 +34,32 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, queries, k=5)
 
 
+@query(
+    "knn_blocked_gemm_topk",
+    oracle="""
+    -- identical result contract to knn_cosine_bruteforce (rank-only);
+    -- the Spark side scores with blocked float64 BLAS GEMM, whose ~1e-15
+    -- noise is 10 orders under the fixtures' ~2e-5 minimum adjacent gap
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def knn_blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via blocked BLAS GEMM tiles + batch-local
+    top-k pruning — the scale-path PHYSICAL strategy for exact search
+    (cosine_topk_bruteforce is the row-at-a-time logical baseline; this
+    must produce the identical ranking)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_blocked_gemm(emb, queries, k=5)
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets + exact re-rank —

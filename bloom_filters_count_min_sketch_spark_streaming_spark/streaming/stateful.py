@@ -310,3 +310,73 @@ def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: s
     return stream_df.groupBy(band_col, bucket_col).applyInPandasWithState(
         update, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded sketch state: the counting-Bloom counter array maintained IN the
+# state store across micro-batches, with retraction (negative deltas).
+
+_SHARD_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("counters", BinaryType()),
+    ]
+)
+_SHARD_STATE = StructType(
+    [StructField("counters", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def sharded_counter_state(stream_df: DataFrame, shard_bits: int = 10) -> DataFrame:
+    """Maintain a GLOBAL int64 counter array (e.g. a counting Bloom
+    filter's counters) in the state store, sharded by position range:
+    group key = ``pos >> shard_bits``, state per shard = a dense
+    ``int64[2**shard_bits]`` block (8 KB at the default), updated with
+    ``np.add.at`` from the batch's signed (pos, d) deltas — INSERTS and
+    RETRACTIONS alike, since counters form an abelian group.
+
+    Emits each touched shard's full counter block with a monotone ``seq``
+    per batch; the LAST block per shard (``max_by(counters, seq)``) is
+    the final sketch. This is the 100 TB shape for "keep the sketch
+    online": deltas shuffle to their shard (state-store partitioning),
+    state size is O(n_counters) bytes TOTAL regardless of stream length,
+    and reading the sketch out is O(shards) rows — the data never
+    re-accumulates anywhere.
+
+    Expects columns ``pos long, d long``; ``shard`` must already be
+    ``pos >> shard_bits`` (added by the caller so the groupBy key is a
+    plain column).
+    """
+    width = 1 << shard_bits
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = int(key[0])
+        base = shard << shard_bits
+        pos_parts, d_parts = [], []
+        for pdf in pdfs:
+            pos_parts.append(pdf["pos"].to_numpy(dtype=np.int64))
+            d_parts.append(pdf["d"].to_numpy(dtype=np.int64))
+        if state.exists:
+            counters_b, seq = state.get
+            counters = np.frombuffer(counters_b, dtype=np.int64).copy()
+        else:
+            counters, seq = np.zeros(width, dtype=np.int64), 0
+        if pos_parts:
+            pos = np.concatenate(pos_parts) - base
+            np.add.at(counters, pos, np.concatenate(d_parts))
+        seq += 1
+        state.update((counters.tobytes(), int(seq)))
+        yield pd.DataFrame(
+            {
+                "shard": np.array([shard], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "counters": [counters.tobytes()],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _SHARD_OUT, _SHARD_STATE, "append", GroupStateTimeout.NoTimeout
+    )
