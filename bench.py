@@ -121,6 +121,8 @@ HEADLINE = [
     "stream_rocksdb_stateful_counts",
     "multimodal_wav_decode",
     "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "knn_blocked_gemm_topk",
 ]
 
 

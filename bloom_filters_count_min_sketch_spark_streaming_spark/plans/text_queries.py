@@ -540,6 +540,38 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    -- closed-form twin of the real PNG decode: solid-color images, so
+    -- the per-channel means equal the generator's channel values exactly
+    SELECT doc_id AS media_id,
+           CAST(3 + (doc_id % 11) AS BIGINT) AS width,
+           CAST(2 + (doc_id % 5) AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED-image codec path (D5): PNG decodes with pure
+    stdlib+numpy because zlib ships with Python — chunk walk with CRC32
+    verification, inflate, and full scanline-filter reconstruction (the
+    generator cycles through all five PNG filter types per row, so a
+    decoder that skips filter math cannot round-trip it). Solid-color
+    synthesis keeps the oracle closed-form while the decoder sees only
+    bytes. JPEG/GIF/video stay env-blocked stubs."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_png_payload(docs, "doc_id")
+    return decode_png_features(media)
+
+
+@query(
     "phrase_search_positions",
     oracle="""
     -- Positional phrase search for "table hash": adjacency of the two

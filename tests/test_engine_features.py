@@ -129,7 +129,10 @@ def test_registry_prefix_carries_identity_queries():
     for marker in (
         "bloom_membership",
         "cms_event_type_freq",
-        "cms_sketch_table_merge",
+        # cms_sketch_table_merge rotated out in r5 (sketch-table signal
+        # carried by hll_sketch_table_merge in the rotated prefix)
+        "hll_sketch_table_merge",
+        "counting_bloom_delete_membership",
         "heavy_hitters_approx",
         "dedup_minhash_lsh_pairs",
         "knn_cosine_bruteforce",

@@ -148,3 +148,43 @@ def test_bmp_decode_real_parse(spark):
     )
     with pytest.raises(Exception, match="BMP|Python worker"):
         decode_bmp_features(bad).collect()
+
+
+def test_png_codec_roundtrip_and_integrity(spark):
+    """PNG path is a real decoder: filter-cycling payloads round-trip to
+    the generator's closed-form geometry/colors, corrupted CRCs are
+    rejected, and strict-mode decode_features routes PNG to the real
+    parser."""
+    import pytest
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _png_bytes,
+        _png_feats,
+        attach_png_payload,
+        decode_png_features,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load  # noqa: F401
+
+    # distributed decode matches the closed form
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = attach_png_payload(ids, "doc_id")
+    for r in decode_png_features(media).collect():
+        i = r["media_id"]
+        assert (r["width"], r["height"]) == (3 + i % 11, 2 + i % 5)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            i % 256, (i * 11) % 256, (i * 3) % 256,
+        )
+
+    # integrity: flipping a payload byte must fail the CRC check
+    p = bytearray(_png_bytes(5))
+    p[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png_feats(bytes(p))
+
+    # strict mode real-codec dispatch
+    m = spark.createDataFrame(
+        [(9, "image/png", _png_bytes(9))],
+        "media_id long, media_type string, payload binary",
+    )
+    feats = decode_features(m, strict=True).collect()[0]["features"]
+    assert feats[:2] == [3.0 + 9 % 11, 2.0 + 9 % 5]

@@ -156,3 +156,21 @@ def test_lsh_full_tables_covers_exact_topk(spark):
             ).collect()
         }
         assert full == exact, f"{sf_dir}: LSH full-tables output != brute force"
+
+
+def test_blocked_gemm_matches_bruteforce(spark, sf_dir):
+    """The tile-BLAS physical strategy must reproduce the row-at-a-time
+    baseline's ranking exactly — including for query sets that are not a
+    vec_id prefix, and across multiple corpus partitions (batch-local
+    top-k union must be a superset of the global top-k)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 17 == 3)
+    base = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=7).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_blocked_gemm(emb, queries, k=7).collect()
+    }
+    assert gemm == base and len(base) > 0
