@@ -2285,3 +2285,94 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("t_delta"),
     ).orderBy("key")
+
+
+@query(
+    "sql_pipe_syntax_report",
+    oracle="""
+    -- standard-SQL twin of the Spark 4 pipe-syntax (|>) query
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (B-surface depth): the q1 aggregation
+    written as a linear `FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY`
+    pipeline. Pipe operators lower to exactly the same logical plan as
+    nested SQL — Catalyst sees one Aggregate over one Filter — so this
+    pins that the modern authoring surface carries zero plan cost."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_li")
+    return spark.sql(
+        """
+        FROM pipe_li
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                  AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_qty, revenue
+        """
+    )
+
+
+@query(
+    "sql_udf_declared_functions",
+    oracle="""
+    -- inline-expanded twin of the declared SQL UDFs: effective_price
+    -- (scalar) and the per-language doc stats (table function)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))
+                    * (CAST(1.00 AS DECIMAL(4,2)) - CAST(0.10 AS DECIMAL(4,2))))
+                AS DOUBLE) AS weighted_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sql_udf_declared_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-declared UDFs (CREATE FUNCTION ... RETURN): a SCALAR
+    SQL UDF (pure expression — inlined by Catalyst, fully codegen'd, no
+    Python worker anywhere) and a TABLE-VALUED SQL UDF (parameterized
+    view over a real table). The 100 TB point: SQL UDFs are the
+    user-extension tier that costs NOTHING at scale, unlike external
+    UDFs — the optimizer sees straight through them."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("sqludf_docs")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION weighted_chars(c BIGINT, disc DOUBLE)
+        RETURNS DECIMAL(28,4)
+        RETURN CAST(c AS DECIMAL(18,2))
+               * (CAST(1.00 AS DECIMAL(4,2)) - CAST(disc AS DECIMAL(4,2)))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION docs_of_lang(l STRING)
+        RETURNS TABLE(lang STRING, n_chars BIGINT)
+        RETURN SELECT lang, n_chars FROM sqludf_docs WHERE lang = l
+        """
+    )
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(weighted_chars(n_chars, 0.10)) AS DOUBLE) AS weighted_chars
+        FROM (SELECT * FROM docs_of_lang('en') UNION ALL
+              SELECT * FROM docs_of_lang('de'))
+        GROUP BY lang
+        ORDER BY lang
+        """
+    )
