@@ -32,6 +32,9 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.operators.clustering i
 )
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+    _ephemeral_ckpt,
+)
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals
@@ -541,9 +544,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(processingTime="50 milliseconds")
-        .option(
-            "checkpointLocation", f"{tempfile.gettempdir()}/bfcms_ckpt_{name}"
-        )
+        .option("checkpointLocation", _ephemeral_ckpt())
         .start()
     )
     try:

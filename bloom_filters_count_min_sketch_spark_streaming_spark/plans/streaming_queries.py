@@ -23,6 +23,7 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import 
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import stateful
 from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+    _ephemeral_ckpt,
     events_stream_source,
     run_available_now,
     run_foreach_batch,
@@ -770,7 +771,7 @@ def statestore_reader_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_ssread_")
+    ckpt = _ephemeral_ckpt()
     name = f"ssread_{abs(hash(ckpt)) % 10**8}"
     q = (
         agg.writeStream.format("memory")
@@ -1102,7 +1103,7 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(processingTime="50 milliseconds")
-        .option("checkpointLocation", f"{tempfile.gettempdir()}/bfcms_ckpt_{name}")
+        .option("checkpointLocation", _ephemeral_ckpt())
         .start()
     )
     try:

@@ -31,6 +31,18 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 _STREAM_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "bfcms_stream_src")
 
 
+def _ephemeral_ckpt() -> str:
+    """Checkpoint dir for BOUNDED verification runs (mkdtemp'd per query,
+    never resumed): prefer the RAM-backed /dev/shm — the HDFS-backed
+    provider's write+rename commits are then memory-speed instead of
+    paying disk fsync per micro-batch per partition. Production streams
+    point checkpointLocation at durable storage (S3/HDFS); that is a
+    config choice, not a code path."""
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="bfcms_ckpt_", dir=root)
+
+
+
 def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
     """Unbounded DataFrame replaying `events` as n_files micro-batches.
 
@@ -126,7 +138,7 @@ def run_available_now(
     """
     spark = stream_df.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:10]}"
-    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
+    ckpt = _ephemeral_ckpt()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -162,7 +174,7 @@ def run_foreach_batch(stream_df: DataFrame, fn) -> int:
         fn(batch_df, batch_id)
         counter["n"] += 1
 
-    ckpt = tempfile.mkdtemp(prefix="bfcms_ckpt_")
+    ckpt = _ephemeral_ckpt()
     q = (
         stream_df.writeStream.foreachBatch(_wrap)
         .option("checkpointLocation", ckpt)
