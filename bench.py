@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "knn_blocked_gemm_topk",
+    "stream_generational_bloom_dedup",
 ]
 
 

@@ -306,6 +306,49 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_generational_bloom_dedup",
+    oracle="""
+    -- exact twin of the generational-Bloom stream dedup: an event is a
+    -- duplicate iff an earlier event (smaller event_id; ts is strictly
+    -- event_id-monotone in the fixtures) carries the same
+    -- (user_id, event_type) pair in the SAME or PREVIOUS 6-hour bucket.
+    -- Integer bucket math in microseconds -> engine-exact; fpp 1e-9 and
+    -- no Bloom false negatives -> the flagged sets are equal.
+    SELECT e.event_id
+    FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = e.event_type
+        AND p.event_id < e.event_id
+        AND CAST(FLOOR(epoch_us(p.ts) / 21600000000) AS BIGINT)
+            >= CAST(FLOOR(epoch_us(e.ts) / 21600000000) AS BIGINT) - 1
+    )
+    ORDER BY event_id
+    """,
+)
+def stream_generational_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-bounded streaming dedup in O(bits) state — the unbounded-
+    stream duplicate-detection problem (Deng & Rafiei 2006) solved with
+    TWO rotating Bloom generations per shard instead of stable random
+    decrement, which keeps it deterministic and hence oracle-checkable.
+    State never grows with keys or stream length: at 100 TB/day this is
+    the dedup tier that runs forever, where exact per-key state (even
+    watermark-evicted) tracks live-key cardinality. Keys route to shards
+    by user_id, so each (user_id, event_type) pair owns one shard's
+    filter pair; flags = seen in my or the previous 6-hour generation."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.xxhash64(F.concat_ws("|", "user_id", "event_type")).alias("h"),
+    )
+    flags = stateful.generational_bloom_dedup(keyed, window_us=6 * 3600 * 1_000_000)
+    out = run_available_now(flags, "append")
+    return out.select("event_id").orderBy("event_id")
+
+
+@query(
     "stream_counting_bloom_retraction",
     oracle="""
     -- Streaming counting-Bloom with RETRACTION: orders replay as

@@ -380,3 +380,90 @@ def sharded_counter_state(stream_df: DataFrame, shard_bits: int = 10) -> DataFra
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _SHARD_OUT, _SHARD_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Generational Bloom dedup: duplicate detection over an UNBOUNDED stream in
+# BOUNDED memory (the Deng & Rafiei stable-Bloom problem, solved with
+# deterministic generation rotation instead of probabilistic decrement).
+
+_GENB_OUT = StructType([StructField("event_id", LongType())])
+_GENB_STATE = StructType(
+    [
+        StructField("cur_gen", LongType()),
+        StructField("cur", BinaryType()),
+        StructField("prev", BinaryType()),
+    ]
+)
+
+
+def generational_bloom_dedup(
+    stream_df: DataFrame,
+    window_us: int,
+    expected_items: int = 10_000,
+    fpp: float = 1e-9,
+    seed: int = 42,
+) -> DataFrame:
+    """Flag stream rows whose key hash was seen in the CURRENT or PREVIOUS
+    time generation (bucket of ``window_us``): retention-bounded dedup
+    whose state is exactly TWO Bloom filters per shard, FOREVER — O(bits)
+    regardless of stream length or key cardinality, unlike exact
+    stream dedup whose state grows with distinct keys until watermark
+    eviction. When the stream's bucket advances, ``prev <- cur`` and a
+    fresh ``cur`` starts (a jump of ≥2 buckets empties both) — the
+    deterministic analogue of the stable Bloom filter's random decay.
+
+    Expects columns ``shard long`` (route each key's hash to a fixed
+    shard), ``event_id long`` (arrival order — the replay source is
+    mtime-ordered and event_id-monotone), ``ts_us long``, ``h long``
+    (key hash). Emits the event_ids flagged as duplicates.
+
+    Exactness regime: with fpp tiny at fixture scale the filters have no
+    false positives and Bloom filters never have false negatives, so the
+    flagged set equals the exact SQL "exists an earlier same-key row in
+    my or the previous bucket" — the oracle.
+    """
+
+    def fresh() -> NumpyBloom:
+        return NumpyBloom.from_params(expected_items, fpp, seed)
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = list(pdfs)
+        empty = np.array([], dtype=np.int64)
+        if not parts:
+            yield pd.DataFrame({"event_id": empty})
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("event_id")
+        if state.exists:
+            cur_gen, cur_b, prev_b = state.get
+            cur_gen = int(cur_gen)
+            cur = NumpyBloom.from_bytes(bytes(cur_b))
+            prev = NumpyBloom.from_bytes(bytes(prev_b))
+        else:
+            cur_gen = int(pdf["ts_us"].iloc[0]) // window_us
+            cur, prev = fresh(), fresh()
+        flagged = []
+        for g, grp in pdf.groupby(pdf["ts_us"] // window_us, sort=True):
+            g = int(g)
+            if g > cur_gen:
+                if g == cur_gen + 1:
+                    prev, cur = cur, fresh()
+                else:
+                    prev, cur = fresh(), fresh()
+                cur_gen = g
+            hs = grp["h"].to_numpy(dtype=np.int64)
+            state_hit = cur.might_contain_longs(hs) | prev.might_contain_longs(hs)
+            # earlier occurrence within this same bucket-group (always in
+            # window); earlier same-batch groups are already inserted in cur
+            in_group = grp["h"].duplicated(keep="first").to_numpy()
+            cur.add_longs(hs)
+            flagged.append(grp.loc[state_hit | in_group, "event_id"].to_numpy(np.int64))
+        state.update((int(cur_gen), cur.to_bytes(), prev.to_bytes()))
+        out = np.concatenate(flagged) if flagged else empty
+        yield pd.DataFrame({"event_id": out})
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _GENB_OUT, _GENB_STATE, "append", GroupStateTimeout.NoTimeout
+    )
