@@ -525,6 +525,63 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_dyadic_quantiles",
+    oracle="""
+    -- exact twin of quantiles-from-a-dyadic-CMS: est_q(p) = smallest
+    -- integer v whose prefix rank reaches ceil(p * N). In the
+    -- collision-free regime every dyadic range estimate is exact, so the
+    -- sketch's binary search lands on the same v as this SQL.
+    WITH vals AS (SELECT CAST(FLOOR(value) AS BIGINT) AS iv FROM events),
+         n AS (SELECT COUNT(*) AS n FROM vals),
+         ranks AS (SELECT iv, COUNT(*) AS c FROM vals GROUP BY iv),
+         cum AS (SELECT iv, CAST(SUM(c) OVER (ORDER BY iv) AS BIGINT) AS r
+                 FROM ranks)
+    SELECT p, CAST(MIN(iv) AS BIGINT) AS est_q
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS p) ps(p)
+    CROSS JOIN n
+    WHERE r >= CEIL(p * n.n)
+    GROUP BY p
+    """,
+)
+def cms_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles answered ENTIRELY from the dyadic CMS hierarchy (the
+    Cormode-Muthukrishnan §4.3 composition): rank(v) = range estimate
+    [0, v], quantile(p) = binary search for the smallest v whose rank
+    reaches ceil(p*N), with N itself read from the sketch (full-domain
+    range). After the one build scan, the data is never touched again —
+    ~10 sketch probes per quantile, all driver-side kilobyte math. This
+    is the sketch-resident architecture answering a query class (order
+    statistics) the sketch wasn't directly built for."""
+    import math
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_dyadic,
+        cms_range_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("iv")
+    )
+    sketches = cms_build_dyadic(ev, "iv", levels=11, eps=0.0001, confidence=0.99, seed=77)
+    domain_hi = (1 << 11) - 1  # dyadic domain [0, 2^levels)
+    n_total = cms_range_estimate(sketches, 0, domain_hi)
+
+    def quantile(p: float) -> int:
+        target = math.ceil(p * n_total)
+        lo, hi = 0, domain_hi
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cms_range_estimate(sketches, 0, mid) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    rows = [(p, quantile(p)) for p in (0.5, 0.95, 0.99)]
+    return spark.createDataFrame(rows, "p DOUBLE, est_q BIGINT")
+
+
+@query(
     "quantile_sketch_table",
     oracle="""
     -- mergeable quantile sketch at rest: per-day equi-width histogram

@@ -109,3 +109,45 @@ def test_cms_dyadic_range_bounds(spark):
         est = cms_range_estimate(sketches, lo, hi)
         assert est >= exact, (lo, hi, est, exact)
         assert est - exact <= 2 * levels * eps * n, (lo, hi, est, exact)
+
+
+def test_cms_dyadic_quantile_bias_bound(spark):
+    """Quantiles from a NARROW dyadic CMS (real collisions): rank
+    estimates only OVERestimate, so the binary search can only stop at or
+    BEFORE the true quantile, and the returned point's overestimated rank
+    still clears the target. Bound: the true rank it is short by is at
+    most the range-estimate error 2*levels*eps*N."""
+    import math
+
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_dyadic,
+        cms_range_estimate,
+    )
+
+    levels = 11
+    rng = np.random.default_rng(11)
+    n = 20_000
+    vals = np.sort(rng.integers(0, 1024, size=n))
+    df = spark.createDataFrame([(int(v),) for v in vals], "iv LONG")
+    eps = 0.01
+    sketches = cms_build_dyadic(df, "iv", levels=levels, eps=eps, confidence=0.99, seed=5)
+    n_est = cms_range_estimate(sketches, 0, (1 << levels) - 1)
+    assert n_est >= n
+    for p in (0.5, 0.9, 0.99):
+        target = math.ceil(p * n_est)
+        lo, hi = 0, (1 << levels) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cms_range_estimate(sketches, 0, mid) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        exact_q = int(vals[min(math.ceil(p * n), n) - 1])
+        # overestimated ranks stop the search at or before the exact quantile
+        assert lo <= exact_q, (p, lo, exact_q)
+        true_rank_at_lo = int((vals <= lo).sum())
+        assert target - true_rank_at_lo <= 2 * levels * eps * n + (n_est - n), (
+            p, lo, true_rank_at_lo, target,
+        )
