@@ -42,8 +42,13 @@ _PRIORITY = [
     "heavy_hitters_approx",
     "counting_bloom_delete_membership",
     "kmv_distinct_per_type",
-    "approx_quantiles_value",
+    "cms_dyadic_quantiles",
     "ams_f2_estimate",
+    # (second r5 swap: five r4-green near-twins — approx_quantiles_value,
+    # embedding_centroids, multimodal_payload_stats, stream_dedup_counts,
+    # stream_static_join_counts — cede their slots to the five BRAND-NEW
+    # r5 operators so the driver hash-checks them this round; the
+    # displaced five remain registered and locally oracle-checked.)
     # r5 rotation: twelve oracle-backed queries that had NEVER appeared in
     # a driver CORRECTNESS round take the slots of twelve r4-green
     # near-twins (range_join_purchases_after_signup, cms_sketch_table_
@@ -77,18 +82,18 @@ _PRIORITY = [
     "knn_cosine_bruteforce",
     "ann_ivf_full_probe_exact",
     "ann_lsh_full_tables_exact",
-    "embedding_centroids",
+    "knn_blocked_gemm_topk",
     "hybrid_search_rrf",
     # LLM-pipeline: text + graph + multimodal plumbing
     "text_quality_by_source",
     "pagerank_nation_trade",
     "llm_corpus_pipeline",
-    "multimodal_payload_stats",
+    "multimodal_png_decode",
     # streaming
     "stream_windowed_counts",
     "stream_session_windows",
-    "stream_dedup_counts",
-    "stream_static_join_counts",
+    "stream_generational_bloom_dedup",
+    "stream_counting_bloom_retraction",
     "stream_stream_join_pairs",
     "stream_stream_left_outer_join",
     "stream_stateful_running_counts",
