@@ -525,6 +525,116 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_time_range_freq",
+    oracle="""
+    -- exact twin of per-key TIME-RANGE frequency from the dyadic CMS
+    -- hierarchy: count of events of each type within 6h-bucket ranges
+    -- (buckets 0-based at the fixture's min bucket). Collision-free
+    -- regime -> est == exact.
+    WITH base AS (
+      SELECT CAST(MIN(FLOOR(epoch_us(ts) / 21600000000)) AS BIGINT) AS b0
+      FROM events
+    ), ev AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) - base.b0 AS bkt
+      FROM events CROSS JOIN base
+    )
+    SELECT t.event_type, r.lo AS bucket_lo, r.hi AS bucket_hi,
+           CAST(COUNT(*) FILTER (WHERE ev.bkt BETWEEN r.lo AND r.hi)
+                AS BIGINT) AS exact_cnt,
+           CAST(COUNT(*) FILTER (WHERE ev.bkt BETWEEN r.lo AND r.hi)
+                AS BIGINT) AS cms_est
+    FROM ev
+    JOIN (SELECT DISTINCT event_type FROM events) t USING (event_type)
+    CROSS JOIN (VALUES (0, 27), (28, 55), (0, 111)) AS r(lo, hi)
+    GROUP BY t.event_type, r.lo, r.hi
+    """,
+)
+def cms_time_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key frequency over ARBITRARY time ranges from sketches alone —
+    the temporal analogue of the dyadic value-range hierarchy: level j
+    sketches the composite (key_id << (levels-j)) | (bucket >> j), so a
+    (key, [t1, t2]) query sums ≤ 2*levels point queries; keys occupy the
+    high bits and can never collide across types. One build scan, 8
+    kilobyte-scale sketches at rest, then time-scoped frequency answers
+    touch no data — the sketch-table architecture extended along the
+    time axis (per-day CMS tables answer per-day; this answers any
+    dyadic-coverable range without merging)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        CountMinSketchTable,
+        dyadic_decompose,
+    )
+
+    levels = 8  # 256 six-hour buckets = 64 days >= fixture span
+    w_us = 21_600_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.floor(F.unix_micros("ts") / w_us)).cast("long").alias("abkt")
+    )
+    # 0-base the buckets and dense-id the keys (both bounded driver
+    # scalars: one min, |key| distinct values)
+    b0 = ev.agg(F.min("abkt")).head()[0]
+    keys = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    key_id = {k: i for i, k in enumerate(keys)}
+    kid_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in key_id.items() for x in kv]),
+        F.col("event_type"),
+    )
+    composed = ev.select(
+        *[
+            (
+                (kid_col * F.lit(1 << (levels - j)))
+                + F.shiftright(F.col("abkt") - F.lit(int(b0)), j)
+            ).cast("long").alias(f"c{j}")
+            for j in range(levels)
+        ]
+    )
+    row = composed.agg(
+        *[
+            F.count_min_sketch(
+                F.col(f"c{j}"), F.lit(0.0001), F.lit(0.99), F.lit(91 + j)
+            ).alias(f"l{j}")
+            for j in range(levels)
+        ]
+    ).head()
+    sketches = [CountMinSketchTable.from_bytes(bytes(row[f"l{j}"])) for j in range(levels)]
+
+    import numpy as np
+
+    def est(key: str, lo: int, hi: int) -> int:
+        total = 0
+        for j, p in dyadic_decompose(lo, hi, levels):
+            item = (key_id[key] << (levels - j)) + p
+            total += int(sketches[j].estimate_longs(np.array([item], dtype=np.int64))[0])
+        return total
+
+    ranges = [(0, 27), (28, 55), (0, 111)]
+    exact = {
+        (r["event_type"], r["lo"], r["hi"]): r["n"]
+        for r in ev.crossJoin(
+            spark.createDataFrame(ranges, "lo LONG, hi LONG")
+        )
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("abkt") - F.lit(int(b0))).between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n")
+        )
+        .collect()
+    }
+    rows = [
+        (k, lo, hi, int(exact[(k, lo, hi)]), est(k, lo, hi))
+        for k in keys
+        for lo, hi in ranges
+    ]
+    return spark.createDataFrame(
+        rows, "event_type STRING, bucket_lo BIGINT, bucket_hi BIGINT, "
+        "exact_cnt BIGINT, cms_est BIGINT"
+    )
+
+
+@query(
     "cms_dyadic_quantiles",
     oracle="""
     -- exact twin of quantiles-from-a-dyadic-CMS: est_q(p) = smallest

@@ -35,6 +35,9 @@ PROBES = [
     "sparse_cosine_topk_pairs",
     "bootstrap_mean_ci",
     "sessionization_batch",
+    # round-5: right-sized deletable membership + tile-BLAS exact search
+    "counting_bloom_delete_membership",
+    "knn_blocked_gemm_topk",
 ]
 
 
