@@ -525,6 +525,152 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_decayed_sketch_merge",
+    oracle="""
+    -- exact twin of the DECAY-WEIGHTED sketch-table merge: per-day user
+    -- counts x day weight 0.5^(age_days/7) (half-life 7 days anchored at
+    -- the max day), top-10 users by decayed weight. Weights ROUND to 8
+    -- decimals into DECIMAL(12,8) (fixed integer ages -> boundary-safe),
+    -- terms are exact DECIMAL products, DOUBLE only at output.
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+         c AS (SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT user_id,
+                  CAST(ROUND(POWER(0.5, (mx.md - day) / 7.0), 8)
+                       AS DECIMAL(12,8)) * c AS term
+           FROM c CROSS JOIN mx
+         ),
+         s AS (SELECT user_id, SUM(term) AS tw FROM t GROUP BY user_id)
+    SELECT user_id, CAST(tw AS DOUBLE) AS decayed_weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY tw DESC, user_id) AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+    ORDER BY rnk
+    """,
+)
+def cms_decayed_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy users from the per-day CMS sketch TABLE
+    (A5/D23 composed): one sketch row per day at rest, merged with
+    exponential decay weights at query time — est(key) = Σ_d w_d ·
+    point_d(key). Today's ingest appends one kilobyte sketch row; any
+    half-life is answerable later WITHOUT re-scanning history (a plain
+    merged sketch can't re-weight the past; a weighted merge of the table
+    can). Exact Decimal weight arithmetic mirrors the oracle digit for
+    digit; collision-free regime makes every per-day point query exact."""
+    from decimal import Decimal
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        CountMinSketchTable,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    day_rows = (
+        ev.groupBy("day")
+        .agg(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.0001), F.lit(0.999), F.lit(SEED)
+            ).alias("sk")
+        )
+        .collect()  # bounded: one row per day (the sketch table)
+    )
+    max_day = max(r["day"] for r in day_rows)
+
+    import numpy as np
+
+    users = np.array(
+        sorted(r[0] for r in ev.select("user_id").distinct().collect()),
+        dtype=np.int64,
+    )
+    totals = {int(u): Decimal(0) for u in users}
+    for r in day_rows:
+        age = (max_day - r["day"]).days
+        w = Decimal(f"{0.5 ** (age / 7.0):.8f}")
+        est = CountMinSketchTable.from_bytes(bytes(r["sk"])).estimate_longs(users)
+        for u, c in zip(users, est):
+            totals[int(u)] += w * int(c)
+    order = sorted(totals, key=lambda u: (-totals[u], u))[:10]
+    rows = [(u, float(totals[u]), r + 1) for r, u in enumerate(order)]
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, decayed_weight DOUBLE, rnk BIGINT"
+    )
+
+
+@query(
+    "cms_heavy_change_detection",
+    oracle="""
+    -- exact twin of CMS-based heavy-CHANGE detection (deltoids, Cormode
+    -- & Muthukrishnan 2004): per-user activity delta between the first
+    -- and second half of January; top-5 by |delta| with total tie-break.
+    -- Collision-free regime -> both period estimates equal exact counts.
+    WITH a AS (SELECT user_id, COUNT(*) AS c FROM events
+               WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+         b AS (SELECT user_id, COUNT(*) AS c FROM events
+               WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+         d AS (
+           SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+                  CAST(COALESCE(a.c, 0) AS BIGINT) AS cnt_p1,
+                  CAST(COALESCE(b.c, 0) AS BIGINT) AS cnt_p2,
+                  CAST(COALESCE(b.c, 0) - COALESCE(a.c, 0) AS BIGINT) AS delta
+           FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+         )
+    SELECT user_id, cnt_p1, cnt_p2, delta,
+           CAST(ROW_NUMBER() OVER (ORDER BY ABS(delta) DESC, user_id) AS BIGINT)
+             AS rnk
+    FROM d QUALIFY rnk <= 5
+    ORDER BY rnk
+    """,
+)
+def cms_heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-CHANGE detection from two period sketches (the deltoids
+    problem): build one CMS per time period in a single scan (conditional
+    aggregates), then rank keys by the DIFFERENCE of their point queries
+    — the traffic-anomaly / drift primitive ("whose behavior changed
+    most?"), answered from two kilobyte sketches rather than two full
+    scans per question. The probe set here is all distinct users (bounded
+    fixture collect); at 100 TB the candidates come from each period's
+    heavy-hitter sketch instead — the sketches themselves are
+    period-partitioned and mergeable either way."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        CountMinSketchTable,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    row = ev.agg(
+        F.count_min_sketch(
+            F.when(F.col("ts") < mid, F.col("user_id")),
+            F.lit(0.0001), F.lit(0.999), F.lit(SEED),
+        ).alias("s1"),
+        F.count_min_sketch(
+            F.when(F.col("ts") >= mid, F.col("user_id")),
+            F.lit(0.0001), F.lit(0.999), F.lit(SEED),
+        ).alias("s2"),
+    ).head()
+    s1 = CountMinSketchTable.from_bytes(bytes(row["s1"]))
+    s2 = CountMinSketchTable.from_bytes(bytes(row["s2"]))
+
+    import numpy as np
+
+    users = np.array(
+        sorted(r[0] for r in ev.select("user_id").distinct().collect()),
+        dtype=np.int64,
+    )
+    e1 = s1.estimate_longs(users)
+    e2 = s2.estimate_longs(users)
+    delta = e2.astype(np.int64) - e1.astype(np.int64)
+    order = sorted(range(len(users)), key=lambda i: (-abs(int(delta[i])), int(users[i])))
+    rows = [
+        (int(users[i]), int(e1[i]), int(e2[i]), int(delta[i]), r + 1)
+        for r, i in enumerate(order[:5])
+    ]
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, cnt_p1 BIGINT, cnt_p2 BIGINT, delta BIGINT, rnk BIGINT"
+    )
+
+
+@query(
     "cms_time_range_freq",
     oracle="""
     -- exact twin of per-key TIME-RANGE frequency from the dyadic CMS
