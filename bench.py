@@ -124,6 +124,10 @@ HEADLINE = [
     "multimodal_png_decode",
     "knn_blocked_gemm_topk",
     "stream_generational_bloom_dedup",
+    "cms_dyadic_quantiles",
+    "cms_time_range_freq",
+    "cms_heavy_change_detection",
+    "cms_decayed_sketch_merge",
 ]
 
 
