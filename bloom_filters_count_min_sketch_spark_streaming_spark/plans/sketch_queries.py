@@ -525,6 +525,50 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_sketch_table_merge",
+    oracle="""
+    -- exact twin of the mergeable top-k sketch table: k=10 exceeds the
+    -- fixture's 5 distinct event types, so every per-day sketch holds
+    -- exact counts and combine+estimate returns exact global counts.
+    SELECT event_type AS item, COUNT(*) AS est_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type
+    QUALIFY rnk <= 5 ORDER BY rnk
+    """,
+)
+def topk_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A6 heavy-hitter operator in sketch-TABLE form (Spark 4.1's
+    approx_top_k_accumulate / _combine / _estimate): one top-k sketch row
+    per day at rest, combined and estimated at query time — the same
+    append-only incremental-ingest architecture as the CMS/HLL/KMV
+    sketch tables, now for frequent items. The estimate's own tie order
+    is engine-internal, so the output re-ranks with a total (count desc,
+    item) tie-break."""
+    ev = load(spark, sf_dir, "events")
+    ev.select(F.to_date("ts").alias("day"), "event_type").createOrReplaceTempView(
+        "topk_days"
+    )
+    return spark.sql(
+        """
+        WITH partials AS (
+          SELECT day, approx_top_k_accumulate(event_type, 10) AS st
+          FROM topk_days GROUP BY day
+        ),
+        merged AS (
+          SELECT approx_top_k_estimate(approx_top_k_combine(st), 5) AS top
+          FROM partials
+        ),
+        flat AS (SELECT inline(top) FROM merged)
+        SELECT item, count AS est_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY count DESC, item) AS BIGINT)
+                 AS rnk
+        FROM flat ORDER BY rnk
+        """
+    )
+
+
+@query(
     "cms_decayed_sketch_merge",
     oracle="""
     -- exact twin of the DECAY-WEIGHTED sketch-table merge: per-day user

@@ -349,6 +349,56 @@ def stream_generational_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_generational_kmv_distinct",
+    oracle="""
+    -- exact twin of the sliding-window distinct from generational hash
+    -- sets: distinct users whose events fall in the stream's LAST or
+    -- SECOND-TO-LAST 6-hour bucket. k=65536 far exceeds fixture distinct
+    -- users, so the KMV truncation never fires and the count is exact.
+    WITH mb AS (
+      SELECT MAX(CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT)) AS g
+      FROM events
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_in_window
+    FROM events CROSS JOIN mb
+    WHERE CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) >= mb.g - 1
+    """,
+)
+def stream_generational_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT) over an unbounded stream in O(k)
+    state per shard: two KMV-style hash sets rotate with the 6h bucket
+    (the distinct-count companion of stream_generational_bloom_dedup).
+    The read side must align per-shard clocks — a shard only advances
+    when its keys arrive, so with G = max cur_gen across shards a shard
+    contributes |cur ∪ prev| at cur_gen == G, |cur| at G-1 (its prev has
+    left the global window), else 0. Shards partition the key space by
+    user_id, so per-shard distincts ADD."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.xxhash64(F.col("user_id")).alias("h"),
+    )
+    ests = stateful.generational_kmv_distinct(keyed, window_us=6 * 3600 * 1_000_000)
+    out = run_available_now(ests, "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("cur_gen", "n_window", "n_cur"), "seq").alias("s")
+    )
+    g_max = last.agg(F.max("s.cur_gen").alias("g")).select("g")
+    return (
+        last.crossJoin(F.broadcast(g_max))
+        .select(
+            F.when(F.col("s.cur_gen") == F.col("g"), F.col("s.n_window"))
+            .when(F.col("s.cur_gen") == F.col("g") - 1, F.col("s.n_cur"))
+            .otherwise(F.lit(0))
+            .alias("n")
+        )
+        .agg(F.sum("n").cast("long").alias("distinct_in_window"))
+    )
+
+
+@query(
     "stream_counting_bloom_retraction",
     oracle="""
     -- Streaming counting-Bloom with RETRACTION: orders replay as

@@ -467,3 +467,91 @@ def generational_bloom_dedup(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _GENB_OUT, _GENB_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Generational distinct-hash state: sliding-window COUNT(DISTINCT) over an
+# unbounded stream in O(k) state per shard (two KMV-style hash sets that
+# rotate with the time bucket, exact while distinct <= k).
+
+_GENK_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("cur_gen", LongType()),
+        StructField("n_window", LongType()),
+        StructField("n_cur", LongType()),
+    ]
+)
+_GENK_STATE = StructType(
+    [
+        StructField("cur_gen", LongType()),
+        StructField("seq", LongType()),
+        StructField("cur", BinaryType()),
+        StructField("prev", BinaryType()),
+    ]
+)
+
+
+def generational_kmv_distinct(
+    stream_df: DataFrame, window_us: int, k: int = 65_536
+) -> DataFrame:
+    """Sliding-window distinct count over an unbounded stream with
+    BOUNDED state: per shard, two sorted hash sets (current and previous
+    time generation), each truncated KMV-style to the k smallest hashes —
+    exact while a shard's window distinct stays <= k, a calibrated KMV
+    estimate beyond. Rotation mirrors ``generational_bloom_dedup``.
+
+    Per-shard clocks LAG the global stream clock (a shard only advances
+    when its keys arrive), so emissions carry (cur_gen, |cur ∪ prev|,
+    |cur|) and the READ side aligns generations: with G = max cur_gen
+    across shards, a shard contributes |cur ∪ prev| if its cur_gen == G,
+    |cur| if cur_gen == G-1 (its prev generation has rotated out of the
+    global window), else 0. Expects ``shard long, event_id long,
+    ts_us long, h long``; ``seq`` is a per-shard batch counter so
+    ``max_by(..., seq)`` reads each shard's LAST emission.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {c: empty64 for c in ("shard", "seq", "cur_gen", "n_window", "n_cur")}
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("event_id")
+        if state.exists:
+            cur_gen, seq, cur_b, prev_b = state.get
+            cur_gen, seq = int(cur_gen), int(seq)
+            cur = np.frombuffer(cur_b, dtype=np.int64).copy()
+            prev = np.frombuffer(prev_b, dtype=np.int64).copy()
+        else:
+            cur_gen = int(pdf["ts_us"].iloc[0]) // window_us
+            seq = 0
+            cur, prev = empty64, empty64
+        for g, grp in pdf.groupby(pdf["ts_us"] // window_us, sort=True):
+            g = int(g)
+            if g > cur_gen:
+                prev = cur if g == cur_gen + 1 else empty64
+                cur = empty64
+                cur_gen = g
+            hs = grp["h"].to_numpy(dtype=np.int64)
+            cur = np.unique(np.concatenate([cur, hs]))[:k]
+        seq += 1
+        state.update((int(cur_gen), int(seq), cur.tobytes(), prev.tobytes()))
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "cur_gen": np.array([cur_gen], dtype=np.int64),
+                "n_window": np.array([len(np.union1d(cur, prev))], dtype=np.int64),
+                "n_cur": np.array([len(cur)], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _GENK_OUT, _GENK_STATE, "append", GroupStateTimeout.NoTimeout
+    )
