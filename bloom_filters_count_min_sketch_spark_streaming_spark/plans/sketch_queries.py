@@ -525,6 +525,51 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_sketch_table_merge",
+    oracle="""
+    -- exact twin of the mergeable sample table: the global 20-document
+    -- deterministic sample is the 20 smallest md5 hashes, which equals
+    -- the 20 smallest of the per-day 20-smallest partials.
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|s'),
+                                   doc_id) AS BIGINT) AS rnk
+    FROM documents
+    QUALIFY rnk <= 20 ORDER BY rnk
+    """,
+)
+def sample_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform sampling as a MERGEABLE sketch table (bottom-k / hash-min,
+    the sampling analogue of the CMS/HLL/KMV/top-k tables): each
+    partition of the corpus keeps only its k smallest md5-hash documents
+    — O(k) per partition — and the global k-sample is the k smallest of
+    the partials (min-wise union is associative/commutative). The sample
+    is DETERMINISTIC and engine-portable (md5, not a seeded RNG), stable
+    under re-partitioning, and incrementally maintainable: new data can
+    only displace larger hashes. Here the partials are per ingest day;
+    at 100 TB they are per file/partition and the merge is a k-row
+    tree-reduce."""
+    # documents carry no ingest date; doc_id % 7 stands in for the
+    # per-ingest-batch partial boundary (any partitioning works — that is
+    # the point of a min-wise mergeable sample)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("day"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|s"))).alias("hk"),
+    )
+    w_day = Window.partitionBy("day").orderBy("hk", "doc_id")
+    partials = docs.withColumn("r", F.row_number().over(w_day)).filter(
+        F.col("r") <= 20
+    )
+    w_all = Window.orderBy("hk", "doc_id")
+    return (
+        partials.withColumn("rnk", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "rnk")
+        .orderBy("rnk")
+    )
+
+
+@query(
     "topk_sketch_table_merge",
     oracle="""
     -- exact twin of the mergeable top-k sketch table: k=10 exceeds the
