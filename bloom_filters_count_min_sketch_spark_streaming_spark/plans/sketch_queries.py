@@ -525,6 +525,66 @@ def cms_dyadic_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_entropy_estimate",
+    oracle="""
+    -- exact twin of Shannon entropy from CMS point queries: H =
+    -- Σ (c/N) log2(N/c) over user activity counts. Terms ROUND at 10
+    -- then DECIMAL-sum (log2 can differ in the last ulp across engines;
+    -- the MI/chi-square queries use the same discipline).
+    WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(SUM(CAST(ROUND((c * 1.0 / n.n) * log2(n.n * 1.0 / c), 10)
+                               AS DECIMAL(28,10))) AS DOUBLE), 6) AS entropy_bits
+    FROM c CROSS JOIN n
+    """,
+)
+def cms_entropy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the user-activity distribution computed FROM THE
+    SKETCH: counts come from CMS point queries over the key set (exact in
+    the collision-free regime), N from their sum — a distribution
+    functional (like the F2/heavy-change estimates) answered without
+    re-scanning data once the sketch exists. The per-term arithmetic runs
+    as JVM expressions over the kilobyte-sized (key, count) estimate
+    table so the log2/rounding behavior matches the oracle's engine
+    discipline exactly."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        CountMinSketchTable,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(0.0001), F.lit(0.999), F.lit(SEED)
+        ).alias("sk")
+    ).head()
+    sk = CountMinSketchTable.from_bytes(bytes(row["sk"]))
+
+    import numpy as np
+
+    users = np.array(
+        sorted(r[0] for r in ev.select("user_id").distinct().collect()),
+        dtype=np.int64,
+    )
+    est = sk.estimate_longs(users)
+    n = int(est.sum())
+    cnts = spark.createDataFrame(
+        [(int(c),) for c in est], "c LONG"
+    )
+    t = F.round(
+        (F.col("c") * 1.0 / F.lit(float(n)))
+        * F.log2(F.lit(float(n)) * 1.0 / F.col("c")),
+        10,
+    )
+    return cnts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum(t.cast("decimal(28,10)")).cast("double"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+@query(
     "sample_sketch_table_merge",
     oracle="""
     -- exact twin of the mergeable sample table: the global 20-document
