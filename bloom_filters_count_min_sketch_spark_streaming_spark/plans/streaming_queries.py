@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
@@ -346,6 +346,38 @@ def stream_generational_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     flags = stateful.generational_bloom_dedup(keyed, window_us=6 * 3600 * 1_000_000)
     out = run_available_now(flags, "append")
     return out.select("event_id").orderBy("event_id")
+
+
+@query(
+    "stream_topk_sketch_complete",
+    oracle="""
+    -- exact twin of the streaming top-k sketch: 5 distinct event types
+    -- <= k, so the sketch state is exact and the final complete-mode
+    -- emission equals the batch top-k (total tie-break re-rank applied
+    -- on both sides).
+    SELECT event_type AS item, COUNT(*) AS est_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type ORDER BY rnk
+    """,
+)
+def stream_topk_sketch_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's heavy-hitter report maintained ONLINE: the
+    approx_top_k sketch lives in streaming aggregation state and is
+    re-emitted per micro-batch in complete mode; the final emission
+    equals the batch sketch (sketch state is mergeable, so micro-batch
+    partials combine exactly like batch partials). Output re-ranks with
+    a total tie-break over the estimate's engine-internal order."""
+    src = events_stream_source(spark, sf_dir)
+    agg = src.groupBy().agg(F.expr("approx_top_k(event_type, 10)").alias("top"))
+    out = run_available_now(agg, "complete")
+    w = Window.orderBy(F.desc("est_count"), F.asc("item"))
+    return (
+        out.select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .orderBy("rnk")
+    )
 
 
 @query(
