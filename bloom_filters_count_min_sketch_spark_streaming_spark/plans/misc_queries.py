@@ -2376,3 +2376,46 @@ def sql_udf_declared_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang
         """
     )
+
+
+@query(
+    "grouped_apply_arrow_stats",
+    oracle="""
+    -- exact twin of the Arrow-native grouped map: per-type value stats
+    -- with the DECIMAL-sum discipline (value carries 2 decimals)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_apply_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW tables (``applyInArrow`` — the B31-33
+    Python-extension ladder's zero-copy rung: no pandas materialization,
+    columnar compute via pyarrow.compute). Exact per-type stats with
+    cent-exact integer arithmetic inside the UDF; used where per-group
+    logic needs Arrow-level control (dictionary arrays, large binary)
+    that a pandas round-trip would copy or upcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(table["value"], pa.scalar(100.0)))
+        cents = pc.cast(cents, pa.int64())
+        return pa.table(
+            {
+                "event_type": [table["event_type"][0].as_py()],
+                "n": [table.num_rows],
+                "sum_value": [pc.sum(cents).as_py() / 100.0],
+                "min_value": [pc.min(cents).as_py() / 100.0],
+                "max_value": [pc.max(cents).as_py() / 100.0],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, sum_value double, min_value double, "
+        "max_value double",
+    )
