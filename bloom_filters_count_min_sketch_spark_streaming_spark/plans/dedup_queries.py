@@ -261,6 +261,84 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    -- quality-aware survivor selection: same near-dup clusters as
+    -- dedup_cluster_assignment, but the kept document is the cluster's
+    -- HIGHEST-QUALITY member (n_chars desc, doc_id asc tie-break) — what
+    -- production pipelines actually keep, instead of min-id.
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ), ranked AS (
+      SELECT comp.doc_id, cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY d.n_chars DESC, comp.doc_id) AS r
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+           (r = 1) AS kept
+    FROM ranked
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame with QUALITY-AWARE survivor selection: near-dup
+    clusters (MinHash-LSH pairs -> min-label components) keep their
+    highest-quality member (n_chars as the stand-in score; any scalar
+    quality column slots in), not the arbitrary min-id. One extra
+    broadcast-join + per-cluster window over the component table — the
+    cluster table is tiny relative to the corpus, so survivor policy is
+    free to change without re-running pair generation."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+    comp = dedup.components_min_label(pairs, docs, id_col="doc_id")
+    from pyspark.sql import Window
+
+    ranked = (
+        comp.select("doc_id", F.col("component").alias("cluster_id"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("r") == 1).alias("kept"),
+    )
+
+
 # --- SimHash exactness witness (engine-portable md5 variant) -----------------
 
 _SH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int in both engines
