@@ -349,6 +349,39 @@ def stream_generational_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_asof_enrichment",
+    oracle="""
+    SELECT e.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def stream_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join maintained ONLINE (C8 meets B10): one int64 of
+    state per user (last click timestamp) enriches every error event at
+    arrival with its nearest earlier click — same oracle as the batch
+    asof_join_last_click_before_error, so stream state provably
+    reproduces the batch window semantics including the inclusive
+    same-microsecond tie rule."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id",
+        F.col("event_type").alias("kind"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = run_available_now(stateful.streaming_asof_last(keyed), "append")
+    return out.select(
+        "event_id",
+        F.date_format(
+            F.timestamp_micros("last_click_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("last_click_ts"),
+    )
+
+
+@query(
     "stream_topk_sketch_complete",
     oracle="""
     -- exact twin of the streaming top-k sketch: 5 distinct event types

@@ -555,3 +555,71 @@ def generational_kmv_distinct(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _GENK_OUT, _GENK_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment: nearest-earlier match maintained in state.
+
+_ASOF_OUT = StructType(
+    [StructField("event_id", LongType()), StructField("last_click_us", LongType())]
+)
+_ASOF_STATE = StructType([StructField("last_us", LongType())])
+
+
+def streaming_asof_last(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    kind_col: str = "kind",
+    match_kind: str = "click",
+    probe_kind: str = "error",
+) -> DataFrame:
+    """ONLINE as-of join: for every ``probe_kind`` row, the timestamp of
+    the nearest EARLIER (inclusive, with ``match_kind`` winning ties —
+    the DuckDB ASOF ``>=`` convention) ``match_kind`` row of the same
+    key. State per key is ONE int64 (the last match timestamp), so at
+    100 TB this is the O(keys) enrichment tier that replaces re-running
+    a batch as-of window per question; batch twin:
+    plans/relational.py:asof_join_last_click_before_error.
+
+    Expects ``key, kind, event_id long, ts_us long``; rows are processed
+    in (ts_us, kind, event_id) order within the micro-batch and the
+    replay source is ts-ordered across batches.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {"event_id": empty64, "last_click_us": pd.array([], dtype="Int64")}
+            )
+            return
+        # kind sorts 'click' < 'error' lexically — the tie rule we want
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            [ "ts_us", kind_col, "event_id"]
+        )
+        (last_us,) = state.get if state.exists else (None,)
+        match_ts = pdf["ts_us"].where(pdf[kind_col] == match_kind).ffill()
+        if last_us is not None:
+            match_ts = match_ts.fillna(last_us)
+        probes = pdf[kind_col] == probe_kind
+        out_ts = match_ts[probes]
+        new_last = pdf.loc[pdf[kind_col] == match_kind, "ts_us"]
+        if len(new_last):
+            state.update((int(new_last.iloc[-1]),))
+        elif last_us is not None:
+            state.update((int(last_us),))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf.loc[probes, "event_id"].to_numpy(np.int64),
+                "last_click_us": pd.array(
+                    [None if pd.isna(v) else int(v) for v in out_ts], dtype="Int64"
+                ),
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _ASOF_OUT, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+    )
