@@ -349,6 +349,39 @@ def stream_generational_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_range_count_enrichment",
+    oracle="""
+    SELECT s.event_id, COUNT(p.event_id) AS purchases_7d
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    GROUP BY s.event_id
+    """,
+)
+def stream_range_count_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The B9 interval join maintained ONLINE (the range counterpart of
+    stream_asof_enrichment): signups open 7-day windows in state,
+    purchase arrivals increment the open windows they land in, closed
+    windows evict after their final emission. Shares the batch range
+    join's oracle, so the stream state provably reproduces the batch
+    interval semantics; final count per signup = max across append-mode
+    emissions (counts only grow)."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        F.col("event_type").alias("kind"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = run_available_now(
+        stateful.streaming_range_counts(keyed, horizon_us=7 * 86400 * 1_000_000),
+        "append",
+    )
+    return out.groupBy("event_id").agg(F.max("purchases_7d").alias("purchases_7d"))
+
+
+@query(
     "stream_asof_enrichment",
     oracle="""
     SELECT e.event_id,

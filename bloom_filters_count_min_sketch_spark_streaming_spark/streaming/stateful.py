@@ -623,3 +623,75 @@ def streaming_asof_last(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _ASOF_OUT, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming range-count enrichment: per probe row, a running count of match
+# rows inside a trailing horizon — the interval join maintained online.
+
+_RANGE_OUT = StructType(
+    [StructField("event_id", LongType()), StructField("purchases_7d", LongType())]
+)
+_RANGE_STATE = StructType(
+    [
+        StructField("ids", BinaryType()),
+        StructField("ts", BinaryType()),
+        StructField("cnt", BinaryType()),
+    ]
+)
+
+
+def streaming_range_counts(
+    stream_df: DataFrame,
+    horizon_us: int,
+    key_col: str = "user_id",
+    kind_col: str = "kind",
+    probe_kind: str = "signup",
+    match_kind: str = "purchase",
+) -> DataFrame:
+    """ONLINE interval join (the B9 range join maintained in state): each
+    ``probe_kind`` row opens a window (ts, ts + horizon]; every
+    ``match_kind`` arrival increments all open windows it falls in. Open
+    windows live in state as three parallel int64 arrays; a window whose
+    horizon has passed the batch's max timestamp is EVICTED after its
+    final emission (the stream is ts-ordered, so it can never grow again)
+    — state is O(windows open within one horizon) per key, the same bound
+    a watermark would enforce. Counts only grow, so the final answer is
+    max(count) per window across the append-mode emissions; batch twin:
+    plans/relational.py:range_join_purchases_after_signup.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame({"event_id": empty64, "purchases_7d": empty64})
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            ids_b, ts_b, cnt_b = state.get
+            ids = np.frombuffer(ids_b, dtype=np.int64).copy()
+            tss = np.frombuffer(ts_b, dtype=np.int64).copy()
+            cnt = np.frombuffer(cnt_b, dtype=np.int64).copy()
+        else:
+            ids, tss, cnt = empty64.copy(), empty64.copy(), empty64.copy()
+        for _, row in pdf.iterrows():
+            t = int(row["ts_us"])
+            if row[kind_col] == probe_kind:
+                ids = np.append(ids, int(row["event_id"]))
+                tss = np.append(tss, t)
+                cnt = np.append(cnt, 0)
+            else:
+                cnt += ((tss < t) & (t <= tss + horizon_us)).astype(np.int64)
+        out = pd.DataFrame({"event_id": ids, "purchases_7d": cnt})
+        # evict closed windows AFTER emitting their final counts
+        t_max = int(pdf["ts_us"].iloc[-1])
+        keep = tss + horizon_us >= t_max
+        state.update((ids[keep].tobytes(), tss[keep].tobytes(), cnt[keep].tobytes()))
+        yield out
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _RANGE_OUT, _RANGE_STATE, "append", GroupStateTimeout.NoTimeout
+    )
