@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1324,4 +1325,85 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "src_a", "src_b")
         .limit(10)
+    )
+
+
+@query(
+    "source_binaryfile_media",
+    oracle="""
+    -- closed-form twin of the binaryFile-source ingest + real BMP decode
+    -- (same generator formulas as multimodal_bmp_decode, first 100 docs)
+    SELECT doc_id AS media_id,
+           CAST(54 + ((( (4 + (doc_id % 13)) * 3 + 3) // 4) * 4)
+                * (3 + (doc_id % 7)) AS BIGINT) AS n_bytes,
+           CAST(4 + (doc_id % 13) AS BIGINT) AS width,
+           CAST(3 + (doc_id % 7) AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 completed for media: ``spark.read.format('binaryFile')`` — the
+    ingestion path a 100 TB multimodal corpus actually starts from (one
+    opaque file per asset, scanned in parallel, payload as a binary
+    column + (path, length) metadata) — feeding the REAL BMP codec. Files
+    are synthesized once per fixture fingerprint; media_id recovers from
+    the filename; decoded geometry/color and the source's own length
+    column are both oracle-checked against the generator's closed form."""
+    import os
+    import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_bytes,
+        _bmp_feats,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.misc_queries import (
+        _path_fingerprint,
+    )
+
+    fp = _path_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    media_dir = os.path.join(tempfile.gettempdir(), f"bfcms_binmedia_{fp}")
+    if not os.path.isdir(media_dir):
+        tmp = f"{media_dir}.tmp-{os.getpid()}"
+        os.makedirs(tmp)
+        ids = [
+            r[0]
+            for r in load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id")
+            .collect()
+        ]
+        for i in ids:
+            with open(os.path.join(tmp, f"media_{i:06d}.bmp"), "wb") as fh:
+                fh.write(_bmp_bytes(int(i)))
+        try:
+            os.rename(tmp, media_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(media_dir)
+        .select("path", "length", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                mid = int(os.path.basename(path)[6:12])
+                w, h, mr, _mg, _mb = _bmp_feats(bytes(content))
+                rows.append((mid, int(length), w, h, mr))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "width", "height", "mean_r"]
+            )
+
+    return raw.mapInPandas(
+        decode,
+        "media_id long, n_bytes long, width long, height long, mean_r double",
     )
