@@ -1407,3 +1407,70 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, n_bytes long, width long, height long, mean_r double",
     )
+
+
+@query(
+    "stream_binaryfile_decode",
+    oracle="""
+    -- same closed form as source_binaryfile_media: continuous ingest of
+    -- the media directory decodes every asset exactly once (stateless
+    -- map over micro-batches; order can't affect the appended set)
+    SELECT doc_id AS media_id,
+           CAST(4 + (doc_id % 13) AS BIGINT) AS width,
+           CAST(3 + (doc_id % 7) AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def stream_binaryfile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS multimodal ingest (C1 meets D5): readStream over the
+    binary media directory — the arrive-and-decode pipeline a production
+    corpus runs — with the real BMP codec applied per micro-batch via
+    mapInPandas. Stateless map, so the appended result equals the batch
+    decode regardless of batch order; exactly-once comes from the file
+    source's checkpointed log."""
+    import os
+
+    # materialize the media dir via the batch query's cache
+    source_binaryfile_media(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_feats,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.misc_queries import (
+        _path_fingerprint,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_available_now,
+    )
+    import tempfile
+
+    fp = _path_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    media_dir = os.path.join(tempfile.gettempdir(), f"bfcms_binmedia_{fp}")
+    raw = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed by the source; streaming requires
+        # stating it explicitly
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.bmp")
+        .option("maxFilesPerTrigger", 30)
+        .load(media_dir)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                mid = int(os.path.basename(path)[6:12])
+                w, h, mr, _mg, _mb = _bmp_feats(bytes(content))
+                rows.append((mid, w, h, mr))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "mean_r"])
+
+    decoded = raw.mapInPandas(
+        decode, "media_id long, width long, height long, mean_r double"
+    )
+    return run_available_now(decoded, "append")
