@@ -128,6 +128,12 @@ HEADLINE = [
     "cms_time_range_freq",
     "cms_heavy_change_detection",
     "cms_decayed_sketch_merge",
+    # round-5 final pass: online enrichments, quality-aware dedup,
+    # binaryFile media ingest
+    "stream_asof_enrichment",
+    "stream_range_count_enrichment",
+    "dedup_keep_best_quality",
+    "source_binaryfile_media",
 ]
 
 
