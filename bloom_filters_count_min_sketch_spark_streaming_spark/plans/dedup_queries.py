@@ -339,6 +339,68 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lsh_parameter_planner",
+    oracle="""
+    -- closed-form twin of the LSH (bands, rows) planner: over every
+    -- (b, r) factorization of 64 permutations, the s-curve collision
+    -- probability P(s) = 1 - (1 - s^r)^b at the target threshold, and
+    -- the chosen config = the factorization whose P(threshold) sits
+    -- closest to 0.5 (steepest cut at the target). Pure float math on
+    -- ~7 rows; terms ROUND at 8 so last-ulp pow noise can't flip ranks.
+    WITH factorizations AS (
+      SELECT * FROM (VALUES (1, 64), (2, 32), (4, 16), (8, 8),
+                            (16, 4), (32, 2), (64, 1)) AS f(b, r)
+    ), thresholds AS (SELECT unnest([0.8, 0.9]) AS s),
+    curve AS (
+      SELECT s, b, r,
+             ROUND(1 - POWER(1 - POWER(s, r), b), 8) AS p_collide
+      FROM factorizations CROSS JOIN thresholds
+    ), ranked AS (
+      SELECT s, b, r, p_collide,
+             ROW_NUMBER() OVER (PARTITION BY s
+                                ORDER BY ABS(p_collide - 0.5), b) AS rk
+      FROM curve
+    )
+    SELECT s AS threshold, b AS bands, r AS rows_per_band, p_collide,
+           (rk = 1) AS chosen
+    FROM ranked
+    """,
+)
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The design step every MinHash deployment runs before any data
+    moves: sweep the (bands, rows) factorizations of the permutation
+    budget, evaluate the s-curve P(collide) = 1-(1-s^r)^b at the target
+    Jaccard threshold, and choose the factorization whose curve cuts
+    steepest there (P closest to 0.5). Pure Catalyst expression math over
+    a literal factorization table — the planner itself is free at any
+    scale, and its chosen (b, r) feeds dedup_minhash_lsh_pairs."""
+    facts = spark.createDataFrame(
+        [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)],
+        "b INT, r INT",
+    )
+    th = spark.createDataFrame([(0.8,), (0.9,)], "s DOUBLE")
+    from pyspark.sql import Window
+
+    curve = facts.crossJoin(th).select(
+        "s", "b", "r",
+        F.round(
+            1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b")), 8
+        ).alias("p_collide"),
+    )
+    w = Window.partitionBy("s").orderBy(F.abs(F.col("p_collide") - 0.5), F.col("b"))
+    return (
+        curve.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("s").alias("threshold"),
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            "p_collide",
+            (F.col("rk") == 1).alias("chosen"),
+        )
+    )
+
+
 # --- SimHash exactness witness (engine-portable md5 variant) -----------------
 
 _SH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int in both engines
