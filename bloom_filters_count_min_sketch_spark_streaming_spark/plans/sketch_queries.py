@@ -585,6 +585,79 @@ def cms_entropy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_capacity_planner",
+    oracle="""
+    -- closed-form twin of the sketch capacity planner: standard sizing
+    -- formulas (Bloom 1970; Cormode-Muthukrishnan 2005), pure math over
+    -- a literal config table. m = ceil(-n ln(fpp)/ln(2)^2) rounded up to
+    -- 64-bit words, k = round(m/n ln 2); CMS w = ceil(2/eps),
+    -- d = ceil(ln(1/delta)). bytes_total: m/8 for Bloom, w*d*8 for CMS.
+    WITH cfg AS (
+      SELECT * FROM (VALUES
+        ('bloom', 1000000.0, 0.01, NULL, NULL),
+        ('bloom', 1000000.0, 0.000001, NULL, NULL),
+        ('bloom', 100000000.0, 0.01, NULL, NULL),
+        ('cms', NULL, NULL, 0.001, 0.01),
+        ('cms', NULL, NULL, 0.0001, 0.001),
+        ('cms', NULL, NULL, 0.00001, 0.001)
+      ) AS t(kind, n_items, fpp, eps, delta)
+    )
+    SELECT kind, n_items, fpp, eps, delta,
+           CASE WHEN kind = 'bloom'
+                THEN ((CAST(CEIL(-n_items * ln(fpp) / (ln(2) * ln(2))) AS BIGINT)
+                       + 63) // 64) * 64 // 8
+                ELSE CAST(CEIL(2.0 / eps) AS BIGINT)
+                     * CAST(CEIL(ln(1.0 / delta)) AS BIGINT) * 8
+           END AS bytes_total,
+           CASE WHEN kind = 'bloom'
+                THEN CAST(ROUND((((CAST(CEIL(-n_items * ln(fpp) / (ln(2) * ln(2)))
+                                   AS BIGINT) + 63) // 64) * 64)
+                                / n_items * ln(2), 0) AS BIGINT)
+                ELSE CAST(CEIL(ln(1.0 / delta)) AS BIGINT)
+           END AS n_hashes
+    FROM cfg
+    """,
+)
+def sketch_capacity_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning BEFORE any data moves — the sizing table an
+    operator computes when deploying sketches against 100 TB: Bloom
+    (bits from n/fpp, word-aligned, optimal k) and CMS (width from eps,
+    depth from delta) memory footprints as one Catalyst expression sweep
+    over a literal config table. The same formulas
+    functions/bloom.py:from_params and functions/cms.py use, so this
+    query documents exactly what the engine will allocate."""
+    cfg = spark.createDataFrame(
+        [
+            ("bloom", 1_000_000.0, 0.01, None, None),
+            ("bloom", 1_000_000.0, 0.000001, None, None),
+            ("bloom", 100_000_000.0, 0.01, None, None),
+            ("cms", None, None, 0.001, 0.01),
+            ("cms", None, None, 0.0001, 0.001),
+            ("cms", None, None, 0.00001, 0.001),
+        ],
+        "kind STRING, n_items DOUBLE, fpp DOUBLE, eps DOUBLE, delta DOUBLE",
+    )
+    ln2sq = F.log(F.lit(2.0)) * F.log(F.lit(2.0))
+    m_words = (
+        (F.ceil(-F.col("n_items") * F.log("fpp") / ln2sq).cast("long") + 63) / 64
+    ).cast("long") * 64
+    cms_w = F.ceil(2.0 / F.col("eps")).cast("long")
+    cms_d = F.ceil(F.log(1.0 / F.col("delta"))).cast("long")
+    return cfg.select(
+        "kind", "n_items", "fpp", "eps", "delta",
+        F.when(F.col("kind") == "bloom", (m_words / 8).cast("long"))
+        .otherwise(cms_w * cms_d * 8)
+        .alias("bytes_total"),
+        F.when(
+            F.col("kind") == "bloom",
+            F.round(m_words / F.col("n_items") * F.log(F.lit(2.0)), 0).cast("long"),
+        )
+        .otherwise(cms_d)
+        .alias("n_hashes"),
+    )
+
+
+@query(
     "sample_sketch_table_merge",
     oracle="""
     -- exact twin of the mergeable sample table: the global 20-document
