@@ -12,7 +12,10 @@ the two at sf0.01 (row count + schema + order-insensitive value hash), so:
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,86 +25,60 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Names surfaced FIRST in queries()/oracle_sql() iteration order. The driver
-# harness samples a prefix of the registry (r1: first 50 of 116), so this list
-# pins the engine's identity — the probabilistic sketches, LLM-pipeline dedup /
-# ANN / text operators, and streaming — plus a minimal relational prefix into
-# the driver's CORRECTNESS sample. Everything else follows in registration
-# order; nothing is dropped.
-_PRIORITY = [
-    # minimal relational prefix
+# The driver harness hash-checks only the FIRST 50 registry entries per round,
+# so the prefix is rotated PROGRAMMATICALLY (VERDICT r5 item 6): a small pinned
+# identity core stays first every round, and the remaining prefix slots are
+# filled with oracle-backed queries that have never appeared in any recorded
+# driver CORRECTNESS round (registration order, deterministic). Each driver
+# round therefore expands driver-green coverage instead of re-proving a fixed
+# 50; once every oracle-backed query has been driver-checked at least once,
+# the prefix refills with the LEAST-RECENTLY-checked ones.
+_DRIVER_PREFIX = 50
+
+# Always-first identity queries: the probabilistic sketches the reference is
+# named for, the relational flagships, and one representative each of the
+# streaming-stateful and LLM-pipeline families. Kept small so ~37 prefix
+# slots per round go to never-driver-checked queries.
+_PINS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "window_top3_orders_per_customer",
-    "asof_join_last_click_before_error",
-    # probabilistic core (the reference's identity)
     "bloom_membership",
     "bloom_prefilter_join_counts",
     "cms_event_type_freq",
     "heavy_hitters_approx",
     "counting_bloom_delete_membership",
-    "kmv_distinct_per_type",
-    "cms_dyadic_quantiles",
-    "ams_f2_estimate",
-    # (second r5 swap: five r4-green near-twins — approx_quantiles_value,
-    # embedding_centroids, multimodal_payload_stats, stream_dedup_counts,
-    # stream_static_join_counts — cede their slots to the five BRAND-NEW
-    # r5 operators so the driver hash-checks them this round; the
-    # displaced five remain registered and locally oracle-checked.)
-    # r5 rotation: twelve oracle-backed queries that had NEVER appeared in
-    # a driver CORRECTNESS round take the slots of twelve r4-green
-    # near-twins (range_join_purchases_after_signup, cms_sketch_table_
-    # merge, text_repetition_stats, dedup_incremental_ingest,
-    # stream_chained_windows, bootstrap_mean_ci, sparse_cosine_topk_pairs,
-    # language_balanced_resample, mmr_diversified_rerank,
-    # scd2_dimension_merge, duplicate_ngram_spans,
-    # data_quality_constraints) — all twelve displaced queries remain
-    # registered and locally oracle-checked further down; their r4 driver
-    # green is on record. Goal: driver-green coverage rotates instead of
-    # re-proving the same fixed 50.
-    "hll_sketch_table_merge",
-    "kmv_set_overlap",
-    "multimodal_wav_decode",
-    "multimodal_bmp_decode",
-    "versioned_upsert_time_travel",
-    "ivm_join_delta_maintenance",
-    "bfs_shortest_hops",
-    "collated_group_counts",
-    "recursive_cte_components",
-    "spatial_grid_join",
-    "stream_foreachbatch_upsert",
-    "entity_resolution_e2e",
-    # LLM-pipeline: dedup
-    "dedup_exact_docs",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "semdedup_embeddings",
-    # LLM-pipeline: similarity / embeddings
-    "knn_cosine_bruteforce",
-    "ann_ivf_full_probe_exact",
-    "ann_lsh_full_tables_exact",
-    "knn_blocked_gemm_topk",
-    "hybrid_search_rrf",
-    # LLM-pipeline: text + graph + multimodal plumbing
-    "text_quality_by_source",
-    "pagerank_nation_trade",
-    "llm_corpus_pipeline",
-    "multimodal_png_decode",
-    # streaming
     "stream_windowed_counts",
-    "stream_session_windows",
-    "stream_generational_bloom_dedup",
-    "stream_counting_bloom_retraction",
-    "stream_stream_join_pairs",
-    "stream_stream_left_outer_join",
-    "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
-    "stream_stateful_bloom_distinct",
     "stream_minhash_lsh_dedup",
-    "salted_heavy_key_counts",
+    "dedup_minhash_lsh_pairs",
+    "knn_cosine_bruteforce",
 ]
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def driver_checked_rounds() -> dict[str, int]:
+    """Map query name -> latest driver round number that checked it.
+
+    Parsed from the committed CORRECTNESS_r*.json records at the repo root.
+    Changes only between rounds, so the derived prefix is stable for the
+    duration of a round (the driver and the local gate see the same order).
+    """
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
+            with open(path) as fh:
+                names = list(json.load(fh))
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        for n in names:
+            latest[n] = max(latest.get(n, 0), rnd)
+    return latest
 
 # Modules that register queries on import.
 _QUERY_MODULES = [
@@ -147,13 +124,26 @@ def load_all_query_modules() -> None:
 
 
 def _apply_priority_order() -> None:
-    """Stable-reorder QUERIES/ORACLES: _PRIORITY names first, rest unchanged.
+    """Stable-reorder QUERIES/ORACLES: pins, then never/least-recently
+    driver-checked oracle-backed queries up to the driver's 50-entry prefix,
+    then everything else in registration order.
 
     In-place (clear + update) so modules holding a reference to the dicts see
-    the new iteration order. Idempotent.
+    the new iteration order. Deterministic within a round (depends only on
+    committed CORRECTNESS files + registration order) and idempotent: on a
+    second call the previously-selected fresh queries sort first again (same
+    never-checked status, earlier iteration position).
     """
+    checked = driver_checked_rounds()
+    pins = [n for n in _PINS if n in QUERIES]
+    fill = max(0, _DRIVER_PREFIX - len(pins))
+    # Oracle-backed, non-pinned candidates; never-checked first (round 0),
+    # then least-recently-checked; ties keep current iteration order.
+    candidates = [n for n in QUERIES if n not in pins and n in ORACLES]
+    candidates.sort(key=lambda n: checked.get(n, 0))  # stable sort
+    head = pins + candidates[:fill]
     for d in (QUERIES, ORACLES):
-        ordered = {n: d[n] for n in _PRIORITY if n in d}
+        ordered = {n: d[n] for n in head if n in d}
         ordered.update({n: v for n, v in d.items() if n not in ordered})
         d.clear()
         d.update(ordered)

@@ -366,30 +366,27 @@ def test_timestamp_nanos_canary_all_surface_forms(spark, tmp_path):
 def test_registry_prefix_rotates_driver_coverage():
     """The driver hash-checks only the first 50 registry entries per
     round. To keep driver-green coverage EXPANDING instead of re-proving
-    a fixed set, every round must rotate in queries never yet checked by
-    any recorded driver round (VERDICT r4 item 5). If this fails at round
-    start: swap never-checked oracle-backed queries into _PRIORITY
-    (plans/registry.py), displacing prior-round-green near-twins."""
-    import glob
-    import json
-    import os
-
+    a fixed set, the prefix is now COMPUTED (registry._apply_priority_order,
+    VERDICT r5 item 6): pins first, then never-driver-checked oracle-backed
+    queries in registration order. This test verifies the computed prefix
+    actually delivers fresh coverage each round — capped by how many
+    never-checked oracle-backed queries even remain."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.plans import registry
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as fh:
-                seen |= set(json.load(fh))
-        except (OSError, json.JSONDecodeError):
-            continue
+    seen = set(registry.driver_checked_rounds())
     if not seen:
         return  # no driver rounds recorded yet
     registry.load_all_query_modules()
     prefix = list(registry.QUERIES)[:50]
     fresh = [n for n in prefix if n not in seen]
-    assert len(fresh) >= 10, (
+    remaining = [
+        n for n in registry.QUERIES if n in registry.ORACLES and n not in seen
+    ]
+    want = min(10, len(remaining))
+    assert len(fresh) >= want, (
         f"only {len(fresh)} never-driver-checked queries in the prefix "
-        f"({fresh}); rotate more in before this round's driver run"
+        f"({fresh}) with {len(remaining)} still unchecked; rotation broke"
     )
+    # Pins (the engine's identity queries) must always stay in the prefix.
+    for pin in registry._PINS:
+        assert pin in prefix, f"identity pin {pin} fell out of the prefix"
