@@ -149,10 +149,15 @@ def cosine_topk_blocked_gemm(
             S = Q @ X.T  # (n_queries, n_batch) — one BLAS call
             S[ids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
             kk = min(k, S.shape[1])
-            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(ids, kk)
-            rows_c = cids[top.ravel()]
-            rows_s = np.take_along_axis(S, top, axis=1).ravel()
+            # keep every row scoring >= the kk-th largest per query: ties
+            # with the boundary score ALL survive the batch cut, so the
+            # global (cos desc, neighbor_id asc) re-rank sees the same
+            # candidates bruteforce would — exact even on tied corpora
+            thresh = -np.partition(-S, kk - 1, axis=1)[:, kk - 1 : kk]
+            qi, ci = np.nonzero(S >= thresh)
+            rows_q = ids[qi]
+            rows_c = cids[ci]
+            rows_s = S[qi, ci]
             keep = np.isfinite(rows_s)
             yield pd.DataFrame(
                 {

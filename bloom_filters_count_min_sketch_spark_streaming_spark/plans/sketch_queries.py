@@ -808,7 +808,14 @@ def cms_decayed_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = {int(u): Decimal(0) for u in users}
     for r in day_rows:
         age = (max_day - r["day"]).days
-        w = Decimal(f"{0.5 ** (age / 7.0):.8f}")
+        # quantize HALF_UP to match DuckDB ROUND (f-string formatting is
+        # half-to-even and would diverge on exact decimal ties, e.g.
+        # age=63d -> 0.5^9 = 0.001953125)
+        from decimal import ROUND_HALF_UP
+
+        w = Decimal(repr(0.5 ** (age / 7.0))).quantize(
+            Decimal("0.00000001"), rounding=ROUND_HALF_UP
+        )
         est = CountMinSketchTable.from_bytes(bytes(r["sk"])).estimate_longs(users)
         for u, c in zip(users, est):
             totals[int(u)] += w * int(c)

@@ -493,14 +493,25 @@ _GENK_STATE = StructType(
 )
 
 
+def _kmv_estimate(bottom_k: np.ndarray, k: int, saturated: bool) -> int:
+    """Distinct count from a bottom-k (KMV) set of signed int64 hashes,
+    sorted ascending: exact ``len`` while nothing was ever truncated,
+    else the KMV estimator (k-1)/u_k with u_k = the k-th smallest hash
+    mapped to (0, 1) via the signed->unit shift."""
+    if not saturated or len(bottom_k) < k:
+        return len(bottom_k)
+    u_k = (float(bottom_k[k - 1]) + 2.0**63 + 1.0) / 2.0**64
+    return max(len(bottom_k), int(round((k - 1) / u_k)))
+
+
 def generational_kmv_distinct(
     stream_df: DataFrame, window_us: int, k: int = 65_536
 ) -> DataFrame:
     """Sliding-window distinct count over an unbounded stream with
     BOUNDED state: per shard, two sorted hash sets (current and previous
     time generation), each truncated KMV-style to the k smallest hashes —
-    exact while a shard's window distinct stays <= k, a calibrated KMV
-    estimate beyond. Rotation mirrors ``generational_bloom_dedup``.
+    exact while a shard's window distinct stays <= k, the calibrated KMV
+    estimate (k-1)/u_k beyond. Rotation mirrors ``generational_bloom_dedup``.
 
     Per-shard clocks LAG the global stream clock (a shard only advances
     when its keys arrive), so emissions carry (cur_gen, |cur ∪ prev|,
@@ -542,13 +553,22 @@ def generational_kmv_distinct(
             cur = np.unique(np.concatenate([cur, hs]))[:k]
         seq += 1
         state.update((int(cur_gen), int(seq), cur.tobytes(), prev.tobytes()))
+        # a set is a candidate for the KMV estimator only once it has ever
+        # hit the truncation cap; the union of two bottom-k sets, re-cut to
+        # its k smallest, is itself a valid bottom-k sketch of the union
+        sat_cur, sat_prev = len(cur) == k, len(prev) == k
+        win = np.union1d(cur, prev)
+        if sat_cur or sat_prev:
+            win = win[:k]
         yield pd.DataFrame(
             {
                 "shard": np.array([int(key[0])], dtype=np.int64),
                 "seq": np.array([seq], dtype=np.int64),
                 "cur_gen": np.array([cur_gen], dtype=np.int64),
-                "n_window": np.array([len(np.union1d(cur, prev))], dtype=np.int64),
-                "n_cur": np.array([len(cur)], dtype=np.int64),
+                "n_window": np.array(
+                    [_kmv_estimate(win, k, sat_cur or sat_prev)], dtype=np.int64
+                ),
+                "n_cur": np.array([_kmv_estimate(cur, k, sat_cur)], dtype=np.int64),
             }
         )
 
@@ -596,10 +616,12 @@ def streaming_asof_last(
                 {"event_id": empty64, "last_click_us": pd.array([], dtype="Int64")}
             )
             return
-        # kind sorts 'click' < 'error' lexically — the tie rule we want
-        pdf = pd.concat(parts, ignore_index=True).sort_values(
-            [ "ts_us", kind_col, "event_id"]
-        )
+        # explicit kind priority: match_kind BEFORE probe_kind at equal
+        # ts_us, so the inclusive (>=) ASOF convention holds for any kind
+        # pair, not just ones that happen to sort that way lexically
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf["_kprio"] = (pdf[kind_col] != match_kind).astype(np.int8)
+        pdf = pdf.sort_values(["ts_us", "_kprio", "event_id"])
         (last_us,) = state.get if state.exists else (None,)
         match_ts = pdf["ts_us"].where(pdf[kind_col] == match_kind).ffill()
         if last_us is not None:
@@ -683,7 +705,9 @@ def streaming_range_counts(
                 ids = np.append(ids, int(row["event_id"]))
                 tss = np.append(tss, t)
                 cnt = np.append(cnt, 0)
-            else:
+            elif row[kind_col] == match_kind:
+                # only match_kind rows increment — an unfiltered stream of
+                # other kinds must not inflate the open windows
                 cnt += ((tss < t) & (t <= tss + horizon_us)).astype(np.int64)
         out = pd.DataFrame({"event_id": ids, "purchases_7d": cnt})
         # evict closed windows AFTER emitting their final counts
