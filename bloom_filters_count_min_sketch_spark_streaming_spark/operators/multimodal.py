@@ -6,18 +6,22 @@ schema, partition sizing, and UDF batch shape are the real, tested part.
 
 Codec status: formats parseable with pure stdlib+numpy have REAL codecs —
 RIFF/WAVE 16-bit PCM (``_wav_feats``: chunk walk, sample lift, acoustic
-features), uncompressed 24-bit BMP (``_bmp_feats``: header walk,
-stride-padded BGR rows, geometry + channel means), and COMPRESSED 8-bit
-RGB PNG (``_png_feats``: chunk walk with CRC verify, zlib inflate, full
-five-filter scanline reconstruction — zlib is stdlib) — exercised by the
-oracle-backed ``multimodal_wav_decode`` / ``multimodal_bmp_decode`` /
-``multimodal_png_decode`` queries. ``decode_features`` sniffs magic bytes
-and routes those formats to the real parsers even in strict mode. Only
-formats whose codec libs are absent from this environment
-(JPEG/GIF/MP3/video via PIL/librosa/ffmpeg) keep the stub:
-``NotImplementedError`` in strict mode, a deterministic byte-histogram
-fake otherwise. Swapping in a real decoder changes only
-``_sniff_decode``'s dispatch table.
+features), uncompressed 24-bit BMP (``_bmp_decode_px``/``_bmp_encode``:
+full decode AND re-encode), COMPRESSED 8-bit RGB PNG (``_png_decode_px``:
+chunk walk with CRC verify, zlib inflate, full five-filter scanline
+reconstruction — zlib is stdlib), and uncompressed RIFF/AVI video
+(``_avi_frames_px``: nested LIST chunk walk, avih geometry, '00db' DIB
+frame lift) — exercised by the oracle-backed ``multimodal_wav_decode`` /
+``multimodal_bmp_decode`` / ``multimodal_png_decode`` /
+``multimodal_frame_sample`` / ``multimodal_resize_roundtrip`` queries.
+``resize_images`` is likewise REAL for BMP/PNG input (decode ->
+nearest-neighbor resample -> BMP re-encode) and ``sample_frames`` is a
+real AVI demux. ``decode_features`` sniffs magic bytes and routes all of
+these to the real parsers even in strict mode. Only formats whose codec
+libs are absent from this environment (JPEG/GIF/MP3, compressed video —
+PIL/librosa/ffmpeg-class) keep a stub: ``NotImplementedError`` in strict
+mode, a deterministic byte-histogram fake otherwise. Swapping in a real
+decoder changes only ``_sniff_decode``'s dispatch table.
 
 At 100 TB: payloads dominate row size -> keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks hold a
@@ -124,26 +128,81 @@ def _wav_feats(payload: bytes) -> tuple[int, int, float, float, int]:
     )
 
 
-def _bmp_feats(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Parse an uncompressed 24-bit BMP payload: header walk with struct,
-    stride-padded BGR rows lifted to numpy. Returns (width, height,
-    mean_r, mean_g, mean_b). Pure-stdlib real codec."""
-    import struct
-
+def _dib_rows_to_rgb(pixel_data: bytes, w: int, h: int):
+    """Lift a stride-padded DIB pixel array (the layout shared by BMP
+    bodies and uncompressed-AVI '00db' frames) to a TOP-DOWN (h, w, 3)
+    RGB uint8 array. Positive h means bottom-up storage (flipped here);
+    negative h means top-down."""
     import numpy as np
+
+    stride = (w * 3 + 3) & ~3
+    px = (
+        np.frombuffer(pixel_data[: stride * abs(h)], dtype=np.uint8)
+        .reshape(abs(h), stride)[:, : w * 3]
+        .reshape(abs(h), w, 3)
+    )
+    if h > 0:
+        px = px[::-1]  # bottom-up -> top-down
+    return px[..., ::-1].copy()  # BGR -> RGB
+
+
+def _rgb_to_dib_rows(px) -> bytes:
+    """Inverse of ``_dib_rows_to_rgb``: top-down RGB array -> bottom-up
+    stride-padded BGR pixel bytes."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    bgr = px[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _bmp_decode_px(payload: bytes):
+    """REAL uncompressed 24-bit BMP decode to a top-down (h, w, 3) RGB
+    uint8 array: header walk with struct, stride/orientation handling in
+    ``_dib_rows_to_rgb``. Pure-stdlib codec."""
+    import struct
 
     if payload[0:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack("<I", payload[10:14])
-    hdr_size, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+    _hdr_size, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
     if bpp != 24:
         raise ValueError(f"unsupported bit depth {bpp}")
-    stride = (w * 3 + 3) & ~3
-    px = np.frombuffer(
-        payload[data_off : data_off + stride * abs(h)], dtype=np.uint8
-    ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
-    means = px.astype(np.float64).mean(axis=(0, 1))  # B, G, R
-    return int(w), int(abs(h)), float(means[2]), float(means[1]), float(means[0])
+    return _dib_rows_to_rgb(payload[data_off:], w, h)
+
+
+def _bmp_encode(px) -> bytes:
+    """REAL 24-bit BMP encode of a top-down (h, w, 3) RGB uint8 array
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded BGR rows) —
+    the exact inverse of ``_bmp_decode_px``."""
+    import struct
+
+    h, w = px.shape[:2]
+    pixels = _rgb_to_dib_rows(px)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return filehdr + info + pixels
+
+
+def _bmp_feats(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse an uncompressed 24-bit BMP payload via ``_bmp_decode_px``.
+    Returns (width, height, mean_r, mean_g, mean_b)."""
+    import numpy as np
+
+    px = _bmp_decode_px(payload)
+    means = px.astype(np.float64).mean(axis=(0, 1))  # R, G, B
+    return (
+        int(px.shape[1]),
+        int(px.shape[0]),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    )
 
 
 def _sniff_decode(payload: bytes | None, strict: bool, dim: int = 8) -> list[float]:
@@ -158,6 +217,16 @@ def _sniff_decode(payload: bytes | None, strict: bool, dim: int = 8) -> list[flo
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, n, dur, rms, peak = _wav_feats(payload)
         return [float(rate), float(n), dur, rms, float(peak)] + [0.0] * (dim - 5)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        import numpy as np
+
+        frames = _avi_frames_px(payload)
+        stack = np.stack(frames).astype(np.float64)
+        h, w = frames[0].shape[:2]
+        means = stack.mean(axis=(0, 1, 2))  # per-channel over all frames
+        return [float(len(frames)), float(w), float(h)] + [
+            float(m) for m in means
+        ] + [0.0] * (dim - 6)
     if payload[:2] == b"BM":
         w, h, mr, mg, mb = _bmp_feats(payload)
         return [float(w), float(h), mr, mg, mb] + [0.0] * (dim - 5)
@@ -216,37 +285,58 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _nn_resample(px, width: int, height: int):
+    """Nearest-neighbor resample of a top-down (h, w, 3) array to
+    (height, width, 3): pixel-center sampling, pure integer index math
+    (sx = floor((2x+1)·w_src / 2·w_dst)) so the SQL oracle can mirror it
+    exactly."""
+    import numpy as np
+
+    sh, sw = px.shape[:2]
+    ys = ((2 * np.arange(height) + 1) * sh) // (2 * height)
+    xs = ((2 * np.arange(width) + 1) * sw) // (2 * width)
+    return px[ys][:, xs]
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
     """mapInPandas resize: binary payload -> binary payload of the target
-    dimensions. The stub "codec" tiles/truncates the source bytes to
-    exactly width*height bytes (deterministic); a real implementation
-    swaps only the body of ``_resize_one`` for decode->resample->encode.
+    dimensions. BMP and PNG payloads take the REAL path — stdlib decode,
+    nearest-neighbor resample (``_nn_resample``), 24-bit BMP re-encode —
+    so ``strict=True`` works end-to-end for self-describing stdlib
+    formats. Opaque formats (no codec libs in this environment) keep the
+    deterministic byte-tiling stand-in, or raise when ``strict``.
     Payload-in/payload-out keeps the operator pipelineable: no shuffle,
     output partitioning == input partitioning.
     """
     target = width * height
 
-    def _resize_one(p: bytes | None) -> bytes:
+    def _resize_one(p: bytes | None) -> tuple[bytes, str]:
         if p is None or len(p) == 0:
-            return bytes(target)
+            return bytes(target), "application/octet-stream"
+        p = bytes(p)
+        if p[:2] == b"BM":
+            return _bmp_encode(_nn_resample(_bmp_decode_px(p), width, height)), "image/bmp"
+        if p[:8] == PNG_SIG:
+            return _bmp_encode(_nn_resample(_png_decode_px(p), width, height)), "image/bmp"
+        if strict:
+            raise NotImplementedError(
+                "real resize for this format requires codec libs not "
+                "present in this environment (PIL-class); use strict=False "
+                "for the deterministic byte-tiling stand-in"
+            )
         reps = (target + len(p) - 1) // len(p)
-        return (p * reps)[:target]
+        return (p * reps)[:target], "application/octet-stream"
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image resize requires codec libs not present in "
-                    "this environment; use strict=False for the "
-                    "deterministic byte-tiling stand-in"
-                )
+            resized = [_resize_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": pdf["payload"].map(_resize_one),
+                    "media_type": pd.Series([t for _, t in resized], dtype="object"),
+                    "payload": pd.Series([b for b, _ in resized], dtype="object"),
                     "width": width,
                     "height": height,
                 }
@@ -255,37 +345,31 @@ def resize_images(
     return df.mapInPandas(_resize_batch, RESIZED_SCHEMA)
 
 
-def sample_frames(
-    df: DataFrame, frame_bytes: int = 256, every_n: int = 4, strict: bool = False
-) -> DataFrame:
-    """mapInPandas frame sampling: one video payload -> every n-th frame
-    as its own row (1->N batch-shape change, the part a real ffmpeg-backed
-    sampler would also need). The stub treats the payload as a
-    concatenation of fixed-size frames; a real implementation replaces
-    only the chunking with container demux + keyframe decode.
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """mapInPandas frame sampling over REAL video containers: one
+    uncompressed RIFF/AVI payload -> every n-th '00db' DIB frame as its
+    own row, re-encoded as a standalone 24-bit BMP (so downstream image
+    operators — decode_bmp_features, resize_images — consume frames
+    unchanged). The demux is a real chunk walk (``_avi_frames_px``), the
+    same RIFF skills as the WAV path; compressed codecs (MP4/H.264-class)
+    need ffmpeg, absent in this environment, and raise.
 
-    Output rows explode in-place per input partition — no shuffle; at
-    100 TB follow with repartition() only if downstream work is CPU-bound
-    per frame.
+    1->N row explosion happens in-place per input partition — no shuffle;
+    at 100 TB follow with repartition() only if downstream work is
+    CPU-bound per frame.
     """
 
     def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg, not present in "
-                    "this environment; use strict=False for the "
-                    "fixed-size-chunk stand-in"
-                )
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    idxs.append(fi)
-                    frames.append(p[fi * frame_bytes : (fi + 1) * frame_bytes])
+                for fi, px in enumerate(_avi_frames_px(bytes(p))):
+                    if fi % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(_bmp_encode(px))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -515,12 +599,12 @@ def _png_bytes(media_id: int) -> bytes:
     )
 
 
-def _png_feats(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Full real PNG decode (8-bit RGB, non-interlaced): chunk walk with
-    CRC32 verification, zlib inflate, scanline reconstruction for ALL
-    FIVE filter types (None/Sub/Up/Average/Paeth, per the PNG spec's
-    byte-wise mod-256 arithmetic). Returns (width, height, mean_r,
-    mean_g, mean_b)."""
+def _png_decode_px(payload: bytes):
+    """Full real PNG decode (8-bit RGB, non-interlaced) to a top-down
+    (h, w, 3) RGB uint8 array: chunk walk with CRC32 verification, zlib
+    inflate, scanline reconstruction for ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth, per the PNG spec's byte-wise mod-256
+    arithmetic)."""
     import struct
     import zlib
 
@@ -589,9 +673,21 @@ def _png_feats(payload: bytes) -> tuple[int, int, float, float, float]:
                 cur[x : x + bpp] = rec % 256
         img[y] = cur.astype(np.uint8)
         prev = cur
-    px = img.reshape(h, w, 3).astype(np.float64)
+    return img.reshape(h, w, 3)
+
+
+def _png_feats(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Decode via ``_png_decode_px``; returns (width, height, mean_r,
+    mean_g, mean_b)."""
+    px = _png_decode_px(payload).astype("float64")
     means = px.mean(axis=(0, 1))  # R, G, B
-    return int(w), int(h), float(means[0]), float(means[1]), float(means[2])
+    return (
+        int(px.shape[1]),
+        int(px.shape[0]),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    )
 
 
 def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
@@ -634,3 +730,181 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(_decode, BMP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: gradient BMP (a non-solid image so resampling is actually
+# exercised — a solid color can't distinguish a real resize from a fake)
+
+
+def _bmp_gradient_bytes(media_id: int) -> bytes:
+    """Deterministic 24-bit gradient BMP: width 4 + (id % 13), height
+    3 + (id % 7); pixel (x, y) — top-down coordinates — has
+    r = (id + x) % 256, g = (id + y) % 256, b = (id + x + y) % 256.
+    Closed-form per-pixel colors let a SQL oracle mirror a real
+    nearest-neighbor resample exactly."""
+    import numpy as np
+
+    w = 4 + (media_id % 13)
+    h = 3 + (media_id % 7)
+    xs = np.arange(w)
+    ys = np.arange(h)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = (media_id + xs[None, :]) % 256
+    px[..., 1] = (media_id + ys[:, None]) % 256
+    px[..., 2] = (media_id + xs[None, :] + ys[:, None]) % 256
+    return _bmp_encode(px)
+
+
+def attach_bmp_gradient_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a gradient-BMP payload column (deterministic per id)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(
+                        lambda i: _bmp_gradient_bytes(int(i))
+                    ),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: uncompressed RIFF/AVI video ('DIB ' vids stream, '00db'
+# frames) — the same chunk-walk machinery as WAV, one level deeper (nested
+# LIST chunks). Compressed codecs (H.264/MP4-class) need ffmpeg, absent in
+# this environment, and are rejected loudly.
+
+AVI_FRAME_W, AVI_FRAME_H = 6, 4
+
+
+def _avi_bytes(media_id: int) -> bytes:
+    """Deterministic uncompressed AVI: 2 + (id % 5) frames of a 6x4
+    24-bit DIB video stream; frame f is the solid color
+    (r, g, b) = ((id + f) % 256, (id*3 + f*5) % 256, (id*7 + f*11) % 256).
+    Real RIFF structure: LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ',
+    strf BITMAPINFOHEADER)) + LIST movi with one '00db' chunk per frame."""
+    import struct
+
+    import numpy as np
+
+    w, h = AVI_FRAME_W, AVI_FRAME_H
+    n_frames = 2 + (media_id % 5)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frames = []
+    for f in range(n_frames):
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[..., 0] = (media_id + f) % 256
+        px[..., 1] = (media_id * 3 + f * 5) % 256
+        px[..., 2] = (media_id * 7 + f * 11) % 256
+        frames.append(chunk(b"00db", _rgb_to_dib_rows(px)))
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+
+    avih = struct.pack(
+        "<14I", 40_000, frame_bytes * 25, 0, 0, n_frames, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                                        n_frames, frame_bytes, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = list_chunk(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames_px(payload: bytes):
+    """REAL AVI demux: verify the RIFF/'AVI ' signature, walk the
+    top-level chunks, read frame geometry from the 'avih' header inside
+    LIST hdrl, and lift every uncompressed '00db' DIB frame inside LIST
+    movi to a top-down (h, w, 3) RGB array. Compressed '00dc' frames are
+    rejected (no ffmpeg in this environment)."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes):
+        off = 0
+        while off + 8 <= len(buf):
+            cid = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            yield cid, buf[off + 8 : off + 8 + size]
+            off += 8 + size + (size & 1)
+
+    w = h = None
+    frames = []
+    for cid, body in walk(payload[12:]):
+        if cid != b"LIST":
+            continue
+        ltype, inner = body[:4], body[4:]
+        if ltype == b"hdrl":
+            for sid, sbody in walk(inner):
+                if sid == b"avih":
+                    fields = struct.unpack("<14I", sbody[:56])
+                    w, h = fields[8], fields[9]
+        elif ltype == b"movi":
+            for sid, sbody in walk(inner):
+                if sid == b"00db":
+                    frames.append(sbody)
+                elif sid == b"00dc":
+                    raise NotImplementedError(
+                        "compressed AVI frames need ffmpeg, not present "
+                        "in this environment"
+                    )
+    if w is None or not frames:
+        raise ValueError("missing avih header or movi frames")
+    return [_dib_rows_to_rgb(fb, w, h) for fb in frames]
+
+
+def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize an uncompressed-AVI payload column (deterministic per id)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: _avi_bytes(int(i))),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )

@@ -184,33 +184,106 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     oracle="""
-    -- closed-form mirror of the deterministic chunking stub: frames of 64
-    -- bytes, every 2nd sampled; the last frame is short and sampled only
-    -- when its index is even
-    WITH m AS (
-      SELECT doc_id AS media_id,
-             octet_length(encode(text)) AS L,
-             CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
-      FROM documents
-    )
+    -- closed-form twin of the REAL AVI demux (chunk walk over RIFF LIST
+    -- hdrl/movi, '00db' DIB frame lift): 2 + (id % 5) solid-color 6x4
+    -- frames per video, every 2nd sampled; a solid frame's channel mean
+    -- IS its generator color, so per-media channel sums are exact ints
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+         fs AS (SELECT unnest(range(6)) AS fi),
+         f AS (SELECT media_id, fi FROM ids CROSS JOIN fs
+               WHERE fi < 2 + media_id % 5 AND fi % 2 = 0)
     SELECT media_id,
-           (n_frames + 1) // 2 AS n_sampled,
-           CAST(CASE WHEN (n_frames - 1) % 2 = 0
-                THEN 64 * ((n_frames + 1) // 2 - 1) + (L - 64 * (n_frames - 1))
-                ELSE 64 * ((n_frames + 1) // 2) END AS BIGINT) AS total_bytes
-    FROM m
+           COUNT(*) AS n_sampled,
+           CAST(SUM((media_id + fi) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((media_id * 3 + fi * 5) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((media_id * 7 + fi * 11) % 256) AS BIGINT) AS sum_b
+    FROM f GROUP BY media_id
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over binary payloads: 1->N mapInPandas
-    row explosion (stubbed demux), aggregated back to per-media counts so
-    the plumbing is value-hash-checked against the closed-form oracle."""
+    """REAL video path (D5): frame sampling over uncompressed RIFF/AVI
+    payloads — container demux is a real chunk walk (LIST hdrl -> avih
+    geometry, LIST movi -> '00db' DIB frames), every 2nd frame re-encoded
+    as a standalone BMP and run through the real BMP decoder. The 1->N
+    mapInPandas row explosion plus per-media channel sums are value-hash
+    checked against the generator's closed form; the demux sees only
+    bytes. Compressed codecs (H.264-class) stay env-blocked."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_avi_payload,
+        decode_bmp_features,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    media = attach_binary_payload(docs, "text", "doc_id")
-    frames = sample_frames(media, frame_bytes=64, every_n=2)
-    return frames.groupBy("media_id").agg(
+    media = attach_avi_payload(docs, "doc_id")
+    frames = sample_frames(media, every_n=2)
+    feats = decode_bmp_features(
+        frames.select("media_id", F.col("frame").alias("payload"))
+    )
+    # frames are solid -> channel means are integer-valued doubles; the
+    # cast is exact and keeps the compare in BIGINT
+    return feats.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.col("mean_r").cast("long")).alias("sum_r"),
+        F.sum(F.col("mean_g").cast("long")).alias("sum_g"),
+        F.sum(F.col("mean_b").cast("long")).alias("sum_b"),
+    )
+
+
+@query(
+    "multimodal_resize_roundtrip",
+    oracle="""
+    -- closed-form twin of the REAL image resize (BMP decode ->
+    -- nearest-neighbor resample -> BMP re-encode -> BMP decode): gradient
+    -- sources with pixel (x, y) = ((id+x)%256, (id+y)%256, (id+x+y)%256),
+    -- pixel-center NN sampling to the fixed 8x6 target picks source
+    -- column sx = (2x+1)*w // 16 and row sy = (2y+1)*h // 12; channel
+    -- sums over the 48 resampled pixels are exact integers
+    WITH ids AS (SELECT doc_id AS media_id,
+                        4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                 FROM documents),
+         xs AS (SELECT unnest(range(8)) AS x),
+         ys AS (SELECT unnest(range(6)) AS y),
+         px AS (SELECT media_id,
+                       ((2 * x + 1) * w) // 16 AS sx,
+                       ((2 * y + 1) * h) // 12 AS sy
+                FROM ids CROSS JOIN xs CROSS JOIN ys)
+    SELECT media_id,
+           CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+           CAST(SUM((media_id + sx) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((media_id + sy) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((media_id + sx + sy) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (D5, retiring the byte-tiling stub): gradient
+    BMPs (non-solid, so a fake resize cannot pass) are decoded, resampled
+    nearest-neighbor to 8x6 with integer pixel-center math, re-encoded as
+    BMP, and decoded AGAIN by the independent feature decoder — the
+    round-trip means the emitted geometry/channel sums come from actual
+    resampled bytes. strict=True end-to-end: no fake path executes."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_bmp_gradient_payload,
+        decode_bmp_features,
+        resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_bmp_gradient_payload(docs, "doc_id").withColumn(
+        "media_type", F.lit("image/bmp")
+    )
+    resized = resize_images(media, width=8, height=6, strict=True)
+    feats = decode_bmp_features(resized.select("media_id", "payload"))
+    n_px = 8 * 6
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        # mean * n_px recovers the integer channel sum exactly (sums are
+        # < 2^24, far inside double's exact-integer range)
+        F.round(F.col("mean_r") * n_px).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * n_px).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * n_px).cast("long").alias("sum_b"),
     )
 
 

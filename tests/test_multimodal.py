@@ -38,34 +38,87 @@ def test_resize_images_deterministic(spark, sf_dir):
     assert a == b
 
 
-def test_sample_frames_counts_match_closed_form(spark, sf_dir):
-    media = _media(spark, sf_dir)
-    frames = sample_frames(media, frame_bytes=64, every_n=2)
-    got = {
-        r["media_id"]: (r["n"], r["b"])
-        for r in frames.groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("b"))
-        .collect()
-    }
-    for r in media.select("media_id", F.length("payload").alias("L")).collect():
-        L = r["L"]
-        n_frames = -(-L // 64)
-        sampled = list(range(0, n_frames, 2))
-        exp_bytes = sum(
-            (L - 64 * fi) if fi == n_frames - 1 else 64 for fi in sampled
-        )
-        assert got[r["media_id"]] == (len(sampled), exp_bytes)
+def test_sample_frames_real_avi_demux(spark):
+    """sample_frames is a REAL AVI demux: frame counts follow the
+    container's movi chunks, every frame re-encodes as a decodable BMP
+    whose pixels match the generator's closed form."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_decode_px,
+        attach_avi_payload,
+    )
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = attach_avi_payload(ids, "doc_id")
+    frames = sample_frames(media, every_n=2).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i in range(20):
+        n_frames = 2 + i % 5
+        expected_idx = list(range(0, n_frames, 2))
+        rows = sorted(by_media[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == expected_idx
+        for r in rows:
+            px = _bmp_decode_px(bytes(r["frame"]))
+            f = r["frame_idx"]
+            assert px.shape == (4, 6, 3)
+            assert (px[..., 0] == (i + f) % 256).all()
+            assert (px[..., 1] == (i * 3 + f * 5) % 256).all()
+            assert (px[..., 2] == (i * 7 + f * 11) % 256).all()
 
 
 def test_strict_mode_raises_where_codec_would_plug_in(spark, sf_dir):
     media = _media(spark, sf_dir).limit(2)
-    for op in (
-        lambda: decode_features(media, strict=True).collect(),
-        lambda: resize_images(media, 4, 4, strict=True).collect(),
-        lambda: sample_frames(media, strict=True).collect(),
+    for op, pat in (
+        (lambda: decode_features(media, strict=True).collect(),
+         "NotImplementedError|not present"),
+        (lambda: resize_images(media, 4, 4, strict=True).collect(),
+         "NotImplementedError|not present"),
+        # sample_frames has NO fake path left: non-AVI bytes always raise
+        (lambda: sample_frames(media).collect(), "RIFF|AVI|Python worker"),
     ):
-        with pytest.raises(Exception, match="NotImplementedError|not present"):
+        with pytest.raises(Exception, match=pat):
             op()
+
+
+def test_resize_images_real_bmp_and_png_path(spark):
+    """resize_images on BMP/PNG input is a real decode -> NN resample ->
+    BMP re-encode, exact to the pixel — strict mode included."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _bmp_decode_px,
+        _bmp_gradient_bytes,
+        _nn_resample,
+        _png_bytes,
+        attach_bmp_gradient_payload,
+    )
+
+    ids = spark.range(0, 15).select(F.col("id").alias("doc_id"))
+    media = attach_bmp_gradient_payload(ids, "doc_id").withColumn(
+        "media_type", F.lit("image/bmp")
+    )
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media, width=5, height=4, strict=True).collect()
+    }
+    for i in range(15):
+        got = _bmp_decode_px(out[i])
+        want = _nn_resample(_bmp_decode_px(_bmp_gradient_bytes(i)), 5, 4)
+        assert np.array_equal(got, want), f"pixel mismatch for id {i}"
+
+    # PNG input takes the same real path (decode -> resample -> BMP out)
+    png_media = spark.createDataFrame(
+        [(9, "image/png", _png_bytes(9))],
+        "media_id long, media_type string, payload binary",
+    )
+    r = resize_images(png_media, width=4, height=4, strict=True).collect()[0]
+    px = _bmp_decode_px(bytes(r["payload"]))
+    # solid-color PNG: every resampled pixel keeps the generator color
+    assert (px[..., 0] == 9 % 256).all()
+    assert (px[..., 1] == (9 * 11) % 256).all()
+    assert (px[..., 2] == (9 * 3) % 256).all()
+    assert r["media_type"] == "image/bmp"
 
 
 def test_strict_mode_real_codec_for_self_describing_formats(spark):
