@@ -134,6 +134,9 @@ HEADLINE = [
     "stream_range_count_enrichment",
     "dedup_keep_best_quality",
     "source_binaryfile_media",
+    # round-6: real AVI demux + real image resize
+    "multimodal_frame_sample",
+    "multimodal_resize_roundtrip",
 ]
 
 

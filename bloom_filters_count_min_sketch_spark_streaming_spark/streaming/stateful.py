@@ -699,16 +699,25 @@ def streaming_range_counts(
             cnt = np.frombuffer(cnt_b, dtype=np.int64).copy()
         else:
             ids, tss, cnt = empty64.copy(), empty64.copy(), empty64.copy()
-        for _, row in pdf.iterrows():
-            t = int(row["ts_us"])
-            if row[kind_col] == probe_kind:
-                ids = np.append(ids, int(row["event_id"]))
-                tss = np.append(tss, t)
-                cnt = np.append(cnt, 0)
-            elif row[kind_col] == match_kind:
-                # only match_kind rows increment — an unfiltered stream of
-                # other kinds must not inflate the open windows
-                cnt += ((tss < t) & (t <= tss + horizon_us)).astype(np.int64)
+        # vectorized batch apply (replaces a per-row loop): append this
+        # batch's probe rows as new zero-count windows, then count each
+        # window's in-horizon matches with two searchsorted calls over the
+        # batch's sorted match timestamps. The strict lower bound tss < t
+        # makes both same-timestamp semantics and "window opened mid-batch"
+        # exact: a match at or before a window's open instant never counts.
+        # Only match_kind rows increment — an unfiltered stream of other
+        # kinds must not inflate the open windows.
+        probes = pdf[pdf[kind_col] == probe_kind]
+        ids = np.concatenate([ids, probes["event_id"].to_numpy(np.int64)])
+        tss = np.concatenate([tss, probes["ts_us"].to_numpy(np.int64)])
+        cnt = np.concatenate([cnt, np.zeros(len(probes), dtype=np.int64)])
+        match_ts = np.sort(
+            pdf.loc[pdf[kind_col] == match_kind, "ts_us"].to_numpy(np.int64)
+        )
+        if len(match_ts) and len(tss):
+            lo = np.searchsorted(match_ts, tss, side="right")
+            hi = np.searchsorted(match_ts, tss + horizon_us, side="right")
+            cnt += hi - lo
         out = pd.DataFrame({"event_id": ids, "purchases_7d": cnt})
         # evict closed windows AFTER emitting their final counts
         t_max = int(pdf["ts_us"].iloc[-1])
