@@ -873,39 +873,50 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are the reference period's own deciles, so the reference
     distribution is uniform by construction and PSI measures pure shift.
     One percentile pass on the reference half, one binned count pass, a
-    10-term decimal sum."""
+    10-term decimal sum. Every scalar constant (time cut, decile edges,
+    half sizes) stays IN the plan as a broadcast 1-row cross join — no
+    driver job runs at query-construction time."""
     ev = load(spark, sf_dir, "events")
-    b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
-    ).collect()[0]
-    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
-    halves = ev.select(
-        (F.unix_micros("ts") >= F.lit(cut)).cast("int").alias("h"), "value"
-    ).persist()
-    probs = [i / 10 for i in range(1, 10)]
-    edges = (
-        halves.filter(F.col("h") == 0)
-        .agg(
-            *[
-                F.expr(
-                    f"percentile_cont({p}) WITHIN GROUP (ORDER BY value)"
-                ).alias(f"e{i}")
-                for i, p in enumerate(probs, 1)
-            ]
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        ).alias("cut")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.unix_micros("ts") >= F.col("cut")).cast("int").alias("h"), "value"
         )
-        .collect()[0]
+        .persist()
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    edges = halves.filter(F.col("h") == 0).agg(
+        *[
+            F.expr(f"percentile_cont({p}) WITHIN GROUP (ORDER BY value)").alias(
+                f"e{i}"
+            )
+            for i, p in enumerate(probs, 1)
+        ]
     )
     bin_expr = F.lit(1)
     for i in range(1, 10):
-        bin_expr = bin_expr + (F.col("value") > F.lit(float(edges[f"e{i}"]))).cast(
-            "int"
-        )
-    binned = halves.select("h", bin_expr.cast("long").alias("bin"))
-    n0 = binned.filter(F.col("h") == 0).count()
-    n1 = binned.filter(F.col("h") == 1).count()
-    dist = binned.groupBy("bin").agg(
-        (F.sum(F.when(F.col("h") == 0, 1).otherwise(0)) * 1.0 / F.lit(n0)).alias("p"),
-        (F.sum(F.when(F.col("h") == 1, 1).otherwise(0)) * 1.0 / F.lit(n1)).alias("q"),
+        bin_expr = bin_expr + (F.col("value") > F.col(f"e{i}")).cast("int")
+    binned = halves.crossJoin(F.broadcast(edges)).select(
+        "h", bin_expr.cast("long").alias("bin")
+    )
+    sizes = binned.agg(
+        F.sum((F.col("h") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("h") == 1).cast("long")).alias("n1"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    dist = per_bin.crossJoin(F.broadcast(sizes)).select(
+        "bin",
+        (F.col("c0") * 1.0 / F.col("n0")).alias("p"),
+        (F.col("c1") * 1.0 / F.col("n1")).alias("q"),
     )
     term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 10)
     return dist.agg(
@@ -960,22 +971,30 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs bins; KS sees every quantile). One pooled sort (single window
     over a total order), running ECDF counts, max gap; the alpha=0.05
     critical value comes from the asymptotic closed form. At 100 TB you'd
-    run this on a uniform sample — the statistic converges at sqrt(n)."""
+    run this on a uniform sample — the statistic converges at sqrt(n).
+    All scalar constants (time cut, half sizes, critical value) stay IN
+    the plan as broadcast 1-row cross joins — no driver job runs at
+    query-construction time."""
     ev = load(spark, sf_dir, "events")
-    b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
-    ).collect()[0]
-    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
-    pooled = ev.select(
-        (F.unix_micros("ts") >= F.lit(cut)).cast("int").alias("h"),
-        "value",
-        "event_id",
-    ).persist()
-    nrow = pooled.agg(
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        ).alias("cut")
+    )
+    pooled = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.unix_micros("ts") >= F.col("cut")).cast("int").alias("h"),
+            "value",
+            "event_id",
+        )
+        .persist()
+    )
+    sizes = pooled.agg(
         F.sum((F.col("h") == 0).cast("long")).alias("n0"),
         F.sum((F.col("h") == 1).cast("long")).alias("n1"),
-    ).collect()[0]
-    n0, n1 = int(nrow["n0"]), int(nrow["n1"])
+    )
     w = Window.orderBy("value", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -983,17 +1002,30 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("h") == 0).cast("long")).over(w).alias("c0"),
         F.sum((F.col("h") == 1).cast("long")).over(w).alias("c1"),
     )
-    d = F.max(
-        F.abs(F.col("c0") * 1.0 / F.lit(n0) - F.col("c1") * 1.0 / F.lit(n1))
-    )
-    import math
-
-    crit = round(1.358 * math.sqrt((n0 + n1) * 1.0 / (n0 * n1)), 6)
-    return walk.agg(
-        F.lit(n0).cast("long").alias("n0"),
-        F.lit(n1).cast("long").alias("n1"),
-        F.round(d, 6).alias("ks_d"),
-        F.lit(crit).alias("crit_05"),
+    return (
+        walk.crossJoin(F.broadcast(sizes))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c0") * 1.0 / F.col("n0")
+                        - F.col("c1") * 1.0 / F.col("n1")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.first("n0") + F.first("n1"))
+                    * 1.0
+                    / (F.first("n0") * F.first("n1"))
+                ),
+                6,
+            ).alias("crit_05"),
+        )
+        .select("n0", "n1", "ks_d", "crit_05")
     )
 
 

@@ -28,6 +28,54 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
 SEED = 42
 
 
+def sketch_table(
+    df: DataFrame,
+    build_expr,
+    *,
+    day_expr=None,
+    at_rest_name: str | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Shared per-day BUILD stage of the mergeable-sketch-table family
+    (CMS / HLL / top-k / decayed CMS / Bloom / ...): one sketch row per
+    ingest day via a distributed aggregate — kilobyte rows, O(days) table
+    size regardless of data volume. Returns (day, sketch).
+
+    With ``at_rest_name``, the table is written to a /tmp parquet keyed on
+    (name, sf) and read BACK, so the caller's merge stage provably
+    consumes the persisted bytes, not a live plan — the incremental-ingest
+    architecture at 100 TB: each new partition appends one sketch row and
+    global answers merge the table instead of re-reading raw history.
+    The write is intentionally per-call (building the table IS part of
+    the measured query); only the merge strategy differs per sketch type
+    and stays with the caller.
+    """
+    import os
+    import tempfile
+
+    day = day_expr if day_expr is not None else F.to_date("ts")
+    per_day = df.groupBy(day.alias("day")).agg(build_expr.alias("sketch"))
+    if at_rest_name is None:
+        return per_day
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"bfcms_sktab_{at_rest_name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    per_day.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
+def bottom_k_partials(df: DataFrame, part_cols, k: int, order_cols) -> DataFrame:
+    """Shared BUILD stage of the min-wise mergeable family (bottom-k
+    sample / KMV tables): keep each partition's k smallest rows by the
+    deterministic hash order — O(k) state per partition, and the global
+    bottom-k is the bottom-k of the partials (min-wise union is
+    associative/commutative, so re-applying this over the union IS the
+    merge)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 @query(
     "heavy_hitters_exact",
     oracle="""
@@ -359,25 +407,19 @@ def cms_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch table instead of re-reading raw history. The merge collect
     is bounded by #partitions x sketch size, never by data volume.
     """
-    import os
-    import tempfile
-
     ev = load(spark, sf_dir, "events")
     # Narrower per-partition sketches than the global-build queries: the
     # sketch table stores one sketch PER DAY, so width is a per-row storage
     # cost (eps=1e-3 -> ~80 KB/row vs ~1.1 MB at 1e-4). Still orders of
     # magnitude above fixture key cardinality -> estimates stay exact.
-    per_day = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        cms.cms_agg(ev, "event_type", eps=0.001, confidence=0.99, seed=SEED).alias("sketch")
+    table = sketch_table(
+        ev,
+        cms.cms_agg(ev, "event_type", eps=0.001, confidence=0.99, seed=SEED),
+        at_rest_name="cms",
+        sf_dir=sf_dir,
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"bfcms_sketchtab_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    per_day.write.mode("overwrite").parquet(out)
-
     merged = None
-    for row in spark.read.parquet(out).select("sketch").collect():
+    for row in table.select("sketch").collect():
         t = cms.CountMinSketchTable.from_bytes(bytes(row["sketch"]))
         merged = t if merged is None else merged.merge(t)
 
@@ -403,25 +445,14 @@ def hll_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     — entirely JVM-side, no driver merge loop. Incremental ingest appends
     kilobyte sketch rows; global distinct-user answers union the sketch
     table instead of re-reading raw history."""
-    import os
-    import tempfile
-
     ev = load(spark, sf_dir, "events")
-    per_day = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    table = sketch_table(
+        ev, F.hll_sketch_agg("user_id", F.lit(12)), at_rest_name="hll", sf_dir=sf_dir
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"bfcms_hlltab_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    per_day.write.mode("overwrite").parquet(out)
-    return (
-        spark.read.parquet(out)
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .cast("long")
-            .alias("n_users_merged")
-        )
+    return table.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("n_users_merged")
     )
 
 
@@ -689,10 +720,7 @@ def sample_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7).alias("day"),
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|s"))).alias("hk"),
     )
-    w_day = Window.partitionBy("day").orderBy("hk", "doc_id")
-    partials = docs.withColumn("r", F.row_number().over(w_day)).filter(
-        F.col("r") <= 20
-    )
+    partials = bottom_k_partials(docs, ["day"], 20, ["hk", "doc_id"])
     w_all = Window.orderBy("hk", "doc_id")
     return (
         partials.withColumn("rnk", F.row_number().over(w_all).cast("long"))
@@ -724,25 +752,18 @@ def topk_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-internal, so the output re-ranks with a total (count desc,
     item) tie-break."""
     ev = load(spark, sf_dir, "events")
-    ev.select(F.to_date("ts").alias("day"), "event_type").createOrReplaceTempView(
-        "topk_days"
-    )
-    return spark.sql(
-        """
-        WITH partials AS (
-          SELECT day, approx_top_k_accumulate(event_type, 10) AS st
-          FROM topk_days GROUP BY day
-        ),
-        merged AS (
-          SELECT approx_top_k_estimate(approx_top_k_combine(st), 5) AS top
-          FROM partials
-        ),
-        flat AS (SELECT inline(top) FROM merged)
-        SELECT item, count AS est_count,
-               CAST(ROW_NUMBER() OVER (ORDER BY count DESC, item) AS BIGINT)
-                 AS rnk
-        FROM flat ORDER BY rnk
-        """
+    table = sketch_table(ev, F.expr("approx_top_k_accumulate(event_type, 10)"))
+    flat = table.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sketch), 5)").alias("top")
+    ).select(F.inline("top"))
+    w = Window.orderBy(F.desc("count"), "item")
+    return (
+        flat.select(
+            "item",
+            F.col("count").alias("est_count"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
     )
 
 
@@ -788,15 +809,11 @@ def cms_decayed_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    day_rows = (
-        ev.groupBy("day")
-        .agg(
-            F.count_min_sketch(
-                F.col("user_id"), F.lit(0.0001), F.lit(0.999), F.lit(SEED)
-            ).alias("sk")
-        )
-        .collect()  # bounded: one row per day (the sketch table)
-    )
+    day_rows = sketch_table(
+        ev,
+        F.count_min_sketch(F.col("user_id"), F.lit(0.0001), F.lit(0.999), F.lit(SEED)),
+        day_expr=F.col("day"),
+    ).collect()  # bounded: one row per day (the sketch table)
     max_day = max(r["day"] for r in day_rows)
 
     import numpy as np
@@ -816,7 +833,7 @@ def cms_decayed_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Decimal(repr(0.5 ** (age / 7.0))).quantize(
             Decimal("0.00000001"), rounding=ROUND_HALF_UP
         )
-        est = CountMinSketchTable.from_bytes(bytes(r["sk"])).estimate_longs(users)
+        est = CountMinSketchTable.from_bytes(bytes(r["sketch"])).estimate_longs(users)
         for u, c in zip(users, est):
             totals[int(u)] += w * int(c)
     order = sorted(totals, key=lambda u: (-totals[u], u))[:10]
@@ -1504,16 +1521,13 @@ def kmv_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("elem"),
     ).distinct()
     fr = elems.withColumn("frac", sketches.kmv_fraction(F.col("elem")))
-    wd = Window.partitionBy("day", "event_type").orderBy("frac", "elem")
-    daily = (
-        fr.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= k).drop("rn")
-    )
-    wm = Window.partitionBy("event_type").orderBy("frac", "elem")
-    merged = (
-        daily.select("event_type", "elem", "frac")
-        .distinct()
-        .withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= k)
+    daily = bottom_k_partials(fr, ["day", "event_type"], k, ["frac", "elem"])
+    # min-wise merge across days = the same bottom-k over the distinct union
+    merged = bottom_k_partials(
+        daily.select("event_type", "elem", "frac").distinct(),
+        ["event_type"],
+        k,
+        ["frac", "elem"],
     )
     kth = merged.groupBy("event_type").agg(F.max("frac").alias("kth_frac"))
     ex = elems.groupBy("event_type").agg(
