@@ -238,6 +238,97 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_sample_table_merge",
+    oracle="""
+    -- priority sampling as a MERGEABLE sketch table (Duffield-Lund-Thorup
+    -- JACM 2007 + mergeable-summaries algebra): each ingest-day partial
+    -- keeps its k+1 largest priorities (w/u, u hash-derived), the global
+    -- sample is the top-k of the union (the global (k+1)-th priority is
+    -- always inside some day's top k+1, so tau survives the merge), and
+    -- the subset-sum estimator sum(max(w, tau)) is unbiased for total
+    -- weight. All selection happens on ROUND(priority, 4) with a doc_id
+    -- tie-break -> identical in both engines.
+    WITH d AS (
+      SELECT doc_id, n_chars, doc_id % 7 AS day,
+             ROUND(n_chars::DOUBLE * 4294967296.0
+                   / (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1),
+                   4) AS priority
+      FROM documents
+    ), p AS (
+      SELECT * FROM (
+        SELECT d.*, row_number() OVER (PARTITION BY day
+                                       ORDER BY priority DESC, doc_id) AS rn
+        FROM d
+      ) WHERE rn <= 21
+    ), r AS (
+      SELECT doc_id, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk
+      FROM p
+    ), t AS (SELECT MAX(CASE WHEN rnk = 21 THEN priority END) AS tau FROM r)
+    SELECT r.doc_id, CAST(r.rnk AS BIGINT) AS rnk,
+           ROUND(GREATEST(r.n_chars::DOUBLE, t.tau), 4) AS contrib,
+           CAST(SUM(CAST(ROUND(GREATEST(r.n_chars::DOUBLE, t.tau), 4)
+                         AS DECIMAL(28,4))) OVER () AS DOUBLE) AS est_total
+    FROM r CROSS JOIN t
+    WHERE r.rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def weighted_sample_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling AT REST: per-ingest-day priority-sample partials
+    (each keeps its k+1 largest w/u priorities — O(k) rows/day), merged by
+    re-truncation, with the Duffield-Lund-Thorup subset-sum estimator
+    sum(max(w, tau)) emitted per sampled row. The k+1-th retained row is
+    what makes the table MERGEABLE: the global threshold tau is provably
+    inside the union of per-day partials. At 100 TB each new partition
+    appends k+1 rows and any subset-sum question is answerable from the
+    sample table without rescanning history; hash-portable priorities
+    make the whole pipeline engine-reproducible."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries import (
+        bottom_k_partials,
+    )
+
+    k = 20
+    docs = load(spark, sf_dir, "documents")
+    u_int = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    pri = F.round(
+        F.col("n_chars").cast("double") * F.lit(4294967296.0) / u_int.cast("double"),
+        4,
+    )
+    d = docs.select(
+        "doc_id", "n_chars", (F.col("doc_id") % 7).alias("day"), pri.alias("priority")
+    )
+    partials = bottom_k_partials(
+        d, ["day"], k + 1, [F.desc("priority"), F.col("doc_id")]
+    )
+    w_all = Window.orderBy(F.desc("priority"), "doc_id")
+    ranked = partials.withColumn("rnk", F.row_number().over(w_all))
+    tau = ranked.agg(
+        F.max(F.when(F.col("rnk") == k + 1, F.col("priority"))).alias("tau")
+    )
+    contrib = F.round(F.greatest(F.col("n_chars").cast("double"), F.col("tau")), 4)
+    w_tot = Window.partitionBy(F.lit(1))
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            contrib.alias("contrib"),
+        )
+        .withColumn(
+            "est_total",
+            F.sum(F.col("contrib").cast("decimal(28,4)")).over(w_tot).cast("double"),
+        )
+        .orderBy("rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental-ingest dedup
 

@@ -768,6 +768,169 @@ def topk_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "misra_gries_table_merge",
+    oracle="""
+    -- Misra-Gries summaries as a MERGEABLE sketch table (Agarwal et al.,
+    -- "Mergeable Summaries", PODS 2012): the k-counter MG summary of a
+    -- multiset is its top-k counts minus the (k+1)-th count (an
+    -- order-independent construction), and two summaries merge by adding
+    -- counters then re-reducing the same way. k=3 < 5 distinct types, so
+    -- the reduction genuinely fires; every step is integer arithmetic on
+    -- exact counts -> the whole algebra is hash-checked cross-engine.
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT day, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY c DESC, event_type) AS rnk
+      FROM c
+    ), off AS (
+      SELECT day, COALESCE(MAX(CASE WHEN rnk = 4 THEN c END), 0) AS o
+      FROM r GROUP BY day
+    ), p AS (
+      SELECT r.event_type, r.c - off.o AS v
+      FROM r JOIN off USING (day)
+      WHERE r.rnk <= 3 AND r.c - off.o > 0
+    ), m AS (
+      SELECT event_type, CAST(SUM(v) AS BIGINT) AS mv FROM p GROUP BY event_type
+    ), rm AS (
+      SELECT event_type, mv,
+             ROW_NUMBER() OVER (ORDER BY mv DESC, event_type) AS rnk
+      FROM m
+    ), om AS (
+      SELECT COALESCE(MAX(CASE WHEN rnk = 4 THEN mv END), 0) AS o FROM rm
+    ), ex AS (
+      SELECT event_type, COUNT(*) AS exact_cnt FROM events GROUP BY event_type
+    )
+    SELECT rm.event_type, CAST(rm.mv - om.o AS BIGINT) AS mg_bound,
+           ex.exact_cnt, CAST(rm.rnk AS BIGINT) AS rnk
+    FROM rm CROSS JOIN om JOIN ex USING (event_type)
+    WHERE rm.rnk <= 3 AND rm.mv - om.o > 0
+    ORDER BY rnk
+    """,
+)
+def misra_gries_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters AT REST (the deterministic counter-based
+    sibling of the CMS/top-k sketch tables): one k=3-counter MG summary
+    per ingest day, merged by counter addition + re-reduction — the
+    mergeable-summaries algebra with its N/k error guarantee, every value
+    a LOWER bound on the true count. The summary is built from per-day
+    exact counts via the order-independent construction (top-k minus the
+    (k+1)-th count), entirely JVM-side expressions; the oracle replicates
+    the identical algebra, so merge correctness is hash-checked, not just
+    property-tested."""
+    k = 3
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wd = Window.partitionBy("day").orderBy(F.desc("c"), "event_type")
+    r = c.withColumn("rnk", F.row_number().over(wd))
+    off = r.groupBy("day").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("c"))), F.lit(0)
+        ).alias("o")
+    )
+    p = (
+        r.join(off, "day")
+        .filter((F.col("rnk") <= k) & (F.col("c") - F.col("o") > 0))
+        .select("event_type", (F.col("c") - F.col("o")).alias("v"))
+    )
+    m = p.groupBy("event_type").agg(F.sum("v").cast("long").alias("mv"))
+    wm = Window.orderBy(F.desc("mv"), "event_type")
+    rm = m.withColumn("rnk", F.row_number().over(wm))
+    om = rm.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("mv"))), F.lit(0)
+        ).alias("o")
+    )
+    ex = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        rm.crossJoin(F.broadcast(om))
+        .filter((F.col("rnk") <= k) & (F.col("mv") - F.col("o") > 0))
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            (F.col("mv") - F.col("o")).cast("long").alias("mg_bound"),
+            "exact_cnt",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "bloom_fill_rate_cardinality",
+    oracle="""
+    -- the Bloom filter AS a cardinality estimator (Swamidass & Baldi
+    -- 2007): insert every distinct user into a PORTABLE m=4096-bit,
+    -- kh=4-hash filter whose bit positions come from md5 (identical in
+    -- both engines), then estimate n from the fill ratio:
+    -- n_est = -(m/kh) * ln(1 - X/m) with X = bits set. The filter state
+    -- is the set of distinct positions -> exact in SQL; one ln on the
+    -- same exact rational keeps the rounded estimate engine-stable.
+    WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+    pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(key || '|' || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+               % 4096 AS pos
+      FROM keys CROSS JOIN (SELECT unnest(range(4)) AS i)
+    ), x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM pos),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
+    SELECT n.n_keys, x.n_bits_set,
+           ROUND(-(4096.0 / 4.0) * ln(1.0 - x.n_bits_set / 4096.0), 4)
+             AS est_distinct
+    FROM n CROSS JOIN x
+    """,
+)
+def bloom_fill_rate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The namesake sketch used BACKWARDS: a Bloom filter's fill ratio
+    estimates how many distinct keys were inserted (Swamidass & Baldi
+    2007) — the operational answer to "how full is this filter / is its
+    FPP still honest" without storing any key. The filter here is hash-
+    PORTABLE (positions = md5(key|i) mod m, i < kh), so the exact bit
+    set — and therefore the estimate — is reproducible in ANY engine; the
+    build is a distinct-aggregate over generated positions, no UDF, no
+    driver state."""
+    m_bits, kh = 4096, 4
+    keys = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    hashes = keys.crossJoin(
+        F.broadcast(
+            spark.range(kh).select(F.col("id").cast("int").alias("i"))
+        )
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit("|"), F.col("i").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    x = hashes.select(pos.alias("pos")).agg(
+        F.count_distinct("pos").alias("n_bits_set")
+    )
+    n = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    return n.crossJoin(F.broadcast(x)).select(
+        "n_keys",
+        "n_bits_set",
+        F.round(
+            -(m_bits / kh) * F.log(1.0 - F.col("n_bits_set") / F.lit(float(m_bits))),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+@query(
     "cms_decayed_sketch_merge",
     oracle="""
     -- exact twin of the DECAY-WEIGHTED sketch-table merge: per-day user

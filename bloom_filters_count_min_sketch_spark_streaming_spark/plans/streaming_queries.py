@@ -496,6 +496,60 @@ def stream_generational_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query("stream_dgim_window_count")
+def stream_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM sliding-window bit counting (Datar-Gionis-Indyk-Motwani,
+    SICOMP 2002) — the canonical O(log² W)-state sliding-window sketch,
+    completing the classic streaming-sketch family next to Bloom/CMS/KMV:
+    how many 'click' events fell in the trailing 10 days of an unbounded
+    stream, answered from power-of-two buckets (≤ 2 per size) instead of
+    raw history. Rows-only (bucket cascades aren't SQL); the ≤50% error
+    bound and the exact comparison are emitted IN the result, and
+    tests/test_state_sketches.py pins the core's invariants. Shards
+    partition the key space, so per-shard estimates and their error
+    bounds ADD."""
+    window_us = 10 * 24 * 3600 * 1_000_000
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "click").cast("long").alias("bit"),
+    )
+    ests = stateful.dgim_window_count(keyed, window_us=window_us)
+    out = run_available_now(ests, "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("n_buckets", "est_window_ones"), "seq").alias("s")
+    )
+    agg = last.agg(
+        F.sum("s.est_window_ones").cast("long").alias("est_clicks"),
+        F.sum("s.n_buckets").cast("long").alias("n_buckets_total"),
+    )
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.crossJoin(
+            F.broadcast(ev.agg(F.max(F.unix_micros("ts")).alias("now")))
+        )
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.unix_micros("ts") > F.col("now") - window_us)
+        )
+        .agg(F.count(F.lit(1)).alias("exact_clicks"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            "est_clicks",
+            "exact_clicks",
+            "n_buckets_total",
+            (
+                F.abs(F.col("est_clicks") - F.col("exact_clicks"))
+                <= F.col("exact_clicks") / 2
+            ).alias("within_dgim_bound"),
+        )
+    )
+
+
 @query(
     "stream_counting_bloom_retraction",
     oracle="""

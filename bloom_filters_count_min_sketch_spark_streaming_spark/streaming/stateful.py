@@ -728,3 +728,109 @@ def streaming_range_counts(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _RANGE_OUT, _RANGE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window bit counting: the canonical O(log^2 W) sliding-window
+# sketch (Datar, Gionis, Indyk, Motwani, SICOMP 2002) — counts the 1-bits in
+# the trailing time window of an unbounded stream with at most two buckets
+# per power-of-two size and <= 50% error on the oldest bucket's share.
+
+_DGIM_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("est_window_ones", LongType()),
+    ]
+)
+_DGIM_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("ts", BinaryType()),
+        StructField("sz", BinaryType()),
+    ]
+)
+
+
+def _dgim_ingest(
+    ts: list[int], sz: list[int], ones, now: int, window_us: int
+) -> tuple[list[int], list[int], int]:
+    """Pure DGIM core (unit-testable without Spark): fold a ts-ascending
+    run of 1-bit timestamps into the (ts, sz) bucket lists, evict buckets
+    whose newest bit left the window, and return the estimate for
+    (now - window_us, now]: full sizes of all live buckets minus half the
+    oldest (its bits straddle the window edge). Invariants: ts ascending,
+    at most two buckets per size, sizes are powers of two."""
+    for t in ones:
+        ts.append(int(t))
+        sz.append(1)
+        s = 1
+        while True:
+            idxs = [j for j, v in enumerate(sz) if v == s]
+            if len(idxs) <= 2:
+                break
+            a, b = idxs[0], idxs[1]  # merge the two OLDEST of this size
+            sz[b] = 2 * s  # merged bucket keeps the newer timestamp
+            del ts[a], sz[a]
+            s *= 2
+    keep = [j for j, t in enumerate(ts) if t > now - window_us]
+    ts = [ts[j] for j in keep]
+    sz = [sz[j] for j in keep]
+    est = sum(sz) - (sz[0] // 2 if sz else 0)
+    return ts, sz, est
+
+
+def dgim_window_count(
+    stream_df: DataFrame, window_us: int, bit_col: str = "bit"
+) -> DataFrame:
+    """Sliding-window 1-bit count over an unbounded stream in O(log^2 W)
+    state per shard — DGIM, the classic companion of the Bloom/CMS
+    streaming-sketch family. State per shard is two int64 arrays (bucket
+    newest-timestamp, bucket size); arrivals cascade power-of-two merges,
+    the window estimate charges every live bucket fully except half the
+    oldest. Expects ``shard long, event_id long, ts_us long, <bit_col>
+    long``; emits per micro-batch so ``max_by(..., seq)`` reads each
+    shard's latest estimate."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {c: empty64 for c in ("shard", "seq", "n_buckets", "est_window_ones")}
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            seq, ts_b, sz_b = state.get
+            seq = int(seq)
+            ts = [int(v) for v in np.frombuffer(ts_b, dtype=np.int64)]
+            sz = [int(v) for v in np.frombuffer(sz_b, dtype=np.int64)]
+        else:
+            seq, ts, sz = 0, [], []
+        ones = pdf.loc[pdf[bit_col] == 1, "ts_us"].to_numpy(np.int64)
+        now = int(pdf["ts_us"].iloc[-1])
+        ts, sz, est = _dgim_ingest(ts, sz, ones, now, window_us)
+        seq += 1
+        state.update(
+            (
+                seq,
+                np.array(ts, dtype=np.int64).tobytes(),
+                np.array(sz, dtype=np.int64).tobytes(),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "n_buckets": np.array([len(sz)], dtype=np.int64),
+                "est_window_ones": np.array([est], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _DGIM_OUT, _DGIM_STATE, "append", GroupStateTimeout.NoTimeout
+    )

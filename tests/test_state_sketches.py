@@ -54,3 +54,51 @@ def test_numpy_cms_serialization_roundtrip():
     assert np.array_equal(back.table, cms.table)
     assert back.total == cms.total
     assert back.estimate_longs(np.array([3], dtype=np.int64))[0] == 3
+
+
+def test_dgim_core_invariants_and_error_bound():
+    """DGIM pure core: ts-sorted buckets, power-of-two sizes, <= 2 per
+    size, O(log^2) bucket count, estimate within the 50% bound at every
+    micro-batch boundary — and batch-split invariance (folding the same
+    stream in different chunkings ends in the same buckets)."""
+    import math
+    import random
+    from collections import Counter
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _dgim_ingest,
+    )
+
+    rng = random.Random(11)
+    stream = sorted(rng.sample(range(1, 3_000_000), 40_000))
+    W = 400_000
+
+    ts, sz = [], []
+    for i in range(0, len(stream), 5_000):
+        chunk = stream[i : i + 5_000]
+        now = chunk[-1]
+        ts, sz, est = _dgim_ingest(ts, sz, chunk, now, W)
+        exact = sum(1 for t in stream[: i + 5_000] if now - W < t <= now)
+        assert abs(est - exact) <= max(1, exact) * 0.5, (est, exact)
+        assert ts == sorted(ts)
+        assert all(s & (s - 1) == 0 for s in sz), "sizes must be powers of two"
+        assert all(c <= 2 for c in Counter(sz).values()), "<= 2 buckets per size"
+        assert len(sz) <= 2 * (math.floor(math.log2(max(sum(sz), 1))) + 2)
+
+    # batch-split invariance: one fold == many folds
+    ts1, sz1, est1 = _dgim_ingest([], [], stream, stream[-1], W)
+    assert (ts1, sz1, est1) == (ts, sz, est)
+
+
+def test_dgim_eviction_empties_idle_window():
+    """A long quiet gap must evict every bucket (state returns to zero) —
+    the property that keeps DGIM state bounded on bursty streams."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _dgim_ingest,
+    )
+
+    ts, sz, est = _dgim_ingest([], [], list(range(1, 1_001)), 1_000, 500)
+    assert est > 0 and len(sz) > 0
+    # a lone 0-bit batch far in the future: now advances, no new ones
+    ts, sz, est = _dgim_ingest(ts, sz, [], 10_000_000, 500)
+    assert (ts, sz, est) == ([], [], 0)
