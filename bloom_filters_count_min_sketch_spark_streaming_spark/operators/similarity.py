@@ -581,3 +581,191 @@ def ann_ivf_int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, TPAMI 2011) — the memory tier
+# of production ANN (IVF-PQ): vectors compress to m sub-codebook ids (here
+# 8 bytes per 64-dim vector = 64x smaller), queries score candidates by ADC
+# (asymmetric distance computation: one m x k_c lookup table per query, one
+# table-lookup sum per candidate — no float vector ever read), and only the
+# final top candidates touch true vectors for an exact re-rank.
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_c: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample: int = 2048,
+):
+    """Per-subspace k-means codebooks from a BOUNDED training sample
+    (driver-side numpy Lloyd iterations on <= `sample` rows — training is
+    O(sample x k_c), never O(corpus); the full corpus only runs the cheap
+    encode pass). Vectors are unit-normalized first so ADC approximates
+    cosine. Deterministic: seeded init, fixed iteration count."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()  # bounded: train set
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.zeros((m, k_c, d))
+    for s in range(m):
+        sub = X[:, s * d : (s + 1) * d]
+        rng = np.random.RandomState(seed + s)
+        C = sub[rng.choice(len(sub), k_c, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_c):
+                pts = sub[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, books, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode every corpus vector to m sub-codebook ids (mapInPandas, one
+    GEMM per subspace per Arrow batch). Output (id, codes array<int>) —
+    the at-rest representation an IVF-PQ index stores instead of floats."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(books)
+
+    def enc(batches):
+        B = bc.value
+        m, _k_c, d = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.zeros((len(X), m), dtype=np.int32)
+            for s in range(m):
+                sub = X[:, s * d : (s + 1) * d]
+                # argmin ||sub - C||^2 = argmin (||C||^2 - 2 sub.C)
+                d2 = (B[s] ** 2).sum(1)[None, :] - 2.0 * (sub @ B[s].T)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    k_c: int = 16,
+    seed: int = 42,
+    candidates: int | None = None,
+    rerank: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine via PQ + ADC, with exact re-rank of the
+    candidate pool. Same output contract as cosine_topk_bruteforce
+    (query_id, neighbor_id, rank). ``candidates`` bounds the per-query
+    pool fed to the exact re-rank (default 4k); with ``candidates`` >=
+    corpus size the result is EXACTLY brute force (the correctness
+    witness — recall loss can only come from the candidate cut).
+
+    100 TB shape: the scan reads 8-byte codes instead of 256-byte float
+    vectors; per batch the score is m table lookups + adds per candidate
+    (no FLOPs on corpus floats); only O(queries x candidates) rows ever
+    touch true vectors.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    books = pq_train_codebooks(corpus, vec_col, m=m, k_c=k_c, seed=seed)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded: query set
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    d = Q.shape[1] // m
+    # per-query ADC lookup tables: (n_q, m, k_c) partial dot products
+    luts = np.stack([Q[:, s * d : (s + 1) * d] @ books[s].T for s in range(m)], axis=1)
+    cand = candidates if candidates is not None else 4 * k
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    def score(batches):
+        ids_q, L = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            cids = pdf[id_col].to_numpy(np.int64)
+            S = np.zeros((len(ids_q), len(C)))
+            for s in range(m):
+                S += L[:, s, :][:, C[:, s]]
+            S[ids_q[:, None] == cids[None, :]] = -np.inf  # self-exclusion
+            kk = min(cand, S.shape[1])
+            thresh = -np.partition(-S, kk - 1, axis=1)[:, kk - 1 : kk]
+            qi, ci = np.nonzero(S >= thresh)
+            vals = S[qi, ci]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[qi][keep],
+                    "neighbor_id": cids[ci][keep],
+                    "adc": vals[keep],
+                }
+            )
+
+    c = codes.repartition(spark.sparkContext.defaultParallelism)
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    pool = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= cand)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    if not rerank:
+        w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+        return (
+            pool.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    # exact re-rank: only the candidate pool touches true vectors
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
+    )
+    qvecs = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        pool.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

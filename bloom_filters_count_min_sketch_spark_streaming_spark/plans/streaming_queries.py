@@ -496,6 +496,60 @@ def stream_generational_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "stream_misra_gries_topk",
+    oracle="""
+    -- streaming Misra-Gries in the exact regime: k=8 counters per shard
+    -- exceed the 5 distinct event types, so no reduction ever fires, the
+    -- per-shard summaries ARE exact substream counts, and their merged
+    -- sum equals the global exact counts.
+    SELECT event_type AS item, COUNT(*) AS mg_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type ORDER BY rnk
+    """,
+)
+def stream_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE Misra-Gries heavy hitters (the streaming twin of the batch
+    misra_gries_table_merge, D133): each shard maintains a k-counter MG
+    summary in the state store — O(k) state forever — and the read side
+    merges shard summaries by addition + the same reduction. k=8 > 5
+    distinct types keeps this run in the exact regime so the DuckDB
+    oracle is the exact counts; the reducing regime's algebra is
+    hash-checked by the batch twin and N/k-bounded by construction."""
+    k = 8
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"), F.col("event_type").alias("item")
+    )
+    out = run_available_now(stateful.misra_gries_state(keyed, k=k), "append")
+    # latest summary per shard via a window (a memory-sink self-join would
+    # resolve both sides' `shard` to one attribute — see CLAUDE.md)
+    w_shard = Window.partitionBy("shard")
+    latest = out.withColumn("max_seq", F.max("seq").over(w_shard)).filter(
+        F.col("seq") == F.col("max_seq")
+    )
+    merged = latest.groupBy("item").agg(F.sum("mg_value").cast("long").alias("mv"))
+    # merge-side reduction (no-op here: 5 items <= k), same algebra as D133
+    wm = Window.orderBy(F.desc("mv"), "item")
+    rm = merged.withColumn("rnk", F.row_number().over(wm))
+    om = rm.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("mv"))), F.lit(0)
+        ).alias("o")
+    )
+    return (
+        rm.crossJoin(F.broadcast(om))
+        .filter((F.col("rnk") <= k) & (F.col("mv") - F.col("o") > 0))
+        .select(
+            "item",
+            (F.col("mv") - F.col("o")).cast("long").alias("mg_count"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
 @query("stream_dgim_window_count")
 def stream_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DGIM sliding-window bit counting (Datar-Gionis-Indyk-Motwani,

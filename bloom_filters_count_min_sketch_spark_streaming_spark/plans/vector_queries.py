@@ -209,6 +209,68 @@ def ann_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pq_full_rerank_exact",
+    oracle="""
+    -- PQ-ADC with the candidate cap at corpus size degenerates to exact
+    -- kNN: every corpus row survives the ADC cut, so the exact re-rank IS
+    -- the brute-force ranking. This puts the whole product-quantization
+    -- machinery (seeded per-subspace codebook training, corpus encode to
+    -- m-byte codes, per-query ADC lookup tables, candidate pool, exact
+    -- re-rank) under the hash-checked oracle; recall<1 configurations of
+    -- the same code path are covered by pq_adc_recall + property tests.
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def pq_full_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ exactness witness (the FAISS IVF-PQ sanity contract): same
+    operator as pq_adc_recall's, candidate cap = corpus, which must
+    reproduce brute-force kNN rank-for-rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()  # bounded: one scalar for the witness cap
+    return similarity.pq_adc_topk(
+        emb, queries, k=5, m=8, k_c=16, seed=42, candidates=n, rerank=True
+    )
+
+
+@query("pq_adc_recall")
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped PQ search (D-row: the ANN memory tier): 8-byte
+    codes instead of 256-byte vectors, ADC table-lookup scoring, top-20
+    candidate pool, exact re-rank to top-5 — reported as per-run recall@5
+    against the brute-force ranking. Rows-only (recall < 1 by design);
+    deterministic via seeded codebooks, so the recall value is stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.pq_adc_topk(
+        emb, queries, k=5, m=8, k_c=16, seed=42, candidates=20, rerank=True
+    ).select("query_id", "neighbor_id")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    hits = approx.join(
+        exact,
+        (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en")),
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact"))))
+        .select(
+            "n_hits",
+            "n_exact",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_5"),
+        )
+    )
+
+
 @query("frequent_directions_spectrum")
 def frequent_directions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions (Liberty KDD'13) spectrum of the embedding

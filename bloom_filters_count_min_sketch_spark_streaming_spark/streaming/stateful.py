@@ -834,3 +834,92 @@ def dgim_window_count(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _DGIM_OUT, _DGIM_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries: the k-counter deterministic heavy-hitter summary
+# maintained per shard in the state store — the online twin of the batch
+# misra_gries_table_merge (mergeable-summaries algebra: batch exact counts
+# ADD into the summary, then reduce back to k counters).
+
+_MG_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("item", StringType()),
+        StructField("mg_value", LongType()),
+    ]
+)
+_MG_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("items", StringType()),
+        StructField("counts", BinaryType()),
+    ]
+)
+
+
+def misra_gries_state(
+    stream_df: DataFrame, k: int, item_col: str = "item"
+) -> DataFrame:
+    """Per-shard Misra-Gries summary across micro-batches: state is at
+    most k (item, counter) pairs — O(k) forever, independent of stream
+    length or item cardinality. Each batch's exact counts (themselves a
+    valid MG summary with zero offset) ADD into the state, then the
+    standard reduction (subtract the (k+1)-th largest, drop non-positive)
+    restores the k-counter bound; every surviving value is a lower bound
+    within N_shard/k of the true count. Emits the full summary per batch;
+    read the latest seq per shard and merge shard summaries by addition +
+    the same reduction."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "shard": empty64,
+                    "seq": empty64,
+                    "item": pd.Series([], dtype="object"),
+                    "mg_value": empty64,
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            seq, items_s, cnt_b = state.get
+            seq = int(seq)
+            items = items_s.split("\x1f") if items_s else []
+            counts = dict(
+                zip(items, (int(c) for c in np.frombuffer(cnt_b, dtype=np.int64)))
+            )
+        else:
+            seq, counts = 0, {}
+        for it, c in pdf[item_col].value_counts().items():
+            counts[it] = counts.get(it, 0) + int(c)
+        if len(counts) > k:
+            off = sorted(counts.values(), reverse=True)[k]
+            counts = {i: v - off for i, v in counts.items() if v - off > 0}
+        seq += 1
+        order = sorted(counts)  # deterministic state + emission order
+        state.update(
+            (
+                seq,
+                "\x1f".join(order),
+                np.array([counts[i] for i in order], dtype=np.int64).tobytes(),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.full(len(order), int(key[0]), dtype=np.int64),
+                "seq": np.full(len(order), seq, dtype=np.int64),
+                "item": pd.Series(order, dtype="object"),
+                "mg_value": np.array([counts[i] for i in order], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _MG_OUT, _MG_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -174,3 +174,71 @@ def test_blocked_gemm_matches_bruteforce(spark, sf_dir):
         for r in similarity.cosine_topk_blocked_gemm(emb, queries, k=7).collect()
     }
     assert gemm == base and len(base) > 0
+
+
+def test_pq_full_cap_equals_bruteforce(spark, sf_dir):
+    """PQ-ADC with the candidate cap at corpus size must reproduce the
+    brute-force ranking exactly (the FAISS nprobe=nlist-style witness)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_adc_topk,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(emb, queries, k=4, candidates=n).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, queries, k=4).collect()
+    }
+    assert got == want
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """Encode emits one m-byte code vector per row, each code < k_c, and
+    the seeded pipeline is run-to-run deterministic (recall value too)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=8, k_c=16, seed=42)
+    assert books.shape == (8, 16, 8)
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for c in codes.values())
+    books2 = pq_train_codebooks(emb, m=8, k_c=16, seed=42)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """The production-shaped PQ path (candidate cut 4k) must keep recall
+    above a floor on the random fixture — random 64-dim vectors are PQ's
+    worst case, so this is a conservative regression tripwire."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_adc_topk,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(emb, queries, k=5, candidates=20).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.35, recall

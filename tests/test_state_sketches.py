@@ -102,3 +102,60 @@ def test_dgim_eviction_empties_idle_window():
     # a lone 0-bit batch far in the future: now advances, no new ones
     ts, sz, est = _dgim_ingest(ts, sz, [], 10_000_000, 500)
     assert (ts, sz, est) == ([], [], 0)
+
+
+def test_streaming_misra_gries_reducing_regime(spark, tmp_path):
+    """k=3 counters against 10 distinct items across micro-batches: state
+    stays <= k, every surviving value is a lower bound within N/k of the
+    true count, and the genuinely heavy item (> N/k of the stream)
+    survives every reduction — the MG guarantee, on the state store."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import (
+        stateful,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    # one shard; item 'hot' is half the stream, nine cold items share the rest
+    rows = []
+    n = 0
+    for rep in range(60):
+        rows.append((0, "hot"))
+        rows.append((0, f"cold{rep % 9}"))
+        n += 2
+    batches = [rows[:40], rows[40:80], rows[80:]]
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        pdf = pd.DataFrame(b, columns=["shard", "item"])
+        pdf["shard"] = pdf["shard"].astype("int64")
+        path = f"{src_dir}/part-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+    schema = spark.read.parquet(src_dir).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    k = 3
+    out = run_available_now(stateful.misra_gries_state(src, k=k), "append")
+    final = {
+        r["item"]: r["mg_value"]
+        for r in out.filter(
+            F.col("seq") == out.agg(F.max("seq")).collect()[0][0]
+        ).collect()
+    }
+    assert len(final) <= k, final
+    assert "hot" in final, "majority item must survive every reduction"
+    true = {"hot": 60}
+    for rep in range(60):
+        true[f"cold{rep % 9}"] = true.get(f"cold{rep % 9}", 0) + 1
+    for item, v in final.items():
+        assert 0 < v <= true[item], (item, v, true[item])
+        assert true[item] - v <= n / k, (item, v, true[item])
