@@ -1083,3 +1083,330 @@ def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     ).orderBy("relative_mde")
+
+
+@query(
+    "chi2_independence_lang_source",
+    oracle="""
+    -- Pearson chi-squared independence test lang x source (the
+    -- categorical companion of the KS/PSI drift family): expected cell
+    -- counts r*c/N over the FULL grid (zero-observed cells included via
+    -- the left join), per-cell term rounded then decimal-summed so
+    -- cross-engine float summation order can't flip a bit.
+    WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY 1),
+    c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    grid AS (
+      SELECT r.lang, c.source, r.r, c.c, n.n, COALESCE(o.o, 0) AS o
+      FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    )
+    SELECT CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(ROUND(POW(o - r * c * 1.0 / n, 2)
+                                / (r * c * 1.0 / n), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+    FROM grid
+    """,
+)
+def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between document language
+    and source — the collection-bias gate in categorical form (mutual
+    information measures the dependence; chi2 tests it). One contingency
+    pass + two marginal passes, full grid reconstructed with a broadcast
+    cross join so zero-observed cells contribute their expected mass;
+    per-cell (o-e)^2/e terms rounded then decimal-summed per the repo's
+    determinism discipline."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "r", "c", "n", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    term = F.round(F.pow(F.col("o") - e, 2) / e, 6)
+    n_lang = r.agg(F.count(F.lit(1)).alias("nl"))
+    n_src = c.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        grid.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_lang))
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "chi2",
+        )
+    )
+
+
+@query(
+    "mann_whitney_u_halves",
+    oracle="""
+    -- Mann-Whitney U rank-sum test between the stream's time halves (the
+    -- nonparametric mean-shift companion of ks_test_two_sample): average
+    -- ranks over the pooled sort kept EXACT by working with 2*rank sums
+    -- (each tied block of c rows starting after s rows contributes
+    -- avg rank (2s+c+1)/2 per row), tie-corrected normal approximation.
+    WITH b AS (
+      SELECT epoch_us(MIN(ts))
+             + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2) AS BIGINT)
+               AS cut_us
+      FROM events
+    ),
+    pooled AS (
+      SELECT CASE WHEN epoch_us(ts) >= b.cut_us THEN 1 ELSE 0 END AS h, value
+      FROM events CROSS JOIN b
+    ),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS n1
+      FROM pooled
+    ),
+    v AS (
+      SELECT value, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM pooled GROUP BY value
+    ),
+    w AS (
+      SELECT c, c1,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS s
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1 * (2 * s + c + 1)) AS BIGINT) AS two_r1,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+      FROM w
+    )
+    SELECT n.n0, n.n1,
+           CAST(agg.two_r1 - n.n1 * (n.n1 + 1) AS BIGINT) AS two_u1,
+           ROUND(((agg.two_r1 - n.n1 * (n.n1 + 1)) / 2.0 - n.n0 * n.n1 / 2.0)
+                 / sqrt(n.n0 * n.n1 / 12.0
+                        * ((n.n0 + n.n1 + 1)
+                           - agg.tie_sum * 1.0
+                             / ((n.n0 + n.n1) * (n.n0 + n.n1 - 1)))), 6) AS z
+    FROM agg CROSS JOIN n
+    """,
+)
+def mann_whitney_u_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the stream's first and second time halves —
+    the rank-based companion of ks_test_two_sample (KS sees any
+    distributional change; U targets location shift, robust to outliers).
+    All rank arithmetic stays in exact integers (2*rank-sums over tied
+    blocks), one grouped pass over distinct values + a window for the
+    preceding-count; the tie-corrected z is a single closed-form
+    expression on exact integers."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        ).alias("cut")
+    )
+    pooled = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.unix_micros("ts") >= F.col("cut")).cast("int").alias("h"), "value"
+    )
+    n = pooled.agg(
+        F.sum((F.col("h") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("h") == 1).cast("long")).alias("n1"),
+    )
+    v = pooled.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("h") == 1).cast("long")).alias("c1"),
+    )
+    w_prev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("long").alias("s"),
+    )
+    agg = w.agg(
+        F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    u1_x2 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    z = F.round(
+        (u1_x2 / 2.0 - F.col("n0") * F.col("n1") / 2.0)
+        / F.sqrt(
+            F.col("n0")
+            * F.col("n1")
+            / 12.0
+            * ((nn + 1) - F.col("tie_sum") * 1.0 / (nn * (nn - 1)))
+        ),
+        6,
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n0", "n1", u1_x2.cast("long").alias("two_u1"), z.alias("z")
+    )
+
+
+@query(
+    "anova_f_oneway_value_by_type",
+    oracle="""
+    -- one-way ANOVA of event value across event types: per-group decimal
+    -- moments (terms rounded before the sum — the repo's float-agg rule),
+    -- then the closed-form F from exact-identical doubles. The moment
+    -- pass is the same single-scan shape the experiment scorecards use.
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS ss_g
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ss_g AS DECIMAL(28,6))) AS DOUBLE) AS ss
+      FROM g
+    ),
+    parts AS (
+      SELECT tot.k, tot.n,
+             CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE)
+               - tot.s * tot.s / tot.n AS ssb,
+             tot.ss - CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 6)
+                                    AS DECIMAL(28,6))) AS DOUBLE) AS ssw
+      FROM g CROSS JOIN tot
+      GROUP BY tot.k, tot.n, tot.s, tot.ss
+    )
+    SELECT k, n, ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def anova_f_oneway_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of event value across the 5 event types —
+    the k-group generalization of the scorecards' pairwise z-tests: one
+    moment pass per group (count / decimal sum / decimal sum of squares),
+    closed-form SSB/SSW, no second scan. Group moments travel as decimal
+    partials, so F is bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s_g"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s_g").cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(F.col("ss_g").cast("decimal(28,6)")).cast("double").alias("ss"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.sum(
+                F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("between_raw")
+        )
+        .select(
+            "k",
+            "n",
+            (F.col("between_raw") - F.col("s") * F.col("s") / F.col("n")).alias("ssb"),
+            (F.col("ss") - F.col("between_raw")).alias("ssw"),
+        )
+    )
+    return parts.select(
+        "k",
+        "n",
+        F.round(F.col("ssb"), 4).alias("ss_between"),
+        F.round(F.col("ssw"), 4).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    -- CUSUM changepoint detection on the daily event-count series: the
+    -- cumulative deviation from the global daily mean, kept EXACT by the
+    -- integer rescale S'_d = D * cumsum(c) - d * N (= D * classic CUSUM);
+    -- the argmax |S'| day is the level-shift candidate. All integers ->
+    -- hash-exact.
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_days,
+                 CAST(SUM(c) AS BIGINT) AS n_total FROM daily),
+    walk AS (
+      SELECT day,
+             CAST(SUM(c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d_idx
+      FROM daily
+    )
+    SELECT walk.day AS changepoint_day,
+           CAST(t.d_days * walk.cum - walk.d_idx * t.n_total AS BIGINT)
+             AS cusum_scaled,
+           t.d_days, t.n_total
+    FROM walk CROSS JOIN t
+    ORDER BY ABS(t.d_days * walk.cum - walk.d_idx * t.n_total) DESC, walk.day
+    LIMIT 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series — the
+    level-shift detector that complements anomaly_seasonal_days (which
+    flags single days; CUSUM localizes WHERE the mean moved). The classic
+    statistic S_d = sum(c_i - mean) is rescaled by D (days) into pure
+    integers, so both the walk and the argmax are hash-exact; one window
+    over O(days) rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("d_days"),
+        F.sum("c").cast("long").alias("n_total"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "day",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("d_idx"),
+    )
+    scored = walk.crossJoin(F.broadcast(t)).select(
+        F.col("day").alias("changepoint_day"),
+        (F.col("d_days") * F.col("cum") - F.col("d_idx") * F.col("n_total"))
+        .cast("long")
+        .alias("cusum_scaled"),
+        "d_days",
+        "n_total",
+    )
+    return scored.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "changepoint_day"
+    ).limit(1)
