@@ -1749,3 +1749,101 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("item").cast("long").alias("n_pos")
     )
     return n_pos.join(n_neg, "user_id").orderBy("user_id")
+
+
+def _logreg_iter_sql(i: int) -> str:
+    """One unrolled gradient-descent iteration: decimal-summed per-row
+    gradient terms (rounded at 1e-6 so a last-ulp exp() difference
+    between engines cannot flip a rounding), weight update at lr=1.0."""
+    return f"""
+    g{i} AS (
+      SELECT CAST(SUM(CAST(ROUND(1.0 / (1.0 + exp(-(w.a + w.b * d.x))) - d.y, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / (SELECT n FROM nn) AS ga,
+             CAST(SUM(CAST(ROUND((1.0 / (1.0 + exp(-(w.a + w.b * d.x))) - d.y) * d.x, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / (SELECT n FROM nn) AS gb
+      FROM d CROSS JOIN w{i} w
+    ),
+    w{i + 1} AS (SELECT w.a - 1.0 * g.ga AS a, w.b - 1.0 * g.gb AS b
+                 FROM w{i} w CROSS JOIN g{i} g)"""
+
+
+@query(
+    "logreg_gd_click_model",
+    oracle=f"""
+    -- distributed logistic regression, 4 full-batch gradient-descent
+    -- iterations UNROLLED: each iteration is one decimal-summed gradient
+    -- aggregate + a closed-form weight update, mirrored step for step.
+    -- sigma(0)=0.5 seeds iteration 1; accuracy uses the exp-free
+    -- decision rule z > 0.
+    WITH d AS (
+      SELECT value / 1024.0 AS x,
+             CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b),
+    {','.join(_logreg_iter_sql(i) for i in range(4))}
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+           ROUND((SELECT a FROM w4), 6) AS w0,
+           ROUND((SELECT b FROM w4), 6) AS w1,
+           ROUND(SUM(CASE WHEN ((SELECT a FROM w4) + (SELECT b FROM w4) * d.x > 0)
+                               = (d.y = 1.0)
+                          THEN 1 ELSE 0 END) * 1.0 / (SELECT n FROM nn), 6)
+             AS train_accuracy
+    FROM d
+    """,
+)
+def logreg_gd_click_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ML training as a first-class engine operation: logistic
+    regression (is this event a click, from its value) by FULL-BATCH
+    gradient descent — each iteration is ONE distributed aggregate (the
+    map-side-combined gradient sum), the weight update is two scalars on
+    the driver, the data never moves. 4 fixed iterations from w=(0,0),
+    lr=1.0; per-row gradient terms are rounded then decimal-summed so the
+    whole trajectory — and therefore the learned weights — is
+    bit-reproducible across engines, which is what lets a TRAINING LOOP
+    be value-hash-checked against SQL. At 100 TB this is the canonical
+    shape: O(model) driver state, O(data) executor work per step.
+    Decision rule for accuracy is the exp-free z > 0."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("value") / 1024.0).alias("x"),
+        F.when(F.col("event_type") == "click", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+    n = d.count()  # bounded scalar: the training-set size
+    a, b = 0.0, 0.0
+    for _ in range(4):
+        z = F.lit(a) + F.lit(b) * F.col("x")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = d.agg(
+            F.sum(F.round(resid, 6).cast("decimal(28,6)")).cast("double").alias("ga"),
+            F.sum(F.round(resid * F.col("x"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("gb"),
+        ).collect()[0]  # bounded: one 2-scalar gradient row per iteration
+        a -= 1.0 * (g["ga"] / n)
+        b -= 1.0 * (g["gb"] / n)
+    acc = d.agg(
+        F.round(
+            F.sum(
+                (
+                    ((F.lit(a) + F.lit(b) * F.col("x")) > 0) == (F.col("y") == 1.0)
+                ).cast("int")
+            )
+            * 1.0
+            / F.lit(n),
+            6,
+        ).alias("train_accuracy")
+    )
+    # quantize HALF_UP to match SQL ROUND (python round() is half-even)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    return acc.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(_r6(a)).alias("w0"),
+        F.lit(_r6(b)).alias("w1"),
+        "train_accuracy",
+    )

@@ -497,6 +497,51 @@ def stream_generational_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "stream_bottomk_sample",
+    oracle="""
+    -- exact twin of the ONLINE hash-min sample: the final streaming
+    -- bottom-32 equals the batch bottom-32 by the md5-derived priority
+    -- (new data can only displace larger hashes — the min-wise identity)
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT,
+                      event_id) AS BIGINT) AS rnk
+    FROM events
+    QUALIFY rnk <= 32 ORDER BY rnk
+    """,
+)
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE uniform sampling (the streaming form of
+    sample_sketch_table_merge): each shard maintains its k smallest
+    md5-priority rows in O(k) state, the global sample re-truncates the
+    shard partials — a deterministic, engine-reproducible reservoir that
+    never revisits history. Hash-checked end-to-end against the batch
+    bottom-k."""
+    k = 32
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    out = run_available_now(stateful.bottomk_sample_state(keyed, k=k), "append")
+    w_shard = Window.partitionBy("shard")
+    latest = out.withColumn("max_seq", F.max("seq").over(w_shard)).filter(
+        F.col("seq") == F.col("max_seq")
+    )
+    w_all = Window.orderBy("h", "event_id")
+    return (
+        latest.select("h", "event_id")
+        .withColumn("rnk", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("event_id", "rnk")
+        .orderBy("rnk")
+    )
+
+
+@query(
     "stream_misra_gries_topk",
     oracle="""
     -- streaming Misra-Gries in the exact regime: k=8 counters per shard

@@ -923,3 +923,74 @@ def misra_gries_state(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _MG_OUT, _MG_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k (hash-min) sample: the ONLINE form of the mergeable
+# sample table (plans/sketch_queries.py:sample_sketch_table_merge) — a
+# deterministic uniform sample of everything seen so far, maintained in O(k)
+# state per shard, reproducible across engines because the priority is a
+# hash, not an RNG.
+
+_BK_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("h", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+_BK_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("hs", BinaryType()),
+        StructField("ids", BinaryType()),
+    ]
+)
+
+
+def bottomk_sample_state(stream_df: DataFrame, k: int) -> DataFrame:
+    """Per-shard bottom-k hash-min sample across micro-batches: state is
+    the k smallest (hash, id) pairs seen so far — new data can only
+    displace larger hashes, so the sample is incrementally maintainable
+    and the global k-sample is the bottom-k of the shard partials
+    (min-wise union). Expects ``shard long, event_id long, h long`` with
+    ``h`` an engine-portable hash (md5-derived); emits the full current
+    sample per batch, read the latest ``seq`` per shard and re-truncate."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {c: empty64 for c in ("shard", "seq", "h", "event_id")}
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            seq, hs_b, ids_b = state.get
+            seq = int(seq)
+            hs = np.frombuffer(hs_b, dtype=np.int64)
+            ids = np.frombuffer(ids_b, dtype=np.int64)
+        else:
+            seq, hs, ids = 0, empty64, empty64
+        hs = np.concatenate([hs, pdf["h"].to_numpy(np.int64)])
+        ids = np.concatenate([ids, pdf["event_id"].to_numpy(np.int64)])
+        order = np.lexsort((ids, hs))[:k]  # k smallest by (h, id)
+        hs, ids = hs[order], ids[order]
+        seq += 1
+        state.update((seq, hs.tobytes(), ids.tobytes()))
+        yield pd.DataFrame(
+            {
+                "shard": np.full(len(hs), int(key[0]), dtype=np.int64),
+                "seq": np.full(len(hs), seq, dtype=np.int64),
+                "h": hs,
+                "event_id": ids,
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _BK_OUT, _BK_STATE, "append", GroupStateTimeout.NoTimeout
+    )
