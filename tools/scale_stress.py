@@ -38,6 +38,12 @@ PROBES = [
     # round-5: right-sized deletable membership + tile-BLAS exact search
     "counting_bloom_delete_membership",
     "knn_blocked_gemm_topk",
+    # round-6: lossless prefix-filtered similarity join, PQ/ADC search,
+    # mergeable MG summaries, oracle-verified GD training loop
+    "dedup_prefix_filter_jaccard_join",
+    "pq_adc_recall",
+    "misra_gries_table_merge",
+    "logreg_gd_click_model",
 ]
 
 
@@ -158,10 +164,16 @@ def main() -> None:
         "|---|---|---|---|",
         *lines,
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALING.md"), "a") as f:
-        f.write("\n".join(section) + "\n")
-    print("# appended to SCALING.md")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path) as f:
+        existing = f.read()
+    # replace any previous stress section instead of stacking duplicates
+    head = existing.split("\n## 10x stress", 1)[0].rstrip("\n")
+    with open(path, "w") as f:
+        f.write(head + "\n" + "\n".join(section) + "\n")
+    print("# wrote stress section to SCALING.md")
 
 
 if __name__ == "__main__":
