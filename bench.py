@@ -134,9 +134,16 @@ HEADLINE = [
     "stream_range_count_enrichment",
     "dedup_keep_best_quality",
     "source_binaryfile_media",
-    # round-6: real AVI demux + real image resize
+    # round-6: real AVI demux + real image resize, lossless prefix-filter
+    # similarity join, PQ/ADC search, mergeable + streaming Misra-Gries,
+    # oracle-verified GD training loop
     "multimodal_frame_sample",
     "multimodal_resize_roundtrip",
+    "dedup_prefix_filter_jaccard_join",
+    "pq_adc_recall",
+    "misra_gries_table_merge",
+    "stream_misra_gries_topk",
+    "logreg_gd_click_model",
 ]
 
 

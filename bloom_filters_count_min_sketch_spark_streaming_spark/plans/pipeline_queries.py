@@ -1847,3 +1847,87 @@ def logreg_gd_click_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_r6(b)).alias("w1"),
         "train_accuracy",
     )
+
+
+@query(
+    "stratified_neyman_sample",
+    oracle="""
+    -- Neyman-allocation stratified sampling: a 100-doc budget split
+    -- across language strata proportionally to N_h * sigma_h (strata
+    -- that are bigger OR more variable in n_chars get more budget) —
+    -- the design that minimizes the variance of the stratified mean.
+    -- sigma_h comes from exact integer moments; the N_h*sigma_h weights
+    -- are rounded then decimal-summed; within-stratum selection is by
+    -- engine-portable md5 rank.
+    WITH s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+             sqrt((SUM(n_chars * n_chars) - SUM(n_chars) * 1.0 * SUM(n_chars)
+                     / COUNT(*)) / COUNT(*)) AS sigma_h
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_h, ROUND(n_h * sigma_h, 6) AS w_h FROM s
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w_h AS DECIMAL(28,6))) AS DOUBLE) AS w_tot FROM w
+    ),
+    alloc AS (
+      SELECT w.lang, w.n_h,
+             CAST(ROUND(100.0 * w.w_h / tot.w_tot, 0) AS BIGINT) AS n_alloc
+      FROM w CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '|ney'), d.doc_id)
+               AS rnk
+      FROM documents d
+    )
+    SELECT r.lang, r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, a.n_h, a.n_alloc
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rnk <= a.n_alloc
+    ORDER BY r.lang, r.rnk
+    """,
+)
+def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with NEYMAN ALLOCATION — the survey-statistics
+    optimum that the existing equal-k and language-balanced samplers
+    don't give: each language stratum receives budget proportional to
+    N_h * sigma_h (its size times its n_chars spread), which minimizes
+    the variance of the stratified mean estimator. Strata moments are
+    exact integer aggregates; the allocation arithmetic and the md5
+    within-stratum ranking are engine-portable, so the ENTIRE sample —
+    membership and order — is value-hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ssq"),
+        F.sum("n_chars").alias("sx"),
+    )
+    sigma = F.sqrt(
+        (F.col("ssq") - F.col("sx") * 1.0 * F.col("sx") / F.col("n_h"))
+        / F.col("n_h")
+    )
+    w = s.select("lang", "n_h", F.round(F.col("n_h") * sigma, 6).alias("w_h"))
+    tot = w.agg(
+        F.sum(F.col("w_h").cast("decimal(28,6)")).cast("double").alias("w_tot")
+    )
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        F.round(100.0 * F.col("w_h") / F.col("w_tot"), 0).cast("long").alias("n_alloc"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ney"))), "doc_id"
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(wr).cast("long").alias("rnk")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rnk") <= F.col("n_alloc"))
+        .select("lang", "doc_id", "rnk", "n_h", "n_alloc")
+        .orderBy("lang", "rnk")
+    )
