@@ -1410,3 +1410,114 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.abs(F.col("cusum_scaled")).desc(), "changepoint_day"
     ).limit(1)
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    -- split-conformal prediction intervals (Vovk/Shafer; the
+    -- distribution-free ML-eval standard): fit OLS value ~ hour on the
+    -- md5-even calibration split, take the ceil((n+1)*0.9)-th smallest
+    -- absolute residual as the 90% conformal radius q, and measure
+    -- empirical coverage on the held-out split — which is guaranteed
+    -- >= 0.9 - 1/(n_cal+1) regardless of the model being right. Moments
+    -- are decimal-summed rounded terms; q and the coverage comparisons
+    -- run on bit-identical doubles in both engines.
+    WITH d AS (
+      SELECT value AS y, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 2
+               AS split
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM d WHERE split = 0
+    ),
+    fit AS (
+      SELECT n, (sxy - sx * sy / n) / (sxx - sx * 1.0 * sx / n) AS b,
+             sy / n - (sxy - sx * sy / n) / (sxx - sx * 1.0 * sx / n) * sx / n
+               AS a
+      FROM m
+    ),
+    cal AS (
+      SELECT ABS(d.y - fit.a - fit.b * d.x) AS r,
+             row_number() OVER (ORDER BY ABS(d.y - fit.a - fit.b * d.x)) AS rk,
+             fit.n
+      FROM d CROSS JOIN fit WHERE d.split = 0
+    ),
+    q AS (
+      SELECT r AS radius FROM cal WHERE rk = CAST(CEIL((n + 1) * 0.9) AS BIGINT)
+    )
+    SELECT fit.n AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(q.radius, 6) AS q_radius,
+           ROUND(SUM(CASE WHEN ABS(d.y - fit.a - fit.b * d.x) <= q.radius
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS coverage
+    FROM d CROSS JOIN fit CROSS JOIN q
+    WHERE d.split = 1
+    GROUP BY fit.n, q.radius
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the distribution-free
+    uncertainty wrapper production models ship with: whatever the model
+    (here OLS value ~ hour-of-day, from one decimal-moment pass), the
+    ceil((n+1)(1-alpha))-th smallest calibration residual is a radius
+    whose held-out coverage is guaranteed >= 1 - alpha - 1/(n+1). The
+    md5 split, the moment fit, the order statistic, and the coverage
+    comparisons are all engine-portable, so the entire eval pipeline is
+    value-hash-checked."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("y"),
+        F.hour("ts").cast("long").alias("x"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("split"),
+    ).persist()
+    m = d.filter(F.col("split") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n")
+    )
+    fit = m.select("n", b.alias("b"), (F.col("sy") / F.col("n") - b * F.col("sx") / F.col("n")).alias("a"))
+    resid = F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+    cal = (
+        d.filter(F.col("split") == 0)
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"), "n")
+        .withColumn("rk", F.row_number().over(Window.orderBy("r")))
+    )
+    q = cal.filter(
+        F.col("rk") == F.ceil((F.col("n") + 1) * 0.9).cast("long")
+    ).select(F.col("r").alias("radius"))
+    test = (
+        d.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+    )
+    return test.groupBy("n", "radius").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.sum((resid <= F.col("radius")).cast("int")) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    ).select(
+        F.col("n").alias("n_cal"),
+        "n_test",
+        F.round(F.col("radius"), 6).alias("q_radius"),
+        "coverage",
+    )
