@@ -1931,3 +1931,64 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rnk", "n_h", "n_alloc")
         .orderBy("lang", "rnk")
     )
+
+
+@query(
+    "dataset_mixture_planner",
+    oracle="""
+    -- pretraining data-mixture planning (the DoReMi/Pile-style step
+    -- before any token moves): given per-source domain weights and a
+    -- total char budget of 3x the corpus, derive each source's target
+    -- share, its repeat factor (epochs > 1 = upsampled source, < 1 =
+    -- downsampled), and the residual vs a single pass. Pure integer
+    -- corpus stats + one exact division per source.
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_h,
+             CAST(1 + CAST(substr(source, 4) AS BIGINT) % 4 AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(chars_h) AS BIGINT) AS chars_tot,
+             CAST(SUM(w) AS BIGINT) AS w_tot
+      FROM s
+    )
+    SELECT s.source, s.n_docs, s.chars_h, s.w AS weight,
+           CAST(ROUND(3.0 * t.chars_tot * s.w / t.w_tot, 0) AS BIGINT)
+             AS target_chars,
+           ROUND(3.0 * t.chars_tot * s.w / t.w_tot / s.chars_h, 4) AS epochs
+    FROM s CROSS JOIN t
+    ORDER BY s.source
+    """,
+)
+def dataset_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (the third planner, after the LSH and sketch
+    capacity planners): turn per-source domain weights + a char budget of
+    3x the corpus into per-source target shares and repeat factors — the
+    arithmetic that decides, before a single byte shuffles, which sources
+    get upsampled (epochs > 1) and which truncated. One integer stats
+    pass; everything else is broadcast-sized expression math."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_h"),
+    ).withColumn(
+        "w", (1 + F.substring("source", 4, 10).cast("long") % 4).cast("long")
+    )
+    t = s.agg(
+        F.sum("chars_h").cast("long").alias("chars_tot"),
+        F.sum("w").cast("long").alias("w_tot"),
+    )
+    target = 3.0 * F.col("chars_tot") * F.col("w") / F.col("w_tot")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "chars_h",
+            F.col("w").alias("weight"),
+            F.round(target, 0).cast("long").alias("target_chars"),
+            F.round(target / F.col("chars_h"), 4).alias("epochs"),
+        )
+        .orderBy("source")
+    )
