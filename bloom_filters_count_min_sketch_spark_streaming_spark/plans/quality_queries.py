@@ -1086,72 +1086,6 @@ def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "chi2_independence_lang_source",
-    oracle="""
-    -- Pearson chi-squared independence test lang x source (the
-    -- categorical companion of the KS/PSI drift family): expected cell
-    -- counts r*c/N over the FULL grid (zero-observed cells included via
-    -- the left join), per-cell term rounded then decimal-summed so
-    -- cross-engine float summation order can't flip a bit.
-    WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
-    r AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY 1),
-    c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n FROM documents),
-    grid AS (
-      SELECT r.lang, c.source, r.r, c.c, n.n, COALESCE(o.o, 0) AS o
-      FROM r CROSS JOIN c CROSS JOIN n
-      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
-    )
-    SELECT CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
-             * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
-           CAST(COUNT(*) AS BIGINT) AS n_cells,
-           CAST(SUM(CAST(ROUND(POW(o - r * c * 1.0 / n, 2)
-                                / (r * c * 1.0 / n), 6)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS chi2
-    FROM grid
-    """,
-)
-def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson chi-squared test of independence between document language
-    and source — the collection-bias gate in categorical form (mutual
-    information measures the dependence; chi2 tests it). One contingency
-    pass + two marginal passes, full grid reconstructed with a broadcast
-    cross join so zero-observed cells contribute their expected mass;
-    per-cell (o-e)^2/e terms rounded then decimal-summed per the repo's
-    determinism discipline."""
-    docs = load(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
-    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        r.crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(n))
-        .join(o, ["lang", "source"], "left")
-        .select(
-            "r", "c", "n", F.coalesce(F.col("o"), F.lit(0)).alias("o")
-        )
-    )
-    e = F.col("r") * F.col("c") * 1.0 / F.col("n")
-    term = F.round(F.pow(F.col("o") - e, 2) / e, 6)
-    n_lang = r.agg(F.count(F.lit(1)).alias("nl"))
-    n_src = c.agg(F.count(F.lit(1)).alias("ns"))
-    return (
-        grid.agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2"),
-        )
-        .crossJoin(F.broadcast(n_lang))
-        .crossJoin(F.broadcast(n_src))
-        .select(
-            ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
-            F.col("n_cells").cast("long").alias("n_cells"),
-            "chi2",
-        )
-    )
-
-
-@query(
     "mann_whitney_u_halves",
     oracle="""
     -- Mann-Whitney U rank-sum test between the stream's time halves (the
