@@ -253,7 +253,9 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.pq_adc_topk(
         emb, queries, k=5, m=8, k_c=16, seed=42, candidates=20, rerank=True
     ).select("query_id", "neighbor_id")
-    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).select(
+    # blocked-GEMM is hash-checked identical to brute force and plans no
+    # nested-loop join (the recall denominator stays a clean equi-join)
+    exact = similarity.cosine_topk_blocked_gemm(emb, queries, k=5).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
     )
     hits = approx.join(

@@ -178,6 +178,11 @@ _NESTED_LOOP_OK = {
                                    # range join (|death times| is tiny after
                                    # hour bucketing; sort-once at scale)
     "pareto_concentration_gini",   # 1-row totals / 1-row crossing scalar joins
+    "pq_adc_recall",               # 1-row n_hits x 1-row n_exact scalar join
+                                   # (the search itself is equi-join only —
+                                   # exact side is blocked-GEMM, not BNLJ)
+    "misra_gries_table_merge",     # 1-row merge-offset scalar cross join
+                                   # (the MG reduction's (k+1)-th count)
 }
 
 
