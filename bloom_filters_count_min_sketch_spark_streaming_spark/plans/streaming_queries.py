@@ -497,6 +497,57 @@ def stream_generational_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "stream_bloom_prefilter_join",
+    oracle="""
+    -- the reference's namesake COMPOSITION, online: a Bloom filter built
+    -- from the static side (users with >= 3 purchases) gates the event
+    -- STREAM before any stateful work. fpp 1e-9 over ~hundreds of keys
+    -- -> zero expected false positives at every fixture SF, and Bloom
+    -- guarantees no false negatives, so the gated streaming counts equal
+    -- the exact semi-join.
+    WITH vip AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 3
+    )
+    SELECT e.event_type, COUNT(*) AS n_gated
+    FROM events e JOIN vip USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def stream_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom pre-gate (the namesake operator composed with C10,
+    online): the static side (frequent purchasers) compiles to ONE
+    kilobyte-scale Bloom filter that ships to every executor and drops
+    non-matching stream rows BEFORE the windowed/stateful stages — at
+    100 TB this is the difference between shuffling the whole stream into
+    a join and shuffling only the ~matching fraction. No false negatives
+    (never lose a row), fpp pinned so low the gate equals the exact
+    semi-join at fixture scale — which is the hash-checked oracle."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    vip = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("user_id")
+    )
+    n_keys = vip.count()  # bounded scalar: sizes the filter to distinct keys
+    bf = bloom_build(vip, "user_id", expected_items=max(n_keys, 16), fpp=1e-9)
+    src = events_stream_source(spark, sf_dir)
+    gated = bloom_might_contain(src, "user_id", bf).filter(F.col("might_contain"))
+    counts = gated.groupBy("event_type").count()
+    out = run_available_now(counts, "complete")
+    return out.select(
+        "event_type", F.col("count").alias("n_gated")
+    ).orderBy("event_type")
+
+
+@query(
     "stream_bottomk_sample",
     oracle="""
     -- exact twin of the ONLINE hash-min sample: the final streaming
