@@ -747,13 +747,20 @@ def dedup_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFr
     ordered = ranked.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("r", "w"))).alias("rw")
     )
-    # prefix of length |t| - ceil(theta*|t|) + 1 in rarest-first order
+    # prefix of length |t| - ceil(theta*|t|) + 1 in rarest-first order.
+    # ceil via INTEGER arithmetic ((9n+9) div 10), not float ceil(0.9*n):
+    # a float product landing one ulp above an exact integer boundary
+    # would shorten the prefix by one and silently break losslessness.
     pref = ordered.select(
         "doc_id",
         F.slice(
             F.transform("rw", lambda s: s["w"]),
             1,
-            (F.size("rw") - F.ceil(F.lit(theta) * F.size("rw")) + 1).cast("int"),
+            (
+                F.size("rw")
+                - F.expr("(size(rw) * 9 + 9) div 10").cast("long")
+                + 1
+            ).cast("int"),
         ).alias("prefix"),
     ).select("doc_id", F.explode("prefix").alias("w"))
     cand = (

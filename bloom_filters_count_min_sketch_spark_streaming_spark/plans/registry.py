@@ -61,11 +61,14 @@ def _repo_root() -> str:
 
 
 def driver_checked_rounds() -> dict[str, int]:
-    """Map query name -> latest driver round number that checked it.
+    """Map query name -> latest driver round number that checked it GREEN.
 
     Parsed from the committed CORRECTNESS_r*.json records at the repo root.
-    Changes only between rounds, so the derived prefix is stable for the
-    duration of a round (the driver and the local gate see the same order).
+    A recorded FAILURE does not count as checked — a query that failed a
+    driver round must rotate back into the prefix after its fix, not be
+    hidden by the rotation. Changes only between rounds, so the derived
+    prefix is stable for the duration of a round (the driver and the local
+    gate see the same order).
     """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
@@ -73,10 +76,17 @@ def driver_checked_rounds() -> dict[str, int]:
         try:
             rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
             with open(path) as fh:
-                names = list(json.load(fh))
+                records = json.load(fh)
         except (OSError, ValueError, json.JSONDecodeError):
             continue
-        for n in names:
+        for n, rec in records.items():
+            if isinstance(rec, dict) and (
+                rec.get("err") is not None
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or rec.get("hash_match") is False
+            ):
+                continue  # failed check: stays eligible for rotation
             latest[n] = max(latest.get(n, 0), rnd)
     return latest
 
