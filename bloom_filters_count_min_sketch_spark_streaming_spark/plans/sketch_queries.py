@@ -2039,3 +2039,57 @@ def count_sketch_vs_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key long, exact long, cs_est double, cms_est long, "
         "cs_err double, cms_err long",
     ).orderBy("key")
+
+
+@query(
+    "iblt_set_reconciliation",
+    oracle="""
+    -- semantic spec of IBLT set reconciliation (Eppstein et al. SIGCOMM
+    -- 2011): the exact symmetric difference between first-day and
+    -- last-day active-user sets, with side labels. The Spark side must
+    -- recover the IDENTICAL keys from two 1024-cell tables — listing,
+    -- not estimating, the difference.
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    a AS (SELECT DISTINCT user_id FROM events CROSS JOIN bounds
+          WHERE CAST(ts AS DATE) = bounds.lo),
+    b AS (SELECT DISTINCT user_id FROM events CROSS JOIN bounds
+          WHERE CAST(ts AS DATE) = bounds.hi)
+    SELECT user_id, CAST(side AS BIGINT) AS side FROM (
+      SELECT user_id, 1 AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT user_id, -1 AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    ) ORDER BY user_id
+    """,
+)
+def iblt_set_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET RECONCILIATION via Invertible Bloom Lookup Tables — the
+    Bloom-family member that lists (not estimates) the difference between
+    two key sets while exchanging only O(m) cells: which users were
+    active on the first fixture day but not the last, and vice versa.
+    Each side is ONE distributed aggregate into a 1024-cell table
+    (count / key-XOR / checksum-XOR under k=3 md5 hashes), the tables
+    subtract cell-wise (common keys cancel algebraically), and the
+    kilobyte residual peels on the driver. At 100 TB the two sides never
+    exchange keys — only their tables; capacity is sized to the EXPECTED
+    DIFFERENCE, not the set sizes (the whole point). Exact recovery is
+    hash-checked against the EXCEPT-based oracle."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
+
+    m, k = 1024, 3
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    keyed = ev.crossJoin(F.broadcast(bounds))
+    a = keyed.filter(F.to_date("ts") == F.col("lo")).select("user_id").distinct()
+    b = keyed.filter(F.to_date("ts") == F.col("hi")).select("user_id").distinct()
+    ta = iblt.iblt_table(a, "user_id", m=m, k=k)
+    tb = iblt.iblt_table(b, "user_id", m=m, k=k)
+    residual = iblt.iblt_subtract(ta, tb).collect()  # bounded: <= m cells
+    recovered = iblt.iblt_peel(residual, m=m, k=k)
+    return spark.createDataFrame(
+        [(int(key), int(side)) for key, side in recovered],
+        "user_id BIGINT, side BIGINT",
+    ).orderBy("user_id")

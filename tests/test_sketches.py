@@ -151,3 +151,48 @@ def test_cms_dyadic_quantile_bias_bound(spark):
         assert target - true_rank_at_lo <= 2 * levels * eps * n + (n_est - n), (
             p, lo, true_rank_at_lo, target,
         )
+
+
+def test_iblt_recovers_exact_symmetric_difference(spark):
+    """IBLT reconciliation: two overlapping key sets with a known
+    symmetric difference must peel back EXACTLY — keys and sides."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
+
+    m, k = 256, 3
+    common = list(range(1000, 1400))
+    only_a = [7, 13, 99, 4242, 90210]
+    only_b = [55_555, 123_456_789]
+    a = spark.createDataFrame([(x,) for x in common + only_a], "key long")
+    b = spark.createDataFrame([(x,) for x in common + only_b], "key long")
+    residual = iblt.iblt_subtract(
+        iblt.iblt_table(a, "key", m=m, k=k), iblt.iblt_table(b, "key", m=m, k=k)
+    ).collect()
+    got = iblt.iblt_peel(residual, m=m, k=k)
+    want = sorted([(x, 1) for x in only_a] + [(x, -1) for x in only_b])
+    assert got == want
+
+
+def test_iblt_identical_sets_peel_empty(spark):
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
+
+    a = spark.createDataFrame([(x,) for x in range(500)], "key long")
+    residual = iblt.iblt_subtract(
+        iblt.iblt_table(a, "key", m=128), iblt.iblt_table(a, "key", m=128)
+    ).collect()
+    assert iblt.iblt_peel(residual, m=128) == []
+
+
+def test_iblt_over_capacity_fails_loudly(spark):
+    """A difference far beyond m must raise, not silently truncate."""
+    import pytest
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
+
+    m = 16
+    a = spark.createDataFrame([(x,) for x in range(200)], "key long")
+    b = spark.createDataFrame([(x,) for x in range(200, 400)], "key long")
+    residual = iblt.iblt_subtract(
+        iblt.iblt_table(a, "key", m=m), iblt.iblt_table(b, "key", m=m)
+    ).collect()
+    with pytest.raises(ValueError, match="capacity"):
+        iblt.iblt_peel(residual, m=m)
