@@ -1547,3 +1547,177 @@ def stream_binaryfile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode, "media_id long, width long, height long, mean_r double"
     )
     return run_available_now(decoded, "append")
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle="""
+    -- Heaps'-law fit V(N) = K * N^beta of 3-gram-shingle vocabulary
+    -- growth over the doc_id ingest order: V at 10 checkpoint prefixes
+    -- via first-occurrence flags, then log-log OLS with rounded-term
+    -- decimal moments. beta << 1 = fast novelty decay (duplication);
+    -- the curve a curation pipeline watches to decide when more data
+    -- stops buying new content.
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM w WHERE len(ws) >= 3
+    ), firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ), ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS n_docs
+      FROM (SELECT DISTINCT doc_id FROM sh)
+    ), ck AS (
+      SELECT n_docs, doc_id FROM ranked
+      WHERE n_docs % (SELECT CAST(CEIL(MAX(n_docs) / 10.0) AS BIGINT) FROM ranked) = 0
+         OR n_docs = (SELECT MAX(n_docs) FROM ranked)
+    ), pts AS (
+      SELECT DISTINCT ck.n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+              WHERE first_doc <= ck.doc_id) AS v
+      FROM ck
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(ROUND(ln(n_docs), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(ln(n_docs) * ln(n_docs), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(ln(v), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(ln(n_docs) * ln(v), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT np AS n_checkpoints,
+           ROUND((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS beta,
+           ROUND(exp(sy / np - (sxy - sx * sy / np) / (sxx - sx * sx / np) * sx / np), 4) AS k_coef
+    FROM m
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the shingle vocabulary —
+    the curation diagnostic for 'is more data still buying new content':
+    V(N) = K·N^beta with beta near 1 = every batch novel, beta near 0 =
+    saturated/duplicated corpus. First-occurrence flags (one groupBy)
+    give V at 10 ingest checkpoints without re-scanning prefixes; the
+    log-log OLS uses the repo's rounded-term decimal moments, so K and
+    beta are hash-checked cross-engine."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        shingles_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    ranked = (
+        sh.select("doc_id")
+        .distinct()
+        .withColumn("n_docs", F.row_number().over(Window.orderBy("doc_id")))
+    )
+    tot = ranked.agg(
+        F.max("n_docs").alias("nmax"),
+        F.ceil(F.max("n_docs") / 10.0).cast("long").alias("step"),
+    )
+    ck = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n_docs") % F.col("step") == 0)
+            | (F.col("n_docs") == F.col("nmax"))
+        )
+        .select("n_docs", "doc_id")
+        .distinct()
+    )
+    pts = (
+        ck.join(firsts, firsts["first_doc"] <= ck["doc_id"])
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    lx, ly = F.log(F.col("n_docs").cast("double")), F.log(F.col("v").cast("double"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.round(lx, 8).cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.round(lx * lx, 8).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum(F.round(ly, 8).cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(lx * ly, 8).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np")
+    )
+    return m.select(
+        F.col("np").alias("n_checkpoints"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("np") - beta * F.col("sx") / F.col("np")), 4
+        ).alias("k_coef"),
+    )
+
+
+@query(
+    "zipf_slope_shingles",
+    oracle="""
+    -- Zipf rank-frequency fit over the top-100 shingles: slope of
+    -- ln(freq) vs ln(rank) by the same rounded-term decimal OLS. A slope
+    -- near -1 is natural-language-like; far flatter flags templated /
+    -- machine-generated text — a generation-artifact audit.
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT unnest(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w WHERE len(ws) >= 3
+    ), freq AS (
+      SELECT s, COUNT(*) AS f FROM sh GROUP BY s
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, s) AS r FROM freq
+      QUALIFY r <= 100
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(ROUND(ln(r), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(ln(r) * ln(r), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(ln(f), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(ln(r) * ln(f), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      FROM ranked
+    )
+    SELECT np AS n_ranks,
+           ROUND((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS zipf_slope
+    FROM m
+    """,
+)
+def zipf_slope_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-100 shingles — the
+    companion audit to Heaps' law (growth says how fast novelty decays;
+    Zipf says whether the frequency mass LOOKS like language): slope
+    near -1 is natural text, a flat curve flags templated or synthetic
+    content. Occurrence counts are exact ints; the log-log OLS rides the
+    rounded-term decimal moments."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        shingle_occurrences_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(shingle_occurrences_col(F.col("text"), 3)).alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), "s"))
+        )
+        .filter(F.col("r") <= 100)
+    )
+    lx, ly = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.round(lx, 8).cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.round(lx * lx, 8).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum(F.round(ly, 8).cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(lx * ly, 8).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        F.col("np").alias("n_ranks"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np")),
+            6,
+        ).alias("zipf_slope"),
+    )
