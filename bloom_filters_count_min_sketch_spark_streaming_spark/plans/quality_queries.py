@@ -1455,3 +1455,306 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("radius"), 6).alias("q_radius"),
         "coverage",
     )
+
+
+@query(
+    "welch_t_test_halves",
+    oracle="""
+    -- Welch's unequal-variance t between the stream's time halves — the
+    -- parametric member of the halves-comparison family (KS sees shape,
+    -- Mann-Whitney sees location ranks, Welch sees means with its own
+    -- variance per arm). Per-half decimal moments (terms rounded before
+    -- the sum, the repo's float-agg rule) collapse to bit-identical
+    -- doubles; t and the Welch-Satterthwaite df are closed forms on those.
+    WITH b AS (
+      SELECT epoch_us(MIN(ts))
+             + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2) AS BIGINT)
+               AS cut_us
+      FROM events
+    ),
+    halves AS (
+      SELECT CASE WHEN epoch_us(ts) >= b.cut_us THEN 1 ELSE 0 END AS h, value
+      FROM events CROSS JOIN b
+    ),
+    m AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS ss
+      FROM halves GROUP BY h
+    ),
+    w AS (
+      SELECT m0.n AS n0, m1.n AS n1,
+             m0.s / m0.n AS mean0, m1.s / m1.n AS mean1,
+             (m0.ss - m0.s * m0.s / m0.n) / (m0.n - 1) AS v0,
+             (m1.ss - m1.s * m1.s / m1.n) / (m1.n - 1) AS v1
+      FROM (SELECT * FROM m WHERE h = 0) m0
+      CROSS JOIN (SELECT * FROM m WHERE h = 1) m1
+    )
+    SELECT n0, n1, ROUND(mean0, 6) AS mean0, ROUND(mean1, 6) AS mean1,
+           ROUND((mean1 - mean0) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+           ROUND(pow(v0 / n0 + v1 / n1, 2)
+                 / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)),
+                 4) AS welch_df
+    FROM w
+    """,
+)
+def welch_t_test_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the stream's first and second time
+    halves — completes the halves-comparison family (ks_test_two_sample:
+    any distributional change; mann_whitney_u_halves: rank location shift;
+    Welch: mean shift without assuming equal variances). One grouped
+    decimal-moment pass, then the t statistic and Welch-Satterthwaite
+    degrees of freedom as closed forms on bit-identical doubles."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        ).alias("cut")
+    )
+    m = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.unix_micros("ts") >= F.col("cut")).cast("int").alias("h"), "value"
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    m0 = m.filter(F.col("h") == 0).select(
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    m1 = m.filter(F.col("h") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    w = m0.crossJoin(F.broadcast(m1)).select(
+        "n0",
+        "n1",
+        (F.col("s0") / F.col("n0")).alias("mean0"),
+        (F.col("s1") / F.col("n1")).alias("mean1"),
+        ((F.col("ss0") - F.col("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)).alias("v0"),
+        ((F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return w.select(
+        "n0",
+        "n1",
+        F.round(F.col("mean0"), 6).alias("mean0"),
+        F.round(F.col("mean1"), 6).alias("mean1"),
+        F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# SPRT constants, computed ONCE in Python and embedded as identical double
+# literals in both engines: ln() differs in the last bit across engines, so
+# the walk must never call ln at query time (same discipline as the CUSUM
+# integer rescale, solved here by sharing literals instead).
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_C1 = __import__("math").log(_SPRT_P1 / _SPRT_P0)       # per-success LLR
+_SPRT_C0 = __import__("math").log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per-failure
+_SPRT_A = __import__("math").log(0.95 / 0.05)                # accept-H1 bound
+_SPRT_B = -_SPRT_A                                           # accept-H0 bound
+
+
+@query(
+    "sprt_ab_early_stop",
+    oracle=f"""
+    -- Wald's SPRT over the purchase-conversion stream (H0: p={_SPRT_P0} vs
+    -- H1: p={_SPRT_P1}, alpha=beta=0.05): the cumulative log-likelihood
+    -- ratio walk in event order, stopped at the first boundary crossing.
+    -- The experiment-scorecard family's sequential member: instead of a
+    -- fixed-n z-test, the test can stop as soon as the evidence suffices.
+    -- LLR coefficients are SHARED double literals (python-computed), so
+    -- the walk is bit-identical cross-engine.
+    WITH ordered AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS k
+      FROM events
+    ),
+    walk AS (
+      SELECT n, k, k * {_SPRT_C1!r} + (n - k) * {_SPRT_C0!r} AS llr
+      FROM ordered
+    ),
+    crossed AS (
+      SELECT 1 AS pri, n, k, llr FROM walk
+      WHERE llr >= {_SPRT_A!r} OR llr <= {_SPRT_B!r}
+      ORDER BY n LIMIT 1
+    ),
+    last AS (
+      SELECT 2 AS pri, n, k, llr FROM walk ORDER BY n DESC LIMIT 1
+    ),
+    pick AS (
+      SELECT * FROM (SELECT * FROM crossed UNION ALL SELECT * FROM last)
+      ORDER BY pri LIMIT 1
+    )
+    SELECT CASE WHEN llr >= {_SPRT_A!r} THEN 'accept_h1'
+                WHEN llr <= {_SPRT_B!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           n AS n_decided, k AS k_decided, ROUND(llr, 6) AS llr
+    FROM pick
+    """,
+)
+def sprt_ab_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the purchase-conversion
+    stream: walk the cumulative LLR in event order and stop at the first
+    boundary crossing (or report 'continue' at stream end). This is the
+    sequential counterpart of the fixed-horizon ab_test_zscore — the test a
+    live experiment platform actually runs, since it bounds both error
+    rates while allowing early stopping. The LLR coefficients and Wald
+    bounds are python-computed literals shared verbatim with the oracle, so
+    the walk, the stopping time, and the decision are all hash-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    walk = ev.select(
+        F.row_number().over(w).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("k"),
+    ).select(
+        "n",
+        "k",
+        (F.col("k") * F.lit(_SPRT_C1) + (F.col("n") - F.col("k")) * F.lit(_SPRT_C0)).alias("llr"),
+    )
+    crossed = (
+        walk.filter((F.col("llr") >= _SPRT_A) | (F.col("llr") <= _SPRT_B))
+        .orderBy("n")
+        .limit(1)
+        .select(F.lit(1).alias("pri"), "n", "k", "llr")
+    )
+    last = (
+        walk.orderBy(F.col("n").desc())
+        .limit(1)
+        .select(F.lit(2).alias("pri"), "n", "k", "llr")
+    )
+    pick = crossed.unionByName(last).orderBy("pri").limit(1)
+    return pick.select(
+        F.when(F.col("llr") >= _SPRT_A, "accept_h1")
+        .when(F.col("llr") <= _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.col("n").alias("n_decided"),
+        F.col("k").alias("k_decided"),
+        F.round(F.col("llr"), 6).alias("llr"),
+    )
+
+
+@query(
+    "bh_fdr_metric_screen",
+    oracle="""
+    -- Benjamini-Hochberg FDR screen over 20 simultaneous hypotheses (each
+    -- source's mean doc length vs the corpus mean): per-source z from
+    -- EXACT integer moments (n_chars is BIGINT, so sums and sums of
+    -- squares are exact), p-values via the logistic normal-CDF
+    -- approximation Phi(z) ~ 1/(1+exp(-1.702 z)) — the SAME closed form
+    -- in both engines (neither ships erf), monotone in |z| so the BH
+    -- ordering is the true ordering — then the step-up rule: reject all
+    -- ranks <= max{i : p_(i) <= alpha*i/m} at alpha=0.10.
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(n_chars) AS BIGINT) AS s_s
+      FROM documents GROUP BY source
+    ),
+    z AS (
+      SELECT per.source, per.n_s,
+             (per.s_s * 1.0 / per.n_s - g.s * 1.0 / g.n)
+               / sqrt(((g.ss - g.s * g.s * 1.0 / g.n) / g.n) / per.n_s) AS z
+      FROM per CROSS JOIN g
+    ),
+    p AS (
+      SELECT source, n_s, z, 2.0 / (1.0 + exp(1.702 * abs(z))) AS p
+      FROM z
+    ),
+    ranked AS (
+      SELECT source, n_s, z, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, source) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    thr AS (
+      SELECT COALESCE(MAX(i), 0) AS k_max
+      FROM ranked WHERE p <= 0.10 * i / m
+    )
+    SELECT r.source, r.n_s AS n_docs, ROUND(r.z, 6) AS z,
+           ROUND(r.p, 8) AS p_approx, r.i AS bh_rank,
+           r.i <= t.k_max AS rejected
+    FROM ranked r CROSS JOIN thr t
+    """,
+)
+def bh_fdr_metric_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a family of 20
+    simultaneous tests (is each source's mean document length shifted from
+    the corpus mean?) — the multiple-comparisons correction every metric
+    dashboard needs once it screens many segments at once. z statistics
+    come from exact integer moments; p-values use the logistic
+    approximation to the normal CDF (identical closed form in both
+    engines); the step-up rejection rule runs on bit-identical doubles, so
+    the discovery set itself is hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("n_chars").cast("long").alias("s_s"),
+    )
+    z = per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_s",
+        (
+            (F.col("s_s") * 1.0 / F.col("n_s") - F.col("s") * 1.0 / F.col("n"))
+            / F.sqrt(
+                ((F.col("ss") - F.col("s") * F.col("s") * 1.0 / F.col("n")) / F.col("n"))
+                / F.col("n_s")
+            )
+        ).alias("z"),
+    )
+    p = z.select(
+        "source", "n_s", "z", (F.lit(2.0) / (F.lit(1.0) + F.exp(F.lit(1.702) * F.abs(F.col("z"))))).alias("p")
+    )
+    ranked = p.select(
+        "source",
+        "n_s",
+        "z",
+        "p",
+        F.row_number().over(Window.orderBy("p", "source")).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    thr = ranked.filter(F.col("p") <= F.lit(0.10) * F.col("i") / F.col("m")).agg(
+        F.coalesce(F.max("i"), F.lit(0)).cast("long").alias("k_max")
+    )
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(F.col("z"), 6).alias("z"),
+        F.round(F.col("p"), 8).alias("p_approx"),
+        F.col("i").alias("bh_rank"),
+        (F.col("i") <= F.col("k_max")).alias("rejected"),
+    )
