@@ -594,3 +594,74 @@ def portable_minhash_band_buckets(
             for b in range(bands)
         ]
     )
+
+
+def duplicate_span_removal_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """The REMOVAL phase of ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499): ``duplicate_ngram_stats`` only *measures* duplicated
+    coverage — this operator applies the rewrite rule ("excise every token
+    covered by a cross-document duplicated n-gram") and reports, per group,
+    what the rewritten corpus looks like: docs trimmed, tokens removed,
+    retained-token ratio. That retained ratio is the number a curation run
+    actually acts on before re-training.
+
+    A token position is covered when ANY duplicated n-gram occurrence
+    overlaps it (occurrence start p covers p..p+n-1), so coverage is the
+    union of spans — computed distributively as distinct (doc, position)
+    pairs, never by rebuilding strings.
+
+    Scale shape: identical to duplicate_ngram_stats (one explode, hash-agg
+    for the corpus-duplicate decision, equi-join back) plus an O(n)-wide
+    position explode restricted to DUPLICATED occurrences only; the
+    distinct on (doc, pos) is a hash shuffle linear in covered tokens.
+    No doc-pair join, no driver-side text assembly.
+    """
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    occ = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .repartition(n_parts)
+        .select(
+            "doc",
+            F.posexplode(shingle_occurrences_col(F.col("_text"), n)).alias("pos", "sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.count_distinct("doc").alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("sh")
+    )
+    covered = (
+        occ.join(dup, "sh")
+        .select("doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tokpos"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("removed"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    return (
+        totals.join(covered, "doc", "left")
+        .select("grp", "n_tok", F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("removed"))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("removed") > 0).cast("long")).cast("long").alias("docs_trimmed"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum("removed").cast("long").alias("tokens_removed"),
+            F.round(
+                F.lit(1.0) - F.sum("removed") * 1.0 / F.sum("n_tok"), 6
+            ).alias("retained_ratio"),
+        )
+    )

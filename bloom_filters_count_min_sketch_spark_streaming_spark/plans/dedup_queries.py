@@ -796,3 +796,54 @@ def dedup_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFr
     return verified.select("doc_a", "doc_b", "inter_sz", "union_sz").orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "exact_substring_dedup_rewrite",
+    oracle="""
+    -- The ExactSubstr REMOVAL phase (Lee et al. 2022): a token position is
+    -- excised when any cross-document duplicated 3-gram occurrence covers
+    -- it (start p covers p, p+1, p+2); per-source rewrite report. Coverage
+    -- is the distinct (doc, position) union of spans — the same linear
+    -- explode/hash-agg/equi-join shape as the detection signal, no pair
+    -- join and no string rebuild.
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, u.pos, u.s FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]}
+                       for i in range(1, len(ws) - 1)]) AS u
+        FROM toks WHERE len(ws) >= 3) q
+    ), dup AS (
+      SELECT s FROM occ GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + d.j AS tokpos
+      FROM occ o JOIN dup USING (s)
+      CROSS JOIN (VALUES (0), (1), (2)) d(j)
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed FROM cov GROUP BY doc_id
+    ), base AS (
+      SELECT t.source, len(t.ws) AS n_tok, COALESCE(p.removed, 0) AS removed
+      FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_trimmed,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+           ROUND(1.0 - SUM(removed) * 1.0 / SUM(n_tok), 6) AS retained_ratio
+    FROM base GROUP BY source
+    """,
+)
+def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, removal phase: excise every token covered by a
+    cross-document duplicated 3-gram and report the per-source rewrite
+    (docs trimmed, tokens removed, retained ratio) — the step that turns
+    duplicate_ngram_spans' detection signal into the corpus a training run
+    would actually consume. See operators/dedup.py:duplicate_span_removal_stats."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicate_span_removal_stats(docs, n=3)
