@@ -1721,3 +1721,106 @@ def zipf_slope_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "kneser_ney_bigram_scores",
+    oracle="""
+    -- Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the smoothing
+    -- n-gram LMs shipped with for two decades): absolute discount d=0.75
+    -- on the bigram term, mass redistributed via CONTINUATION counts —
+    -- Pcont(w2) = |contexts w2 follows| / |bigram types| — not raw
+    -- unigram frequency (the "San Francisco" fix: 'francisco' is frequent
+    -- but follows only one context, so KN scores it low as a novel
+    -- continuation). P_KN(w2|w1) = max(cb-d,0)/c1(w1)
+    -- + d*N1p_fwd(w1)/c1(w1) * Pcont(w2). All counts are exact integers,
+    -- ratios identical doubles; per-occurrence bits ROUND@1e-8 -> DECIMAL
+    -- sum (the repo's float-agg rule), reported per lang.
+    WITH lsts AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS lst
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang,
+             unnest([struct_pack(w1 := lst[i], w2 := lst[i + 1])
+                     for i in range(1, len(lst))]) AS p
+      FROM lsts WHERE len(lst) >= 2
+    ),
+    bgc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+            FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM bgc GROUP BY w2),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bgc),
+    bits AS (
+      SELECT b.lang,
+             ROUND(-log2(
+               greatest(g.cb - 0.75, 0) / x.c1
+               + 0.75 * x.n1p_fwd / x.c1 * (c.n1p_bwd * 1.0 / s.b_types)
+             ), 8) AS bits
+      FROM bg b
+      JOIN bgc g ON g.w1 = b.p.w1 AND g.w2 = b.p.w2
+      JOIN ctx x ON x.w1 = b.p.w1
+      JOIN cont c ON c.w2 = b.p.w2
+      CROSS JOIN stats s
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(bits AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bits
+    FROM bits GROUP BY lang
+    """,
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang cross-entropy under an interpolated Kneser-Ney bigram LM —
+    the continuation-count smoothing that distinguishes "frequent word"
+    from "versatile continuation" (the standard against which the JM model
+    in bigram_perplexity_scores is the baseline). Model passes are
+    wordcount-shaped (bigram counts, context totals + fan-out, continuation
+    fan-in, one global type count); scoring joins are broadcast-sized
+    (bigram vocab is O(vocab^2), independent of corpus rows); per-occurrence
+    bits partial-aggregate per lang."""
+    docs = load(spark, sf_dir, "documents")
+    lsts = docs.select("doc_id", "lang", T.word_tokens(F.col("text")).alias("lst"))
+    sz = F.size("lst")
+    bg = (
+        lsts.filter(sz >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lst", 1, sz - 1).alias("w1"),
+                    F.slice(F.col("lst"), 2, sz - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb")).persist()
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_bwd"))
+    stats = bgc.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    p_kn = (
+        F.greatest(F.col("cb") - 0.75, F.lit(0)) / F.col("c1")
+        + F.lit(0.75) * F.col("n1p_fwd") / F.col("c1")
+        * (F.col("n1p_bwd") * 1.0 / F.col("b_types"))
+    )
+    bits = (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(stats))
+        .select("lang", F.round(-F.log2(p_kn), 8).alias("bits"))
+    )
+    return bits.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("bits").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bits"),
+    )
