@@ -1525,3 +1525,64 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "n", "value_sum")
         .orderBy("bucket")
     )
+
+
+@query(
+    "stream_cusum_changepoint",
+    oracle="""
+    -- batch twin of the online per-type CUSUM: integer-rescaled walk
+    -- S'_d = D * cumsum(c) - d * N over each type's daily series, argmax
+    -- |S'| with (abs desc, day asc) tie-break — identical to the global
+    -- cusum_changepoint_daily statistic, per key.
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_days,
+             CAST(SUM(c) AS BIGINT) AS n_total
+      FROM daily GROUP BY event_type
+    ),
+    walk AS (
+      SELECT event_type, day,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS d_idx
+      FROM daily
+    ),
+    scored AS (
+      SELECT w.event_type AS key, w.day AS changepoint_day,
+             CAST(t.d_days * w.cum - w.d_idx * t.n_total AS BIGINT)
+               AS cusum_scaled,
+             t.d_days, t.n_total,
+             ROW_NUMBER() OVER (PARTITION BY w.event_type
+               ORDER BY ABS(t.d_days * w.cum - w.d_idx * t.n_total) DESC, w.day)
+               AS rn
+      FROM walk w JOIN t ON t.event_type = w.event_type
+    )
+    SELECT key, changepoint_day, cusum_scaled, d_days, n_total
+    FROM scored WHERE rn = 1
+    """,
+)
+def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint detection maintained ONLINE across
+    micro-batches — the streaming member of the changepoint family
+    (cusum_changepoint_daily is the batch scan; this keeps the day->count
+    histogram in the state store in O(days) longs per key and re-emits the
+    argmax-|S'| day every batch). The last emission per key equals the
+    batch walk, which is the oracle. See
+    streaming/stateful.py:streaming_cusum_daily."""
+    src = events_stream_source(spark, sf_dir).withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    out = run_available_now(
+        stateful.streaming_cusum_daily(src, "event_type", "day"), "append"
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "changepoint_day", "cusum_scaled", "d_days", "n_total")
+    )

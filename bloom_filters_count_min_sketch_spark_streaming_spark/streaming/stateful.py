@@ -994,3 +994,69 @@ def bottomk_sample_state(stream_df: DataFrame, k: int) -> DataFrame:
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _BK_OUT, _BK_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_CUSUM_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("changepoint_day", StringType()),
+        StructField("cusum_scaled", LongType()),
+        StructField("d_days", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [StructField("days", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_cusum_daily(
+    stream_df: DataFrame, key_col: str, day_col: str
+) -> DataFrame:
+    """Per-key CUSUM changepoint detection maintained ONLINE — the streaming
+    twin of the batch cusum_changepoint_daily scan, sharing its exact
+    integer-rescaled statistic (S'_d = D * cumsum(c) - d * N). State per
+    key is the day->count histogram: O(days) integers, independent of
+    event volume — a year of stream costs 365 longs per key no matter how
+    many events arrived, so the detector runs forever at 100 TB/day.
+
+    Every batch folds its per-day counts into the histogram and re-emits
+    the current argmax-|S'| day; the LAST emission per key (max seq) equals
+    the batch scan over the full series, which is the oracle. Ties break
+    (|S'| desc, day asc), matching the batch query.
+    """
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            days = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            days, seq = {}, 0
+        for pdf in pdfs:
+            for day, c in pdf.groupby(day_col).size().items():
+                days[day] = days.get(day, 0) + int(c)
+        seq += 1
+        state.update((pickle.dumps(days, protocol=4), seq))
+        ordered = sorted(days)
+        counts = np.array([days[d] for d in ordered], dtype=np.int64)
+        cum = np.cumsum(counts)
+        d_days = np.int64(len(ordered))
+        n_total = np.int64(cum[-1])
+        walk = d_days * cum - np.arange(1, d_days + 1, dtype=np.int64) * n_total
+        best = int(np.argmax(np.abs(walk)))  # first index at the max = day asc
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "seq": [seq],
+                "changepoint_day": [ordered[best]],
+                "cusum_scaled": [int(walk[best])],
+                "d_days": [int(d_days)],
+                "n_total": [int(n_total)],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _CUSUM_OUT, _CUSUM_STATE, "append", GroupStateTimeout.NoTimeout
+    )
