@@ -2419,3 +2419,101 @@ def grouped_apply_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long, sum_value double, min_value double, "
         "max_value double",
     )
+
+
+@query(
+    "ivm_agg_retraction_maintenance",
+    oracle="""
+    -- IVM correctness statement for UPDATES: the view maintained through
+    -- Z-set retraction deltas (-1 old row, +1 corrected row) must equal
+    -- the full recompute over the corrected table. The corrected table
+    -- applies a +10% price restatement to every o_orderkey % 13 = 0 order.
+    -- the restatement runs entirely in DECIMAL (x1.10 then round half-up
+    -- at cents), so both engines land on the identical cent.
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2)) AS p
+      FROM orders
+    ),
+    corrected AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(ROUND(p * CAST(1.10 AS DECIMAL(4,2)), 2)
+                            AS DECIMAL(28,2))
+                  ELSE p END AS p
+      FROM base
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS total_price
+    FROM corrected GROUP BY 1 ORDER BY 1
+    """,
+)
+def ivm_agg_retraction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under RETRACTIONS — the update/delete
+    counterpart of ivm_join_delta_maintenance (which covers appends): a
+    price restatement arrives as a Z-set delta carrying multiplicity -1
+    for each old row and +1 for its corrected version. The materialized
+    per-priority (count, decimal-sum) view is merged with the
+    multiplicity-weighted delta aggregate — the base table is NEVER
+    rescanned, and groups whose count reaches 0 would drop out. DECIMAL
+    partials make count and sum abelian-group aggregates, so maintained ==
+    recomputed exactly (the oracle). At 100 TB the maintenance cost is
+    O(|delta| + |touched keys|): the GDPR-delete / restatement path that a
+    recompute warehouse cannot afford nightly."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)").alias("p"),
+    )
+
+    def gamma(rows, mult):
+        return rows.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.sum(F.lit(mult)).cast("long").alias("n"),
+            (F.sum("p") * mult).cast("decimal(28,2)").alias("s"),
+        )
+
+    mv_path = os.path.join(
+        tempfile.gettempdir(), f"bfcms_ivm_ret_mv_{os.path.basename(sf_dir)}"
+    )
+    gamma(orders, 1).write.mode("overwrite").parquet(mv_path)
+
+    touched = orders.filter(F.col("o_orderkey") % 13 == 0)
+    retract = gamma(touched, -1)
+    insert = gamma(
+        touched.withColumn(
+            "p",
+            F.round(F.col("p") * F.lit("1.10").cast("decimal(4,2)"), 2).cast(
+                "decimal(28,2)"
+            ),
+        ),
+        1,
+    )
+    delta = (
+        retract.unionByName(insert)
+        .groupBy("priority")
+        .agg(
+            F.sum("n").cast("long").alias("n_d"),
+            F.sum("s").cast("decimal(28,2)").alias("s_d"),
+        )
+    )
+    mv_old = spark.read.parquet(mv_path).select(
+        "priority", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    merged = (
+        mv_old.join(delta, "priority", "full_outer")
+        .select(
+            "priority",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("s_a"), F.lit(0).cast("decimal(28,2)"))
+                + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(28,2)"))
+            ).alias("s"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "priority", "n_orders", F.col("s").cast("double").alias("total_price")
+    ).orderBy("priority")
