@@ -1586,3 +1586,83 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("key", "changepoint_day", "cusum_scaled", "d_days", "n_total")
     )
+
+
+# Same SPRT design point as the batch sprt_ab_early_stop (quality_queries):
+# constants re-derived here (identical floats by construction) rather than
+# imported, so module registration order stays untouched.
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_C1 = __import__("math").log(_SPRT_P1 / _SPRT_P0)
+_SPRT_C0 = __import__("math").log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+_SPRT_A = __import__("math").log(0.95 / 0.05)
+_SPRT_B = -_SPRT_A
+
+
+@query(
+    "stream_sprt_early_stop",
+    oracle=f"""
+    -- batch twin of the ONLINE SPRT: identical walk, boundaries, and
+    -- tie handling as sprt_ab_early_stop (see quality_queries) — the
+    -- streaming operator must land on the same stopping time no matter
+    -- where micro-batch boundaries fall.
+    WITH ordered AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS k
+      FROM events
+    ),
+    walk AS (
+      SELECT n, k, k * {_SPRT_C1!r} + (n - k) * {_SPRT_C0!r} AS llr
+      FROM ordered
+    ),
+    crossed AS (
+      SELECT 1 AS pri, n, k, llr FROM walk
+      WHERE llr >= {_SPRT_A!r} OR llr <= {_SPRT_B!r}
+      ORDER BY n LIMIT 1
+    ),
+    last AS (
+      SELECT 2 AS pri, n, k, llr FROM walk ORDER BY n DESC LIMIT 1
+    ),
+    pick AS (
+      SELECT * FROM (SELECT * FROM crossed UNION ALL SELECT * FROM last)
+      ORDER BY pri LIMIT 1
+    )
+    SELECT CASE WHEN llr >= {_SPRT_A!r} THEN 'accept_h1'
+                WHEN llr <= {_SPRT_B!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           n AS n_decided, k AS k_decided, ROUND(llr, 6) AS llr
+    FROM pick
+    """,
+)
+def stream_sprt_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT maintained ONLINE across micro-batches — the streaming
+    member of the sequential-testing family (sprt_ab_early_stop is the
+    batch scan). State is O(1): running (n, k) plus the frozen decision;
+    each batch walks its rows in event order with the CLOSED-FORM LLR on
+    running totals, so the stopping time is invariant to micro-batch
+    boundaries and hash-equal to the batch query. The experiment-platform
+    shape: the monitor that watches a live A/B stream and stops it the
+    moment the evidence bound is crossed. See
+    streaming/stateful.py:streaming_sprt."""
+    src = events_stream_source(spark, sf_dir).select(
+        "event_id", (F.col("event_type") == "purchase").cast("long").alias("x")
+    )
+    out = run_available_now(
+        stateful.streaming_sprt(
+            src, "event_id", "x", _SPRT_C1, _SPRT_C0, _SPRT_A, _SPRT_B
+        ),
+        "append",
+    )
+    w = Window.orderBy(F.col("seq").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "decision",
+            "n_decided",
+            "k_decided",
+            F.round(F.col("llr").cast("double"), 6).alias("llr"),
+        )
+    )

@@ -19,6 +19,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
@@ -1059,4 +1060,93 @@ def streaming_cusum_daily(
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _CUSUM_OUT, _CUSUM_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_SPRT_OUT = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("decision", StringType()),
+        StructField("n_decided", LongType()),
+        StructField("k_decided", LongType()),
+        StructField("llr", StringType()),  # repr() for bit-exact transport
+    ]
+)
+_SPRT_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("k", LongType()),
+        StructField("decided", StringType()),
+        StructField("n_dec", LongType()),
+        StructField("k_dec", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def streaming_sprt(
+    stream_df: DataFrame,
+    order_col: str,
+    success_col: str,
+    c1: float,
+    c0: float,
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Wald's SPRT maintained ONLINE: O(1) state (two counters + the frozen
+    decision), every batch walks its rows in order and freezes at the
+    first boundary crossing. Each row's LLR is computed by the CLOSED FORM
+    k*c1 + (n-k)*c0 on the running totals — never an incremental float
+    cumsum — so the walk, the stopping time, and the decision are
+    bit-identical to the batch query regardless of micro-batch boundaries.
+
+    A sequential test is one decision process, so rows funnel to a single
+    state group — the data reaching it should already be a thin
+    (order, success) projection; the decision column freezes permanently
+    once a boundary is crossed (later batches re-emit it unchanged).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, k, decided, n_dec, k_dec, seq = state.get
+            n, k, n_dec, k_dec, seq = int(n), int(k), int(n_dec), int(k_dec), int(seq)
+        else:
+            n, k, decided, n_dec, k_dec, seq = 0, 0, "", 0, 0, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        seq += 1
+        if frames and not decided:
+            batch = pd.concat(frames).sort_values(order_col)
+            x = batch[success_col].to_numpy(np.int64)
+            k_cum = k + np.cumsum(x)
+            n_cum = n + np.arange(1, len(x) + 1, dtype=np.int64)
+            llr = k_cum * c1 + (n_cum - k_cum) * c0
+            crossing = (llr >= upper) | (llr <= lower)
+            if crossing.any():
+                first = int(np.argmax(crossing))
+                decided = "accept_h1" if llr[first] >= upper else "accept_h0"
+                n_dec, k_dec = int(n_cum[first]), int(k_cum[first])
+            n, k = int(n_cum[-1]), int(k_cum[-1])
+        elif frames:
+            for pdf in frames:
+                n += len(pdf)
+                k += int(pdf[success_col].sum())
+        state.update((n, k, decided, n_dec, k_dec, seq))
+        out_n, out_k = (n_dec, k_dec) if decided else (n, k)
+        out_llr = out_k * c1 + (out_n - out_k) * c0
+        yield pd.DataFrame(
+            {
+                "seq": [seq],
+                "decision": [decided or "continue"],
+                "n_decided": [out_n],
+                "k_decided": [out_k],
+                "llr": [repr(out_llr)],
+            }
+        )
+
+    return (
+        stream_df.withColumn("g", F.lit("all"))
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, _SPRT_OUT, _SPRT_STATE, "append", GroupStateTimeout.NoTimeout
+        )
     )
