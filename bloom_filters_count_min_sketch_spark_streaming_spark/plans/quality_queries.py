@@ -1758,3 +1758,87 @@ def bh_fdr_metric_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("bh_rank"),
         (F.col("i") <= F.col("k_max")).alias("rejected"),
     )
+
+
+@query(
+    "theil_sen_trend_slope",
+    oracle="""
+    -- Theil-Sen estimator per event type: the MEDIAN of all pairwise
+    -- slopes of the daily-count series — robust to ~29% outlier days,
+    -- where the OLS slope (trend_slope_per_type) moves with every spike.
+    -- Slopes are exact-integer ratios -> identical doubles; the median is
+    -- the deterministic LOWER median, selected by rank over
+    -- (slope, i, j) so ties cannot reorder cross-engine.
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS d
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.c - a.c) * 1.0 / (b.d - a.d) AS slope,
+             a.d AS i, b.d AS j
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY slope, i, j) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      FROM pairs
+    )
+    SELECT event_type, m AS n_pairs, ROUND(slope, 6) AS ts_slope
+    FROM ranked WHERE rk = (m + 1) // 2
+    """,
+)
+def theil_sen_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of each event type's daily-count series
+    — the breakdown-point-0.29 companion of the OLS trend_slope_per_type:
+    one anomalous day cannot move the median of pairwise slopes. The
+    series is O(days) per key, so the pairwise join is O(days^2) per key —
+    tiny and bounded by calendar length, never by event volume (100 TB of
+    events still yields <=366 day rows per key per year). Lower median
+    with a total (slope, i, j) rank: hash-exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    idx = daily.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("d"),
+    )
+    a = idx.select(
+        F.col("event_type").alias("et"), F.col("c").alias("ca"), F.col("d").alias("i")
+    )
+    b = idx.select(
+        F.col("event_type").alias("et"), F.col("c").alias("cb"), F.col("d").alias("j")
+    )
+    pairs = a.join(b, "et").filter(F.col("i") < F.col("j")).select(
+        F.col("et").alias("event_type"),
+        ((F.col("cb") - F.col("ca")) * 1.0 / (F.col("j") - F.col("i"))).alias("slope"),
+        "i",
+        "j",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "i", "j")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("long").alias("m"),
+    )
+    # integer lower-median rank: Spark `/` is float division, and an even
+    # pair count would then match NO rank (x.5) — floor-div like the oracle.
+    return ranked.filter(F.col("rk") == F.floor((F.col("m") + 1) / 2).cast("long")).select(
+        "event_type", F.col("m").alias("n_pairs"), F.round("slope", 6).alias("ts_slope")
+    )
