@@ -57,6 +57,13 @@ class NumpyCuckoo:
         self.seed = seed
         self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint32)
         self.n_items = 0
+        # Overflow stash (standard cuckoo-hashing backstop): an eviction
+        # walk that cycles (adversarial sets / tiny tables, where i2 == i1
+        # whenever h(fp) % n_buckets == 0) parks its carried entry here
+        # instead of failing. Entries are (bucket_index, fingerprint); both
+        # candidate buckets are recoverable from either one (i XOR h(fp)),
+        # so probes and deletes treat the stash as extra slots.
+        self.stash: list[tuple[int, int]] = []
 
     # -- hashing ---------------------------------------------------------
     def _fingerprint(self, keys: np.ndarray) -> np.ndarray:
@@ -108,10 +115,10 @@ class NumpyCuckoo:
                 row[empty[0]] = cur
                 self.n_items += 1
                 return
-        raise RuntimeError(
-            f"cuckoo filter over capacity after {self.MAX_KICKS} kicks "
-            f"({self.n_items}/{self.n_buckets * self.bucket_size} slots)"
-        )
+        # cycle detected: park the carried entry in the stash (deterministic
+        # given sorted batch insert), keeping insert total.
+        self.stash.append((int(i), int(cur)))
+        self.n_items += 1
 
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """Remove one fingerprint copy per key; returns found-flags."""
@@ -127,6 +134,13 @@ class NumpyCuckoo:
                     self.n_items -= 1
                     out[j] = True
                     break
+            else:
+                for s, (si, sfp) in enumerate(self.stash):
+                    if sfp == fp and si in (i1, i2):
+                        del self.stash[s]
+                        self.n_items -= 1
+                        out[j] = True
+                        break
         return out
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -136,26 +150,36 @@ class NumpyCuckoo:
         i2s = self._alt_index(i1s, fps)
         in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
         in2 = (self.table[i2s] == fps[:, None]).any(axis=1)
-        return in1 | in2
+        out = in1 | in2
+        for si, sfp in self.stash:
+            out |= (fps == np.uint32(sfp)) & ((i1s == si) | (i2s == si))
+        return out
 
     # -- serialization ---------------------------------------------------
     def to_bytes(self) -> bytes:
         head = np.array(
-            [self.n_buckets, self.bucket_size, self.seed, self.n_items],
+            [self.n_buckets, self.bucket_size, self.seed, self.n_items, len(self.stash)],
             dtype=np.int64,
         )
-        return head.tobytes() + self.table.tobytes()
+        stash = np.array(self.stash, dtype=np.int64).reshape(-1, 2)
+        return head.tobytes() + self.table.tobytes() + stash.tobytes()
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "NumpyCuckoo":
-        head = np.frombuffer(raw[:32], dtype=np.int64)
+        head = np.frombuffer(raw[:40], dtype=np.int64)
         obj = cls(int(head[0]), int(head[1]), int(head[2]))
+        table_end = 40 + int(head[0]) * int(head[1]) * 4
         obj.table = (
-            np.frombuffer(raw[32:], dtype=np.uint32)
+            np.frombuffer(raw[40:table_end], dtype=np.uint32)
             .reshape(int(head[0]), int(head[1]))
             .copy()
         )
         obj.n_items = int(head[3])
+        obj.stash = [
+            (int(a), int(b))
+            for a, b in np.frombuffer(raw[table_end:], dtype=np.int64).reshape(-1, 2)
+        ]
+        assert len(obj.stash) == int(head[4])
         return obj
 
 

@@ -10,7 +10,6 @@ fingerprints for fixture-scale key sets.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -79,10 +78,17 @@ def test_false_positive_rate_is_negligible():
     assert int(cf.contains(absent).sum()) == 0
 
 
-def test_capacity_error_when_overfull():
-    cf = NumpyCuckoo(2, bucket_size=2)  # 4 slots
-    with pytest.raises(RuntimeError):
-        cf.insert(np.arange(64, dtype=np.int64))
+def test_overfull_falls_back_to_stash_without_false_negatives():
+    ks = np.arange(64, dtype=np.int64)
+    cf = NumpyCuckoo(2, bucket_size=2)  # 4 table slots for 64 keys
+    cf.insert(ks)
+    assert len(cf.stash) >= 60
+    assert cf.contains(ks).all()
+    # stash entries delete and roundtrip like table slots
+    assert cf.delete(ks[:10]).all()
+    back = NumpyCuckoo.from_bytes(cf.to_bytes())
+    assert back.contains(ks[10:]).all()
+    assert back.stash == cf.stash
 
 
 def test_capacity_buckets_integer_ceil():
