@@ -1842,3 +1842,92 @@ def theil_sen_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") == F.floor((F.col("m") + 1) / 2).cast("long")).select(
         "event_type", F.col("m").alias("n_pairs"), F.round("slope", 6).alias("ts_slope")
     )
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle="""
+    -- Quantile normalization (Bolstad et al. 2003, the batch-effect
+    -- standard): each source's doc-length distribution is mapped onto the
+    -- GLOBAL empirical distribution by rank — source s's rank-r value
+    -- becomes the global order statistic at index (r*(N-1)) div (n_s-1).
+    -- Pure integer rank arithmetic with a total (value, doc_id) sort key,
+    -- so the mapped values (and their sums) are hash-exact.
+    WITH g AS (
+      SELECT n_chars AS v,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+               AS idx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rk0,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM documents
+    ),
+    mapped AS (
+      SELECT s.source, s.n_chars,
+             g.v AS v_norm
+      FROM s JOIN g
+        ON g.idx = CASE WHEN s.n_s = 1 THEN (g.n - 1) // 2
+                        ELSE (s.rk0 * (g.n - 1)) // (s.n_s - 1) END
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_before,
+           CAST(SUM(v_norm) AS BIGINT) AS sum_after
+    FROM mapped GROUP BY source
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source doc-length distributions onto
+    the global distribution — the classic batch-effect correction (map by
+    rank onto the pooled order statistics), the preprocessing step that
+    makes heterogeneous source feeds comparable before quality
+    thresholding. Integer rank mapping (r*(N-1)) div (n_s-1) with total
+    tie-breaks; after normalization every source draws from the same value
+    ladder (sum_after varies only through source size). The rank join is
+    an equi-join on the target index — at 100 TB the global order
+    statistics frame is a ranged broadcast table, and the per-source
+    window is a partitioned sort, both shuffle-once shapes."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("n_chars").alias("v"),
+        (F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1)
+        .cast("long")
+        .alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    s = docs.select(
+        "source",
+        "n_chars",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("n_chars", "doc_id")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("rk0"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_s"),
+    )
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    target = s.crossJoin(F.broadcast(n_row)).select(
+        "source",
+        "n_chars",
+        F.when(F.col("n_s") == 1, F.floor((F.col("n") - 1) / 2))
+        .otherwise(F.floor(F.col("rk0") * (F.col("n") - 1) / (F.col("n_s") - 1)))
+        .cast("long")
+        .alias("t_idx"),
+    )
+    mapped = target.join(g.select("idx", "v"), F.col("t_idx") == F.col("idx"))
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_before"),
+        F.sum("v").cast("long").alias("sum_after"),
+    )
