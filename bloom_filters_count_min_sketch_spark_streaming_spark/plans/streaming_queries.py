@@ -1666,3 +1666,76 @@ def stream_sprt_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("llr").cast("double"), 6).alias("llr"),
         )
     )
+
+
+@query(
+    "stream_iblt_replication_audit",
+    oracle="""
+    -- semantic spec of the streamed replication audit: the orders the
+    -- warehouse copy silently lost (the % 97 slice) — the Spark side must
+    -- LIST them exactly by subtracting the warehouse's IBLT from the
+    -- online one and peeling the kilobyte residual.
+    SELECT o_orderkey, CAST(1 AS BIGINT) AS side
+    FROM orders WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def stream_iblt_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-integrity auditing with a STREAMED IBLT: the source
+    stream maintains its reconciliation sketch ONLINE (cell slices in the
+    state store, O(m/shards) longs per shard forever — the abelian-group
+    state family of the sharded counting-Bloom), while the warehouse copy
+    — which silently lost the o_orderkey % 97 slice — summarizes at rest
+    with the same cell math. Cell-wise subtraction cancels every common
+    key algebraically and the residual peels on the driver into the EXACT
+    list of missing orders. At 100 TB neither side ever ships keys: the
+    stream carries its kilobyte table forward, and the audit exchanges
+    O(m) cells no matter how many rows replicated correctly. See
+    streaming/stateful.py:iblt_cells_state; functions/iblt.py."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
+
+    m, k, shards = 1024, 3, 16
+    src = table_stream_source(spark, sf_dir, "orders", "o_orderkey").select(
+        "o_orderkey"
+    )
+    kc = F.col("o_orderkey")
+    cells = src.select(
+        kc.alias("key"),
+        iblt._checksum_expr(kc).alias("g"),
+        F.explode(
+            F.array(*[iblt._cell_expr(kc, j, m) for j in range(k)])
+        ).alias("cell"),
+    ).withColumn("shard", F.pmod(F.col("cell"), F.lit(shards)).cast("long"))
+    out = run_available_now(stateful.iblt_cells_state(cells), "append")
+    w = Window.partitionBy("shard").orderBy(F.col("seq").desc())
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    import pickle
+
+    streamed: dict[int, list[int]] = {}
+    for r in last.select("blob").collect():  # bounded: shards rows, m cells
+        streamed.update(pickle.loads(bytes(r["blob"])))
+
+    warehouse = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey")
+    )
+    residual = []
+    for r in iblt.iblt_table(warehouse, "o_orderkey", m=m, k=k).collect():
+        a = streamed.pop(int(r["cell"]), [0, 0, 0])
+        residual.append(
+            {
+                "cell": int(r["cell"]),
+                "dcnt": a[0] - int(r["cnt"]),
+                "key_x": a[1] ^ int(r["key_x"]),
+                "sum_x": a[2] ^ int(r["sum_x"]),
+            }
+        )
+    for cell, a in streamed.items():  # cells only the stream touched
+        residual.append({"cell": cell, "dcnt": a[0], "key_x": a[1], "sum_x": a[2]})
+    recovered = iblt.iblt_peel(residual, m=m, k=k)
+    return spark.createDataFrame(
+        [(int(key), int(side)) for key, side in recovered],
+        "o_orderkey BIGINT, side BIGINT",
+    ).orderBy("o_orderkey")

@@ -1150,3 +1150,63 @@ def streaming_sprt(
             update, _SPRT_OUT, _SPRT_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+_IBLT_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+_IBLT_STATE = StructType(
+    [StructField("blob", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def iblt_cells_state(cell_df: DataFrame) -> DataFrame:
+    """Maintain IBLT cells ONLINE: the input is the pre-exploded cell
+    stream (columns shard, cell, key, g — k rows per arriving key, cell
+    math already done JVM-side), and each shard's state is its slice of
+    the (count, key-XOR, checksum-XOR) table — O(m / n_shards) longs
+    forever, the abelian-group sketch shape (same family as the sharded
+    counting-Bloom retraction state): updates commute, so any batch
+    arrival order yields the same cells.
+
+    Emits the shard's serialized cell slice each batch; the LAST emission
+    (max seq) is the complete streamed-side table, ready for cell-wise
+    subtraction + driver peeling against any at-rest IBLT.
+    """
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cells = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            cells, seq = {}, 0
+        for pdf in pdfs:
+            cs = pdf["cell"].to_numpy(np.int64)
+            ks = pdf["key"].to_numpy(np.int64)
+            gs = pdf["g"].to_numpy(np.int64)
+            for c, kk, g in zip(cs.tolist(), ks.tolist(), gs.tolist()):
+                cur = cells.get(c)
+                if cur is None:
+                    cells[c] = [1, kk, g]
+                else:
+                    cur[0] += 1
+                    cur[1] ^= kk
+                    cur[2] ^= g
+        seq += 1
+        state.update((pickle.dumps(cells, protocol=4), seq))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "seq": [seq],
+                "blob": [pickle.dumps(cells, protocol=4)],
+            }
+        )
+
+    return cell_df.groupBy("shard").applyInPandasWithState(
+        update, _IBLT_OUT, _IBLT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
