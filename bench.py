@@ -144,6 +144,15 @@ HEADLINE = [
     "misra_gries_table_merge",
     "stream_misra_gries_topk",
     "logreg_gd_click_model",
+    # round-6 continuation: ExactSubstr rewrite, sharded cuckoo membership,
+    # KN LM, rank-map normalization, online SPRT/CUSUM/IBLT state
+    "exact_substring_dedup_rewrite",
+    "cuckoo_filter_membership",
+    "kneser_ney_bigram_scores",
+    "quantile_normalize_sources",
+    "stream_sprt_early_stop",
+    "stream_cusum_changepoint",
+    "stream_iblt_replication_audit",
 ]
 
 
