@@ -1992,3 +1992,68 @@ def dataset_mixture_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "feature_hashing_trick",
+    oracle="""
+    -- The hashing trick (Weinberger et al. ICML'09): categorical features
+    -- map to a FIXED 64-dim vector via hash buckets with md5-derived
+    -- signs — no vocabulary pass, no fit state, unseen categories land
+    -- deterministically. Signed sums make collisions unbiased. Buckets
+    -- and signs are md5-portable (the house convention), so the hashed
+    -- design matrix column sums are exact integers in both engines.
+    WITH feats AS (
+      SELECT unnest(['type=' || event_type,
+                     'hour=' || CAST(EXTRACT(hour FROM ts) AS VARCHAR),
+                     'usermod=' || CAST(user_id % 100 AS VARCHAR)]) AS f
+      FROM events
+    ),
+    hashed AS (
+      SELECT CAST(CAST('0x' || substr(md5(f || '|b'), 1, 12) AS BIGINT) % 64
+               AS BIGINT) AS bucket,
+             CAST(CAST('0x' || substr(md5(f || '|s'), 1, 2) AS BIGINT) % 2 * 2 - 1
+               AS BIGINT) AS sign
+      FROM feats
+    )
+    SELECT bucket, CAST(SUM(sign) AS BIGINT) AS feat_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM hashed GROUP BY bucket
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing ("the hashing trick"): three categorical features
+    per event land in a fixed 64-bucket signed vector with NO vocabulary
+    pass — the stateless encoder that makes streaming / incremental model
+    featurization possible at 100 TB (an OOV category can never grow the
+    feature space or desync train/serve encodings). One explode + one
+    hash-agg, everything JVM-side expressions; md5-derived buckets and
+    signs keep the hashed sums engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    feats = ev.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("type="), F.col("event_type")),
+                F.concat(F.lit("hour="), F.hour("ts").cast("string")),
+                F.concat(F.lit("usermod="), (F.col("user_id") % 100).cast("string")),
+            )
+        ).alias("f")
+    )
+    hashed = feats.select(
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("f"), F.lit("|b"))), 1, 12), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("f"), F.lit("|s"))), 1, 2), 16, 10)
+            .cast("long")
+            % 2
+            * 2
+            - 1
+        ).alias("sign"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.sum("sign").cast("long").alias("feat_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
