@@ -1739,3 +1739,80 @@ def stream_iblt_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         [(int(key), int(side)) for key, side in recovered],
         "o_orderkey BIGINT, side BIGINT",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "stream_token_bucket_quota",
+    oracle="""
+    -- exact semantic spec of the per-user token bucket (cap 3 tokens,
+    -- refill 1 token / 6 h, cost 1 token, all in int64 microseconds):
+    -- the recurrence b_i = min(cap, b_{i-1} + dt_i) unrolled by a
+    -- recursive CTE over each user's ordered events. The idx=0 seed uses
+    -- t=0, so the first real event clamps to a FULL bucket — identical
+    -- to the operator's fresh-key init.
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS idx
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS idx,
+             CAST(64800000000 AS BIGINT) AS bal,
+             CAST(0 AS BIGINT) AS t, FALSE AS admitted
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.idx,
+             LEAST(CAST(64800000000 AS BIGINT), rec.bal + (e.t - rec.t))
+               - CASE WHEN LEAST(CAST(64800000000 AS BIGINT),
+                                 rec.bal + (e.t - rec.t))
+                           >= CAST(21600000000 AS BIGINT)
+                      THEN CAST(21600000000 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS bal,
+             e.t,
+             LEAST(CAST(64800000000 AS BIGINT), rec.bal + (e.t - rec.t))
+               >= CAST(21600000000 AS BIGINT) AS admitted
+      FROM rec JOIN ev e
+        ON e.user_id = rec.user_id AND e.idx = rec.idx + 1
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_rejected
+    FROM rec WHERE idx > 0
+    GROUP BY user_id
+    """,
+)
+def stream_token_bucket_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket quota enforcement maintained ONLINE — the
+    admission-control operator an ingestion edge runs (cap 3 tokens,
+    refill 1 per 6 hours, burst-rejecting): four longs of state per key,
+    event-time refill computed lazily from timestamp gaps (silent keys
+    cost nothing — no timers), the whole recurrence in int64 microseconds
+    so every admit/reject decision is exact. The final per-user
+    admitted/rejected counts hash-equal a recursive-CTE unroll of the
+    same recurrence — a sequential stateful semantics the declarative
+    engine can still verify. See
+    streaming/stateful.py:token_bucket_admission."""
+    cost_us = 21_600_000_000  # 6 h in microseconds = 1 token
+    cap_us = 3 * cost_us
+    src = events_stream_source(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    out = run_available_now(
+        stateful.token_bucket_admission(
+            src, "user_id", "t_us", "event_id", cost_us, cap_us
+        ),
+        "append",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            "n_admitted",
+            "n_rejected",
+        )
+    )

@@ -1210,3 +1210,80 @@ def iblt_cells_state(cell_df: DataFrame) -> DataFrame:
     return cell_df.groupBy("shard").applyInPandasWithState(
         update, _IBLT_OUT, _IBLT_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_TBUCKET_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("n_admitted", LongType()),
+        StructField("n_rejected", LongType()),
+    ]
+)
+_TBUCKET_STATE = StructType(
+    [
+        StructField("bal", LongType()),
+        StructField("t", LongType()),
+        StructField("adm", LongType()),
+        StructField("rej", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def token_bucket_admission(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    order_col: str,
+    cost_us: int,
+    cap_us: int,
+) -> DataFrame:
+    """Per-key token-bucket admission control — the quota/rate-limiting
+    operator every ingestion edge runs: a bucket of ``cap_us`` capacity
+    refills continuously in EVENT TIME (1 unit per microsecond) and each
+    arriving row is admitted iff the bucket holds ``cost_us``; rejected
+    rows do not drain it. The whole recurrence
+    b_i = min(cap, b_{i-1} + dt_i) runs in int64 microsecond units — no
+    float refill arithmetic — so admission decisions are exact and the
+    operator shares a recursive-CTE oracle. State per key is four longs
+    (balance, last event time, counters): O(keys) forever, and a silent
+    key costs nothing (refill is computed lazily from the timestamp gap
+    at its next arrival, not by timers).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            bal, t, adm, rej, seq = (int(v) for v in state.get)
+            fresh = False
+        else:
+            bal, t, adm, rej, seq = 0, 0, 0, 0, 0
+            fresh = True
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames).sort_values([ts_us_col, order_col])
+            for tt in batch[ts_us_col].astype(np.int64).tolist():
+                if fresh:
+                    bal, fresh = cap_us, False
+                else:
+                    bal = min(cap_us, bal + (tt - t))
+                if bal >= cost_us:
+                    bal -= cost_us
+                    adm += 1
+                else:
+                    rej += 1
+                t = tt
+        seq += 1
+        state.update((bal, t, adm, rej, seq))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "seq": [seq],
+                "n_admitted": [adm],
+                "n_rejected": [rej],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _TBUCKET_OUT, _TBUCKET_STATE, "append", GroupStateTimeout.NoTimeout
+    )
