@@ -183,6 +183,10 @@ _NESTED_LOOP_OK = {
                                    # exact side is blocked-GEMM, not BNLJ)
     "misra_gries_table_merge",     # 1-row merge-offset scalar cross join
                                    # (the MG reduction's (k+1)-th count)
+    "kneser_ney_bigram_scores",    # 1-row broadcast |bigram types| scalar
+                                   # join (the KN continuation normalizer)
+    "quantile_normalize_sources",  # 1-row broadcast global-N scalar join
+                                   # feeding the integer rank map
 }
 
 
