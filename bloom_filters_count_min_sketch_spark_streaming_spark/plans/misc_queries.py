@@ -2517,3 +2517,130 @@ def ivm_agg_retraction_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     return merged.select(
         "priority", "n_orders", F.col("s").cast("double").alias("total_price")
     ).orderBy("priority")
+
+
+@query(
+    "consistent_hash_ring_assignment",
+    oracle="""
+    -- Consistent hashing (Karger et al. STOC'97) — the key-placement
+    -- operator behind every sharded store: 8 nodes x 16 virtual nodes on
+    -- an md5 ring, each key owned by the first vnode clockwise. The audit
+    -- removes node 0 and recounts: ONLY the keys that lived on node 0
+    -- move (the 1/N guarantee), and the movers redistribute across
+    -- survivors — both facts visible in the per-node counts, all
+    -- md5-portable and hash-exact.
+    WITH keys AS (
+      SELECT DISTINCT user_id AS k,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|key'),
+                       1, 12) AS BIGINT) AS BIGINT) AS kh
+      FROM events
+    ),
+    vnodes AS (
+      SELECT n.node, r.rep,
+             CAST(CAST('0x' || substr(md5('node' || CAST(n.node AS VARCHAR)
+                       || '#' || CAST(r.rep AS VARCHAR)), 1, 12) AS BIGINT)
+               AS BIGINT) AS vh
+      FROM range(0, 8) n(node) CROSS JOIN range(0, 16) r(rep)
+    ),
+    assign_all AS (
+      SELECT k, node FROM (
+        SELECT keys.k, vnodes.node,
+               ROW_NUMBER() OVER (PARTITION BY keys.k
+                 ORDER BY CASE WHEN vnodes.vh >= keys.kh THEN 0 ELSE 1 END,
+                          vnodes.vh) AS rn
+        FROM keys CROSS JOIN vnodes
+      ) WHERE rn = 1
+    ),
+    assign_drop AS (
+      SELECT k, node FROM (
+        SELECT keys.k, vnodes.node,
+               ROW_NUMBER() OVER (PARTITION BY keys.k
+                 ORDER BY CASE WHEN vnodes.vh >= keys.kh THEN 0 ELSE 1 END,
+                          vnodes.vh) AS rn
+        FROM keys CROSS JOIN vnodes WHERE vnodes.node <> 0
+      ) WHERE rn = 1
+    )
+    SELECT b.node,
+           CAST(COUNT(*) AS BIGINT) AS keys_before,
+           CAST(SUM(CASE WHEN a.node = b.node THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_after_held,
+           CAST((SELECT COUNT(*) FROM assign_all x JOIN assign_drop y
+                 ON x.k = y.k WHERE x.node = b.node AND y.node <> x.node)
+             AS BIGINT) AS keys_moved_out
+    FROM assign_all b JOIN assign_drop a ON b.k = a.k
+    GROUP BY b.node
+    """,
+)
+def consistent_hash_ring_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring placement + node-removal remap audit — the
+    minimal-disruption guarantee quantified: assigning keys to 8 nodes via
+    16 md5 virtual nodes each, then removing node 0, moves EXACTLY the
+    keys node 0 held (keys_moved_out = keys_before for node 0, zero for
+    every survivor) while survivors keep their keys. The ring is a 128-row
+    broadcast table, so placement is one broadcast join + per-key top-1 —
+    at 100 TB the ring rides to every executor and keys never shuffle to
+    be placed. All ring and key positions are md5-derived 48-bit ints,
+    engine-portable, so the placement itself is value-hash-checked."""
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("k"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|key"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("kh"),
+    )
+    nodes = spark.range(0, 8).select(F.col("id").alias("node"))
+    reps = spark.range(0, 16).select(F.col("id").alias("rep"))
+    vnodes = nodes.crossJoin(reps).select(
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("node"),
+                        F.col("node").cast("string"),
+                        F.lit("#"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("vh"),
+    )
+
+    def assign(vn):
+        ranked = keys.crossJoin(F.broadcast(vn)).select(
+            "k",
+            "node",
+            F.row_number()
+            .over(
+                Window.partitionBy("k").orderBy(
+                    F.when(F.col("vh") >= F.col("kh"), 0).otherwise(1), "vh"
+                )
+            )
+            .alias("rn"),
+        )
+        return ranked.filter(F.col("rn") == 1).select("k", "node")
+
+    before = assign(vnodes).select("k", F.col("node").alias("node_b"))
+    after = assign(vnodes.filter(F.col("node") != 0)).select(
+        "k", F.col("node").alias("node_a")
+    )
+    joined = before.join(after, "k")
+    return joined.groupBy(F.col("node_b").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("keys_before"),
+        F.sum((F.col("node_a") == F.col("node_b")).cast("long"))
+        .cast("long")
+        .alias("keys_after_held"),
+        F.sum((F.col("node_a") != F.col("node_b")).cast("long"))
+        .cast("long")
+        .alias("keys_moved_out"),
+    )
