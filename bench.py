@@ -256,6 +256,7 @@ def main() -> None:
     # report the plan's cost rather than the scheduler's mood.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Streaming runs carry state-store + micro-batch scheduling
@@ -263,11 +264,18 @@ def main() -> None:
         # min-of-3 for streams, min-of-2 for batch.
         runs = 3 if name.startswith("stream_") else 2
         samples = []
-        for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # destroy the whole bench record (the driver keeps only this
+            # run's output); record the error and keep timing the rest.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         best = min(samples)
         timings[name] = round(best, 3)
         # spread = worst/best across this invocation's runs — >1.5 means
@@ -311,6 +319,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spreads": spreads,
+                "errors": errors,
                 "sf": sf,
                 "calibration_sec": calibration,
             },
@@ -347,6 +356,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration_sec": calibration,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "full": "BENCH_FULL.json",
             }
         ),

@@ -1694,7 +1694,13 @@ def stream_iblt_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     streaming/stateful.py:iblt_cells_state; functions/iblt.py."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions import iblt
 
-    m, k, shards = 1024, 3, 16
+    # Size the table to the EXPECTED DIFFERENCE (the audit's SLA bound,
+    # here the %97 slice = n/97 keys), not the set size: 4x headroom over
+    # the k=3 peel threshold (~m/1.3), next power of two, floor 1024. One
+    # metadata-cheap count; deterministic per fixture.
+    n_orders = load(spark, sf_dir, "orders").count()
+    need = max(1024, (n_orders // 97 + 1) * 4)
+    m, k, shards = 1 << (need - 1).bit_length(), 3, 16
     src = table_stream_source(spark, sf_dir, "orders", "o_orderkey").select(
         "o_orderkey"
     )
