@@ -1931,3 +1931,109 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_before"),
         F.sum("v").cast("long").alias("sum_after"),
     )
+
+
+@query(
+    "ewma_control_chart_daily",
+    oracle="""
+    -- EWMA control chart (Roberts 1959) on the daily event-count series
+    -- with lambda = 1/2: every smoothing weight is a POWER OF TWO, so the
+    -- recursion's closed form (sum of x_i * 2^-(d-i+1), first obs carries
+    -- 2^-(d-1)) is a sum of exactly-representable dyadic rationals whose
+    -- partials all fit the mantissa — bit-exact in ANY summation order,
+    -- in both engines, with no decimal scaffolding. Control limits use
+    -- the standard EWMA variance inflation sqrt(l/(2-l)*(1-(1-l)^2d)).
+    WITH daily AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d,
+             day, c
+      FROM (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+      )
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM daily
+    ),
+    ewma AS (
+      SELECT a.d, a.day,
+             CAST(SUM(b.c * CASE WHEN b.d = 1 THEN power(2.0, -(a.d - 1))
+                                 ELSE power(2.0, -(a.d - b.d + 1)) END)
+               AS DOUBLE) AS e
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY a.d, a.day
+    ),
+    scored AS (
+      SELECT e.d, e.day, e.e,
+             (e.e - s.s * 1.0 / s.n)
+               / sqrt(((s.ss - s.s * s.s * 1.0 / s.n) / s.n)
+                      * (1.0 / 3.0) * (1 - power(0.25, e.d))) AS z
+      FROM ewma e CROSS JOIN stats s
+    )
+    SELECT day, ROUND(e, 6) AS ewma, ROUND(z, 6) AS z,
+           abs(z) > 2.7 AS out_of_control
+    FROM scored
+    """,
+)
+def ewma_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-count series — the drift
+    monitor that reacts faster than Shewhart limits and smoother than
+    CUSUM's argmax: exponential smoothing with lambda = 1/2 chosen so
+    EVERY weight is a power of two, making the smoothed series bit-exact
+    across engines without decimal scaffolding (a float determinism trick
+    the repo's ROUND-then-DECIMAL rule can't offer for a recursive
+    statistic). Variance-inflated control limits flag out-of-control days.
+    The weight join is O(days^2) bounded by calendar length — 366 rows a
+    year per key no matter the event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("long").alias("d"),
+            "day",
+            "c",
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("day").alias("day_a"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    ewma = (
+        a.join(b, F.col("db") <= F.col("da"))
+        .groupBy("da", "day_a")
+        .agg(
+            F.sum(
+                F.col("cb")
+                * F.when(
+                    F.col("db") == 1, F.pow(F.lit(2.0), -(F.col("da") - 1))
+                ).otherwise(F.pow(F.lit(2.0), -(F.col("da") - F.col("db") + 1)))
+            )
+            .cast("double")
+            .alias("e")
+        )
+    )
+    scored = ewma.crossJoin(F.broadcast(stats)).select(
+        F.col("day_a").alias("day"),
+        "e",
+        (
+            (F.col("e") - F.col("s") * 1.0 / F.col("n"))
+            / F.sqrt(
+                ((F.col("ss") - F.col("s") * F.col("s") * 1.0 / F.col("n")) / F.col("n"))
+                * (1.0 / 3.0)
+                * (1 - F.pow(F.lit(0.25), F.col("da")))
+            )
+        ).alias("z"),
+    )
+    return scored.select(
+        "day",
+        F.round("e", 6).alias("ewma"),
+        F.round("z", 6).alias("z"),
+        (F.abs(F.col("z")) > 2.7).alias("out_of_control"),
+    )
