@@ -16,12 +16,14 @@ frame lift) — exercised by the oracle-backed ``multimodal_wav_decode`` /
 ``multimodal_frame_sample`` / ``multimodal_resize_roundtrip`` queries.
 ``resize_images`` is likewise REAL for BMP/PNG input (decode ->
 nearest-neighbor resample -> BMP re-encode) and ``sample_frames`` is a
-real AVI demux. ``decode_features`` sniffs magic bytes and routes all of
-these to the real parsers even in strict mode. Only formats whose codec
-libs are absent from this environment (JPEG/GIF/MP3, compressed video —
-PIL/librosa/ffmpeg-class) keep a stub: ``NotImplementedError`` in strict
-mode, a deterministic byte-histogram fake otherwise. Swapping in a real
-decoder changes only ``_sniff_decode``'s dispatch table.
+real AVI demux; animated GIF89a gets a complete pure-stdlib LZW
+codec (``multimodal_gif_decode``). ``decode_features`` sniffs magic
+bytes and routes all of these to the real parsers even in strict mode.
+Only formats whose codec libs are absent from this environment
+(JPEG/MP3, compressed video — PIL/librosa/ffmpeg-class) keep a stub:
+``NotImplementedError`` in strict mode, a deterministic byte-histogram
+fake otherwise. Swapping in a real decoder changes only
+``_sniff_decode``'s dispatch table.
 
 At 100 TB: payloads dominate row size -> keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks hold a
@@ -233,6 +235,12 @@ def _sniff_decode(payload: bytes | None, strict: bool, dim: int = 8) -> list[flo
     if payload[:8] == PNG_SIG:
         w, h, mr, mg, mb = _png_feats(payload)
         return [float(w), float(h), mr, mg, mb] + [0.0] * (dim - 5)
+    if payload[:4] == b"GIF8":
+        w, h, n, sr, sg, sb = _gif_feats(payload)
+        px = float(w * h * n)
+        return [float(w), float(h), float(n), sr / px, sg / px, sb / px] + [
+            0.0
+        ] * (dim - 6)
     if strict:
         raise NotImplementedError(
             "real decode for this format requires codec libs not present "
@@ -908,3 +916,304 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: animated GIF89a (LZW). Retires the "GIF is env-blocked"
+# residual: GIF's only compression is LZW, which needs no codec library —
+# encoder and decoder below are complete pure-stdlib implementations of the
+# spec (variable-width codes, dictionary growth, clear/EOI, sub-block
+# framing, KwKwK case), so `.gif` joins WAV/BMP/PNG/AVI on the REAL path.
+# JPEG (DCT/huffman imaging stack) remains the one env-blocked format.
+
+GIF_SIG = b"GIF89a"
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress of palette indices: emits CLEAR, greedy
+    longest-match codes against a growing dictionary, EOI; variable code
+    width starting at min_code_size+1, growing when the next free code
+    would not fit (cap 12 bits, re-CLEAR at table full)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for p in indices:
+        nxt = cur + bytes([int(p)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (keeps the encoder total)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([int(p)])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decompress: variable-width little-endian codes,
+    dictionary rebuild on CLEAR, the KwKwK (code == next free) case."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return eoi
+        byte0 = pos >> 3
+        val = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        val >>= pos & 7
+        pos += width
+        return val & ((1 << width) - 1)
+
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev = b""
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = b""
+
+    reset()
+    while n_out < n_pixels:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # KwKwK
+        elif code < clear:
+            entry = bytes([code])
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)[
+            : n_pixels - n_out
+        ]
+        n_out += min(len(entry), n_pixels - n_out)
+        if prev:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError(f"LZW stream ended early: {n_out}/{n_pixels} pixels")
+    return out
+
+
+def _gif_palette(media_id: int):
+    """Closed-form 16-color palette so a SQL oracle can mirror decode."""
+    return [
+        (
+            (media_id + 17 * i) % 256,
+            (media_id * 7 + 29 * i) % 256,
+            (media_id * 3 + 41 * i) % 256,
+        )
+        for i in range(16)
+    ]
+
+
+def _gif_bytes(media_id: int) -> bytes:
+    """Deterministic animated GIF89a: logical screen (4 + id%9) x
+    (3 + id%5), 2 + id%3 full-frames, 16-color global table from
+    ``_gif_palette``, pixel (x, y, frame f) indexing palette entry
+    (id + 3x + 5y + 7f) % 16 — closed form for the oracle. Frames carry
+    graphic-control extensions and REAL LZW-compressed index streams
+    (dictionary growth exercised: frames are up to 84 pixels, codes
+    outgrow the initial 5-bit width)."""
+    import struct
+
+    w = 4 + media_id % 9
+    h = 3 + media_id % 5
+    n_frames = 2 + media_id % 3
+    buf = bytearray()
+    buf += GIF_SIG
+    buf += struct.pack("<HHBBB", w, h, 0xF3, 0, 0)  # GCT present, 16 colors
+    for r, g, b in _gif_palette(media_id):
+        buf += bytes((r, g, b))
+    for f in range(n_frames):
+        buf += bytes((0x21, 0xF9, 0x04, 0x00))  # GCE
+        buf += struct.pack("<H", 10)  # delay
+        buf += bytes((0x00, 0x00))  # transparent idx, terminator
+        buf += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = [
+            (media_id + 3 * x + 5 * y + 7 * f) % 16
+            for y in range(h)
+            for x in range(w)
+        ]
+        lzw = _gif_lzw_encode(idx, 4)
+        buf += bytes([4])  # LZW min code size
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            buf += bytes([len(block)]) + block
+        buf += b"\x00"
+    buf += b"\x3b"
+    return bytes(buf)
+
+
+def _gif_decode_frames(payload: bytes):
+    """Full real GIF decode (89a, global color table) to a list of
+    top-down (h, w, 3) RGB uint8 arrays: header + logical screen
+    descriptor, color table, extension skip, image descriptors,
+    sub-block reassembly, LZW decompress, palette mapping."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[off : off + 3 * n_colors], dtype=np.uint8).reshape(
+            n_colors, 3
+        )
+        off += 3 * n_colors
+    frames = []
+    while off < len(payload):
+        b0 = payload[off]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip label + sub-blocks
+            off += 2
+            while payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", payload[off + 1 : off + 10])
+        off += 10
+        if iflags & 0x80:
+            n_local = 2 << (iflags & 0x07)
+            lct = np.frombuffer(payload[off : off + 3 * n_local], dtype=np.uint8).reshape(
+                n_local, 3
+            )
+            off += 3 * n_local
+        else:
+            lct = gct
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        min_code = payload[off]
+        off += 1
+        data = bytearray()
+        while payload[off] != 0:
+            size = payload[off]
+            data += payload[off + 1 : off + 1 + size]
+            off += 1 + size
+        off += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+        frames.append(lct[idx].reshape(h, w, 3).copy())
+    if not frames:
+        raise ValueError("GIF contained no image data")
+    return frames
+
+
+def _gif_feats(payload: bytes):
+    """(width, height, n_frames, sum_r, sum_g, sum_b) — channel sums over
+    every pixel of every frame, exact integers."""
+    frames = _gif_decode_frames(payload)
+    import numpy as np
+
+    stack = np.stack(frames).astype(np.int64)
+    sums = stack.sum(axis=(0, 1, 2))
+    h, w = frames[0].shape[:2]
+    return (w, h, len(frames), int(sums[0]), int(sums[1]), int(sums[2]))
+
+
+GIF_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize an animated-GIF payload column (deterministic per id)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: _gif_bytes(int(i))),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """REAL compressed-animation decode over binary payloads: GIF block
+    walk, sub-block reassembly, variable-width LZW inflate, palette
+    mapping. Emits exact integer geometry + channel sums."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_gif_feats(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=["width", "height", "n_frames", "sum_r", "sum_g", "sum_b"],
+            )
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(_decode, GIF_FEATURE_SCHEMA)

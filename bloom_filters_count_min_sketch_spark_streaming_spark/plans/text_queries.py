@@ -1824,3 +1824,56 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_bits"),
     )
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    -- closed-form twin of the REAL animated-GIF decode (block walk,
+    -- sub-block reassembly, variable-width LZW inflate, palette map):
+    -- screen (4 + id%9) x (3 + id%5), 2 + id%3 frames, pixel (x,y,f)
+    -- indexes palette entry (id + 3x + 5y + 7f) % 16 whose channels are
+    -- ((id + 17i) % 256, (id*7 + 29i) % 256, (id*3 + 41i) % 256);
+    -- channel sums over every pixel of every frame are exact integers.
+    WITH ids AS (SELECT doc_id AS media_id,
+                        4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+                        2 + doc_id % 3 AS nf
+                 FROM documents),
+         xs AS (SELECT unnest(range(12)) AS x),
+         ys AS (SELECT unnest(range(7)) AS y),
+         fs AS (SELECT unnest(range(4)) AS f),
+         px AS (
+           SELECT media_id, w, h, nf,
+                  (media_id + 3 * x + 5 * y + 7 * f) % 16 AS i
+           FROM ids CROSS JOIN xs CROSS JOIN ys CROSS JOIN fs
+           WHERE x < w AND y < h AND f < nf
+         )
+    SELECT media_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS width,
+           CAST(ANY_VALUE(h) AS BIGINT) AS height,
+           CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+           CAST(SUM((media_id + 17 * i) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((media_id * 7 + 29 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((media_id * 3 + 41 * i) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-ANIMATION path (D5): animated GIF89a decoded by a
+    complete pure-stdlib LZW implementation — variable-width little-endian
+    codes, dictionary growth past the initial 5-bit width, CLEAR/EOI,
+    KwKwK, sub-block reassembly, palette mapping — no codec library. GIF
+    was on the env-blocked list solely for PIL; its only compression is
+    LZW, which needs none. Exact integer geometry + channel sums are
+    value-hash-checked against the generator's closed form, so a decoder
+    that shortcuts any stage cannot pass. JPEG (DCT imaging stack) is now
+    the sole env-blocked image format. See operators/multimodal.py:
+    _gif_lzw_encode/_gif_lzw_decode/_gif_decode_frames."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_gif_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_gif_payload(docs, "doc_id")
+    return decode_gif_features(media)

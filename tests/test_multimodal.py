@@ -241,3 +241,75 @@ def test_png_codec_roundtrip_and_integrity(spark):
     )
     feats = decode_features(m, strict=True).collect()[0]["features"]
     assert feats[:2] == [3.0 + 9 % 11, 2.0 + 9 % 5]
+
+
+# --- GIF / LZW codec --------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_edge_cases():
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    cases = [
+        [0],                          # single pixel
+        [5] * 400,                    # KwKwK territory: long single-symbol run
+        [0, 1] * 300,                 # repeating bigram
+        list(range(16)) * 60,         # cycles through the whole palette
+        ((np.arange(9000) * 7) % 16).tolist(),  # long stream: width growth + reset
+    ]
+    for seq in cases:
+        enc = _gif_lzw_encode(seq, 4)
+        dec = _gif_lzw_decode(enc, 4, len(seq))
+        assert dec.tolist() == seq
+
+
+def test_gif_lzw_roundtrip_random_streams():
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 80, 1000, 5000):
+        seq = rng.integers(0, 16, n).tolist()
+        assert _gif_lzw_decode(_gif_lzw_encode(seq, 4), 4, n).tolist() == seq
+
+
+def test_gif_full_decode_matches_generator_closed_form():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _gif_bytes,
+        _gif_feats,
+        _gif_palette,
+    )
+
+    for mid in (0, 3, 17, 88, 255, 1001):
+        w, h, n, sr, sg, sb = _gif_feats(_gif_bytes(mid))
+        assert (w, h, n) == (4 + mid % 9, 3 + mid % 5, 2 + mid % 3)
+        pal = _gif_palette(mid)
+        exp = [0, 0, 0]
+        for f in range(n):
+            for y in range(h):
+                for x in range(w):
+                    c = pal[(mid + 3 * x + 5 * y + 7 * f) % 16]
+                    for j in range(3):
+                        exp[j] += c[j]
+        assert [sr, sg, sb] == exp
+
+
+def test_gif_sniff_routes_to_real_decoder_in_strict_mode():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _gif_bytes,
+        _sniff_decode,
+    )
+
+    mid = 42
+    feats = _sniff_decode(_gif_bytes(mid), strict=True)
+    assert feats[0] == float(4 + mid % 9)
+    assert feats[1] == float(3 + mid % 5)
+    assert feats[2] == float(2 + mid % 3)
