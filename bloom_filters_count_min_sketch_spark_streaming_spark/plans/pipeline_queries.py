@@ -2057,3 +2057,119 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("feat_sum"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
+
+
+@query(
+    "dsir_importance_selection",
+    oracle="""
+    -- DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    -- Importance Resampling"): score every raw document by how much more
+    -- likely its HASHED n-gram features are under the target domain
+    -- (lang='en') than under the raw pool, then keep the top importance
+    -- weights. Features = whitespace unigrams hashed to 256 md5 buckets;
+    -- both distributions add-one smoothed; per-token log ratios
+    -- ROUND@1e-8 then DECIMAL-summed per doc (the repo's float rule);
+    -- top 100 docs by (weight desc, doc_id) total order.
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(tok || '|dsir'), 1, 12) AS BIGINT)
+               % 256 AS BIGINT) AS b
+      FROM toks
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM hashed GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM hashed
+            WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             (SELECT CAST(SUM(c_t) AS BIGINT) FROM tgt) AS n_t
+      FROM raw
+    ),
+    ratio AS (
+      SELECT raw.b,
+             ROUND(ln(((COALESCE(tgt.c_t, 0) + 1) * 1.0 / (tot.n_t + 256))
+                      / ((raw.c_r + 1) * 1.0 / (tot.n_r + 256))), 8) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT h.doc_id, ANY_VALUE(h.lang) AS lang,
+             CAST(SUM(CAST(r.lr AS DECIMAL(28,8))) AS DOUBLE) AS logw
+      FROM hashed h JOIN ratio r ON h.b = r.b
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, lang, ROUND(logw, 6) AS log_weight
+    FROM scored ORDER BY logw DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-n-gram importance resampling toward a
+    target domain — the published recipe for "make the web corpus look
+    like the target" (Xie et al. 2023) and the principled upgrade of
+    dataset_mixture_planner's share-based mixing. One wordcount pass per
+    distribution over 256 hashed buckets (bounded, broadcastable
+    everywhere), per-doc log-weights as rounded-term decimal sums, total
+    (weight, doc_id) order on the selection boundary — the chosen SET
+    itself is value-hash-checked. At 100 TB: the bucket ratio table is
+    KBs regardless of corpus size, scoring is one broadcast join over the
+    token stream, selection one top-k."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias(
+            "tok"
+        ),
+    )
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("tok"), F.lit("|dsir"))), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("b"),
+    ).persist()
+    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    tgt = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    tot = raw.agg(F.sum("c_r").cast("long").alias("n_r")).crossJoin(
+        tgt.agg(F.sum("c_t").cast("long").alias("n_t"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("c_t"), F.lit(0)) + 1) * 1.0 / (F.col("n_t") + 256))
+                    / ((F.col("c_r") + 1) * 1.0 / (F.col("n_r") + 256))
+                ),
+                8,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum(F.col("lr").cast("decimal(28,8)")).cast("double").alias("logw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("logw").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", F.round("logw", 6).alias("log_weight"))
+    )
