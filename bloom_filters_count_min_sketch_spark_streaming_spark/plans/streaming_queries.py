@@ -1822,3 +1822,48 @@ def stream_token_bucket_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rejected",
         )
     )
+
+
+@query(
+    "stream_inverse_reduce_window",
+    oracle="""
+    -- closed-form twin of the incrementally-maintained trailing window:
+    -- 6-hour buckets, window = the newest 3 buckets per key; the online
+    -- operator must land on the same counts by add/evict maintenance.
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS bk
+      FROM events
+    ),
+    m AS (SELECT event_type, MAX(bk) AS mb FROM b GROUP BY event_type)
+    SELECT b.event_type AS key,
+           CAST(COUNT(*) AS BIGINT) AS window_count,
+           CAST(COUNT(DISTINCT b.bk) AS BIGINT) AS live_buckets
+    FROM b JOIN m USING (event_type)
+    WHERE b.bk >= m.mb - 2
+    GROUP BY b.event_type
+    """,
+)
+def stream_inverse_reduce_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DStream-era ``reduceByKeyAndWindow(func, invFunc)`` — the
+    reference repo's signature windowing API — reborn as a custom stateful
+    operator: a trailing 18-hour (3 x 6 h bucket) count per event type
+    maintained by ADDING each batch's bucket deltas and SUBTRACTING
+    buckets that slide past the horizon, never recomputing the window.
+    O(window) state per key; the slide-out is the inverse reduce that
+    made the original API efficient, generalized to any abelian
+    aggregate. Final emission hash-equals the closed-form batch window.
+    See streaming/stateful.py:inverse_windowed_counts."""
+    src = events_stream_source(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(21_600_000_000)).cast("long").alias("bk"),
+    )
+    out = run_available_now(
+        stateful.inverse_windowed_counts(src, "event_type", "bk", 3), "append"
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "window_count", "live_buckets")
+    )

@@ -1287,3 +1287,62 @@ def token_bucket_admission(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _TBUCKET_OUT, _TBUCKET_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_INVWIN_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("window_count", LongType()),
+        StructField("live_buckets", LongType()),
+    ]
+)
+_INVWIN_STATE = StructType(
+    [StructField("buckets", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def inverse_windowed_counts(
+    stream_df: DataFrame, key_col: str, bucket_col: str, window_buckets: int
+) -> DataFrame:
+    """The reference era's ``reduceByKeyAndWindow(func, invFunc)``
+    modernized: a trailing event-time window maintained INCREMENTALLY —
+    each batch ADDS its per-bucket deltas to the running total and
+    SUBTRACTS (the inverse reduce) buckets that slid out of the trailing
+    horizon, instead of recomputing the window from scratch. Works for
+    any abelian-group aggregate; counts here. State per key is the live
+    bucket ring: O(window_buckets) longs, independent of event volume.
+
+    The trailing window is bucket-aligned — [newest_bucket -
+    (window_buckets - 1), newest_bucket] — so the final emission equals a
+    closed-form batch query over the same bucket arithmetic (the oracle).
+    """
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            buckets = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            buckets, seq = {}, 0
+        for pdf in pdfs:
+            for bk, c in pdf.groupby(bucket_col).size().items():
+                buckets[int(bk)] = buckets.get(int(bk), 0) + int(c)
+        if buckets:
+            horizon = max(buckets) - (window_buckets - 1)
+            for bk in [b for b in buckets if b < horizon]:
+                del buckets[bk]  # the inverse reduce: slide out, subtract
+        seq += 1
+        state.update((pickle.dumps(buckets, protocol=4), seq))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "seq": [seq],
+                "window_count": [sum(buckets.values())],
+                "live_buckets": [len(buckets)],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _INVWIN_OUT, _INVWIN_STATE, "append", GroupStateTimeout.NoTimeout
+    )
