@@ -1867,3 +1867,68 @@ def stream_inverse_reduce_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("key", "window_count", "live_buckets")
     )
+
+
+@query(
+    "stream_ewma_control_chart",
+    oracle="""
+    -- identical statistic to the batch ewma_control_chart_daily (see
+    -- quality_queries): lambda = 1/2 dyadic-exact smoothing + variance-
+    -- inflated limits; the online operator must reproduce the whole
+    -- series bit-for-bit from its day-histogram state.
+    WITH daily AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d,
+             day, c
+      FROM (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+      )
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM daily
+    ),
+    ewma AS (
+      SELECT a.d, a.day,
+             CAST(SUM(b.c * CASE WHEN b.d = 1 THEN power(2.0, -(a.d - 1))
+                                 ELSE power(2.0, -(a.d - b.d + 1)) END)
+               AS DOUBLE) AS e
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY a.d, a.day
+    ),
+    scored AS (
+      SELECT e.d, e.day, e.e,
+             (e.e - s.s * 1.0 / s.n)
+               / sqrt(((s.ss - s.s * s.s * 1.0 / s.n) / s.n)
+                      * (1.0 / 3.0) * (1 - power(0.25, e.d))) AS z
+      FROM ewma e CROSS JOIN stats s
+    )
+    SELECT day, ROUND(e, 6) AS ewma, ROUND(z, 6) AS z,
+           abs(z) > 2.7 AS out_of_control
+    FROM scored
+    """,
+)
+def stream_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA drift monitor maintained ONLINE — closes the loop on the
+    changepoint family's streaming twins (CUSUM localizes, EWMA smooths):
+    day-histogram state, full smoothed series re-emitted per batch, and
+    because every lambda = 1/2 weight is a power of two the sequential
+    per-batch recursion lands on the BIT-IDENTICAL series the batch
+    closed form computes — the whole chart, limits included, passes the
+    value-hash gate. See streaming/stateful.py:streaming_ewma_chart."""
+    src = events_stream_source(spark, sf_dir).select(
+        F.to_date("ts").cast("string").alias("day")
+    )
+    out = run_available_now(stateful.streaming_ewma_chart(src, "day"), "append")
+    w = Window.partitionBy("day").orderBy(F.col("seq").desc())
+    last = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    z = F.col("z_raw").cast("double")
+    return last.select(
+        "day",
+        F.round(F.col("ewma_raw").cast("double"), 6).alias("ewma"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.7).alias("out_of_control"),
+    )

@@ -1346,3 +1346,64 @@ def inverse_windowed_counts(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _INVWIN_OUT, _INVWIN_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_EWMA_OUT = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("day", StringType()),
+        StructField("ewma_raw", StringType()),  # repr() for bit-exact transport
+        StructField("z_raw", StringType()),
+    ]
+)
+_EWMA_STATE = StructType(
+    [StructField("days", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_ewma_chart(stream_df: DataFrame, day_col: str) -> DataFrame:
+    """The EWMA control chart maintained ONLINE: O(days) state (the
+    day->count histogram), re-emitting the full smoothed series each
+    batch. lambda = 1/2 keeps every weight a power of two, so the
+    sequential numpy recursion e_d = (e_{d-1} + c_d) / 2 is EXACT dyadic
+    arithmetic — bit-equal to the batch query's closed-form double sum no
+    matter how batches split the stream. Control-limit z uses the same
+    integer-moment expression order as the batch plan."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            days = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            days, seq = {}, 0
+        for pdf in pdfs:
+            for day, c in pdf.groupby(day_col).size().items():
+                days[day] = days.get(day, 0) + int(c)
+        seq += 1
+        state.update((pickle.dumps(days, protocol=4), seq))
+        ordered = sorted(days)
+        counts = [days[d] for d in ordered]
+        n = len(counts)
+        s = sum(counts)
+        ss = sum(c * c for c in counts)
+        mean = s * 1.0 / n
+        var = (ss - s * s * 1.0 / n) / n
+        es, zs = [], []
+        e = 0.0
+        for d, c in enumerate(counts, start=1):
+            e = float(c) if d == 1 else (e + c) / 2.0
+            z = (e - mean) / ((var * (1.0 / 3.0) * (1 - 0.25**d)) ** 0.5)
+            es.append(repr(e))
+            zs.append(repr(z))
+        yield pd.DataFrame(
+            {"seq": [seq] * n, "day": ordered, "ewma_raw": es, "z_raw": zs}
+        )
+
+    return (
+        stream_df.withColumn("g", F.lit("all"))
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, _EWMA_OUT, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

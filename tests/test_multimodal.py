@@ -276,7 +276,9 @@ def test_gif_lzw_roundtrip_random_streams():
     )
 
     rng = np.random.default_rng(11)
-    for n in (1, 7, 80, 1000, 5000):
+    # 30000 incompressible symbols push past 4096 dictionary entries, so
+    # the 12-bit table-full re-CLEAR path is exercised, not just growth.
+    for n in (1, 7, 80, 1000, 5000, 30000):
         seq = rng.integers(0, 16, n).tolist()
         assert _gif_lzw_decode(_gif_lzw_encode(seq, 4), 4, n).tolist() == seq
 
