@@ -2037,3 +2037,122 @@ def ewma_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("z"),
         (F.abs(F.col("z")) > 2.7).alias("out_of_control"),
     )
+
+
+@query(
+    "wasserstein_source_drift",
+    oracle="""
+    -- 1-D Wasserstein-1 (earth mover's) distance between each source's
+    -- doc-length distribution and the corpus: completes the drift family
+    -- (KL weighs density ratios, PSI bins, KS takes the max gap — W1
+    -- integrates |CDF gap| over the value axis, so it sees HOW FAR mass
+    -- moved, in characters). Exact integer CDF counts at the merged
+    -- support; per-segment terms ROUND@1e-8 then DECIMAL-summed.
+    WITH support AS (
+      SELECT DISTINCT n_chars AS v FROM documents
+    ),
+    g AS (
+      SELECT s.v,
+             CAST((SELECT COUNT(*) FROM documents d WHERE d.n_chars <= s.v)
+               AS BIGINT) AS cg,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS ng
+      FROM support s
+    ),
+    per AS (
+      SELECT src.source, s.v,
+             CAST((SELECT COUNT(*) FROM documents d
+                   WHERE d.source = src.source AND d.n_chars <= s.v)
+               AS BIGINT) AS cs,
+             src.ns
+      FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM documents GROUP BY source) src
+      CROSS JOIN support s
+    ),
+    gaps AS (
+      SELECT v, CAST(LEAD(v) OVER (ORDER BY v) - v AS BIGINT) AS gap
+      FROM support
+    ),
+    terms AS (
+      SELECT p.source,
+             ROUND(abs(p.cs * 1.0 / p.ns - g.cg * 1.0 / g.ng) * ga.gap, 8)
+               AS t
+      FROM per p
+      JOIN g ON g.v = p.v
+      JOIN gaps ga ON ga.v = p.v
+      WHERE ga.gap IS NOT NULL
+    )
+    SELECT source,
+           ROUND(CAST(SUM(CAST(t AS DECIMAL(28,8))) AS DOUBLE), 6) AS w1_chars
+    FROM terms GROUP BY source
+    """,
+)
+def wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance of each source's document-length
+    distribution from the corpus — the drift metric that reports how far
+    the mass moved (in characters), not just that it differs: the integral
+    of |CDF_source - CDF_corpus| over the merged support. CDF counts are
+    exact integers from two grouped passes + a cumulative window (no
+    correlated subquery at scale — the oracle's subselects are the
+    semantic spec, the plan is wordcount-shaped); per-segment terms follow
+    the rounded-term decimal-sum rule."""
+    docs = load(spark, sf_dir, "documents")
+    support = docs.select(F.col("n_chars").alias("v")).distinct()
+    # corpus total stays IN the plan as a broadcast 1-row cross join
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    w_ord = Window.orderBy("v")
+    gcdf = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "v",
+            F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cg"),
+        )
+    )
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    scdf_sparse = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # densify each source's CDF onto the merged support: cross join the
+    # (small) support with sources, left-join sparse counts, cumulative sum
+    grid = ns.crossJoin(support)
+    w_src = Window.partitionBy("source").orderBy("v")
+    scdf = (
+        grid.join(scdf_sparse, ["source", "v"], "left")
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.sum("c").over(w_src.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cs"),
+        )
+    )
+    gaps = support.select(
+        "v", (F.lead("v").over(w_ord) - F.col("v")).cast("long").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    terms = (
+        scdf.join(gcdf, "v")
+        .join(gaps, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.abs(F.col("cs") * 1.0 / F.col("ns") - F.col("cg") * 1.0 / F.col("ng"))
+                * F.col("gap"),
+                8,
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(28,8)")).cast("double"), 6
+        ).alias("w1_chars")
+    )
