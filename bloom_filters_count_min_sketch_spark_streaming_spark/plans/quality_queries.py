@@ -2156,3 +2156,251 @@ def wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t").cast("decimal(28,8)")).cast("double"), 6
         ).alias("w1_chars")
     )
+
+
+@query(
+    "spearman_trend_by_type",
+    oracle="""
+    -- Spearman rank correlation between event value and event time, per
+    -- event type: the rank-based monotonic-trend test (Theil-Sen gives the
+    -- slope magnitude; Spearman gives a tie-corrected, outlier-immune
+    -- trend strength in [-1,1]). Average ranks stay EXACT as 2*rank
+    -- integers (a tied block of c rows after s rows has 2*avgrank =
+    -- 2s+c+1); rho = Pearson of the doubled ranks (scale-invariant), its
+    -- moment sums exact DECIMAL integers, the closed form one double chain.
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t, value FROM events
+    ),
+    vr AS (
+      SELECT event_type, value,
+             CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+               ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + COUNT(*) + 1 AS BIGINT) AS rx2
+      FROM e GROUP BY event_type, value
+    ),
+    tr AS (
+      SELECT event_type, t,
+             CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + COUNT(*) + 1 AS BIGINT) AS ry2
+      FROM e GROUP BY event_type, t
+    ),
+    rows_r AS (
+      SELECT e.event_type, vr.rx2, tr.ry2
+      FROM e
+      JOIN vr ON vr.event_type = e.event_type AND vr.value = e.value
+      JOIN tr ON tr.event_type = e.event_type AND tr.t = e.t
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM rows_r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def spearman_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of event value against event time, per
+    event type — the monotonic-trend strength companion of
+    theil_sen_trend_slope (rank-based, so immune to outliers and to any
+    monotone rescaling of value). Tie-exact: each side's average ranks are
+    carried as 2*rank integers built from one grouped pass + a cumulative
+    window per type, joined back on the (type, value)/(type, ts) block
+    keys; rho is the Pearson closed form over exact decimal moment sums,
+    one double chain on both engines."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t"), "value"
+    )
+    w_v = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = (
+        e.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "value",
+            (2 * F.coalesce(F.sum("c").over(w_v), F.lit(0)) + F.col("c") + 1)
+            .cast("long")
+            .alias("rx2"),
+        )
+    )
+    w_t = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tr = (
+        e.groupBy("event_type", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "t",
+            (2 * F.coalesce(F.sum("c").over(w_t), F.lit(0)) + F.col("c") + 1)
+            .cast("long")
+            .alias("ry2"),
+        )
+    )
+    rows_r = e.join(vr, ["event_type", "value"]).join(tr, ["event_type", "t"])
+    m = rows_r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = F.round(
+        (n * F.col("sxy") - sx * sy)
+        / F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)),
+        6,
+    )
+    return m.select("event_type", "n", rho.alias("spearman_rho")).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "kruskal_wallis_value_by_type",
+    oracle="""
+    -- Kruskal-Wallis H across the event types: the k-group rank test that
+    -- completes the nonparametric family (Mann-Whitney = its k=2 case,
+    -- ANOVA = its parametric twin). Pooled average ranks as exact 2*rank
+    -- integers from one pass over distinct values; per-group doubled rank
+    -- sums via the tied-block formula; H and its tie correction are one
+    -- double chain over exact integers.
+    WITH v AS (
+      SELECT value, COUNT(*) AS c FROM events GROUP BY value
+    ),
+    w AS (
+      SELECT value, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS s
+      FROM v
+    ),
+    gv AS (
+      SELECT e.event_type,
+             CAST(COUNT(*) AS BIGINT) AS c_g,
+             CAST(MAX(2 * w.s + w.c + 1) AS BIGINT) AS r2
+      FROM events e JOIN w ON w.value = e.value
+      GROUP BY e.event_type, e.value
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(c_g) AS BIGINT) AS n_g,
+             CAST(CAST(SUM(CAST(c_g * r2 AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS DOUBLE) AS r2sum
+      FROM gv GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS DOUBLE) AS tie_sum
+      FROM v
+    ),
+    h AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, t.n, t.tie_sum,
+             12.0 / (4.0 * t.n * (t.n + 1))
+               * CAST(SUM(CAST(ROUND(g.r2sum * g.r2sum / g.n_g, 4)
+                               AS DECIMAL(38,4))) AS DOUBLE)
+               - 3.0 * (t.n + 1) AS h_raw
+      FROM g CROSS JOIN t
+      GROUP BY t.n, t.tie_sum
+    )
+    SELECT k, n, ROUND(h_raw, 6) AS h_stat,
+           ROUND(h_raw / (1.0 - tie_sum / (1.0 * n * n * n - n)), 6)
+             AS h_tie_corrected
+    FROM h
+    """,
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of event value across the 5 event types — the
+    k-group generalization of mann_whitney_u_halves and the rank-based
+    twin of anova_f_oneway_value_by_type. Pooled ranks over all events
+    come from ONE grouped pass on distinct values + a cumulative window
+    (tied block after s rows, size c -> every member's doubled rank is
+    2s+c+1); each group's doubled rank sum is an exact decimal integer, so
+    H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1) (computed on the doubled
+    sums with the matching 1/4 factor) and its tie correction are
+    bit-identical double chains."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_prev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "value",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("long").alias("s"),
+    )
+    gv = (
+        ev.join(w, "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_g"),
+            F.max(2 * F.col("s") + F.col("c") + 1).cast("long").alias("r2"),
+        )
+    )
+    g = gv.groupBy("event_type").agg(
+        F.sum("c_g").cast("long").alias("n_g"),
+        F.sum((F.col("c_g") * F.col("r2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("r2sum"),
+    )
+    t = v.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("tie_sum"),
+    )
+    h = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n", "tie_sum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (
+                F.lit(12.0)
+                / (F.lit(4.0) * F.col("n") * (F.col("n") + 1))
+                * F.sum(
+                    F.round(
+                        F.col("r2sum") * F.col("r2sum") / F.col("n_g"), 4
+                    ).cast("decimal(38,4)")
+                ).cast("double")
+                - F.lit(3.0) * (F.col("n") + 1)
+            ).alias("h_raw"),
+        )
+    )
+    return h.select(
+        "k",
+        "n",
+        F.round(F.col("h_raw"), 6).alias("h_stat"),
+        F.round(
+            F.col("h_raw")
+            / (
+                F.lit(1.0)
+                - F.col("tie_sum")
+                / (F.lit(1.0) * F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+            ),
+            6,
+        ).alias("h_tie_corrected"),
+    )
