@@ -2173,3 +2173,112 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", F.round("logw", 6).alias("log_weight"))
     )
+
+
+@query(
+    "ipf_mixture_raking",
+    oracle="""
+    -- iterative proportional fitting (raking, Deming-Stephan 1940) of the
+    -- corpus sampling weights: rake the source x lang contingency table so
+    -- SOURCE marginals become uniform (balanced mixing) while LANG
+    -- marginals keep their observed totals — the survey-statistics tool
+    -- that turns "we want these marginals" into per-cell sampling weights.
+    -- 3 unrolled iterations x 2 scaling steps; every scale ROUNDs@8 and
+    -- every marginal is a DECIMAL window sum of rounded terms, so the
+    -- float chain is engine-identical step for step.
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+      FROM c
+    ),
+    cl AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM c GROUP BY lang
+    ),
+    w0 AS (
+      SELECT c.source, c.lang, c.n, t.total, t.n_src, cl.lang_total,
+             ROUND(c.n * 1.0, 8) AS w
+      FROM c CROSS JOIN t JOIN cl USING (lang)
+    ),
+    r1 AS (SELECT *, ROUND(w * (total * 1.0 / n_src)
+             / CAST(SUM(CAST(w AS DECIMAL(28,8))) OVER (PARTITION BY source)
+                    AS DOUBLE), 8) AS w1 FROM w0),
+    s1 AS (SELECT *, ROUND(w1 * lang_total
+             / CAST(SUM(CAST(w1 AS DECIMAL(28,8))) OVER (PARTITION BY lang)
+                    AS DOUBLE), 8) AS w2 FROM r1),
+    r2 AS (SELECT *, ROUND(w2 * (total * 1.0 / n_src)
+             / CAST(SUM(CAST(w2 AS DECIMAL(28,8))) OVER (PARTITION BY source)
+                    AS DOUBLE), 8) AS w3 FROM s1),
+    s2 AS (SELECT *, ROUND(w3 * lang_total
+             / CAST(SUM(CAST(w3 AS DECIMAL(28,8))) OVER (PARTITION BY lang)
+                    AS DOUBLE), 8) AS w4 FROM r2),
+    r3 AS (SELECT *, ROUND(w4 * (total * 1.0 / n_src)
+             / CAST(SUM(CAST(w4 AS DECIMAL(28,8))) OVER (PARTITION BY source)
+                    AS DOUBLE), 8) AS w5 FROM s2),
+    s3 AS (SELECT *, ROUND(w5 * lang_total
+             / CAST(SUM(CAST(w5 AS DECIMAL(28,8))) OVER (PARTITION BY lang)
+                    AS DOUBLE), 8) AS w6 FROM r3)
+    SELECT source, lang, n AS n_docs, ROUND(w6, 6) AS raked_weight,
+           ROUND(w6 / n, 6) AS per_doc_factor
+    FROM s3 ORDER BY source, lang
+    """,
+)
+def ipf_mixture_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting of corpus sampling weights: the
+    raking loop that reconciles two mixing requirements at once — uniform
+    source shares (no source dominates training) AND preserved language
+    totals (don't starve low-resource languages). Three alternating
+    row/column scalings of the source x lang table, each step a grouped
+    DECIMAL window sum of ROUND@8 terms, so the whole iterative float
+    chain is reproduced bit-for-bit by the unrolled oracle — the same
+    pattern logreg_gd_click_model uses for its gradient steps. The table
+    is |sources| x |langs| cells regardless of corpus size: the loop cost
+    never scales with rows."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count_distinct("source").cast("long").alias("n_src"),
+    )
+    cl = c.groupBy("lang").agg(F.sum("n").cast("long").alias("lang_total"))
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(cl), "lang")
+        .select("source", "lang", "n", "total", "n_src", "lang_total",
+                F.round(F.col("n") * 1.0, 8).alias("w"))
+    )
+    w_src = Window.partitionBy("source")
+    w_lang = Window.partitionBy("lang")
+    cur = "w"
+    for _ in range(3):
+        nxt = cur + "r"
+        w = w.withColumn(
+            nxt,
+            F.round(
+                F.col(cur)
+                * (F.col("total") * 1.0 / F.col("n_src"))
+                / F.sum(F.col(cur).cast("decimal(28,8)")).over(w_src).cast("double"),
+                8,
+            ),
+        )
+        cur2 = nxt + "s"
+        w = w.withColumn(
+            cur2,
+            F.round(
+                F.col(nxt)
+                * F.col("lang_total")
+                / F.sum(F.col(nxt).cast("decimal(28,8)")).over(w_lang).cast("double"),
+                8,
+            ),
+        )
+        cur = cur2
+    return w.select(
+        "source",
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col(cur), 6).alias("raked_weight"),
+        F.round(F.col(cur) / F.col("n"), 6).alias("per_doc_factor"),
+    ).orderBy("source", "lang")

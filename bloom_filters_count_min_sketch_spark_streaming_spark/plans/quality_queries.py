@@ -2404,3 +2404,234 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_tie_corrected"),
     )
+
+
+@query(
+    "k_anonymity_ldiversity_audit",
+    oracle="""
+    -- privacy-governance audit before a data release: k-anonymity and
+    -- l-diversity of the customer table under quasi-identifiers
+    -- (nation, account-balance band) with market segment as the
+    -- sensitive attribute (Sweeney 2002; Machanavajjhala 2007). One
+    -- grouped pass builds the QI equivalence classes; each threshold row
+    -- reports how re-identifiable the release is. All-integer counts ->
+    -- exact ratios, hash-checked.
+    WITH q AS (
+      SELECT c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bal_band,
+             c_mktsegment
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM q GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+             CAST(MIN(l_div) AS BIGINT) AS l_diversity
+      FROM g
+    )
+    SELECT k.k AS k_threshold, tot.n_rows, tot.n_groups,
+           tot.k_anonymity, tot.l_diversity,
+           CAST((SELECT COALESCE(SUM(sz), 0) FROM g WHERE sz < k.k) AS BIGINT)
+             AS rows_violating,
+           ROUND((SELECT COALESCE(SUM(sz), 0) FROM g WHERE sz < k.k)
+                 * 1.0 / tot.n_rows, 6) AS pct_rows_violating
+    FROM (SELECT unnest([2, 5, 10, 25]) AS k) k CROSS JOIN tot
+    ORDER BY k_threshold
+    """,
+)
+def k_anonymity_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a customer release: group sizes
+    of the quasi-identifier equivalence classes (nation x balance band)
+    give the k-anonymity level; distinct sensitive values (market
+    segment) per class give l-diversity; each k threshold row reports the
+    re-identifiable row fraction. The audit is one grouped pass + a
+    broadcast threshold cross join — the pre-release governance gate a
+    training-data pipeline runs before shipping user-derived tables."""
+    cust = load(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+    g = q.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.count_distinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    tot = g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,), (25,)], "k int")
+    viol = (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_violating")
+        )
+    )
+    return (
+        viol.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("k_threshold"),
+            "n_rows",
+            "n_groups",
+            "k_anonymity",
+            "l_diversity",
+            "rows_violating",
+            F.round(F.col("rows_violating") * 1.0 / F.col("n_rows"), 6).alias(
+                "pct_rows_violating"
+            ),
+        )
+        .orderBy("k_threshold")
+    )
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    -- differentially-private histogram release (Dwork et al. 2006):
+    -- per-type event counts + Laplace(1/eps) noise, eps=1, sensitivity 1
+    -- (each event contributes to one bucket). The noise is SEEDED AND
+    -- PORTABLE: u = md5('dp1|'||type) first-12-hex / 2^48 - 0.5, noise =
+    -- -sign(u) * (1/eps) * ln(1 - 2|u|) — the Laplace inverse CDF on a
+    -- hash every engine reproduces bit-for-bit, so the released values
+    -- are hash-checked (true counts shown only for the audit gate).
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, true_cnt,
+             ('0x' || substr(md5('dp1|' || event_type), 1, 12))::BIGINT
+               / 281474976710656.0 - 0.5 AS uu
+      FROM c
+    )
+    SELECT event_type, true_cnt,
+           ROUND(true_cnt
+                 - CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
+                   * ln(1.0 - 2.0 * abs(uu)), 4) AS dp_count,
+           1.0 AS epsilon
+    FROM u ORDER BY event_type
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: the Laplace mechanism on the
+    per-type event histogram (sensitivity 1, eps=1). The noise draw is the
+    inverse-CDF transform of a PORTABLE md5-derived uniform — the same
+    seed-discipline rule every sketch in this repo follows — so the
+    mechanism is deterministic, auditable, and engine-reproducible while
+    keeping the calibrated Laplace(1/eps) distribution across buckets.
+    (True counts appear alongside only because this registers as an
+    oracle-checked audit; a production release would drop them.)"""
+    c = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    uu = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp1|"), F.col("event_type"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(281474976710656.0)
+        - 0.5
+    )
+    u = c.select("event_type", "true_cnt", uu.alias("uu"))
+    return u.select(
+        "event_type",
+        "true_cnt",
+        F.round(
+            F.col("true_cnt")
+            - F.when(F.col("uu") >= 0, 1.0).otherwise(-1.0)
+            * F.log(1.0 - 2.0 * F.abs(F.col("uu"))),
+            4,
+        ).alias("dp_count"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ablation_source_influence",
+    oracle="""
+    -- leave-one-source-out data valuation: each source's influence on the
+    -- corpus-level metrics = metric(corpus \\ source) - metric(corpus),
+    -- computed CLOSED-FORM from one grouped pass (totals minus the
+    -- group's partials) instead of |sources| recomputations — the O(1)
+    -- ablation trick that makes per-shard valuation feasible at 100 TB.
+    -- Metrics: mean doc length and English fraction; integer partials ->
+    -- exact deltas.
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(n_chars) AS BIGINT) AS s_g,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_g
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(en_g) AS BIGINT) AS en
+      FROM g
+    )
+    SELECT g.source, g.n_g AS n_docs,
+           ROUND((t.s - g.s_g) * 1.0 / (t.n - g.n_g)
+                 - t.s * 1.0 / t.n, 6) AS delta_mean_chars,
+           ROUND((t.en - g.en_g) * 1.0 / (t.n - g.n_g)
+                 - t.en * 1.0 / t.n, 6) AS delta_en_frac
+    FROM g CROSS JOIN t
+    ORDER BY delta_mean_chars DESC, g.source
+    """,
+)
+def ablation_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation of corpus metrics — the cheapest
+    honest data-valuation signal: how would mean document length and the
+    English fraction move if this source were dropped? Computed in closed
+    form from one grouped pass (corpus totals minus per-source partials),
+    so valuing S sources costs ONE scan, not S scans — the shape that
+    keeps per-shard valuation tractable when the corpus is 100 TB. All
+    partials are exact integers; the deltas are single double chains."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("n_chars").cast("long").alias("s_g"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("en_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("en_g").cast("long").alias("en"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n_g").alias("n_docs"),
+            F.round(
+                (F.col("s") - F.col("s_g")) * 1.0 / (F.col("n") - F.col("n_g"))
+                - F.col("s") * 1.0 / F.col("n"),
+                6,
+            ).alias("delta_mean_chars"),
+            F.round(
+                (F.col("en") - F.col("en_g")) * 1.0 / (F.col("n") - F.col("n_g"))
+                - F.col("en") * 1.0 / F.col("n"),
+                6,
+            ).alias("delta_en_frac"),
+        )
+        .orderBy(F.desc("delta_mean_chars"), "source")
+    )
