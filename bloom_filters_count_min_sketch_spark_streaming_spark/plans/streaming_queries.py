@@ -1932,3 +1932,60 @@ def stream_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2.7).alias("out_of_control"),
     )
+
+
+@query(
+    "stream_spacesaving_topk",
+    oracle="""
+    -- streaming SpaceSaving in the exact regime: k=8 counters per shard
+    -- exceed the 5 distinct event types, so no eviction ever fires —
+    -- counts are exact substream counts with zero error, and the merged
+    -- summary equals the global exact counts (guaranteed_min == est).
+    SELECT event_type AS item,
+           COUNT(*) AS est_count,
+           CAST(0 AS BIGINT) AS err_bound,
+           COUNT(*) AS guaranteed_min,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type ORDER BY rnk
+    """,
+)
+def stream_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE SpaceSaving heavy hitters (Metwally et al. 2005) — the
+    OVERestimate companion of stream_misra_gries_topk: where MG reports
+    lower bounds, SpaceSaving reports est >= true >= est - err and
+    conserves the stream length (sum of counts == N). k=8 > 5 distinct
+    types keeps this run in the exact regime (err == 0, counts exact) so
+    the oracle is the exact counts; the evicting regime's guarantees
+    (conservation, overestimate, N/k error, heavy-item survival) are
+    property-tested in tests/test_state_sketches.py on the same core."""
+    k = 8
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("item"),
+    )
+    out = run_available_now(stateful.space_saving_state(keyed, k=k), "append")
+    w_shard = Window.partitionBy("shard")
+    latest = out.withColumn("max_seq", F.max("seq").over(w_shard)).filter(
+        F.col("seq") == F.col("max_seq")
+    )
+    merged = latest.groupBy("item").agg(
+        F.sum("ss_count").cast("long").alias("est_count"),
+        F.sum("ss_err").cast("long").alias("err_bound"),
+    )
+    w = Window.orderBy(F.desc("est_count"), "item")
+    return (
+        merged.select(
+            "item",
+            "est_count",
+            "err_bound",
+            (F.col("est_count") - F.col("err_bound")).cast("long").alias(
+                "guaranteed_min"
+            ),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

@@ -1407,3 +1407,128 @@ def streaming_ewma_chart(stream_df: DataFrame, day_col: str) -> DataFrame:
             update, _EWMA_OUT, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SpaceSaving (Metwally, Agrawal, El Abbadi, ICDT 2005): the
+# OVERestimate-side heavy-hitter summary completing the counter pair with
+# Misra-Gries (whose values are lower bounds). k (item, count, err) counters
+# per shard; a new item evicts the minimum counter and inherits its count+1
+# with err = the evicted count, so count >= true >= count - err and the
+# counts CONSERVE the substream length (sum(count) == N_shard).
+
+_SS_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("item", StringType()),
+        StructField("ss_count", LongType()),
+        StructField("ss_err", LongType()),
+    ]
+)
+_SS_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("items", StringType()),
+        StructField("counts", BinaryType()),
+        StructField("errs", BinaryType()),
+    ]
+)
+
+
+def _ss_ingest(
+    counts: dict, errs: dict, items_seq, k: int
+) -> tuple[dict, dict]:
+    """Pure SpaceSaving core (unit-testable without Spark): fold an
+    ORDERED run of items into the k-counter summary. Monitored items
+    increment; new items take a free counter or evict the minimum
+    (deterministic (count, item) tie-break), inheriting min+1 with
+    err = min. Invariants: len(counts) <= k, sum(counts) == items seen,
+    count >= true >= count - err for every monitored item."""
+    for it in items_seq:
+        if it in counts:
+            counts[it] += 1
+        elif len(counts) < k:
+            counts[it] = 1
+            errs[it] = 0
+        else:
+            mk, mv = min(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            del counts[mk]
+            errs.pop(mk, None)
+            counts[it] = mv + 1
+            errs[it] = mv
+    return counts, errs
+
+
+def space_saving_state(
+    stream_df: DataFrame, k: int, item_col: str = "item"
+) -> DataFrame:
+    """Per-shard SpaceSaving summary across micro-batches: O(k) state
+    forever. Batches fold in deterministic (ts_us, event_id) order (the
+    algorithm is order-dependent; the mtime-ordered file source plus this
+    sort makes every run identical). Fast path: when the batch introduces
+    no eviction pressure (existing items + batch items <= k counters),
+    the fold collapses to a vectorized value_counts add — the exact
+    regime, where counts are exact and errs stay 0. Shards partition the
+    key space, so per-shard summaries answer global queries by addition
+    (counts and error bounds both add)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "shard": empty64,
+                    "seq": empty64,
+                    "item": pd.Series([], dtype="object"),
+                    "ss_count": empty64,
+                    "ss_err": empty64,
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        if state.exists:
+            seq, items_s, cnt_b, err_b = state.get
+            seq = int(seq)
+            its = items_s.split("\x1f") if items_s else []
+            cnts = np.frombuffer(cnt_b, dtype=np.int64)
+            ers = np.frombuffer(err_b, dtype=np.int64)
+            counts = dict(zip(its, (int(c) for c in cnts)))
+            errs = dict(zip(its, (int(e) for e in ers)))
+        else:
+            seq, counts, errs = 0, {}, {}
+        batch_items = pdf[item_col]
+        if len(set(batch_items) | set(counts)) <= k:
+            for it, c in batch_items.value_counts().items():
+                counts[it] = counts.get(it, 0) + int(c)
+                errs.setdefault(it, 0)
+        else:
+            counts, errs = _ss_ingest(counts, errs, batch_items.tolist(), k)
+        seq += 1
+        order = sorted(counts)
+        state.update(
+            (
+                seq,
+                "\x1f".join(order),
+                np.array([counts[i] for i in order], dtype=np.int64).tobytes(),
+                np.array([errs[i] for i in order], dtype=np.int64).tobytes(),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.full(len(order), int(key[0]), dtype=np.int64),
+                "seq": np.full(len(order), seq, dtype=np.int64),
+                "item": pd.Series(order, dtype="object"),
+                "ss_count": np.array([counts[i] for i in order], dtype=np.int64),
+                "ss_err": np.array([errs[i] for i in order], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _SS_OUT, _SS_STATE, "append", GroupStateTimeout.NoTimeout
+    )

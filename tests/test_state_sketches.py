@@ -159,3 +159,109 @@ def test_streaming_misra_gries_reducing_regime(spark, tmp_path):
     for item, v in final.items():
         assert 0 < v <= true[item], (item, v, true[item])
         assert true[item] - v <= n / k, (item, v, true[item])
+
+
+def test_spacesaving_core_invariants():
+    """Pure SS core: conservation (sum counts == N), <= k counters,
+    overestimate sandwich (count >= true >= count - err), N/k max error,
+    and any item above N/k of the stream is monitored at the end."""
+    from collections import Counter
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _ss_ingest,
+    )
+
+    k = 4
+    stream = []
+    for rep in range(50):
+        stream.append("hot")  # 1/3 of the stream > N/k for k=4
+        stream.append(f"cold{rep % 11}")
+        if rep % 2 == 0:
+            stream.append("warm")
+    true = Counter(stream)
+    counts, errs = _ss_ingest({}, {}, stream, k)
+    n = len(stream)
+    assert len(counts) <= k
+    assert sum(counts.values()) == n, "SpaceSaving conserves stream length"
+    for it, c in counts.items():
+        assert c >= true[it], (it, c, true[it])
+        assert c - errs[it] <= true[it], (it, c, errs[it], true[it])
+        assert errs[it] <= n / k
+    assert "hot" in counts, "an item above N/k must be monitored"
+
+
+def test_spacesaving_batch_split_invariance():
+    """Folding the same ordered stream through different batch boundaries
+    yields the identical summary — micro-batch boundaries can't change
+    the answer."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _ss_ingest,
+    )
+
+    stream = [f"i{(j * 7) % 13}" for j in range(300)]
+    one_c, one_e = _ss_ingest({}, {}, stream, 5)
+    prev = 0
+    sp_c, sp_e = {}, {}
+    for cut in (17, 100, 161, 300):
+        sp_c, sp_e = _ss_ingest(sp_c, sp_e, stream[prev:cut], 5)
+        prev = cut
+    assert one_c == sp_c and one_e == sp_e
+
+
+def test_streaming_spacesaving_evicting_regime(spark, tmp_path):
+    """k=3 counters against 10 distinct items across micro-batches: the
+    state-store operator preserves the SS guarantees — conservation,
+    overestimate sandwich, and survival of the majority item."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import (
+        stateful,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    rows = []
+    for rep in range(60):
+        rows.append((0, rep * 2, rep * 2, "hot"))
+        rows.append((0, rep * 2 + 1, rep * 2 + 1, f"cold{rep % 9}"))
+    n = len(rows)
+    true = {}
+    for _, _, _, it in rows:
+        true[it] = true.get(it, 0) + 1
+    batches = [rows[:40], rows[40:80], rows[80:]]
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        pdf = pd.DataFrame(b, columns=["shard", "event_id", "ts_us", "item"])
+        for c in ("shard", "event_id", "ts_us"):
+            pdf[c] = pdf[c].astype("int64")
+        path = f"{src_dir}/part-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+
+    k = 3
+    out = run_available_now(stateful.space_saving_state(src, k=k), "append")
+    mx = out.agg(F.max("seq")).collect()[0][0]
+    final = {
+        r["item"]: (r["ss_count"], r["ss_err"])
+        for r in out.filter(F.col("seq") == mx).collect()
+    }
+    assert len(final) <= k
+    assert sum(c for c, _ in final.values()) == n, "conservation across batches"
+    assert "hot" in final
+    for it, (c, e) in final.items():
+        t = true.get(it, 0)
+        assert c >= t, (it, c, t)
+        assert c - e <= t, (it, c, e, t)
+        assert e <= n / k
