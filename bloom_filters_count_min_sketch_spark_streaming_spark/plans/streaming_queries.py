@@ -1989,3 +1989,71 @@ def stream_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "stream_ols_trend",
+    oracle="""
+    -- the streamed fit == the batch fit: per-type OLS of event value on
+    -- day index, from the SAME five exact integer sufficient statistics
+    -- (y carried as its exact 6-decimal scaled integer), closed form as
+    -- one double chain. Integer addition is a commutative monoid, so the
+    -- online fold provably can't differ.
+    WITH r AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+               AS y6
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y6) AS BIGINT) AS sy6,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y6) AS BIGINT) AS sxy6
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * (sxy6 / 1000000.0) - sx * (sy6 / 1000000.0))
+                 / (n * sxx - sx * sx * 1.0), 8) AS slope_per_day,
+           ROUND(((sy6 / 1000000.0)
+                  - (n * (sxy6 / 1000000.0) - sx * (sy6 / 1000000.0))
+                    / (n * sxx - sx * sx * 1.0) * sx) / n, 6) AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def stream_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online least-squares trend per event type: the state store carries
+    five exact integers per key (n, sum x, scaled sum y, sum x^2, scaled
+    sum xy) and the final coefficients HASH-EQUAL the batch OLS — model
+    fitting as a mergeable-monoid aggregate, the shape that lets a
+    1000-executor stream maintain thousands of per-key regressions
+    without ever re-reading history. y rides as its exact 6-decimal
+    scaled integer so no float ever enters the state."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        F.col("event_type").alias("key"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        (F.round("value", 6).cast("decimal(28,6)") * 1000000)
+        .cast("long")
+        .alias("y6"),
+    )
+    out = run_available_now(stateful.ols_sufficient_stats(keyed), "append")
+    w_key = Window.partitionBy("key")
+    latest = out.withColumn("max_seq", F.max("seq").over(w_key)).filter(
+        F.col("seq") == F.col("max_seq")
+    )
+    n, sx = F.col("n"), F.col("sx")
+    sy = F.col("sy6") / 1000000.0
+    sxy = F.col("sxy6") / 1000000.0
+    slope = (n * sxy - sx * sy) / (n * F.col("sxx") - sx * sx * 1.0)
+    return latest.select(
+        F.col("key").alias("event_type"),
+        "n",
+        F.round(slope, 8).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")

@@ -1532,3 +1532,89 @@ def space_saving_state(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _SS_OUT, _SS_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming OLS by sufficient statistics: online model fitting whose FINAL
+# coefficients hash-equal the batch least-squares fit. The regression state
+# per key is five integers (n, sum x, sum y*1e6, sum x^2, sum x*y*1e6) —
+# y is carried as its exact 6-decimal scaled integer, so the sums are exact,
+# order-free, and mergeable, and the closed-form slope/intercept computed
+# from them is the SAME double chain in any engine.
+
+_OLS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("n", LongType()),
+        StructField("sx", LongType()),
+        StructField("sy6", LongType()),
+        StructField("sxx", LongType()),
+        StructField("sxy6", LongType()),
+    ]
+)
+_OLS_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("n", LongType()),
+        StructField("sx", LongType()),
+        StructField("sy6", LongType()),
+        StructField("sxx", LongType()),
+        StructField("sxy6", LongType()),
+    ]
+)
+
+
+def ols_sufficient_stats(
+    stream_df: DataFrame, x_col: str = "x", y6_col: str = "y6"
+) -> DataFrame:
+    """Per-key online least squares: each micro-batch folds vectorized
+    integer sums into five state longs — O(1) state per key forever, no
+    history re-read, and (because integer addition is a commutative
+    monoid) a final fit that provably cannot depend on micro-batch
+    boundaries. Expects ``key string, <x_col> long, <y6_col> long`` where
+    y6 is the exact 6-decimal scaled value; emits the running sums per
+    batch, the read side applies the closed form."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="object"),
+                    **{c: empty64 for c in ("seq", "n", "sx", "sy6", "sxx", "sxy6")},
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            seq, n, sx, sy6, sxx, sxy6 = (int(v) for v in state.get)
+        else:
+            seq = n = sx = sy6 = sxx = sxy6 = 0
+        x = pdf[x_col].to_numpy(np.int64)
+        y6 = pdf[y6_col].to_numpy(np.int64)
+        n += len(x)
+        sx += int(x.sum())
+        sy6 += int(y6.sum())
+        sxx += int((x * x).sum())
+        sxy6 += int((x * y6).sum())
+        seq += 1
+        state.update((seq, n, sx, sy6, sxx, sxy6))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([str(key[0])], dtype="object"),
+                "seq": np.array([seq], dtype=np.int64),
+                "n": np.array([n], dtype=np.int64),
+                "sx": np.array([sx], dtype=np.int64),
+                "sy6": np.array([sy6], dtype=np.int64),
+                "sxx": np.array([sxx], dtype=np.int64),
+                "sxy6": np.array([sxy6], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("key").applyInPandasWithState(
+        update, _OLS_OUT, _OLS_STATE, "append", GroupStateTimeout.NoTimeout
+    )
