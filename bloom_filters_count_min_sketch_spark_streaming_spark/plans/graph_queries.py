@@ -446,3 +446,281 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(v), int(final_deg[v]), bool(converged)) for v in sorted(alive)],
         "nation BIGINT, core_degree BIGINT, converged BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities + HITS: the community and hub/authority
+# members of the graph family (PageRank ranks globally, triangles measure
+# closure, k-core finds the resilient core, components partition — LPA
+# groups by neighborhood majority, HITS separates "ships to everyone" from
+# "buys from everyone"). Both run a FIXED number of synchronous supersteps
+# with the same determinism discipline as PageRank: integer label votes for
+# LPA (fully exact), ROUND@12 decimal-summed matvecs + L1 normalization for
+# HITS.
+
+LPA_ITERS = 4
+HITS_ITERS = 4
+
+_HEAVY_EDGE_SQL = """
+    WITH base AS (
+      SELECT LEAST(sn, cn) AS a, GREATEST(sn, cn) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ) WHERE sn <> cn GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(w) AS BIGINT) AS tot FROM base),
+    e AS (SELECT a, b, w FROM base CROSS JOIN t WHERE w * n * 5 >= 6 * tot),
+    sym AS (SELECT a AS node, b AS nbr, w FROM e
+            UNION ALL SELECT b, a, w FROM e),
+    nodes AS (SELECT DISTINCT node FROM sym)"""
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    sql = _HEAVY_EDGE_SQL + """,
+    lp0 AS (SELECT node, node AS lbl FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT sym.node, l.lbl, CAST(SUM(sym.w) AS BIGINT) AS sw
+      FROM sym JOIN lp{i - 1} l ON l.node = sym.nbr
+      GROUP BY 1, 2
+    ),
+    lp{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY sw DESC, lbl) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""
+    last = iters
+    sql += f"""
+    SELECT nt.n_name AS nation, CAST(lp.lbl AS BIGINT) AS community,
+           CAST(cs.sz AS BIGINT) AS community_size
+    FROM lp{last} lp
+    JOIN nation nt ON nt.n_nationkey = lp.node
+    JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM lp{last} GROUP BY lbl) cs ON cs.lbl = lp.lbl
+    ORDER BY nation
+    """
+    return sql
+
+
+@query("lpa_trade_communities", oracle=_lpa_oracle())
+def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities (Raghavan et al. 2007) on the
+    heavy-trade nation graph: 4 synchronous supersteps, each node adopting
+    the label with the max incident edge weight (tie-break: smallest
+    label). Every vote is an exact integer weight sum, so the whole
+    iterative computation is hash-checked — no float enters the loop. The
+    superstep is [labels ⋈ edges on nbr] -> hash agg -> per-node window
+    argmax, the same reusable-edge-partitioning shape as PageRank;
+    localCheckpoint keeps lineage constant-depth."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.least(supp.s_nationkey, cust.c_nationkey).alias("a"),
+            F.greatest(supp.s_nationkey, cust.c_nationkey).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    t = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("tot"),
+    )
+    e = (
+        base.crossJoin(F.broadcast(t))
+        .filter(F.col("w") * F.col("n") * 5 >= 6 * F.col("tot"))
+        .select("a", "b", "w")
+    )
+    sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+    ).persist()
+    nodes = sym.select("node").distinct()
+    lp = nodes.select("node", F.col("node").alias("lbl"))
+    w_arg = Window.partitionBy("node").orderBy(F.desc("sw"), F.asc("lbl"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            sym.join(lp.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "lbl")
+            .agg(F.sum("w").cast("long").alias("sw"))
+        )
+        lp = (
+            votes.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    sizes = lp.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return (
+        lp.join(nation, lp.node == nation.n_nationkey)
+        .join(sizes, "lbl")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("lbl").cast("long").alias("community"),
+            F.col("sz").alias("community_size"),
+        )
+        .orderBy("nation")
+    )
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    sql = """
+    WITH e AS (
+      SELECT src, dst, w FROM (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+      )
+    ),
+    nodes AS (SELECT DISTINCT v AS node FROM
+              (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+    h0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(ROUND(e.w * h.r, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS x
+      FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    asum{i} AS MATERIALIZED (SELECT CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS s FROM ar{i}),
+    a{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             ROUND(COALESCE(ar.x, 0.0) / asum{i}.s, 12) AS r
+      FROM nodes LEFT JOIN ar{i} ar ON ar.node = nodes.node
+      CROSS JOIN asum{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(ROUND(e.w * a.r, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS x
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    hsum{i} AS MATERIALIZED (SELECT CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS s FROM hr{i}),
+    h{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             ROUND(COALESCE(hr.x, 0.0) / hsum{i}.s, 12) AS r
+      FROM nodes LEFT JOIN hr{i} hr ON hr.node = nodes.node
+      CROSS JOIN hsum{i}
+    )"""
+    last = iters
+    sql += f"""
+    SELECT nt.n_name AS nation,
+           ROUND(h{last}.r, 8) AS hub,
+           ROUND(a{last}.r, 8) AS authority,
+           CAST(ROW_NUMBER() OVER (ORDER BY a{last}.r DESC, nt.n_name)
+                AS BIGINT) AS rnk
+    FROM h{last} JOIN a{last} ON a{last}.node = h{last}.node
+    JOIN nation nt ON nt.n_nationkey = h{last}.node
+    ORDER BY rnk
+    """
+    return sql
+
+
+@query("hits_trade_hubs", oracle=_hits_oracle())
+def hits_trade_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the directed nation trade graph
+    (supplier nation -> customer nation, edge weight = shipped line
+    items): 4 supersteps of a = E^T h, h = E a with L1 normalization —
+    hubs are nations that ship to strong buyers, authorities nations that
+    buy from strong shippers (PageRank can't separate the two roles).
+    L1 (not L2) normalization keeps every step inside the repo's
+    rounded-term decimal-sum discipline — no sqrt, so the whole iterative
+    float chain is hash-checked like PageRank's. Same scale shape: edges
+    partitioned once, each superstep a join + hash agg, constant-depth
+    lineage via localCheckpoint."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(supp.s_nationkey != cust.c_nationkey)
+        .select(
+            supp.s_nationkey.alias("src"),
+            cust.c_nationkey.alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = float(nodes.count())  # bounded scalar: |nations|
+    h = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+
+    def matvec(vec: DataFrame, join_on: str, out_node: str) -> DataFrame:
+        raw = (
+            e.join(vec.withColumnRenamed("node", join_on), join_on)
+            .select(
+                F.col(out_node).alias("node"),
+                F.round(F.col("w") * F.col("r"), 12).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("x"))
+        )
+        tot = raw.agg(
+            F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.round(F.coalesce(F.col("x"), F.lit(0.0)) / F.col("s"), 12).alias(
+                    "r"
+                ),
+            )
+        )
+
+    for _ in range(HITS_ITERS):
+        a = matvec(h, "src", "dst").localCheckpoint(eager=True)
+        h = matvec(a, "dst", "src").localCheckpoint(eager=True)
+    out = (
+        h.withColumnRenamed("r", "hub")
+        .join(a.withColumnRenamed("r", "auth"), "node")
+        .join(nation, F.col("node") == nation.n_nationkey)
+    )
+    w_rnk = Window.orderBy(F.desc("auth"), F.asc("n_name"))
+    return (
+        out.select(
+            F.col("n_name").alias("nation"),
+            F.round("hub", 8).alias("hub"),
+            F.round("auth", 8).alias("authority"),
+            F.row_number().over(w_rnk).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
