@@ -2057,3 +2057,57 @@ def stream_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope_per_day"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+@query("stream_eh_window_sum")
+def stream_eh_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram sliding-window SUM (Datar et al. SICOMP 2002
+    §5) — DGIM generalized from bits to bounded positive integers: the
+    trailing 10-day total of purchase value units, answered from
+    O(k·log(W·R)) power-of-two buckets per shard instead of raw history
+    (values insert as their binary decomposition; >k buckets of a size
+    merge oldest-first). Rows-only (bucket cascades aren't SQL); the
+    construction bound |est-true| <= oldest_bucket/2 is emitted IN the
+    result and the core's invariants are property-tested. Shard estimates
+    and their error bounds ADD."""
+    window_us = 10 * 24 * 3600 * 1_000_000
+    k = 4
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.round("value").cast("long"))
+        .otherwise(F.lit(0))
+        .alias("val"),
+    )
+    ests = stateful.eh_window_sum(keyed, window_us=window_us, k=k)
+    out = run_available_now(ests, "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(
+            F.struct("n_buckets", "oldest_size", "est_window_sum"), "seq"
+        ).alias("s")
+    )
+    agg = last.agg(
+        F.sum("s.est_window_sum").cast("long").alias("est_sum"),
+        F.sum("s.oldest_size").cast("long").alias("err_bound_x2"),
+        F.sum("s.n_buckets").cast("long").alias("n_buckets_total"),
+    )
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.crossJoin(F.broadcast(ev.agg(F.max(F.unix_micros("ts")).alias("now"))))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.unix_micros("ts") > F.col("now") - window_us)
+        )
+        .agg(F.sum(F.round("value").cast("long")).cast("long").alias("exact_sum"))
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "est_sum",
+        "exact_sum",
+        "n_buckets_total",
+        (
+            F.abs(F.col("est_sum") - F.col("exact_sum"))
+            <= F.col("err_bound_x2") / 2
+        ).alias("within_eh_bound"),
+    )

@@ -1618,3 +1618,135 @@ def ols_sufficient_stats(
     return stream_df.groupBy("key").applyInPandasWithState(
         update, _OLS_OUT, _OLS_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential histogram for sliding-window SUMS (Datar, Gionis, Indyk,
+# Motwani, SICOMP 2002 §5): DGIM generalized from bits to bounded positive
+# integers. An arriving value v enters as its binary decomposition (one
+# bucket per set bit, same timestamp), and the canonical merge rule keeps at
+# most k buckets per power-of-two size — state O(k log(W·R)) per shard, the
+# window sum answered as all live buckets minus half the oldest.
+
+_EH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("oldest_size", LongType()),
+        StructField("est_window_sum", LongType()),
+    ]
+)
+_EH_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("ts", BinaryType()),
+        StructField("sz", BinaryType()),
+    ]
+)
+
+
+def _eh_ingest(
+    ts: list[int], sz: list[int], arrivals, now: int, window_us: int, k: int
+) -> tuple[list[int], list[int], int, int]:
+    """Pure EH-for-sums core (unit-testable without Spark): fold a
+    ts-ascending run of (t, v) pairs (v a positive integer) into the
+    (ts, sz) bucket lists. Each v inserts one bucket per set bit of its
+    binary decomposition; whenever more than k buckets share a size the
+    two OLDEST merge into one of doubled size (the merged bucket keeps the
+    newer timestamp). Evicts buckets whose newest element left the window
+    and returns (ts, sz, estimate, oldest_size): estimate = full sizes of
+    live buckets minus half the oldest (its mass straddles the edge), so
+    |est - true| <= oldest_size / 2 by construction."""
+    for t, v in arrivals:
+        t, v = int(t), int(v)
+        b = 1
+        while v:
+            if v & 1:
+                # insert keeping ts ascending (same-t bits append in
+                # increasing size, which preserves order)
+                ts.append(t)
+                sz.append(b)
+                s = b
+                while True:
+                    idxs = [j for j, x in enumerate(sz) if x == s]
+                    if len(idxs) <= k:
+                        break
+                    a, bb = idxs[0], idxs[1]
+                    sz[bb] = 2 * s
+                    del ts[a], sz[a]
+                    s *= 2
+            v >>= 1
+            b <<= 1
+    keep = [j for j, t in enumerate(ts) if t > now - window_us]
+    ts = [ts[j] for j in keep]
+    sz = [sz[j] for j in keep]
+    est = sum(sz) - (sz[0] // 2 if sz else 0)
+    return ts, sz, est, (sz[0] if sz else 0)
+
+
+def eh_window_sum(
+    stream_df: DataFrame, window_us: int, k: int = 4, val_col: str = "val"
+) -> DataFrame:
+    """Sliding-window SUM of a positive integer column over an unbounded
+    stream in O(k log(W·R)) state per shard — the sums generalization of
+    dgim_window_count (k=2 degenerates to DGIM's two-per-size rule).
+    Expects ``shard long, event_id long, ts_us long, <val_col> long``;
+    emits per micro-batch so ``max_by(..., seq)`` reads each shard's
+    latest estimate; per-shard estimates and their oldest-bucket error
+    bounds ADD across shards."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    c: empty64
+                    for c in (
+                        "shard",
+                        "seq",
+                        "n_buckets",
+                        "oldest_size",
+                        "est_window_sum",
+                    )
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            seq, ts_b, sz_b = state.get
+            seq = int(seq)
+            ts = [int(v) for v in np.frombuffer(ts_b, dtype=np.int64)]
+            sz = [int(v) for v in np.frombuffer(sz_b, dtype=np.int64)]
+        else:
+            seq, ts, sz = 0, [], []
+        pos = pdf[pdf[val_col] > 0]
+        arrivals = zip(
+            pos["ts_us"].to_numpy(np.int64), pos[val_col].to_numpy(np.int64)
+        )
+        now = int(pdf["ts_us"].iloc[-1])
+        ts, sz, est, oldest = _eh_ingest(ts, sz, arrivals, now, window_us, k)
+        seq += 1
+        state.update(
+            (
+                seq,
+                np.array(ts, dtype=np.int64).tobytes(),
+                np.array(sz, dtype=np.int64).tobytes(),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "n_buckets": np.array([len(sz)], dtype=np.int64),
+                "oldest_size": np.array([oldest], dtype=np.int64),
+                "est_window_sum": np.array([est], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _EH_OUT, _EH_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -265,3 +265,69 @@ def test_streaming_spacesaving_evicting_regime(spark, tmp_path):
         assert c >= t, (it, c, t)
         assert c - e <= t, (it, c, e, t)
         assert e <= n / k
+
+
+def test_eh_sum_core_invariants_and_bound():
+    """EH-for-sums pure core: power-of-two sizes with <= k per size,
+    ts-ascending buckets, total bucket mass == in-window stream mass
+    (plus the straddling oldest), and |est - true| <= oldest/2 across a
+    sliding sweep."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _eh_ingest,
+    )
+
+    k = 4
+    W = 200
+    vals = [(t, (t * 7) % 23 + 1) for t in range(1, 1001)]
+    ts, sz = [], []
+    for lo in range(0, 1000, 100):
+        chunk = vals[lo : lo + 100]
+        now = chunk[-1][0]
+        ts, sz, est, oldest = _eh_ingest(ts, sz, chunk, now, W, k)
+        assert ts == sorted(ts)
+        from collections import Counter
+
+        per_size = Counter(sz)
+        for s, c in per_size.items():
+            assert s & (s - 1) == 0, "sizes are powers of two"
+            assert c <= k, f"more than {k} buckets of size {s}"
+        true = sum(v for t, v in vals[: lo + 100] if t > now - W)
+        assert abs(est - true) <= oldest / 2, (est, true, oldest)
+
+
+def test_eh_sum_split_invariance_and_k2_matches_dgim():
+    """Batch boundaries can't change the histogram, and with k=2 on a
+    unit-value stream the buckets and estimate degenerate to DGIM's."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _dgim_ingest,
+        _eh_ingest,
+    )
+
+    vals = [(t, ((t * 13) % 9) + 1) for t in range(1, 301)]
+    W = 120
+    one = _eh_ingest([], [], vals, 300, W, 3)
+    ts, sz = [], []
+    for cuts in ((0, 50), (50, 199), (199, 300)):
+        chunk = vals[cuts[0] : cuts[1]]
+        ts, sz, est, oldest = _eh_ingest(ts, sz, chunk, chunk[-1][0], W, 3)
+    assert (ts, sz, est, oldest) == one
+
+    bits = [t for t in range(1, 201) if (t * 11) % 3 == 0]
+    d_ts, d_sz, d_est = _dgim_ingest([], [], bits, 200, W)
+    e_ts, e_sz, e_est, _ = _eh_ingest(
+        [], [], [(t, 1) for t in bits], 200, W, 2
+    )
+    assert (d_ts, d_sz, d_est) == (e_ts, e_sz, e_est)
+
+
+def test_eh_sum_idle_eviction():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _eh_ingest,
+    )
+
+    ts, sz, est, oldest = _eh_ingest(
+        [], [], [(t, 3) for t in range(1, 501)], 500, 100, 4
+    )
+    assert est > 0
+    ts, sz, est, oldest = _eh_ingest(ts, sz, [], 10_000_000, 100, 4)
+    assert ts == [] and sz == [] and est == 0 and oldest == 0
