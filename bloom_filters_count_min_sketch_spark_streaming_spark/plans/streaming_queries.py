@@ -2111,3 +2111,47 @@ def stream_eh_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("err_bound_x2") / 2
         ).alias("within_eh_bound"),
     )
+
+
+@query("stream_stable_bloom_dedup")
+def stream_stable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-Bloom-filter duplicate detection (Deng & Rafiei, SIGMOD
+    2006): flags repeated (user, event_type) pairs over an unbounded
+    stream in EXACTLY m 2-bit-ish counters per shard forever — the
+    clock-free alternative to the generational Bloom (which rotates on
+    event time): every arrival decays p random cells, so the zero
+    fraction converges to a stationary value and memory never grows.
+    Rows-only (the SBF trades a controlled false-negative rate for
+    boundedness, so no exact twin exists); the result carries the flagged
+    vs exact duplicate counts and the per-shard zero-fraction spread, and
+    tests/test_state_sketches.py pins the core's properties."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.xxhash64("user_id", "event_type").alias("key"),
+    )
+    out = run_available_now(stateful.stable_bloom_dedup(keyed), "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(
+            F.struct("n_dups_flagged", "n_seen", "zero_frac_x1e6"), "seq"
+        ).alias("s")
+    )
+    agg = last.agg(
+        F.sum("s.n_dups_flagged").cast("long").alias("dups_flagged"),
+        F.sum("s.n_seen").cast("long").alias("n_seen"),
+        F.min("s.zero_frac_x1e6").cast("long").alias("zero_frac_min_x1e6"),
+        F.max("s.zero_frac_x1e6").cast("long").alias("zero_frac_max_x1e6"),
+    )
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) - 1).alias("d")
+    ).agg(F.sum("d").cast("long").alias("exact_dups"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "n_seen",
+        "dups_flagged",
+        "exact_dups",
+        "zero_frac_min_x1e6",
+        "zero_frac_max_x1e6",
+    )

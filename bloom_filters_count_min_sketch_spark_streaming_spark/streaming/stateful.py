@@ -1750,3 +1750,135 @@ def eh_window_sum(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _EH_OUT, _EH_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Stable Bloom filter (Deng & Rafiei, SIGMOD 2006 "Approximately detecting
+# duplicates for streaming data using stable Bloom filters"): duplicate
+# detection over an UNBOUNDED stream in strictly constant memory by trading
+# in a controlled false-negative rate — every insertion decrements P
+# pseudo-random counters, so stale entries decay and the fraction of zeros
+# provably converges to a stationary value (the "stable" property). The
+# decrement positions come from a deterministic counter-seeded hash, keeping
+# runs reproducible.
+
+_SBF_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("n_dups_flagged", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("zero_frac_x1e6", LongType()),
+    ]
+)
+_SBF_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("n_dups", LongType()),
+        StructField("cells", BinaryType()),
+    ]
+)
+
+
+def _sbf_positions(x: int, kh: int, m: int) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(str(x).encode()).digest()
+    out = []
+    for i in range(kh):
+        out.append(int.from_bytes(h[4 * i : 4 * i + 4], "big") % m)
+    return out
+
+
+def _sbf_ingest(
+    cells: "np.ndarray", keys, kh: int, p_dec: int, cell_max: int, n_seen: int
+) -> tuple[int, int]:
+    """Pure SBF core (unit-testable without Spark): fold an ordered run of
+    integer keys into the counter array IN PLACE. Returns (dups_flagged,
+    n_seen). A key is flagged duplicate iff all kh cells are non-zero
+    BEFORE its own insertion; each arrival first decrements p_dec cells at
+    deterministic counter-seeded positions, then sets its kh cells to
+    cell_max — the Deng-Rafiei recipe with reproducible randomness."""
+    m = len(cells)
+    dups = 0
+    for x in keys:
+        x = int(x)
+        pos = _sbf_positions(x, kh, m)
+        if all(cells[j] > 0 for j in pos):
+            dups += 1
+        # deterministic "random" decrement positions: seeded by arrival idx
+        for j in _sbf_positions(-(n_seen + 1), p_dec, m):
+            if cells[j] > 0:
+                cells[j] -= 1
+        for j in pos:
+            cells[j] = cell_max
+        n_seen += 1
+    return dups, n_seen
+
+
+def stable_bloom_dedup(
+    stream_df: DataFrame,
+    m: int = 4096,
+    kh: int = 3,
+    p_dec: int = 10,
+    cell_max: int = 3,
+    key_col: str = "key",
+) -> DataFrame:
+    """Per-shard stable-Bloom duplicate detection: EXACTLY m counters of
+    ceil(log2(cell_max+1)) bits forever — unlike the generational Bloom
+    (which rotates whole generations on event time), the SBF decays
+    continuously, so memory is constant without any clock. Emits the
+    running duplicate count and the cell-zero fraction (scaled 1e6) whose
+    convergence is the paper's stability guarantee. Expects ``shard long,
+    event_id long, ts_us long, <key_col> long``; batches fold in
+    (ts_us, event_id) order."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    c: empty64
+                    for c in (
+                        "shard",
+                        "seq",
+                        "n_dups_flagged",
+                        "n_seen",
+                        "zero_frac_x1e6",
+                    )
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            seq, n_seen, n_dups, cells_b = state.get
+            seq, n_seen, n_dups = int(seq), int(n_seen), int(n_dups)
+            cells = np.frombuffer(cells_b, dtype=np.int8).copy()
+        else:
+            seq, n_seen, n_dups = 0, 0, 0
+            cells = np.zeros(m, dtype=np.int8)
+        dups, n_seen = _sbf_ingest(
+            cells, pdf[key_col].to_numpy(np.int64), kh, p_dec, cell_max, n_seen
+        )
+        n_dups += dups
+        seq += 1
+        state.update((seq, n_seen, n_dups, cells.tobytes()))
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "n_dups_flagged": np.array([n_dups], dtype=np.int64),
+                "n_seen": np.array([n_seen], dtype=np.int64),
+                "zero_frac_x1e6": np.array(
+                    [int(round((cells == 0).mean() * 1_000_000))], dtype=np.int64
+                ),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _SBF_OUT, _SBF_STATE, "append", GroupStateTimeout.NoTimeout
+    )

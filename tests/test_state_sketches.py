@@ -331,3 +331,65 @@ def test_eh_sum_idle_eviction():
     assert est > 0
     ts, sz, est, oldest = _eh_ingest(ts, sz, [], 10_000_000, 100, 4)
     assert ts == [] and sz == [] and est == 0 and oldest == 0
+
+
+def test_stable_bloom_core_properties():
+    """SBF pure core: (1) an immediately repeated key is always flagged
+    (its cells were just set to max and at most p_dec decrements
+    intervened — with m >> p_dec the survival probability is ~1; we use a
+    repeat-gap of 1 so cells are still hot); (2) memory is constant and
+    the zero fraction stabilizes instead of marching to 0 (the filter
+    never saturates); (3) determinism: same stream -> same cells."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _sbf_ingest,
+    )
+
+    m, kh, p, mx = 4096, 3, 10, 3
+    # adjacent duplicates: every odd arrival repeats the previous key
+    keys = []
+    for i in range(2000):
+        keys.append(i)
+        keys.append(i)
+    cells = np.zeros(m, dtype=np.int8)
+    dups, seen = _sbf_ingest(cells, keys, kh, p, mx, 0)
+    assert seen == 4000
+    # every immediate repeat flagged; a handful of fresh keys may collide
+    # (false positives), so dups >= 2000 and not wildly above
+    assert 2000 <= dups <= 2000 + 200, dups
+    zf_mid = (cells == 0).mean()
+    # keep streaming: zero fraction must STABILIZE, not vanish
+    cells2 = cells.copy()
+    _sbf_ingest(cells2, [x + 10_000 for x in range(4000)], kh, p, mx, seen)
+    zf_end = (cells2 == 0).mean()
+    assert zf_end > 0.05, "stability: the filter must not saturate"
+    assert abs(zf_end - zf_mid) < 0.25, (zf_mid, zf_end)
+    # determinism
+    c3 = np.zeros(m, dtype=np.int8)
+    d3, _ = _sbf_ingest(c3, keys, kh, p, mx, 0)
+    assert d3 == dups and np.array_equal(c3, cells)
+
+
+def test_stable_bloom_decay_forgets_old_keys():
+    """False negatives BY DESIGN: a key re-seen after a long stretch of
+    fresh traffic should usually have decayed out — the property that
+    bounds memory. We assert decay happens at all (some early keys are
+    forgotten), not a rate."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _sbf_ingest,
+        _sbf_positions,
+    )
+
+    m, kh, p, mx = 1024, 3, 20, 3
+    cells = np.zeros(m, dtype=np.int8)
+    early = list(range(100))
+    _, seen = _sbf_ingest(cells, early, kh, p, mx, 0)
+    _, seen = _sbf_ingest(cells, list(range(1000, 9000)), kh, p, mx, seen)
+    forgotten = 0
+    for x in early:
+        if not all(cells[j] > 0 for j in _sbf_positions(x, kh, m)):
+            forgotten += 1
+    assert forgotten > 0, "decay must eventually forget stale keys"
