@@ -152,3 +152,184 @@ def kmeans_cluster_profile(
         )
         .select(F.col("cluster").cast("int").alias("cluster"), "n_points", F.round("inertia", 4).alias("inertia"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Lightweight coreset k-means (Bachem, Lucic, Krause, KDD 2018): the 100 TB
+# clustering story. ONE distributed pass computes q(x) = 1/(2n) +
+# d(x, mean)^2 / (2 * sum d^2) and Poisson-samples x with probability
+# min(1, m*q(x)) (deterministic md5 uniform), weight 1/(m*q(x)) — an
+# unbiased, provably (eps, k)-competent summary of EXPECTED size <= m. The
+# weighted k-means then runs on m rows wherever convenient; the big data is
+# touched exactly twice (coreset build + final audit pass).
+
+
+def lightweight_coreset(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 128,
+) -> DataFrame:
+    """Build the lightweight coreset: returns (id, v, q, w) rows whose
+    EXPECTED count is <= m. Deterministic: the inclusion draw is the
+    md5(id) 48-bit uniform, the mean and d^2 total travel as rounded-term
+    decimal sums, so every engine/run selects the same rows with the same
+    weights."""
+    data = df.select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # dataset mean: k*dim-free — one grouped decimal pass over dims
+    mean_rows = (
+        data.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("val"), _DIM_SCALE).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    dim = len(mean_rows)
+    mu = np.zeros(dim, dtype=np.float64)
+    n_rows = int(mean_rows[0]["n"])
+    for r in mean_rows:
+        mu[r["dim"]] = float(r["s"]) / r["n"]
+    mu_c = mu
+
+    @F.pandas_udf("double")
+    def d2_mean(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        d = x - mu_c[None, :]
+        return pd.Series(np.round(np.einsum("ij,ij->i", d, d), _DIST_SCALE))
+
+    with_d2 = data.withColumn("d2", d2_mean(F.col("v")))
+    tot = with_d2.agg(
+        F.sum(F.col("d2").cast("decimal(28,8)")).cast("double").alias("t")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        with_d2.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "v",
+            (
+                F.lit(0.5) / F.lit(float(n_rows))
+                + F.col("d2") / (F.lit(2.0) * F.col("t"))
+            ).alias("q"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.lit(float(m)) * F.col("q"))
+        .select(
+            "cid",
+            "v",
+            "q",
+            (F.lit(1.0) / (F.lit(float(m)) * F.col("q"))).alias("w"),
+        )
+    )
+
+
+def coreset_kmeans_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 128,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Cluster the coreset, audit against the full data: weighted Lloyd
+    runs on the <= m collected coreset rows (the documented bound — the
+    whole point is that this part no longer scales with the data), then
+    ONE distributed pass assigns every full-data row to the coreset
+    centroids. Output per cluster: full-data size and inertia next to the
+    coreset's weighted size and weighted inertia — the coreset guarantee
+    is that the weighted columns estimate the full ones."""
+    core = lightweight_coreset(df, id_col, vec_col, m).collect()  # <= ~m rows
+    ids = [r["cid"] for r in core]
+    X = np.array([list(r["v"]) for r in core], dtype=np.float64)
+    W = np.array([float(r["w"]) for r in core], dtype=np.float64)
+    # hash-min init over the CORESET ids (same rule as the full trainer)
+    import hashlib
+
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    C = X[order[:k]].copy()
+    for _ in range(n_iter):
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                C[j] = (X[sel] * W[sel, None]).sum(axis=0) / W[sel].sum()
+    # coreset-side weighted profile
+    d = (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    a = np.argmin(d, axis=1)
+    w_size = np.zeros(k)
+    w_inertia = np.zeros(k)
+    for j in range(k):
+        sel = a == j
+        w_size[j] = W[sel].sum()
+        w_inertia[j] = (W[sel] * np.round(d[sel, j], _DIST_SCALE)).sum()
+
+    data = df.select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    full = (
+        data.withColumn("cluster", _assign_udf(C)(F.col("v")))
+        .withColumn(
+            "d2",
+            _dist2_udf(C)(F.col("v"), F.col("cluster")),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.round(F.col("d2"), _DIST_SCALE).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("full_inertia"),
+        )
+    )
+    spark = df.sparkSession
+    cs = spark.createDataFrame(
+        [
+            (int(j), float(round(w_size[j], 4)), float(round(w_inertia[j], 4)))
+            for j in range(k)
+        ],
+        "cluster int, coreset_weight double, coreset_inertia double",
+    )
+    return (
+        full.join(cs, "cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_full",
+            F.round("full_inertia", 4).alias("full_inertia"),
+            "coreset_weight",
+            "coreset_inertia",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _dist2_udf(centroids: np.ndarray):
+    c = centroids
+
+    @F.pandas_udf("double")
+    def dist2(vecs: pd.Series, cluster: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        cc = c[cluster.to_numpy()]
+        d = x - cc
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return dist2

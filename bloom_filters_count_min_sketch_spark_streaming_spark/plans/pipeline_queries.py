@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.operators.clustering import (
+    coreset_kmeans_profile,
     kmeans_cluster_profile,
 )
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
@@ -2282,3 +2283,19 @@ def ipf_mixture_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col(cur), 6).alias("raked_weight"),
         F.round(F.col(cur) / F.col("n"), 6).alias("per_doc_factor"),
     ).orderBy("source", "lang")
+
+
+@query("kmeans_coreset_fit")
+def kmeans_coreset_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means via LIGHTWEIGHT CORESET (Bachem et al., KDD 2018) — the
+    shape that clusters 100 TB: one distributed pass builds a <= m-row
+    weighted summary (q(x) = 1/(2n) + d(x, mean)^2 / 2*sum d^2, Poisson
+    inclusion by a deterministic md5 uniform, weight 1/(m q)), weighted
+    Lloyd runs on those m rows off the critical path, and one final pass
+    audits the full data against the coreset model. The output holds the
+    coreset's weighted size/inertia NEXT TO the full-data truth per
+    cluster — the unbiasedness the paper guarantees, visible as data.
+    Rows-only (iterative + sampled); unbiasedness and cost-competence are
+    property-tested in tests/test_clustering.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return coreset_kmeans_profile(emb, k=8, m=128, n_iter=10)

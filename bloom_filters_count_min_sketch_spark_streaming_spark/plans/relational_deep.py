@@ -3749,3 +3749,97 @@ def tax_discount_interplay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "aqp_sampled_groupby",
+    oracle="""
+    -- approximate query processing (BlinkDB-style): answer a group-by
+    -- mean from a ~10% DETERMINISTIC hash sample (md5(event_id) digit
+    -- prefix < 0.1 of the 48-bit space) and attach a 95% CI half-width
+    -- from the sample's own moments — the reader sees estimate, error
+    -- bar, and the exact answer the bar must cover. The sample is a
+    -- pure hash predicate, so both engines draw THE SAME rows and the
+    -- whole audit is hash-checked.
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+            < 28147497671066
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_sample,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS s2
+      FROM s GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS se
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_sample, ex.n_exact,
+           ROUND(m.s1 / m.n_sample, 6) AS est_mean,
+           ROUND(1.959963985
+                 * sqrt((m.s2 - m.s1 * m.s1 / m.n_sample)
+                        / (m.n_sample - 1) / m.n_sample), 6) AS ci_halfwidth,
+           ROUND(ex.se / ex.n_exact, 6) AS exact_mean,
+           abs(m.s1 / m.n_sample - ex.se / ex.n_exact)
+             <= 1.959963985
+                * sqrt((m.s2 - m.s1 * m.s1 / m.n_sample)
+                       / (m.n_sample - 1) / m.n_sample) AS ci_covers
+    FROM m JOIN ex USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def aqp_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: the BlinkDB shape — answer the
+    group-by mean from a ~10% hash sample with a CLT 95% error bar
+    instead of scanning everything. At 100 TB this is the difference
+    between touching one partition in ten and touching all of them; the
+    sample predicate is a pure md5 hash on the row key, so it pushes to
+    the scan, needs no stored sample table, draws identical rows in any
+    engine, and composes with any aggregate whose moments travel (the
+    CI here comes from the same decimal-moment pass the scorecards use).
+    The exact answer and a coverage flag ride along as the audit."""
+    ev = load(spark, sf_dir, "events")
+    z = 1.959963985
+    thresh = 28147497671066  # 0.1 * 2^48, the 10% slice of the hash space
+    s = ev.filter(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        < thresh
+    )
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("se"),
+    )
+    ci = F.lit(z) * F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_sample"))
+        / (F.col("n_sample") - 1)
+        / F.col("n_sample")
+    )
+    est = F.col("s1") / F.col("n_sample")
+    exact = F.col("se") / F.col("n_exact")
+    return (
+        m.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_sample",
+            "n_exact",
+            F.round(est, 6).alias("est_mean"),
+            F.round(ci, 6).alias("ci_halfwidth"),
+            F.round(exact, 6).alias("exact_mean"),
+            (F.abs(est - exact) <= ci).alias("ci_covers"),
+        )
+        .orderBy("event_type")
+    )

@@ -84,3 +84,34 @@ def test_bucketed_join_no_shuffle_on_join_key(spark, sf_dir):
     assert "Bucketed: true" in plan
     assert "hashpartitioning(c_custkey" not in plan, "join-side exchange present"
     assert "hashpartitioning(o_custkey" not in plan, "join-side exchange present"
+
+
+def test_lightweight_coreset_unbiased_and_competent(spark, sf_dir):
+    """Lightweight-coreset guarantees on the fixture embeddings:
+    (1) unbiasedness — the total coreset weight estimates n (within a
+    generous sampling tolerance) and is deterministic across builds;
+    (2) cost competence — for the CORESET-trained centroids, the
+    weighted coreset inertia estimates the full-data inertia within a
+    modest factor (the paper's eps at this m is small; we assert 35%)."""
+    import __spark_entry__ as entrymod
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.clustering import (
+        lightweight_coreset,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    core = lightweight_coreset(emb, m=128).collect()
+    core2 = lightweight_coreset(emb, m=128).collect()
+    assert [r["cid"] for r in core] == [r["cid"] for r in core2], "deterministic"
+    w_tot = sum(r["w"] for r in core)
+    assert 0.6 * n <= w_tot <= 1.4 * n, (w_tot, n)
+    assert len(core) <= 3 * 128, "expected-size bound blown"
+
+    prof = entrymod.queries()["kmeans_coreset_fit"](spark, sf_dir).collect()
+    full = sum(r["full_inertia"] for r in prof)
+    est = sum(r["coreset_inertia"] for r in prof)
+    assert full > 0 and est > 0
+    assert abs(est - full) / full <= 0.35, (est, full)
+    # weighted sizes estimate full sizes in total
+    assert abs(sum(r["coreset_weight"] for r in prof) - n) / n <= 0.4
