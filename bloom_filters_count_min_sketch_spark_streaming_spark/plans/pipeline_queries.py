@@ -2299,3 +2299,167 @@ def kmeans_coreset_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_clustering.py."""
     emb = load(spark, sf_dir, "embeddings")
     return coreset_kmeans_profile(emb, k=8, m=128, n_iter=10)
+
+
+_FS_M = {"name": 0.9, "bal": 0.7, "fmt": 0.6}  # prior m-probabilities
+
+# the ER record pair (crm + typo'd web) plus two planted sources that light
+# up the other agreement patterns: a balance-drifted legacy feed (name
+# agrees, bal doesn't) and a verbatim backup (everything agrees)
+_FS_RECORDS_SQL = _ER_RECORDS_SQL + """
+      UNION ALL
+      SELECT c_custkey * 2 + 160000 AS rid, c_name AS name,
+             ROUND(c_acctbal + 50.0, 2) AS bal, 'legacy' AS src
+      FROM customer WHERE c_custkey < 800 AND c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey * 2 + 320000 AS rid, c_name AS name,
+             ROUND(c_acctbal, 2) AS bal, 'backup' AS src
+      FROM customer WHERE c_custkey < 800 AND c_custkey % 11 = 0
+"""
+
+
+@query(
+    "fellegi_sunter_link_weights",
+    oracle=f"""
+    -- Fellegi-Sunter probabilistic record linkage (JASA 1969): the
+    -- scoring theory under entity_resolution_e2e's edit-distance rule.
+    -- u-probabilities (chance agreement among NON-matches) come from the
+    -- frequency method — P(two random records agree) = sum n_v(n_v-1)
+    -- / N(N-1), exact integers; m-probabilities are stated priors
+    -- ({_FS_M['name']}/{_FS_M['bal']}/{_FS_M['fmt']}); each blocked
+    -- candidate pair scores sum of ln(m/u) (agree) / ln((1-m)/(1-u))
+    -- (disagree) over the three fields — a FIXED 3-term expression, no
+    -- float aggregation. Output: one row per agreement pattern.
+    WITH records AS ({{records}}),
+    r AS (
+      SELECT rid, name, bal, substr(name, 10) AS blk,
+             substr(name, 1, 9) AS fmt
+      FROM records
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM r),
+    u_name AS (
+      SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS agree
+      FROM (SELECT COUNT(*) AS c FROM r GROUP BY name)
+    ),
+    u_bal AS (
+      SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS agree
+      FROM (SELECT COUNT(*) AS c FROM r GROUP BY bal)
+    ),
+    u_fmt AS (
+      SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS agree
+      FROM (SELECT COUNT(*) AS c FROM r GROUP BY fmt)
+    ),
+    u AS (
+      SELECT u_name.agree * 1.0 / (n.nn * (n.nn - 1)) AS u_name,
+             u_bal.agree * 1.0 / (n.nn * (n.nn - 1)) AS u_bal,
+             u_fmt.agree * 1.0 / (n.nn * (n.nn - 1)) AS u_fmt
+      FROM u_name CROSS JOIN u_bal CROSS JOIN u_fmt CROSS JOIN n
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS g_name,
+             CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS g_bal,
+             CASE WHEN a.fmt = b.fmt THEN 1 ELSE 0 END AS g_fmt
+      FROM r a JOIN r b ON a.blk = b.blk AND a.rid < b.rid
+    ),
+    scored AS (
+      SELECT g_name, g_bal, g_fmt,
+             ROUND(
+               (CASE WHEN g_name = 1 THEN ln({_FS_M['name']} / u.u_name)
+                     ELSE ln({1 - _FS_M['name']} / (1.0 - u.u_name)) END)
+             + (CASE WHEN g_bal = 1 THEN ln({_FS_M['bal']} / u.u_bal)
+                     ELSE ln({1 - _FS_M['bal']} / (1.0 - u.u_bal)) END)
+             + (CASE WHEN g_fmt = 1 THEN ln({_FS_M['fmt']} / u.u_fmt)
+                     ELSE ln({1 - _FS_M['fmt']} / (1.0 - u.u_fmt)) END), 6)
+               AS w
+      FROM pairs CROSS JOIN u
+    )
+    SELECT CAST(g_name AS BIGINT) AS g_name, CAST(g_bal AS BIGINT) AS g_bal,
+           CAST(g_fmt AS BIGINT) AS g_fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           w AS match_weight,
+           w > 0 AS is_match
+    FROM scored
+    GROUP BY g_name, g_bal, g_fmt, w
+    ORDER BY g_name, g_bal, g_fmt
+    """.format(records=_FS_RECORDS_SQL),
+)
+def fellegi_sunter_link_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match weights for the two-source customer linkage:
+    the probabilistic scoring that turns entity_resolution_e2e's hard
+    edit-distance rule into calibrated evidence. u-probabilities are
+    frequency-estimated from the record set itself (exact integer
+    agreement counts over each field's value histogram — the scalable
+    estimate: one grouped pass per field, never a pair scan);
+    m-probabilities are stated priors; every blocked candidate pair sums
+    three ln-likelihood-ratio terms in a fixed order (no float
+    aggregation anywhere). Rows group by agreement pattern, so the output
+    is the linkage DECISION TABLE the method is famous for."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("er_customer")
+    recs = spark.sql(
+        "SELECT * FROM (" + _FS_RECORDS_SQL.replace("customer", "er_customer") + ")"
+    )
+    r = recs.select(
+        "rid",
+        "name",
+        "bal",
+        F.substring("name", 10, 100).alias("blk"),
+        F.substring("name", 1, 9).alias("fmt"),
+    ).persist()
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+
+    def u_of(col: str):
+        return (
+            r.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("agree"))
+        )
+
+    u = (
+        u_of("name").withColumnRenamed("agree", "a_name")
+        .crossJoin(u_of("bal").withColumnRenamed("agree", "a_bal"))
+        .crossJoin(u_of("fmt").withColumnRenamed("agree", "a_fmt"))
+        .crossJoin(n)
+        .select(
+            (F.col("a_name") * 1.0 / (F.col("nn") * (F.col("nn") - 1))).alias("u_name"),
+            (F.col("a_bal") * 1.0 / (F.col("nn") * (F.col("nn") - 1))).alias("u_bal"),
+            (F.col("a_fmt") * 1.0 / (F.col("nn") * (F.col("nn") - 1))).alias("u_fmt"),
+        )
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.rid") < F.col("b.rid"))
+    ).select(
+        (F.col("a.name") == F.col("b.name")).cast("int").alias("g_name"),
+        (F.col("a.bal") == F.col("b.bal")).cast("int").alias("g_bal"),
+        (F.col("a.fmt") == F.col("b.fmt")).cast("int").alias("g_fmt"),
+    )
+
+    def term(g: str, m: float, u_col: str):
+        return F.when(
+            F.col(g) == 1, F.log(F.lit(m) / F.col(u_col))
+        ).otherwise(F.log(F.lit(1 - m) / (F.lit(1.0) - F.col(u_col))))
+
+    scored = pairs.crossJoin(F.broadcast(u)).select(
+        "g_name",
+        "g_bal",
+        "g_fmt",
+        F.round(
+            term("g_name", _FS_M["name"], "u_name")
+            + term("g_bal", _FS_M["bal"], "u_bal")
+            + term("g_fmt", _FS_M["fmt"], "u_fmt"),
+            6,
+        ).alias("w"),
+    )
+    return (
+        scored.groupBy("g_name", "g_bal", "g_fmt", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            F.col("g_name").cast("long").alias("g_name"),
+            F.col("g_bal").cast("long").alias("g_bal"),
+            F.col("g_fmt").cast("long").alias("g_fmt"),
+            "n_pairs",
+            F.col("w").alias("match_weight"),
+            (F.col("w") > 0).alias("is_match"),
+        )
+        .orderBy("g_name", "g_bal", "g_fmt")
+    )
