@@ -3843,3 +3843,108 @@ def aqp_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive (alpha=1/2, beta=1/4, gamma=1/2, m=7) over the
+    Jan-1..Jan-28 daily event counts, UNROLLED day by day (21 recurrence
+    steps after the first-week init). Every step is a fixed-order double
+    chain on exact integer-valued counts — identical IEEE in both engines
+    — and each CTE is MATERIALIZED (DuckDB inlining is exponential in the
+    unroll depth otherwise, see CLAUDE.md)."""
+    sql = """
+    WITH daily AS MATERIALIZED (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-28'
+      GROUP BY 1
+    ),
+    step7 AS MATERIALIZED (
+      SELECT
+        (SELECT SUM(y) FROM daily WHERE d BETWEEN 1 AND 7) / 7.0 AS l,
+        ((SELECT SUM(y) FROM daily WHERE d BETWEEN 8 AND 14) / 7.0
+         - (SELECT SUM(y) FROM daily WHERE d BETWEEN 1 AND 7) / 7.0) / 7.0 AS b,"""
+    for i in range(1, 8):
+        sql += f"""
+        (SELECT y FROM daily WHERE d = {i})
+          - (SELECT SUM(y) FROM daily WHERE d BETWEEN 1 AND 7) / 7.0 AS s{i},"""
+    sql = sql.rstrip(",") + """
+    )"""
+    for d in range(8, 29):
+        idx = (d - 1) % 7 + 1
+        lnew = (
+            f"0.5 * ((SELECT y FROM daily WHERE d = {d}) - p.s{idx})"
+            f" + 0.5 * (p.l + p.b)"
+        )
+        keep = ", ".join(f"p.s{i} AS s{i}" for i in range(1, 8) if i != idx)
+        sql += f""",
+    step{d} AS MATERIALIZED (
+      SELECT ({lnew}) AS l,
+             0.25 * (({lnew}) - p.l) + 0.75 * p.b AS b,
+             0.5 * ((SELECT y FROM daily WHERE d = {d}) - ({lnew}))
+               + 0.5 * p.s{idx} AS s{idx},
+             {keep}
+      FROM step{d - 1} p
+    )"""
+    fc = []
+    for h in range(1, 8):
+        idx = (28 + h - 1) % 7 + 1
+        fc.append(
+            f"SELECT CAST({h} AS BIGINT) AS h,"
+            f" ROUND(l + {h} * b + s{idx}, 6) AS yhat FROM step28"
+        )
+    sql += "\n    " + "\n    UNION ALL ".join(fc) + "\n    ORDER BY h"
+    return sql
+
+
+@query("holt_winters_forecast", oracle=_hw_oracle())
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple exponential smoothing (additive level + trend +
+    weekly season) of the daily event-count series — the seasonal upgrade
+    of exp_smoothing_forecast: SES flattens the weekly rhythm, HW carries
+    it into the forecast. Smoothing constants are dyadic (1/2, 1/4, 1/2)
+    and the series integer-valued, so the whole 21-step recurrence is a
+    fixed-order double chain the unrolled oracle reproduces bit-for-bit.
+    The daily aggregation is distributed; the recurrence folds 28 scalars
+    on the driver (dimension-bounded by the calendar, never by rows) —
+    the same bounded-series discipline as the EWMA control chart."""
+    ev = load(spark, sf_dir, "events")
+    daily = {
+        int(r["d"]): float(r["y"])
+        for r in ev.filter(
+            F.to_date("ts").between("2024-01-01", "2024-01-28")
+        )
+        .groupBy(
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) + 1)
+            .cast("int")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .collect()
+    }
+    y = [daily.get(d, 0.0) for d in range(1, 29)]
+    week1 = sum(y[0:7]) / 7.0
+    week2 = sum(y[7:14]) / 7.0
+    level, trend = week1, (week2 - week1) / 7.0
+    season = [y[i] - week1 for i in range(7)]
+    for d in range(8, 29):
+        idx = (d - 1) % 7
+        prev_level = level
+        yd = y[d - 1]
+        level = 0.5 * (yd - season[idx]) + 0.5 * (prev_level + trend)
+        trend = 0.25 * (level - prev_level) + 0.75 * trend
+        season[idx] = 0.5 * (yd - level) + 0.5 * season[idx]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = []
+    for h in range(1, 8):
+        idx = (28 + h - 1) % 7
+        # DuckDB ROUND is half-away-from-zero; Python round() is half-even
+        yhat = float(
+            Decimal(repr(level + h * trend + season[idx])).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((h, yhat))
+    return spark.createDataFrame(rows, "h bigint, yhat double").orderBy("h")
