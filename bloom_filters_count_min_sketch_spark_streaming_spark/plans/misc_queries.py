@@ -2644,3 +2644,104 @@ def consistent_hash_ring_assignment(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("keys_moved_out"),
     )
+
+
+@query(
+    "rendezvous_hash_assignment",
+    oracle="""
+    -- Rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    -- 1998) — consistent hashing's vnode-free sibling: each key goes to
+    -- argmax_node md5(key|node). Removing a node reassigns EXACTLY its
+    -- own keys (the relative weights of survivors are untouched — an
+    -- exact guarantee, where the ring's is statistical), visible here as
+    -- keys_moved_out == keys_before for node 0 and 0 for all survivors.
+    WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+    wts AS (
+      SELECT keys.k, n.node,
+             CAST(CAST('0x' || substr(md5(CAST(keys.k AS VARCHAR) || '@'
+                       || CAST(n.node AS VARCHAR)), 1, 12) AS BIGINT)
+               AS BIGINT) AS w
+      FROM keys CROSS JOIN range(0, 8) n(node)
+    ),
+    assign_all AS (
+      SELECT k, node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY w DESC, node) AS rn
+        FROM wts
+      ) WHERE rn = 1
+    ),
+    assign_drop AS (
+      SELECT k, node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY w DESC, node) AS rn
+        FROM wts WHERE node <> 0
+      ) WHERE rn = 1
+    )
+    SELECT b.node,
+           CAST(COUNT(*) AS BIGINT) AS keys_before,
+           CAST(SUM(CASE WHEN a.node = b.node THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_after_held,
+           CAST(SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_moved_out
+    FROM assign_all b JOIN assign_drop a ON b.k = a.k
+    GROUP BY b.node ORDER BY b.node
+    """,
+)
+def rendezvous_hash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) key placement + node-removal audit — the twin of
+    consistent_hash_ring_assignment with the STRONGER guarantee: argmax
+    md5(key|node) needs no virtual nodes and removal disrupts exactly the
+    removed node's keys, provably (survivor weights don't change). The
+    8-row node table broadcasts, placement is one projection + per-key
+    top-1 — keys never shuffle to be placed; md5 weights are engine-
+    portable so the placement itself is value-hash-checked."""
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct().select(F.col("user_id").alias("k"))
+    nodes = spark.range(0, 8).select(F.col("id").alias("node"))
+    wts = keys.crossJoin(F.broadcast(nodes)).select(
+        "k",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit("@"),
+                        F.col("node").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    w_key = Window.partitionBy("k").orderBy(F.desc("w"), "node")
+    assign_all = (
+        wts.withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") == 1)
+        .select("k", "node")
+    )
+    assign_drop = (
+        wts.filter(F.col("node") != 0)
+        .withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("node").alias("node_after"))
+    )
+    return (
+        assign_all.join(assign_drop, "k")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("keys_before"),
+            F.sum((F.col("node_after") == F.col("node")).cast("long"))
+            .cast("long")
+            .alias("keys_after_held"),
+            F.sum((F.col("node_after") != F.col("node")).cast("long"))
+            .cast("long")
+            .alias("keys_moved_out"),
+        )
+        .orderBy("node")
+    )

@@ -2635,3 +2635,220 @@ def ablation_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("delta_mean_chars"), "source")
     )
+
+
+@query(
+    "wilcoxon_signed_rank_users",
+    oracle="""
+    -- Wilcoxon signed-rank test, the PAIRED member completing the
+    -- nonparametric trio (Mann-Whitney = unpaired, Kruskal-Wallis =
+    -- k-group): did per-user event value shift between the two calendar
+    -- halves of January? The pair delta is the EXACT decimal
+    -- cross-product d = s2*n1 - s1*n2 (sign of the mean difference
+    -- without a division), |d| ranks use the doubled-average-rank trick,
+    -- and the tie-corrected z is one double chain over exact integers.
+    WITH h AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+               AS half,
+             value
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS s
+      FROM h GROUP BY user_id, half
+    ),
+    pairs AS (
+      SELECT a.user_id, b.s * a.n - a.s * b.n AS d
+      FROM m a JOIN m b ON a.user_id = b.user_id
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    nz AS (SELECT user_id, d, abs(d) AS ad FROM pairs WHERE d <> 0),
+    v AS (
+      SELECT ad, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+      FROM nz GROUP BY ad
+    ),
+    w AS (
+      SELECT c, c_pos,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS s
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c_pos * (2 * s + c + 1)) AS BIGINT) AS two_wplus,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+      FROM w
+    )
+    SELECT n, two_wplus,
+           ROUND((two_wplus / 2.0 - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - tie_sum / 48.0), 6) AS z
+    FROM agg
+    """,
+)
+def wilcoxon_signed_rank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over per-user paired halves of the month —
+    the paired-design rank test the experiment scorecards reach for when
+    the same users appear before and after a change. Pair deltas are
+    exact decimal cross-products (no mean division), |d| ranks come from
+    the doubled-rank tied-block construction, so W+ and the tie-corrected
+    z are bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).cast("int").alias(
+            "half"
+        ),
+        "value",
+    )
+    m = h.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("s"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "user_id", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "user_id", F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
+    pairs = a.join(b, "user_id").select(
+        "user_id", (F.col("s2") * F.col("n1") - F.col("s1") * F.col("n2")).alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
+    v = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("d") > 0).cast("long")).alias("c_pos"),
+    )
+    w_prev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "c",
+        "c_pos",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("long").alias("s"),
+    )
+    agg = w.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c_pos") * (2 * F.col("s") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_wplus"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n = F.col("n")
+    z = F.round(
+        (F.col("two_wplus") / 2.0 - n * (n + 1) / 4.0)
+        / F.sqrt(
+            n * (n + 1.0) * (2 * n + 1) / 24.0 - F.col("tie_sum") / 48.0
+        ),
+        6,
+    )
+    return agg.select("n", "two_wplus", z.alias("z"))
+
+
+@query(
+    "jackknife_ratio_se",
+    oracle="""
+    -- delete-one-DAY jackknife standard error of a ratio metric (revenue
+    -- per purchase event): ratio metrics have no per-row variance, so the
+    -- experimentation stack resamples by time block. Per-day partials
+    -- (exact decimal numerator, integer denominator) give every
+    -- leave-one-out replicate in closed form from the totals; pseudo-value
+    -- deviations ROUND@8 then DECIMAL-sum. One scan, D=calendar days of
+    -- driver-free arithmetic.
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS num,
+             CAST(COUNT(*) AS BIGINT) AS den
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dd,
+             CAST(SUM(num) AS DECIMAL(38,6)) AS tn,
+             CAST(SUM(den) AS BIGINT) AS td
+      FROM d
+    ),
+    reps AS (
+      SELECT t.dd,
+             CAST(t.tn AS DOUBLE) / t.td AS r_full,
+             t.dd * (CAST(t.tn AS DOUBLE) / t.td)
+               - (t.dd - 1) * (CAST(t.tn - d.num AS DOUBLE) / (t.td - d.den))
+               AS pseudo
+      FROM d CROSS JOIN t
+    ),
+    mp AS (
+      SELECT dd, r_full,
+             CAST(SUM(CAST(ROUND(pseudo, 8) AS DECIMAL(38,8))) AS DOUBLE) / dd
+               AS pbar
+      FROM reps GROUP BY dd, r_full
+    )
+    SELECT mp.dd AS n_days, ROUND(mp.r_full, 6) AS ratio,
+           ROUND(sqrt(
+             CAST(SUM(CAST(ROUND((reps.pseudo - mp.pbar)
+                                 * (reps.pseudo - mp.pbar), 8)
+                           AS DECIMAL(38,8))) AS DOUBLE)
+             / (mp.dd * (mp.dd - 1.0))), 6) AS jackknife_se
+    FROM reps CROSS JOIN mp
+    GROUP BY mp.dd, mp.r_full
+    """,
+)
+def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife SE for the revenue-per-purchase ratio —
+    the honest uncertainty for ratio metrics (their numerator and
+    denominator co-vary, so a per-row CLT is wrong; blocks are days).
+    Every leave-one-out replicate comes from corpus totals minus that
+    day's partials (the same closed-form ablation trick as
+    ablation_source_influence), so D replicates cost one scan; pseudo-
+    value moments follow the rounded-term decimal-sum rule."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("num"),
+        F.count(F.lit(1)).cast("long").alias("den"),
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("dd"),
+        F.sum("num").cast("decimal(38,6)").alias("tn"),
+        F.sum("den").cast("long").alias("td"),
+    )
+    r_full = F.col("tn").cast("double") / F.col("td")
+    reps = d.crossJoin(F.broadcast(t)).select(
+        "dd",
+        r_full.alias("r_full"),
+        (
+            F.col("dd") * r_full
+            - (F.col("dd") - 1)
+            * ((F.col("tn") - F.col("num")).cast("double") / (F.col("td") - F.col("den")))
+        ).alias("pseudo"),
+    )
+    mp = reps.groupBy("dd", "r_full").agg(
+        (
+            F.sum(F.round("pseudo", 8).cast("decimal(38,8)")).cast("double")
+            / F.col("dd")
+        ).alias("pbar")
+    )
+    return (
+        reps.join(F.broadcast(mp), ["dd", "r_full"])
+        .groupBy("dd", "r_full")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("pseudo") - F.col("pbar"))
+                    * (F.col("pseudo") - F.col("pbar")),
+                    8,
+                ).cast("decimal(38,8)")
+            )
+            .cast("double")
+            .alias("ssq")
+        )
+        .select(
+            F.col("dd").alias("n_days"),
+            F.round(F.col("r_full"), 6).alias("ratio"),
+            F.round(
+                F.sqrt(F.col("ssq") / (F.col("dd") * (F.col("dd") - 1.0))), 6
+            ).alias("jackknife_se"),
+        )
+    )

@@ -2155,3 +2155,35 @@ def stream_stable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_frac_min_x1e6",
         "zero_frac_max_x1e6",
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    -- exact twin: with the dedup horizon covering the whole fixture span,
+    -- dropDuplicatesWithinWatermark keeps exactly one row per
+    -- (user_id, event_type) pair — the distinct pair count per type.
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark`` — the Spark 3.5+ API whose whole
+    point is that dedup state EXPIRES with the watermark instead of
+    growing forever (plain dropDuplicates keys state on everything ever
+    seen). Here the 40-day delay exceeds the fixture span so semantics
+    are exact and the oracle is the distinct pair count; in production
+    the delay is the dedup horizon and state is O(keys within horizon) —
+    the watermark-native sibling of the generational/stable Bloom
+    operators, exact where they are approximate."""
+    src = events_stream_source(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_users")
+    )
+    out = run_available_now(counts, "complete")
+    return out.orderBy("event_type")
