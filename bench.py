@@ -153,6 +153,22 @@ HEADLINE = [
     "stream_sprt_early_stop",
     "stream_cusum_changepoint",
     "stream_iblt_replication_audit",
+    # round-6 third pass: rank tests, governance/AQP, graph classics,
+    # streaming counter/window/regression classics, coreset clustering
+    "spearman_trend_by_type",
+    "wasserstein_source_drift",
+    "k_anonymity_ldiversity_audit",
+    "ipf_mixture_raking",
+    "aqp_sampled_groupby",
+    "kmeans_coreset_fit",
+    "fellegi_sunter_link_weights",
+    "lpa_trade_communities",
+    "hits_trade_hubs",
+    "stream_spacesaving_topk",
+    "stream_ols_trend",
+    "stream_eh_window_sum",
+    "stream_stable_bloom_dedup",
+    "stream_dedup_within_watermark",
 ]
 
 
