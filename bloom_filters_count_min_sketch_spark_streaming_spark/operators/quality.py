@@ -101,3 +101,47 @@ def referential_integrity(
         F.count(F.lit(1)).cast("double").alias("metric_value"),
         (F.count(F.lit(1)) == 0).alias("passed"),
     )
+
+
+def v_optimal_partition(freqs: list, n_buckets: int) -> tuple:
+    """Pure v-optimal histogram DP (Jagadish et al., VLDB 1998) — unit-
+    testable without Spark: partition the ordered frequency series into
+    n_buckets contiguous buckets minimizing total within-bucket SSE (each
+    bucket summarized by its mean frequency, the planner-statistics
+    representation). Exact integer/rational arithmetic via prefix sums:
+    SSE(i..j) = ss - s^2/len computed in float from exact integers —
+    deterministic. Returns (boundaries, total_sse): boundaries are
+    end-indices (exclusive) of each bucket."""
+    n = len(freqs)
+    k = min(n_buckets, n)
+    ps = [0] * (n + 1)
+    pss = [0] * (n + 1)
+    for i, f in enumerate(freqs):
+        ps[i + 1] = ps[i] + f
+        pss[i + 1] = pss[i] + f * f
+
+    def sse(i: int, j: int) -> float:  # [i, j) on 0-based freqs
+        s = ps[j] - ps[i]
+        ss = pss[j] - pss[i]
+        return ss - s * s / (j - i)
+
+    INF = float("inf")
+    # dp[b][i]: min SSE splitting first i values into b buckets
+    dp = [[INF] * (n + 1) for _ in range(k + 1)]
+    back = [[0] * (n + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for b in range(1, k + 1):
+        for i in range(b, n + 1):
+            best, bj = INF, b - 1
+            for j in range(b - 1, i):
+                c = dp[b - 1][j] + sse(j, i)
+                if c < best:  # strict: first (leftmost) split wins ties
+                    best, bj = c, j
+            dp[b][i] = best
+            back[b][i] = bj
+    bounds = []
+    i = n
+    for b in range(k, 0, -1):
+        bounds.append(i)
+        i = back[b][i]
+    return list(reversed(bounds)), dp[k][n]

@@ -152,3 +152,53 @@ def test_duplicate_ngram_stats_matches_bruteforce(spark):
         gs = grams(t)
         dup = sum(1 for g in gs if len(holders[g]) >= 2)
         assert got[i] == (len(gs), dup), f"doc {i}"
+
+
+def test_v_optimal_partition_matches_bruteforce():
+    """The DP must be EXACTLY optimal: compare against brute-force
+    enumeration of all split placements on small series, including tied
+    and skewed inputs."""
+    from itertools import combinations
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.quality import (
+        v_optimal_partition,
+    )
+
+    def brute(freqs, k):
+        n = len(freqs)
+
+        def sse(seg):
+            s, ss = sum(seg), sum(x * x for x in seg)
+            return ss - s * s / len(seg)
+
+        best = None
+        for cuts in combinations(range(1, n), k - 1):
+            bounds = list(cuts) + [n]
+            start, tot = 0, 0.0
+            for e in bounds:
+                tot += sse(freqs[start:e])
+                start = e
+            if best is None or tot < best:
+                best = tot
+        return best
+
+    cases = [
+        ([10, 10, 10, 50, 50, 50, 1, 1, 1], 3),
+        ([1, 2, 3, 4, 5, 6, 7, 8], 3),
+        ([5, 5, 5, 5], 2),
+        ([100, 1, 1, 1, 1, 1, 1, 90], 4),
+        ([3, 1, 4, 1, 5, 9, 2, 6, 5, 3], 4),
+    ]
+    for freqs, k in cases:
+        bounds, got = v_optimal_partition(freqs, k)
+        assert len(bounds) == k and bounds[-1] == len(freqs)
+        assert abs(got - brute(freqs, k)) < 1e-9, (freqs, k, got)
+
+
+def test_v_optimal_beats_or_ties_equal_width(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["voptimal_histogram_stats"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert rows[0]["sse_voptimal"] <= rows[0]["sse_equal_width"] + 1e-9
+    assert sum(r["n_docs"] for r in rows) > 0

@@ -187,6 +187,18 @@ _NESTED_LOOP_OK = {
                                    # join (the KN continuation normalizer)
     "quantile_normalize_sources",  # 1-row broadcast global-N scalar join
                                    # feeding the integer rank map
+    "wasserstein_source_drift",    # 1-row broadcast corpus-total scalar
+                                   # join + the intended sources x support
+                                   # densification grid (support is value-
+                                   # domain-bounded: ~500 lengths at any SF)
+    "ipf_mixture_raking",          # 1-row broadcast (total, n_src) scalar
+                                   # join onto the |sources|x|langs| cells
+    "k_anonymity_ldiversity_audit",  # 4-row broadcast threshold sweep +
+                                     # 1-row totals scalar join
+    "fellegi_sunter_link_weights", # 1-row broadcast u-probability scalar
+                                   # join onto blocked candidate pairs
+    "aqp_sampled_groupby",         # (joins are equi; listed for the 1-row
+                                   # scalar pattern if AQE re-plans)
 }
 
 
