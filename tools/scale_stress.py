@@ -44,6 +44,16 @@ PROBES = [
     "pq_adc_recall",
     "misra_gries_table_merge",
     "logreg_gd_click_model",
+    # round-6 third pass: bounded-support rank stats, CDF-grid drift,
+    # raking/LPA/HITS iterations, sampled AQP, coreset clustering
+    "spearman_trend_by_type",
+    "wasserstein_source_drift",
+    "ipf_mixture_raking",
+    "lpa_trade_communities",
+    "hits_trade_hubs",
+    "aqp_sampled_groupby",
+    "kmeans_coreset_fit",
+    "fellegi_sunter_link_weights",
 ]
 
 
