@@ -19,10 +19,12 @@ nearest-neighbor resample -> BMP re-encode) and ``sample_frames`` is a
 real AVI demux; animated GIF89a gets a complete pure-stdlib LZW
 codec (``multimodal_gif_decode``). ``decode_features`` sniffs magic
 bytes and routes all of these to the real parsers even in strict mode.
-Only formats whose codec libs are absent from this environment
-(JPEG/MP3, compressed video — PIL/librosa/ffmpeg-class) keep a stub:
-``NotImplementedError`` in strict mode, a deterministic byte-histogram
-fake otherwise. Swapping in a real decoder changes only
+Baseline grayscale JPEG (SOF0) is a full stdlib+numpy implementation
+too (``multimodal_jpeg_decode``): marker walk, carried-DHT Huffman
+entropy decode, dezigzag/dequantize/IDCT. Only formats whose codec libs
+are genuinely absent (MP3, compressed video — ffmpeg-class) keep a
+stub: ``NotImplementedError`` in strict mode, a deterministic
+byte-histogram fake otherwise. Swapping in a real decoder changes only
 ``_sniff_decode``'s dispatch table.
 
 At 100 TB: payloads dominate row size -> keep
@@ -42,6 +44,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -209,9 +212,10 @@ def _bmp_feats(payload: bytes) -> tuple[int, int, float, float, float]:
 
 def _sniff_decode(payload: bytes | None, strict: bool, dim: int = 8) -> list[float]:
     """Per-payload decode dispatch by MAGIC BYTES: self-describing formats
-    with pure-stdlib codecs (RIFF/WAVE, BMP) get a REAL parse — acoustic
-    features for audio, geometry + channel means for images — padded to
-    ``dim``. Formats that need env-blocked codec libs (JPEG/PNG/MP3/video)
+    with pure-stdlib codecs (RIFF/WAVE, BMP, PNG, GIF, AVI, baseline
+    JPEG) get a REAL parse — acoustic features for audio, geometry +
+    channel means for images — padded to ``dim``. Formats that need
+    env-blocked codec libs (MP3/compressed video)
     raise in strict mode and fall back to the deterministic byte-histogram
     fake otherwise."""
     if payload is None:
@@ -241,11 +245,14 @@ def _sniff_decode(payload: bytes | None, strict: bool, dim: int = 8) -> list[flo
         return [float(w), float(h), float(n), sr / px, sg / px, sb / px] + [
             0.0
         ] * (dim - 6)
+    if payload[:2] == b"\xff\xd8":
+        w, h, mg = _jpeg_feats(payload)
+        return [float(w), float(h), mg] + [0.0] * (dim - 3)
     if strict:
         raise NotImplementedError(
             "real decode for this format requires codec libs not present "
-            "in this environment (PIL/ffmpeg-class); use strict=False for "
-            "the deterministic fake-feature path"
+            "in this environment (MP3/compressed-video, ffmpeg-class); use "
+            "strict=False for the deterministic fake-feature path"
         )
     return _fake_decode(payload, dim)
 
@@ -924,7 +931,8 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
 # encoder and decoder below are complete pure-stdlib implementations of the
 # spec (variable-width codes, dictionary growth, clear/EOI, sub-block
 # framing, KwKwK case), so `.gif` joins WAV/BMP/PNG/AVI on the REAL path.
-# JPEG (DCT/huffman imaging stack) remains the one env-blocked format.
+# (Baseline grayscale JPEG gained its own stdlib implementation below;
+# only MP3/compressed-video remain env-blocked.)
 
 GIF_SIG = b"GIF89a"
 
@@ -1217,3 +1225,412 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(_decode, GIF_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: baseline JPEG (SOF0, 8-bit grayscale) — the full
+# DCT/Huffman imaging stack in stdlib+numpy: marker walk, DHT canonical
+# Huffman construction, entropy decode with byte unstuffing, differential DC,
+# dezigzag, dequantize, 8x8 IDCT. The encoder exists to synthesize REAL
+# JPEG bitstreams deterministically; its constant-8x8-tile images have
+# DC-only spectra whose quantized coefficients are exact, so decode is
+# bit-exact and closed-form checkable.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_Q = 16  # flat quantization table entry (DC exactness: 8*even == 0 mod 16)
+# custom (valid, canonical) Huffman tables carried in DHT: DC categories
+# 0..11 all at 4 bits; AC needs only EOB (0x00) here -> one 1-bit code
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00]
+
+
+def _huff_canonical(bits: list, vals: list) -> dict:
+    """value -> (code, length) from a DHT (bits, values) spec."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_tile_value(media_id: int, t: int) -> int:
+    """The planted constant for tile t of image media_id: even offset from
+    128 so the quantized DC (q=16) is exact."""
+    return 128 + 2 * (((media_id * 7 + t * 13) % 121) - 60)
+
+
+def _jpeg_bytes(media_id: int) -> bytes:
+    """Deterministic baseline grayscale JPEG: width 8*(2+(id%3)), height
+    8*(1+(id%2)); each 8x8 block is the constant _jpeg_tile_value(id, t)
+    (raster order). A REAL bitstream — SOI/DQT/SOF0/DHT/SOS markers,
+    canonical Huffman DC categories with magnitude bits, EOB-coded ACs,
+    0xFF byte stuffing — decodable by any baseline JPEG reader."""
+    import struct
+
+    wt, ht = 2 + (media_id % 3), 1 + (media_id % 2)
+    w, h = 8 * wt, 8 * ht
+    dc_huff = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bitbuf: list = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    pred = 0
+    for t in range(wt * ht):
+        v = _jpeg_tile_value(media_id, t)
+        dc = (8 * (v - 128)) // _JPEG_Q  # quantized DC, exact by design
+        diff = dc - pred
+        pred = dc
+        mag = abs(diff)
+        s = mag.bit_length()
+        code, ln = dc_huff[s]
+        put(code, ln)
+        if s:
+            bits = diff if diff > 0 else diff + (1 << s) - 1
+            put(bits & ((1 << s) - 1), s)
+        code, ln = ac_huff[0x00]  # EOB: all ACs zero
+        put(code, ln)
+    while len(bitbuf) % 8:
+        bitbuf.append(1)  # pad with 1s per spec
+    scan = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i : i + 8]:
+            byte = (byte << 1) | b
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)  # byte stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([_JPEG_Q] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"
+
+
+def _jpeg_decode_px(payload: bytes):
+    """General baseline-JPEG decoder for 8-bit grayscale SOF0 streams:
+    marker walk, DQT/DHT parsing (canonical Huffman from any carried
+    table), entropy decode with 0xFF00 unstuffing, differential DC +
+    run-length AC, dezigzag, dequantize, float64 8x8 IDCT, level shift.
+    Returns (h, w) uint8. Rejects progressive/color layouts explicitly."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}  # (class, id) -> decode map {(code, len): value}
+    w = h = None
+    comp_q = 0
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit grayscale supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            comp_q = body[8]
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                huff[(tc, th)] = {
+                    (c, ln): v for v, (c, ln) in _huff_canonical(bits, vals).items()
+                }
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            scan_start = pos + 2 + size
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            break
+        pos += 2 + size
+    if scan_start is None or w is None:
+        raise ValueError("missing SOS/SOF0")
+
+    # unstuff the entropy segment up to EOI
+    data = bytearray()
+    i = scan_start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            break  # a real marker (EOI) ends the scan
+        data.append(b)
+        i += 1
+
+    bit_pos = 0
+
+    def read_bit() -> int:
+        nonlocal bit_pos
+        byte = data[bit_pos >> 3]
+        bit = (byte >> (7 - (bit_pos & 7))) & 1
+        bit_pos += 1
+        return bit
+
+    def read_huff(table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    def receive_extend(s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    q = np.array(qt[comp_q], dtype=np.float64)
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0) if u == 0 else 1.0) / 2.0
+        for x in range(8):
+            m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    wt, ht = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((ht * 8, wt * 8), dtype=np.uint8)
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    pred = 0
+    for t in range(wt * ht):
+        zz = np.zeros(64, dtype=np.float64)
+        s = read_huff(dc_tab)
+        pred += receive_extend(s)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = read_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if rs == 0x00:
+                break  # EOB
+            if rs == 0xF0:
+                k += 16  # ZRL
+                continue
+            k += r
+            zz[k] = receive_extend(s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = zz * q
+        block = m.T @ coef.reshape(8, 8) @ m + 128.0
+        by, bx = (t // wt) * 8, (t % wt) * 8
+        img[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255).astype(
+            np.uint8
+        )
+    return img[:h, :w]
+
+
+def _jpeg_feats(payload: bytes) -> tuple[int, int, float]:
+    px = _jpeg_decode_px(payload).astype("float64")
+    return (int(px.shape[1]), int(px.shape[0]), float(px.mean()))
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_gray", DoubleType()),
+    ]
+)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a real baseline-JPEG payload column (deterministic per
+    id; constant-tile spectra -> exact roundtrip by construction)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: _jpeg_bytes(int(i))),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_jpeg_features(df: DataFrame) -> DataFrame:
+    """REAL DCT-compressed-image decode over binary payloads: JPEG marker
+    walk, carried-DHT canonical Huffman entropy decode (byte unstuffing,
+    differential DC, run-length AC), dezigzag, dequantize, 8x8 IDCT —
+    stdlib+numpy only. Emits (width, height, mean_gray)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_jpeg_feats(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=["width", "height", "mean_gray"])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(_decode, JPEG_FEATURE_SCHEMA)
+
+
+def _jpeg_encode_px(px, q: int = _JPEG_Q) -> bytes:
+    """General baseline grayscale JPEG encoder (for tests and arbitrary
+    images): full 8x8 FDCT, flat-q quantization, zigzag, run-length AC
+    with ZRL/EOB, differential DC — and PER-FILE canonical Huffman tables
+    built from exactly the symbol set this image emits (all symbols at
+    one code length satisfying Kraft with the all-ones code avoided),
+    carried in DHT like any optimizing encoder. Dimensions must be
+    multiples of 8."""
+    import math
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("pad to 8x8 blocks first")
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0) if u == 0 else 1.0) / 2.0
+        for x in range(8):
+            m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    wt, ht = w // 8, h // 8
+    # pass 1: quantized coefficients + symbol sets
+    blocks = []
+    pred = 0
+    dc_syms, ac_syms = set(), set()
+    for t in range(wt * ht):
+        by, bx = (t // wt) * 8, (t % wt) * 8
+        blk = px[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+        coef = m @ blk @ m.T
+        zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        dc_syms.add(abs(diff).bit_length())
+        runs = []
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                runs.append((0xF0, 0))
+                ac_syms.add(0xF0)
+                run -= 16
+            s = abs(v).bit_length()
+            runs.append(((run << 4) | s, v))
+            ac_syms.add((run << 4) | s)
+            run = 0
+        if run:  # zeros remain after the last nonzero AC -> EOB
+            runs.append((0x00, 0))
+            ac_syms.add(0x00)
+        blocks.append((diff, runs))
+
+    def table(syms: set) -> tuple[list, list, dict]:
+        vals = sorted(syms)
+        ln = max(1, (len(vals) + 1 - 1).bit_length())  # leave all-ones free
+        while (1 << ln) - 1 < len(vals):
+            ln += 1
+        bits = [0] * 16
+        bits[ln - 1] = len(vals)
+        return bits, vals, _huff_canonical(bits, vals)
+
+    dc_bits, dc_vals, dc_huff = table(dc_syms)
+    ac_bits, ac_vals, ac_huff = table(ac_syms or {0x00})
+
+    bitbuf: list = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    for diff, runs in blocks:
+        s = abs(diff).bit_length()
+        c, ln = dc_huff[s]
+        put(c, ln)
+        if s:
+            bits_v = diff if diff > 0 else diff + (1 << s) - 1
+            put(bits_v & ((1 << s) - 1), s)
+        for rs, v in runs:
+            c, ln = ac_huff[rs]
+            put(c, ln)
+            s = rs & 0xF
+            if s:
+                bits_v = v if v > 0 else v + (1 << s) - 1
+                put(bits_v & ((1 << s) - 1), s)
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    scan = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i : i + 8]:
+            byte = (byte << 1) | b
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([q] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"

@@ -1877,3 +1877,58 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_gif_payload(docs, "doc_id")
     return decode_gif_features(media)
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    -- closed-form twin of the real baseline-JPEG decode: images are
+    -- constant per 8x8 tile with EVEN offsets from 128, so the quantized
+    -- DC coefficients are exact, the decode is bit-exact, and the mean
+    -- gray equals the tile-generator average (identical IEEE division of
+    -- an exact integer sum by the tile count).
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             2 + (doc_id % 3) AS wt,
+             1 + (doc_id % 2) AS ht
+      FROM documents
+    ),
+    tiles AS (
+      SELECT d.media_id, d.wt, d.ht,
+             128 + 2 * ((((d.media_id * 7 + t.t * 13) % 121) + 121) % 121 - 60)
+               AS v
+      FROM dims d JOIN (SELECT unnest(range(8)) AS t) t
+        ON t.t < d.wt * d.ht
+    )
+    SELECT media_id,
+           CAST(8 * wt AS INTEGER) AS width,
+           CAST(8 * ht AS INTEGER) AS height,
+           ROUND(CAST(SUM(v) AS BIGINT) * 1.0 / (wt * ht), 6) AS mean_gray
+    FROM tiles GROUP BY media_id, wt, ht
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DCT-compressed-image codec path (D5's last image format):
+    baseline grayscale JPEG decodes with pure stdlib+numpy — marker walk,
+    canonical Huffman built from the carried DHT, entropy decode with
+    byte unstuffing, differential DC + run-length AC, dezigzag,
+    dequantize, 8x8 IDCT, level shift. The synthesized bitstreams are
+    REAL JPEGs (any baseline reader decodes them); their constant-tile
+    spectra make the lossy pipeline exact (quantized DCs hit integers) so
+    the oracle is closed-form. The general encode path (full FDCT, ZRL/
+    EOB run-length, per-file Huffman) is exercised by the roundtrip
+    property tests; MP3/compressed-video remain the only env-blocked
+    formats."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_jpeg_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_jpeg_payload(docs, "doc_id")
+    return decode_jpeg_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_gray", 6).alias("mean_gray"),
+    )

@@ -315,3 +315,84 @@ def test_gif_sniff_routes_to_real_decoder_in_strict_mode():
     assert feats[0] == float(4 + mid % 9)
     assert feats[1] == float(3 + mid % 5)
     assert feats[2] == float(2 + mid % 3)
+
+
+def test_jpeg_tile_roundtrip_bit_exact():
+    """The synthesized constant-tile JPEGs decode BIT-EXACTLY (quantized
+    DCs are integers by construction) — the property the hash-checked
+    oracle relies on."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_decode_px,
+        _jpeg_tile_value,
+    )
+
+    for mid in range(24):
+        px = _jpeg_decode_px(_jpeg_bytes(mid))
+        wt, ht = 2 + (mid % 3), 1 + (mid % 2)
+        assert px.shape == (8 * ht, 8 * wt)
+        for t in range(wt * ht):
+            by, bx = (t // wt) * 8, (t % wt) * 8
+            assert (px[by : by + 8, bx : bx + 8] == _jpeg_tile_value(mid, t)).all()
+
+
+def test_jpeg_general_encode_decode_error_bound():
+    """Full-FDCT encode -> decode on arbitrary images stays within the
+    flat-q=16 quantization error envelope; smooth gradients come back
+    near-losslessly; the Nyquist checkerboard (nonzero AC at zigzag 63,
+    the no-EOB path) survives."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _jpeg_decode_px,
+        _jpeg_encode_px,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        px = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+        back = _jpeg_decode_px(_jpeg_encode_px(px))
+        err = np.abs(back.astype(int) - px.astype(int))
+        assert err.max() <= 40 and err.mean() <= 10
+
+    ys, xs = np.mgrid[0:16, 0:24]
+    smooth = ((ys * 3 + xs * 2) % 200 + 20).astype(np.uint8)
+    back = _jpeg_decode_px(_jpeg_encode_px(smooth))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 8
+
+    checker = np.zeros((8, 8), dtype=np.uint8)
+    checker[::2, 1::2] = 255
+    checker[1::2, ::2] = 255
+    back = _jpeg_decode_px(_jpeg_encode_px(checker))
+    assert back.shape == (8, 8)
+    # high-frequency content survives with the right polarity
+    assert back[0, 1] > back[0, 0]
+
+
+def test_jpeg_decoder_rejects_unsupported_layouts():
+    import pytest
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_decode_px,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_decode_px(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream
+    b = bytearray(_jpeg_bytes(3))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        _jpeg_decode_px(bytes(b))
+
+
+def test_sniff_decode_routes_jpeg_in_strict_mode():
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _sniff_decode,
+    )
+
+    feats = _sniff_decode(_jpeg_bytes(5), strict=True)
+    wt, ht = 2 + (5 % 3), 1 + (5 % 2)
+    assert feats[0] == 8 * wt and feats[1] == 8 * ht and feats[2] > 0
