@@ -1329,11 +1329,13 @@ def _jpeg_bytes(media_id: int) -> bytes:
 
 
 def _jpeg_decode_px(payload: bytes):
-    """General baseline-JPEG decoder for 8-bit grayscale SOF0 streams:
-    marker walk, DQT/DHT parsing (canonical Huffman from any carried
-    table), entropy decode with 0xFF00 unstuffing, differential DC +
-    run-length AC, dezigzag, dequantize, float64 8x8 IDCT, level shift.
-    Returns (h, w) uint8. Rejects progressive/color layouts explicitly."""
+    """General baseline-JPEG decoder for 8-bit SOF0 streams, grayscale or
+    4:4:4 YCbCr color: marker walk, DQT/DHT parsing (canonical Huffman
+    from any carried table), entropy decode with 0xFF00 unstuffing,
+    per-component differential DC + run-length AC over interleaved MCUs,
+    dezigzag, dequantize, float64 8x8 IDCT, level shift, BT.601 color
+    conversion. Returns (h, w) uint8 for grayscale, (h, w, 3) RGB for
+    color. Rejects progressive/subsampled layouts explicitly."""
     import math
     import struct
 
@@ -1345,7 +1347,7 @@ def _jpeg_decode_px(payload: bytes):
     qt: dict = {}
     huff: dict = {}  # (class, id) -> decode map {(code, len): value}
     w = h = None
-    comp_q = 0
+    comps: list = []  # (component id, quant table id) in SOF order
     scan_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1367,11 +1369,14 @@ def _jpeg_decode_px(payload: bytes):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc != 1:
-                raise ValueError("only 8-bit grayscale supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            comp_q = body[8]
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError("only 8-bit grayscale or 3-component supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 (no subsampling) supported")
+                comps.append((cid, tq))
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -1385,7 +1390,11 @@ def _jpeg_decode_px(payload: bytes):
                 off += 17 + nv
         elif marker == 0xFFDA:
             scan_start = pos + 2 + size
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            scan_tabs = {}  # component id -> (dc table, ac table)
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan_tabs[cs] = (tt >> 4, tt & 0xF)
             break
         pos += 2 + size
     if scan_start is None or w is None:
@@ -1432,41 +1441,51 @@ def _jpeg_decode_px(payload: bytes):
             v = (v << 1) | read_bit()
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    q = np.array(qt[comp_q], dtype=np.float64)
     m = np.zeros((8, 8))
     for u in range(8):
         cu = (1.0 / math.sqrt(2.0) if u == 0 else 1.0) / 2.0
         for x in range(8):
             m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
     wt, ht = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((ht * 8, wt * 8), dtype=np.uint8)
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-    pred = 0
-    for t in range(wt * ht):
-        zz = np.zeros(64, dtype=np.float64)
-        s = read_huff(dc_tab)
-        pred += receive_extend(s)
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            rs = read_huff(ac_tab)
-            r, s = rs >> 4, rs & 0xF
-            if rs == 0x00:
-                break  # EOB
-            if rs == 0xF0:
-                k += 16  # ZRL
-                continue
-            k += r
-            zz[k] = receive_extend(s)
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[_ZIGZAG] = zz * q
-        block = m.T @ coef.reshape(8, 8) @ m + 128.0
-        by, bx = (t // wt) * 8, (t % wt) * 8
-        img[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255).astype(
-            np.uint8
+    planes = [
+        np.zeros((ht * 8, wt * 8), dtype=np.float64) for _ in comps
+    ]
+    preds = [0] * len(comps)
+    for t in range(wt * ht):  # MCU raster; at 4:4:4 one block/component
+        for ci, (cid, tq) in enumerate(comps):
+            dc_id, ac_id = scan_tabs[cid]
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            zz = np.zeros(64, dtype=np.float64)
+            s = read_huff(dc_tab)
+            preds[ci] += receive_extend(s)
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if rs == 0x00:
+                    break  # EOB
+                if rs == 0xF0:
+                    k += 16  # ZRL
+                    continue
+                k += r
+                zz[k] = receive_extend(s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * np.array(qt[tq], dtype=np.float64)
+            block = m.T @ coef.reshape(8, 8) @ m + 128.0
+            by, bx = (t // wt) * 8, (t % wt) * 8
+            planes[ci][by : by + 8, bx : bx + 8] = block
+    if len(comps) == 1:
+        return (
+            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
         )
-    return img[:h, :w]
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _jpeg_feats(payload: bytes) -> tuple[int, int, float]:
@@ -1526,19 +1545,41 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
 
 
 def _jpeg_encode_px(px, q: int = _JPEG_Q) -> bytes:
-    """General baseline grayscale JPEG encoder (for tests and arbitrary
-    images): full 8x8 FDCT, flat-q quantization, zigzag, run-length AC
-    with ZRL/EOB, differential DC — and PER-FILE canonical Huffman tables
-    built from exactly the symbol set this image emits (all symbols at
-    one code length satisfying Kraft with the all-ones code avoided),
-    carried in DHT like any optimizing encoder. Dimensions must be
-    multiples of 8."""
+    """General baseline grayscale JPEG encoder: see _jpeg_encode_planes."""
+    return _jpeg_encode_planes([px], q)
+
+
+def _jpeg_encode_rgb(px3, q: int = _JPEG_Q) -> bytes:
+    """General baseline 4:4:4 COLOR JPEG encoder: BT.601 RGB -> YCbCr
+    forward transform, then the shared-plane pipeline (interleaved MCUs,
+    one block per component)."""
+    import numpy as np
+
+    r = px3[..., 0].astype(np.float64)
+    g = px3[..., 1].astype(np.float64)
+    b = px3[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+    return _jpeg_encode_planes(
+        [np.clip(np.round(c), 0, 255) for c in (y, cb, cr)], q
+    )
+
+
+def _jpeg_encode_planes(planes, q: int = _JPEG_Q) -> bytes:
+    """Shared baseline-JPEG encode core (1 plane = grayscale, 3 planes =
+    4:4:4 YCbCr): full 8x8 FDCT, flat-q quantization, zigzag, run-length
+    AC with ZRL/EOB, per-component differential DC over interleaved MCUs
+    — and PER-FILE canonical Huffman tables built from exactly the symbol
+    set this image emits (all symbols at one code length satisfying Kraft
+    with the all-ones code avoided), carried in DHT like any optimizing
+    encoder. Dimensions must be multiples of 8."""
     import math
     import struct
 
     import numpy as np
 
-    h, w = px.shape
+    h, w = planes[0].shape
     if h % 8 or w % 8:
         raise ValueError("pad to 8x8 blocks first")
     m = np.zeros((8, 8))
@@ -1549,15 +1590,16 @@ def _jpeg_encode_px(px, q: int = _JPEG_Q) -> bytes:
     wt, ht = w // 8, h // 8
     # pass 1: quantized coefficients + symbol sets
     blocks = []
-    pred = 0
+    preds = [0] * len(planes)
     dc_syms, ac_syms = set(), set()
     for t in range(wt * ht):
+      for ci, plane in enumerate(planes):  # interleaved MCU at 4:4:4
         by, bx = (t // wt) * 8, (t % wt) * 8
-        blk = px[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+        blk = np.asarray(plane)[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
         coef = m @ blk @ m.T
         zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
         dc_syms.add(abs(diff).bit_length())
         runs = []
         run = 0
@@ -1578,6 +1620,7 @@ def _jpeg_encode_px(px, q: int = _JPEG_Q) -> bytes:
             runs.append((0x00, 0))
             ac_syms.add(0x00)
         blocks.append((diff, runs))
+      # (per-MCU component loop ends here)
 
     def table(syms: set) -> tuple[list, list, dict]:
         vals = sorted(syms)
@@ -1625,12 +1668,19 @@ def _jpeg_encode_px(px, q: int = _JPEG_Q) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    nc = len(planes)
     dqt = seg(0xFFDB, bytes([0]) + bytes([q] * 64))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof_body += bytes([cid, 0x11, 0])
+    sof = seg(0xFFC0, sof_body)
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos_body = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos_body += bytes([cid, 0x00])
+    sos = seg(0xFFDA, sos_body + bytes([0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"

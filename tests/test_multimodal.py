@@ -396,3 +396,30 @@ def test_sniff_decode_routes_jpeg_in_strict_mode():
     feats = _sniff_decode(_jpeg_bytes(5), strict=True)
     wt, ht = 2 + (5 % 3), 1 + (5 % 2)
     assert feats[0] == 8 * wt and feats[1] == 8 * ht and feats[2] > 0
+
+
+def test_jpeg_color_444_roundtrip():
+    """4:4:4 YCbCr color: interleaved-MCU decode with per-component DC
+    predictors and BT.601 conversion. Smooth images come back within a
+    tight envelope; pure noise within the conversion-amplified
+    quantization envelope; grayscale output shape is unchanged."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        _jpeg_decode_px,
+        _jpeg_encode_rgb,
+    )
+
+    ys, xs = np.mgrid[0:16, 0:24]
+    smooth = np.stack(
+        [(ys * 5 + 20) % 230, (xs * 4 + 10) % 230, (ys + xs) % 230], axis=-1
+    ).astype(np.uint8)
+    back = _jpeg_decode_px(_jpeg_encode_rgb(smooth))
+    assert back.shape == (16, 24, 3)
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 25
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    back = _jpeg_decode_px(_jpeg_encode_rgb(noise))
+    err = np.abs(back.astype(int) - noise.astype(int))
+    assert err.mean() <= 35 and err.max() <= 160
