@@ -2137,3 +2137,147 @@ def cuckoo_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("might_contain")
         .select("key")
     )
+
+
+def _kll_day_partials(ev: DataFrame, k: int, seed: int) -> list:
+    """Distributed per-day KLL build: one sketch per ingest day via
+    applyInPandas (the same at-rest partial shape as the CMS/HLL sketch
+    tables), collected as <= #days byte blobs (calendar-bounded)."""
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.kll import (
+        KLLSketch,
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k=k, seed=seed)
+        # deterministic fold order inside the day partial
+        sk.add_many(pdf.sort_values(["value", "event_id"])["value"].to_numpy())
+        return pd.DataFrame({"day": [str(pdf["day"].iloc[0])], "sketch": [sk.to_bytes()]})
+
+    rows = (
+        ev.select(
+            F.to_date("ts").cast("string").alias("day"), "event_id", "value"
+        )
+        .groupBy("day")
+        .applyInPandas(build, "day string, sketch binary")
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["day"])
+
+
+def _kll_merge_rows(rows, k: int, seed: int):
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.kll import (
+        KLLSketch,
+    )
+
+    merged = KLLSketch(k=k, seed=seed)
+    for r in rows:
+        merged.merge(KLLSketch.from_bytes(bytes(r["sketch"])))
+    return merged
+
+
+_KLL_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@query(
+    "kll_quantiles_exact_witness",
+    oracle="""
+    -- exactness witness for the KLL sketch-table plumbing: capacity
+    -- exceeds the stream (no compaction fires through sf0.1), so the
+    -- merged sketch holds every value and its rank convention (smallest
+    -- value whose cumulative count reaches ceil(q*n)) answers EXACT
+    -- order statistics — the same witness pattern as the IVF full-probe
+    -- and LSH full-tables queries.
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    v AS (SELECT value, COUNT(*) AS c FROM events GROUP BY value),
+    w AS (
+      SELECT value,
+             CAST(SUM(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM v
+    ),
+    qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)
+    SELECT qs.q,
+           ROUND((SELECT MIN(w.value) FROM w CROSS JOIN n
+                  WHERE w.cum >= CEIL(qs.q * n.n)), 6) AS quantile_value
+    FROM qs ORDER BY qs.q
+    """,
+)
+def kll_quantiles_exact_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch table in its EXACTNESS regime (k=262144 >
+    stream size through sf0.1, so no compactor ever fires): per-day
+    partials built distributed, merged by the mergeable-summary algebra,
+    quantiles answered by the sketch's rank convention — hash-checked
+    against exact SQL order statistics. Witnesses that the plumbing
+    (day partials, serialization, merge, rank math) is lossless; the
+    compacting regime is the production twin kll_quantile_sketch_table
+    and the KLL property tests."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = load(spark, sf_dir, "events")
+    merged = _kll_merge_rows(_kll_day_partials(ev, k=262144, seed=7), 262144, 7)
+    rows = []
+    for q in _KLL_QS:
+        est = merged.quantile(q)
+        rows.append(
+            (
+                q,
+                float(
+                    Decimal(repr(est)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "q double, quantile_value double").orderBy("q")
+
+
+@query("kll_quantile_sketch_table")
+def kll_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION KLL quantile sketch table (Karnin-Lang-Liberty 2016,
+    k=200): the comparison-based mergeable quantile summary — unlike the
+    histogram sketch table it needs NO known value domain, and its
+    ~1.7/k rank error is distribution-free. Per-day partials (O(k log n)
+    floats each) merge at query time; the result carries the estimate,
+    the exact quantile, and the REALIZED rank-error fraction next to the
+    bound, so the guarantee is audited in-data (rows-only: seeded
+    compaction isn't SQL; the core's invariants are property-tested in
+    tests/test_kll.py)."""
+    ev = load(spark, sf_dir, "events")
+    merged = _kll_merge_rows(_kll_day_partials(ev, k=200, seed=7), 200, 7)
+    ests = spark.createDataFrame(
+        [(q, merged.quantile(q)) for q in _KLL_QS], "q double, est double"
+    )
+    n_df = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w = v.select("value", F.sum("c").over(w_cum).cast("long").alias("cum"))
+    # exact quantile per q (same rank convention), in-plan
+    exact = (
+        ests.crossJoin(F.broadcast(n_df))
+        .join(w, w["cum"] >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "est", "n")
+        .agg(F.min("value").alias("exact_value"))
+    )
+    # realized rank of the estimate: max cum at value <= est
+    ranked = (
+        exact.join(w.withColumnRenamed("value", "v2").withColumnRenamed("cum", "cum2"),
+                   F.col("v2") <= F.col("est"))
+        .groupBy("q", "est", "n", "exact_value")
+        .agg(F.max("cum2").alias("rank_est"))
+    )
+    return ranked.select(
+        "q",
+        F.round("est", 6).alias("kll_estimate"),
+        F.round("exact_value", 6).alias("exact_value"),
+        F.round(
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n"),
+            6,
+        ).alias("rank_err_frac"),
+        (
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n")
+            <= 0.02
+        ).alias("within_bound"),
+    ).orderBy("q")

@@ -2187,3 +2187,59 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = run_available_now(counts, "complete")
     return out.orderBy("event_type")
+
+
+@query("stream_kll_quantiles")
+def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE KLL quantiles (the streaming twin of
+    kll_quantile_sketch_table): each shard maintains an O(k log n)-float
+    comparison-based sketch in the state store; the read side merges the
+    8 shard summaries (mergeable-summary algebra — sketches travel,
+    values never re-shuffle) and audits every estimate against the exact
+    in-plan quantile with its realized rank error. Rows-only (seeded
+    compaction isn't SQL); core guarantees in tests/test_kll.py."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.kll import (
+        KLLSketch,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries import (
+        _KLL_QS,
+    )
+
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"), "event_id", "value"
+    )
+    out = run_available_now(stateful.kll_quantile_state(keyed, k=200), "append")
+    last = out.groupBy("shard").agg(F.max_by("sketch", "seq").alias("sketch"))
+    merged = KLLSketch(k=200, seed=99)
+    for r in sorted(last.collect(), key=lambda r: r["shard"]):  # 8 blobs
+        merged.merge(KLLSketch.from_bytes(bytes(r["sketch"])))
+    ests = spark.createDataFrame(
+        [(q, merged.quantile(q)) for q in _KLL_QS], "q double, est double"
+    )
+    ev = load(spark, sf_dir, "events")
+    n_df = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w = v.select("value", F.sum("c").over(w_cum).cast("long").alias("cum"))
+    ranked = (
+        ests.crossJoin(F.broadcast(n_df))
+        .join(
+            w.withColumnRenamed("value", "v2").withColumnRenamed("cum", "cum2"),
+            F.col("v2") <= F.col("est"),
+        )
+        .groupBy("q", "est", "n")
+        .agg(F.max("cum2").alias("rank_est"))
+    )
+    return ranked.select(
+        "q",
+        F.round("est", 6).alias("kll_estimate"),
+        F.round(
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n"),
+            6,
+        ).alias("rank_err_frac"),
+        (
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n")
+            <= 0.02
+        ).alias("within_bound"),
+    ).orderBy("q")

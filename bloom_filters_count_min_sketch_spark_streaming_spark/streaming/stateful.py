@@ -1882,3 +1882,72 @@ def stable_bloom_dedup(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _SBF_OUT, _SBF_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KLL quantiles: the comparison-based quantile summary maintained
+# per shard in the state store — O(k log n) floats forever, value-domain
+# free (the histogram-based stream_quantile_sketch needs a known range).
+
+_KLL_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("sketch", BinaryType()),
+    ]
+)
+_KLL_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("sketch", BinaryType()),
+    ]
+)
+
+
+def kll_quantile_state(stream_df: DataFrame, k: int = 200) -> DataFrame:
+    """Per-shard online KLL: each micro-batch folds its values (sorted by
+    (value, event_id) for a deterministic intra-batch order) into the
+    state sketch; emits the serialized sketch per batch so the read side
+    takes the latest per shard and merges shard summaries — sketches
+    move, data doesn't. Expects ``shard long, event_id long, value
+    double``."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.kll import (
+        KLLSketch,
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "shard": empty64,
+                    "seq": empty64,
+                    "sketch": pd.Series([], dtype="object"),
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["value", "event_id"])
+        if state.exists:
+            seq, blob = state.get
+            seq = int(seq)
+            sk = KLLSketch.from_bytes(bytes(blob))
+        else:
+            seq, sk = 0, KLLSketch(k=k, seed=int(key[0]) + 1)
+        sk.add_many(pdf["value"].to_numpy(np.float64))
+        seq += 1
+        blob = sk.to_bytes()
+        state.update((seq, blob))
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "sketch": pd.Series([blob], dtype="object"),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _KLL_OUT, _KLL_STATE, "append", GroupStateTimeout.NoTimeout
+    )
