@@ -169,6 +169,10 @@ HEADLINE = [
     "stream_eh_window_sum",
     "stream_stable_bloom_dedup",
     "stream_dedup_within_watermark",
+    # round-6 fourth pass: stdlib JPEG codec, KLL quantile family
+    "multimodal_jpeg_decode",
+    "kll_quantile_sketch_table",
+    "stream_kll_quantiles",
 ]
 
 

@@ -2913,3 +2913,165 @@ def voptimal_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket int, v_lo bigint, v_hi bigint, n_values bigint, n_docs bigint,"
         " avg_freq double, sse_voptimal double, sse_equal_width double",
     ).orderBy("bucket")
+
+
+@query(
+    "gtest_independence_lang_source",
+    oracle="""
+    -- G-test (log-likelihood ratio) of lang x source independence: the
+    -- LR companion of chi_square_lang_source (G is additive across
+    -- partitions of the table and is what deviance-based pipelines
+    -- report). G = 2 * sum O * ln(O * N / (R * C)); each term ROUND@8
+    -- then DECIMAL-summed — the ln chain is identical IEEE on exact
+    -- integer ratios.
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM o),
+    terms AS (
+      SELECT ROUND(o.obs * ln(o.obs * 1.0 * n.nt / (r.rt * 1.0 * c.ct)), 8)
+               AS t
+      FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+    ),
+    dof AS (
+      SELECT CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof
+    )
+    SELECT dof.dof,
+           ROUND(2.0 * CAST(SUM(CAST(t AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS g_statistic
+    FROM terms CROSS JOIN dof GROUP BY dof.dof
+    """,
+)
+def gtest_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence for the lang x source contingency table —
+    the log-likelihood-ratio companion of chi_square_lang_source:
+    additive across table partitions (sub-table G's sum to the total, so
+    per-shard G's merge, which Pearson's X² doesn't do exactly) and the
+    statistic deviance-based model pipelines report. One grouped pass +
+    broadcast marginals; every O*ln(O*N/(R*C)) term rounds before a
+    decimal sum."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("long").alias("ct"))
+    n = o.agg(F.sum("obs").cast("long").alias("nt"))
+    dof = (
+        r.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"))
+    )
+    terms = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.col("obs")
+                * F.log(
+                    F.col("obs") * 1.0 * F.col("nt") / (F.col("rt") * 1.0 * F.col("ct"))
+                ),
+                8,
+            ).alias("t")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(dof))
+        .groupBy("dof")
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("t").cast("decimal(28,8)")).cast("double"), 6
+            ).alias("g_statistic")
+        )
+        .select("dof", "g_statistic")
+    )
+
+
+@query(
+    "cohens_kappa_langid_agreement",
+    oracle="""
+    -- Cohen's kappa between the n-gram language-id heuristic and the
+    -- gold lang label — the annotation-pipeline agreement audit:
+    -- accuracy corrected for chance agreement. The heuristic is the
+    -- registered lang_id_heuristic rule (stopword-hit English detector);
+    -- kappa = (po - pe) / (1 - pe) from exact confusion counts.
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gold_en,
+             CASE WHEN (length(lower(text)) - length(replace(lower(text), ' the ', '')))
+                    / 5 >= 2
+                   OR (length(lower(text)) - length(replace(lower(text), ' and ', '')))
+                    / 5 >= 2
+                  THEN 1 ELSE 0 END AS pred_en
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN gold_en = 1 AND pred_en = 1 THEN 1 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN gold_en = 0 AND pred_en = 0 THEN 1 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN gold_en = 1 THEN 1 END) AS BIGINT) AS gold_pos,
+             CAST(SUM(CASE WHEN pred_en = 1 THEN 1 END) AS BIGINT) AS pred_pos
+      FROM pred
+    )
+    SELECT n, tp, tn,
+           ROUND((tp + tn) * 1.0 / n, 6) AS observed_agreement,
+           ROUND((gold_pos * 1.0 * pred_pos + (n - gold_pos) * 1.0 * (n - pred_pos))
+                 / (n * 1.0 * n), 6) AS chance_agreement,
+           ROUND(((tp + tn) * 1.0 / n
+                  - (gold_pos * 1.0 * pred_pos + (n - gold_pos) * 1.0 * (n - pred_pos))
+                    / (n * 1.0 * n))
+                 / (1.0
+                    - (gold_pos * 1.0 * pred_pos + (n - gold_pos) * 1.0 * (n - pred_pos))
+                      / (n * 1.0 * n)), 6) AS cohens_kappa
+    FROM m
+    """,
+)
+def cohens_kappa_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a cheap stopword language detector and the
+    gold lang label — the agreement statistic every annotation/labeling
+    pipeline reports before trusting a weak labeler (raw accuracy flatters
+    detectors on imbalanced labels; kappa subtracts the chance-agreement
+    floor). Exact integer confusion counts from one pass; the closed form
+    is a single double chain."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(token: str):
+        return (
+            F.length(low) - F.length(F.replace(low, F.lit(token), F.lit("")))
+        ) / len(token)
+
+    pred = docs.select(
+        (F.col("lang") == "en").cast("int").alias("gold_en"),
+        ((hits(" the ") >= 2) | (hits(" and ") >= 2)).cast("int").alias("pred_en"),
+    )
+    m = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("gold_en") == 1) & (F.col("pred_en") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("gold_en") == 0) & (F.col("pred_en") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+        F.sum("gold_en").cast("long").alias("gold_pos"),
+        F.sum("pred_en").cast("long").alias("pred_pos"),
+    )
+    n = F.col("n") * 1.0
+    po = (F.col("tp") + F.col("tn")) * 1.0 / F.col("n")
+    pe = (
+        F.col("gold_pos") * 1.0 * F.col("pred_pos")
+        + (F.col("n") - F.col("gold_pos")) * 1.0 * (F.col("n") - F.col("pred_pos"))
+    ) / (F.col("n") * 1.0 * F.col("n"))
+    return m.select(
+        "n",
+        "tp",
+        "tn",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
+    )

@@ -94,6 +94,10 @@ DEFAULT_PROBES = [
     "stream_eh_window_sum",
     "stream_stable_bloom_dedup",
     "stream_dedup_within_watermark",
+    # round-6 fourth pass
+    "multimodal_jpeg_decode",
+    "kll_quantile_sketch_table",
+    "stream_kll_quantiles",
 ]
 
 SF_DIRS = [
