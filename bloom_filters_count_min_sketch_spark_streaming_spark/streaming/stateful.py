@@ -1784,10 +1784,18 @@ _SBF_STATE = StructType(
 def _sbf_positions(x: int, kh: int, m: int) -> list[int]:
     import hashlib
 
-    h = hashlib.md5(str(x).encode()).digest()
-    out = []
-    for i in range(kh):
-        out.append(int.from_bytes(h[4 * i : 4 * i + 4], "big") % m)
+    # chain digests so ANY kh is covered (a single md5 yields only four
+    # 4-byte words; slicing past it silently reads b"" -> position 0,
+    # which would concentrate decrements on one cell)
+    out: list[int] = []
+    block = 0
+    while len(out) < kh:
+        h = hashlib.md5(f"{x}#{block}".encode()).digest()
+        for i in range(4):
+            if len(out) == kh:
+                break
+            out.append(int.from_bytes(h[4 * i : 4 * i + 4], "big") % m)
+        block += 1
     return out
 
 
