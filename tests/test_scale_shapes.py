@@ -199,6 +199,10 @@ _NESTED_LOOP_OK = {
                                    # join onto blocked candidate pairs
     "aqp_sampled_groupby",         # (joins are equi; listed for the 1-row
                                    # scalar pattern if AQE re-plans)
+    "kll_quantile_sketch_table",   # audit side: 5 broadcast (q, est) rows
+                                   # range-join the domain-bounded CDF
+                                   # (<= ~56k distinct 2-decimal values at
+                                   # ANY scale) for exact-vs-estimate ranks
 }
 
 
