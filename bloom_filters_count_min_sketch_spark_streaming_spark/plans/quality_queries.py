@@ -3075,3 +3075,79 @@ def cohens_kappa_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(pe, 6).alias("chance_agreement"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
     )
+
+
+@query(
+    "mcnemar_labeler_comparison",
+    oracle="""
+    -- McNemar's test between two weak language labelers on the SAME
+    -- documents (the paired-design companion of the kappa audit): only
+    -- the DISCORDANT pairs carry information — b = A right where B is
+    -- wrong, c = the reverse; chi2 = (b-c)^2/(b+c). Exact integer
+    -- counts, one pass.
+    WITH lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gold,
+             CASE WHEN (length(lower(text)) - length(replace(lower(text), ' the ', '')))
+                    / 5 >= 2
+                   OR (length(lower(text)) - length(replace(lower(text), ' and ', '')))
+                    / 5 >= 2
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN (length(lower(text)) - length(replace(lower(text), ' of ', '')))
+                    / 4 >= 1
+                   OR (length(lower(text)) - length(replace(lower(text), ' is ', '')))
+                    / 4 >= 1
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN a = gold AND b <> gold THEN 1 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN a <> gold AND b = gold THEN 1 END) AS BIGINT)
+               AS n_c
+      FROM lab
+    )
+    SELECT n_b, n_c,
+           ROUND((n_b - n_c) * (n_b - n_c) * 1.0 / (n_b + n_c), 6)
+             AS mcnemar_chi2
+    FROM m
+    """,
+)
+def mcnemar_labeler_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two weak language labelers on paired
+    documents — the right test for "is labeler A better than B on the
+    same data" (an unpaired proportion test wastes the pairing; McNemar
+    looks only at discordant pairs). Completes the weak-supervision
+    audit pair with cohens_kappa_langid_agreement; exact integer counts,
+    single pass, hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(token: str):
+        return (
+            F.length(low) - F.length(F.replace(low, F.lit(token), F.lit("")))
+        ) / len(token)
+
+    lab = docs.select(
+        (F.col("lang") == "en").cast("int").alias("gold"),
+        ((hits(" the ") >= 2) | (hits(" and ") >= 2)).cast("int").alias("a"),
+        ((hits(" of ") >= 1) | (hits(" is ") >= 1)).cast("int").alias("b"),
+    )
+    m = lab.agg(
+        F.sum(((F.col("a") == F.col("gold")) & (F.col("b") != F.col("gold"))).cast("long"))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(((F.col("a") != F.col("gold")) & (F.col("b") == F.col("gold"))).cast("long"))
+        .cast("long")
+        .alias("n_c"),
+    )
+    return m.select(
+        "n_b",
+        "n_c",
+        F.round(
+            (F.col("n_b") - F.col("n_c"))
+            * (F.col("n_b") - F.col("n_c"))
+            * 1.0
+            / (F.col("n_b") + F.col("n_c")),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

@@ -3948,3 +3948,130 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((h, yhat))
     return spark.createDataFrame(rows, "h bigint, yhat double").orderBy("h")
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+    -- Nelson-Aalen cumulative hazard for time-to-first-purchase: the
+    -- hazard-side twin of kaplan_meier_survival on the SAME censored
+    -- observations. H(t) = sum over death times <= t of d_i/n_i — no
+    -- ln/exp needed, so the curve is a plain cumulative DECIMAL sum of
+    -- rounded terms; at-risk counts come from a window over grouped
+    -- durations instead of a correlated subquery.
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    death AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s USING (user_id)
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id,
+             CASE WHEN d.td IS NOT NULL THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR((epoch_us(COALESCE(d.td, l.tl)) - epoch_us(s.t0))
+                        / 3600000000.0) AS BIGINT) AS dur_h
+      FROM s
+      LEFT JOIN death d USING (user_id)
+      JOIN last_seen l USING (user_id)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    per AS (
+      SELECT dur_h AS t, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(died) AS BIGINT) AS d
+      FROM obs GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT t, d,
+             tot.n - CAST(COALESCE(SUM(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM per CROSS JOIN tot
+    )
+    SELECT t, n_risk, CAST(d AS BIGINT) AS n_deaths,
+           ROUND(CAST(SUM(CAST(ROUND(d * 1.0 / n_risk, 10) AS DECIMAL(28,10)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+             AS cum_hazard
+    FROM risk WHERE d > 0 ORDER BY t
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard — the estimator survival pipelines
+    prefer when hazard (instantaneous conversion pressure), not survival
+    probability, is the readout; it shares kaplan_meier_survival's
+    censored observations but needs no ln/exp, so the whole curve is a
+    cumulative DECIMAL sum of ROUND@10 terms. At-risk counts are a
+    window over grouped durations (one pass), not a correlated
+    subquery."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    death = (
+        ev.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    last_seen = ev.join(s.select("user_id"), "user_id").groupBy("user_id").agg(
+        F.max("ts").alias("tl")
+    )
+    obs = (
+        s.join(death, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.when(F.col("td").isNotNull(), 1).otherwise(0).alias("died"),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("td", "tl"))
+                    - F.unix_micros("t0")
+                )
+                / 3600000000.0
+            )
+            .cast("long")
+            .alias("dur_h"),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per = obs.groupBy(F.col("dur_h").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast("long")
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn(
+            "cum_hazard",
+            F.round(
+                F.sum(
+                    F.round(F.col("d") * 1.0 / F.col("n_risk"), 10).cast(
+                        "decimal(28,10)"
+                    )
+                )
+                .over(w_cum)
+                .cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select("t", "n_risk", F.col("d").alias("n_deaths"), "cum_hazard")
+        .orderBy("t")
+    )
