@@ -3151,3 +3151,80 @@ def mcnemar_labeler_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "labeler_precision_recall_f1",
+    oracle="""
+    -- the classification report completing the weak-supervision audit
+    -- trio (kappa: chance-corrected agreement; McNemar: A vs B; this:
+    -- the per-class operating point): precision/recall/F1 of the
+    -- stopword language labeler against gold, from exact confusion
+    -- counts in one pass.
+    WITH lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gold,
+             CASE WHEN (length(lower(text)) - length(replace(lower(text), ' the ', '')))
+                    / 5 >= 2
+                   OR (length(lower(text)) - length(replace(lower(text), ' and ', '')))
+                    / 5 >= 2
+                  THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN gold = 1 AND pred = 1 THEN 1 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN gold = 0 AND pred = 1 THEN 1 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN gold = 1 AND pred = 0 THEN 1 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN gold = 0 AND pred = 0 THEN 1 END) AS BIGINT) AS tn
+      FROM lab
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS "precision",
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM m
+    """,
+)
+def labeler_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the weak stopword language labeler against
+    gold — the per-class operating point that complements kappa (overall
+    chance-corrected agreement) and McNemar (labeler-vs-labeler): the
+    numbers a filtering pipeline uses to set its keep threshold. Exact
+    confusion counts from one scan; closed forms are single double
+    chains."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(token: str):
+        return (
+            F.length(low) - F.length(F.replace(low, F.lit(token), F.lit("")))
+        ) / len(token)
+
+    lab = docs.select(
+        (F.col("lang") == "en").cast("int").alias("gold"),
+        ((hits(" the ") >= 2) | (hits(" and ") >= 2)).cast("int").alias("pred"),
+    )
+    m = lab.agg(
+        F.sum(((F.col("gold") == 1) & (F.col("pred") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("gold") == 0) & (F.col("pred") == 1)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("gold") == 1) & (F.col("pred") == 0)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("gold") == 0) & (F.col("pred") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )
