@@ -1,0 +1,533 @@
+"""Model-evaluation, survival-comparison, and forecast-accuracy queries.
+
+Round-7 additions that close out the statistics family with the metrics a
+data-curation team actually reports on its classifiers and forecasts:
+
+- ROC AUC / Gini / Youden's J for a score-vs-label evaluation, computed by
+  the tie-exact integer rank machinery the Mann-Whitney query introduced
+  (AUC == U / (n1*n0), so all rank arithmetic stays in exact integers and
+  only the final division is floating point).
+- The log-rank test — the hypothesis-test companion of the Kaplan-Meier /
+  Nelson-Aalen estimators already in relational_deep: are two groups'
+  conversion curves the same? Risk tables are exact integer counts; the
+  expected/variance sums follow the repo's ROUND-then-DECIMAL rule.
+- Yule-Walker AR(2) fit of the daily event-count series: autocovariance
+  numerators as EXACT integers (n*x - S centering, so no float mean enters
+  the sums), then a closed-form phi1/phi2 double chain identical in both
+  engines.
+- Seasonal-naive forecast accuracy (MASE / sMAPE) — the standard yardstick
+  any fancier forecaster (Holt-Winters, AR) must beat; numerators are
+  exact integer sums of absolute count differences.
+
+Scale shapes: every query aggregates events/documents down to a
+date-range- or distinct-value-bounded table (days, score values, death
+times) before any window or self-join, so the heavy scan is one map-side
+partial aggregation; the closed forms run on kilobyte tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
+from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+
+@query(
+    "roc_auc_doc_length",
+    oracle="""
+    -- ROC AUC of "is this document English?" predicted by raw length.
+    -- AUC = U1/(n1*n0) with average-rank tie handling == the Mann-Whitney
+    -- integer rank machinery: per distinct score, c (total) and c1
+    -- (positives), s = strictly-smaller count; 2*R1 = sum c1*(2s+c+1).
+    -- Youden's J maximizes TPR-FPR over observed thresholds with the
+    -- comparison done on the INTEGER cross-multiplied form.
+    WITH v AS (
+      SELECT n_chars AS score, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM documents GROUP BY n_chars
+    ),
+    w AS (
+      SELECT score, c, c1,
+             COALESCE(CAST(SUM(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS s,
+             COALESCE(CAST(SUM(c1) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS s1
+      FROM v
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1 * (2 * s + c + 1)) AS BIGINT) AS two_r1 FROM w
+    ),
+    best AS (
+      -- predict positive when score >= threshold; J scaled by n1*n0 stays
+      -- integer: (n1-s1)*n0 - ((n0+n1-s-s1... ) use s0 = s - s1
+      SELECT w.score AS best_threshold,
+             (n.n1 - w.s1) * n.n0 - (n.n0 - (w.s - w.s1)) * n.n1 AS j_num,
+             n.n1, n.n0
+      FROM w CROSS JOIN n
+      ORDER BY j_num DESC, w.score ASC LIMIT 1
+    )
+    SELECT n.n1 AS n_pos, n.n0 AS n_neg,
+           ROUND((agg.two_r1 - n.n1 * (n.n1 + 1)) / (2.0 * n.n1 * n.n0), 6)
+             AS auc,
+           ROUND((agg.two_r1 - n.n1 * (n.n1 + 1)) / (1.0 * n.n1 * n.n0) - 1.0,
+                 6) AS gini,
+           CAST(best.best_threshold AS BIGINT) AS best_threshold,
+           ROUND(best.j_num / (1.0 * n.n1 * n.n0), 6) AS youden_j
+    FROM agg CROSS JOIN n CROSS JOIN best
+    """,
+)
+def roc_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (with tie-averaged ranks), Gini, and the Youden-optimal
+    threshold for lang=='en' predicted by document length. One grouped pass
+    builds the distinct-score table; ranks, U, and the J comparison all stay
+    in exact integers (J is maximized on its n1*n0-scaled integer form), so
+    the only floats are the final divisions — bit-identical cross-engine.
+
+    Scale shape: groupBy(score) is the only full scan (map-side combine);
+    the window and arg-max run over |distinct scores| rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("c1"),
+    )
+    w_prev = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "score",
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_prev).cast("long"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum("c1").over(w_prev).cast("long"), F.lit(0)).alias("s1"),
+    )
+    n = v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n0"),
+    )
+    agg = w.agg(
+        F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_r1")
+    )
+    best = (
+        w.crossJoin(F.broadcast(n))
+        .select(
+            F.col("score").alias("best_threshold"),
+            (
+                (F.col("n1") - F.col("s1")) * F.col("n0")
+                - (F.col("n0") - (F.col("s") - F.col("s1"))) * F.col("n1")
+            ).alias("j_num"),
+        )
+        .orderBy(F.desc("j_num"), F.asc("best_threshold"))
+        .limit(1)
+    )
+    u1_x2 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            F.round(u1_x2 / (2.0 * F.col("n1") * F.col("n0")), 6).alias("auc"),
+            F.round(u1_x2 / (1.0 * F.col("n1") * F.col("n0")) - 1.0, 6).alias(
+                "gini"
+            ),
+            F.col("best_threshold").cast("long").alias("best_threshold"),
+            F.round(
+                F.col("j_num") / (1.0 * F.col("n1") * F.col("n0")), 6
+            ).alias("youden_j"),
+        )
+    )
+
+
+@query(
+    "logrank_test_user_parity",
+    oracle="""
+    -- Log-rank test: do odd- and even-numbered users share one
+    -- time-to-first-purchase curve? Same observation table as the
+    -- Kaplan-Meier query (right-censored at last seen, hour buckets),
+    -- split by user_id parity. At each pooled death time: O1 counts group-1
+    -- deaths; E1 sums d*n1/n; V the hypergeometric variance — expected and
+    -- variance terms ROUNDed then DECIMAL-summed (order independence).
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    death AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s USING (user_id)
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id % 2 AS g,
+             CASE WHEN d.td IS NOT NULL THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR((epoch_us(COALESCE(d.td, l.tl)) - epoch_us(s.t0))
+                        / 3600000000.0) AS BIGINT) AS dur_h
+      FROM s
+      LEFT JOIN death d USING (user_id)
+      JOIN last_seen l USING (user_id)
+    ),
+    dt AS (
+      SELECT dur_h AS t, COUNT(*) AS d,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+      FROM obs WHERE died = 1 GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dt.t, dt.d, dt.d1,
+             (SELECT COUNT(*) FROM obs WHERE obs.dur_h >= dt.t) AS n,
+             (SELECT COUNT(*) FROM obs
+              WHERE obs.dur_h >= dt.t AND obs.g = 1) AS n1
+      FROM dt
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+             CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CAST(ROUND(d * n1 * 1.0 / n, 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS e1,
+             CAST(SUM(CAST(ROUND(
+               CASE WHEN n > 1
+                 THEN d * (n1 * 1.0 / n) * ((n - n1) * 1.0 / n)
+                      * ((n - d) * 1.0 / (n - 1))
+                 ELSE 0.0 END, 10) AS DECIMAL(28,10))) AS DOUBLE) AS v
+      FROM risk
+    )
+    SELECT n_times, o1, ROUND(e1, 6) AS e1, ROUND(v, 6) AS var_lr,
+           ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+    FROM agg
+    """,
+)
+def logrank_test_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the time-to-first-purchase
+    curves of odd vs even user ids — the significance test the KM and
+    Nelson-Aalen estimators report against. Risk-set counts (n, n1) and
+    observed deaths are exact integers from one duration table; the
+    expected-deaths and hypergeometric-variance sums use the per-term
+    ROUND -> DECIMAL accumulation rule, so chi2 is engine-exact.
+
+    Scale shape: identical to kaplan_meier_survival — events collapse to
+    one row per signup user, then every table is bounded by |death times|.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    death = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    last_seen = (
+        ev.join(s.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("tl"))
+    )
+    obs = (
+        s.join(death, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            (F.col("user_id") % 2).alias("g"),
+            F.when(F.col("td").isNotNull(), 1).otherwise(0).alias("died"),
+            F.floor(
+                (F.unix_micros(F.coalesce("td", "tl")) - F.unix_micros("t0"))
+                / 3600000000.0
+            )
+            .cast("long")
+            .alias("dur_h"),
+        )
+        .persist()
+    )
+    dt = (
+        obs.filter(F.col("died") == 1)
+        .groupBy(F.col("dur_h").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum((F.col("g") == 1).cast("long")).cast("long").alias("d1"),
+        )
+    )
+    at_risk = obs.select(F.col("dur_h").alias("r_dur"), F.col("g").alias("r_g"))
+    risk = (
+        dt.join(at_risk, F.col("r_dur") >= F.col("t"))
+        .groupBy("t", "d", "d1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("r_g") == 1).cast("long")).alias("n1"),
+        )
+    )
+    e_term = F.round(F.col("d") * F.col("n1") * 1.0 / F.col("n"), 10)
+    v_term = F.round(
+        F.when(
+            F.col("n") > 1,
+            F.col("d")
+            * (F.col("n1") * 1.0 / F.col("n"))
+            * ((F.col("n") - F.col("n1")) * 1.0 / F.col("n"))
+            * ((F.col("n") - F.col("d")) * 1.0 / (F.col("n") - 1)),
+        ).otherwise(0.0),
+        10,
+    )
+    agg = risk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e_term.cast("decimal(28,10)")).cast("double").alias("e1"),
+        F.sum(v_term.cast("decimal(28,10)")).cast("double").alias("v"),
+    )
+    return agg.select(
+        "n_times",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v", 6).alias("var_lr"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def _daily_series_sql() -> str:
+    """Shared CTE prefix: the daily event-count series indexed 0..n-1 by
+    rank of observed day (gap-agnostic — both engines agree on the index
+    regardless of missing days)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t, x
+      FROM daily
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM idx
+    )"""
+
+
+@query(
+    "yule_walker_ar2_daily",
+    oracle=_daily_series_sql()
+    + """,
+    y AS (
+      -- exact integer centering: y_t = n*x_t - S  (no float mean in sums)
+      SELECT idx.t, idx.x, st.n * idx.x - st.sx AS y
+      FROM idx CROSS JOIN st
+    ),
+    cov AS (
+      SELECT
+        CAST((SELECT SUM(a.y * a.y) FROM y a) AS BIGINT) AS c0,
+        CAST((SELECT SUM(a.y * b.y) FROM y a JOIN y b ON b.t = a.t + 1)
+          AS BIGINT) AS c1,
+        CAST((SELECT SUM(a.y * b.y) FROM y a JOIN y b ON b.t = a.t + 2)
+          AS BIGINT) AS c2
+    ),
+    fit AS (
+      -- normalize to double ratios FIRST (c0*c0 would overflow int64),
+      -- then the textbook closed form; a pure elementwise double chain
+      SELECT st.n, cov.c0, cov.c1, cov.c2,
+             (cov.c1 * 1.0 / cov.c0) AS r1,
+             (cov.c2 * 1.0 / cov.c0) AS r2,
+             st.sx * 1.0 / st.n AS xbar
+      FROM cov CROSS JOIN st
+    ),
+    phi AS (
+      SELECT n, c0, c1, c2, xbar,
+             r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      FROM fit
+    ),
+    tail AS (
+      SELECT
+        (SELECT x FROM idx CROSS JOIN st WHERE t = n - 1) AS x_last,
+        (SELECT x FROM idx CROSS JOIN st WHERE t = n - 2) AS x_prev
+    )
+    SELECT phi.n AS n_days, phi.c0, phi.c1, phi.c2,
+           ROUND(phi.phi1, 8) AS phi1, ROUND(phi.phi2, 8) AS phi2,
+           ROUND(phi.xbar + phi.phi1 * (tail.x_last - phi.xbar)
+                          + phi.phi2 * (tail.x_prev - phi.xbar), 4)
+             AS forecast_next
+    FROM phi CROSS JOIN tail
+    """,
+)
+def yule_walker_ar2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of the daily event-count series by Yule-Walker: exact
+    integer autocovariance numerators (centering via y_t = n*x_t - S keeps
+    the float mean out of every sum; the common n^2/n scale cancels in the
+    r1/r2 ratios), then the closed-form phi1/phi2 and one-step forecast as
+    an elementwise double chain identical in both engines. Normalizing to
+    ratios BEFORE any product keeps everything inside int64 (c0^2 would
+    overflow at sf0.1).
+
+    Scale shape: the only full scan is groupBy(day) with map-side combine;
+    lag joins and the 2x2 solve run on the |days|-row series.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+        "x",
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    y = idx.crossJoin(F.broadcast(st)).select(
+        "t", "x", (F.col("n") * F.col("x") - F.col("sx")).alias("y")
+    )
+    a = y.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = y.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    c0 = y.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("c0"))
+    c1 = a.join(b, F.col("tb") == F.col("ta") + 1).agg(
+        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("c1")
+    )
+    c2 = a.join(b, F.col("tb") == F.col("ta") + 2).agg(
+        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("c2")
+    )
+    fit = (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "n",
+            "c0",
+            "c1",
+            "c2",
+            (F.col("c1") * 1.0 / F.col("c0")).alias("r1"),
+            (F.col("c2") * 1.0 / F.col("c0")).alias("r2"),
+            (F.col("sx") * 1.0 / F.col("n")).alias("xbar"),
+        )
+    )
+    phi = fit.select(
+        "n",
+        "c0",
+        "c1",
+        "c2",
+        "xbar",
+        (F.col("r1") * (1.0 - F.col("r2")) / (1.0 - F.col("r1") * F.col("r1"))).alias(
+            "phi1"
+        ),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1.0 - F.col("r1") * F.col("r1"))
+        ).alias("phi2"),
+    )
+    tail = (
+        idx.crossJoin(F.broadcast(st))
+        .select(
+            F.when(F.col("t") == F.col("n") - 1, F.col("x")).alias("xl"),
+            F.when(F.col("t") == F.col("n") - 2, F.col("x")).alias("xp"),
+        )
+        .agg(
+            F.max("xl").cast("long").alias("x_last"),
+            F.max("xp").cast("long").alias("x_prev"),
+        )
+    )
+    return phi.crossJoin(F.broadcast(tail)).select(
+        F.col("n").alias("n_days"),
+        "c0",
+        "c1",
+        "c2",
+        F.round("phi1", 8).alias("phi1"),
+        F.round("phi2", 8).alias("phi2"),
+        F.round(
+            F.col("xbar")
+            + F.col("phi1") * (F.col("x_last") - F.col("xbar"))
+            + F.col("phi2") * (F.col("x_prev") - F.col("xbar")),
+            4,
+        ).alias("forecast_next"),
+    )
+
+
+@query(
+    "seasonal_naive_mase",
+    oracle=_daily_series_sql()
+    + """,
+    sn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt_s,
+             CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS err_s,
+             CAST(SUM(CAST(ROUND(2.0 * ABS(a.x - b.x) / (a.x + b.x), 10)
+                           AS DECIMAL(28,10))) AS DOUBLE) AS smape_sum
+      FROM idx a JOIN idx b ON a.t = b.t + 7
+    ),
+    nv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt_n,
+             CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS err_n
+      FROM idx a JOIN idx b ON a.t = b.t + 1
+    )
+    SELECT st.n AS n_days,
+           ROUND(sn.err_s * 1.0 / sn.cnt_s, 6) AS mae_snaive,
+           ROUND(nv.err_n * 1.0 / nv.cnt_n, 6) AS mae_naive,
+           ROUND((sn.err_s * 1.0 / sn.cnt_s) / (nv.err_n * 1.0 / nv.cnt_n), 6)
+             AS mase,
+           ROUND(sn.smape_sum / sn.cnt_s, 6) AS smape
+    FROM sn CROSS JOIN nv CROSS JOIN st
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy yardstick for the daily event-count series: MAE of
+    the weekly seasonal-naive forecast (x_t predicted by x_{t-7}), MASE
+    (scaled by the one-step naive MAE — the standard skill score any model
+    must push below 1), and sMAPE. Absolute-error numerators are exact
+    integer sums; sMAPE terms are ROUNDed then DECIMAL-summed.
+
+    Scale shape: one map-side day aggregation, then |days|-row lag joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+        "x",
+    ).persist()
+    st = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = idx.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    diff = F.abs(F.col("xa") - F.col("xb"))
+    sn = a.join(b, F.col("ta") == F.col("tb") + 7).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_s"),
+        F.sum(diff).cast("long").alias("err_s"),
+        F.sum(
+            F.round(2.0 * diff / (F.col("xa") + F.col("xb")), 10).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("smape_sum"),
+    )
+    nv = a.join(b, F.col("ta") == F.col("tb") + 1).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_n"),
+        F.sum(diff).cast("long").alias("err_n"),
+    )
+    return (
+        sn.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("err_s") * 1.0 / F.col("cnt_s"), 6).alias("mae_snaive"),
+            F.round(F.col("err_n") * 1.0 / F.col("cnt_n"), 6).alias("mae_naive"),
+            F.round(
+                (F.col("err_s") * 1.0 / F.col("cnt_s"))
+                / (F.col("err_n") * 1.0 / F.col("cnt_n")),
+                6,
+            ).alias("mase"),
+            F.round(F.col("smape_sum") / F.col("cnt_s"), 6).alias("smape"),
+        )
+    )

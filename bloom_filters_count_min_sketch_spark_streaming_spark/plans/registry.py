@@ -104,6 +104,7 @@ _QUERY_MODULES = [
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries",
     "bloom_filters_count_min_sketch_spark_streaming_spark.plans.graph_queries",
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.eval_queries",
 ]
 
 
