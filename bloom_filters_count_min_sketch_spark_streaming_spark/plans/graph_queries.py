@@ -724,3 +724,245 @@ def hits_trade_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_HEAVY_EDGE_SQL = """
+    WITH base AS (
+      SELECT LEAST(sn, cn) AS a, GREATEST(sn, cn) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ) WHERE sn <> cn GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(w) AS BIGINT) AS tot FROM base),
+    e AS (SELECT a, b FROM base CROSS JOIN t WHERE w * n * 5 >= 6 * tot),
+    sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY s)
+"""
+
+
+def _heavy_edges(spark: SparkSession, sf_dir: str):
+    """Shared heavy-trade undirected graph (same 1.2x-mean edge rule as
+    k-core, so the graph family analyzes ONE graph): returns (e, sym, deg)
+    DataFrames with columns (a,b) / (s,d) / (v,deg)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(supp.s_nationkey != cust.c_nationkey)
+        .select(supp.s_nationkey.alias("sn"), cust.c_nationkey.alias("cn"))
+        .groupBy("sn", "cn")
+        .agg(F.count(F.lit(1)).alias("w0"))
+        .select(
+            F.least("sn", "cn").alias("a"),
+            F.greatest("sn", "cn").alias("b"),
+            F.col("w0"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w0").cast("long").alias("w"))
+    )
+    t = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("tot"),
+    )
+    e = (
+        base.crossJoin(F.broadcast(t))
+        .filter(F.col("w") * F.col("n") * 5 >= 6 * F.col("tot"))
+        .select("a", "b")
+        .persist()
+    )
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = sym.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return e, sym, deg
+
+
+@query(
+    "adamic_adar_link_prediction",
+    oracle=_HEAVY_EDGE_SQL
+    + """,
+    nodes AS (SELECT DISTINCT s AS v FROM sym),
+    cand AS (
+      SELECT x.v AS u, y.v AS v2
+      FROM nodes x JOIN nodes y ON x.v < y.v
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = x.v AND e.b = y.v)
+    ),
+    cn AS (
+      SELECT c.u, c.v2, s1.d AS z
+      FROM cand c
+      JOIN sym s1 ON s1.s = c.u
+      JOIN sym s2 ON s2.s = c.v2 AND s2.d = s1.d
+    ),
+    aa AS (
+      SELECT cn.u, cn.v2, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(ROUND(1.0 / ln(deg.deg), 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS aa
+      FROM cn JOIN deg ON deg.v = cn.z
+      GROUP BY cn.u, cn.v2
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b, n_common,
+           ROUND(aa, 6) AS aa_score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ROUND(aa, 6) DESC, na.n_name, nb.n_name) AS BIGINT) AS rnk
+    FROM aa
+    JOIN nation na ON na.n_nationkey = aa.u
+    JOIN nation nb ON nb.n_nationkey = aa.v2
+    QUALIFY rnk <= 15
+    ORDER BY rnk
+    """,
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the heavy-trade nation graph: for
+    every non-adjacent node pair, score = sum over common neighbors z of
+    1/ln(deg(z)) — the classic "which trade links are missing" ranking.
+    A common neighbor necessarily has degree >= 2, so ln never hits 0;
+    terms are ROUNDed then DECIMAL-summed (order-independent), and the
+    top-15 carries a full tie-break.
+
+    Scale shape: candidates come from the node-pair anti-join against the
+    edge set, common neighbors from a two-hop equi-join on the adjacency
+    list — the same bounded shapes as the triangle query; nothing scales
+    with raw lineitem rows after the first aggregation."""
+    nation = load(spark, sf_dir, "nation")
+    e, sym, deg = _heavy_edges(spark, sf_dir)
+    nodes = sym.select(F.col("s").alias("v")).distinct()
+    n1 = nodes.select(F.col("v").alias("u"))
+    n2 = nodes.select(F.col("v").alias("v2"))
+    cand = (
+        n1.join(n2, F.col("u") < F.col("v2"))
+        .join(
+            e,
+            (F.col("a") == F.col("u")) & (F.col("b") == F.col("v2")),
+            "left_anti",
+        )
+    )
+    s1 = sym.select(F.col("s").alias("u1"), F.col("d").alias("z"))
+    s2 = sym.select(F.col("s").alias("u2"), F.col("d").alias("z2"))
+    cn = (
+        cand.join(s1, F.col("u1") == F.col("u"))
+        .join(s2, (F.col("u2") == F.col("v2")) & (F.col("z2") == F.col("z")))
+        .select("u", "v2", "z")
+    )
+    aa = (
+        cn.join(deg, F.col("v") == F.col("z"))
+        .groupBy("u", "v2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(
+                F.round(1.0 / F.log(F.col("deg")), 10).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("aa"),
+        )
+    )
+    na = nation.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b")
+    )
+    out = (
+        aa.join(F.broadcast(na), F.col("ka") == F.col("u"))
+        .join(F.broadcast(nb), F.col("kb") == F.col("v2"))
+        .select(
+            "nation_a",
+            "nation_b",
+            "n_common",
+            F.round("aa", 6).alias("aa_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("aa_score"), F.asc("nation_a"), F.asc("nation_b"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "clustering_coefficient_trade",
+    oracle=_HEAVY_EDGE_SQL
+    + """,
+    tri AS (
+      SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT ta AS node FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT n.n_name AS nation, deg.deg AS degree,
+           CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.deg >= 2
+                 THEN 2.0 * COALESCE(pn.n_tri, 0) / (deg.deg * (deg.deg - 1))
+                 ELSE 0.0 END, 6) AS lcc
+    FROM deg
+    LEFT JOIN pn ON pn.node = deg.v
+    JOIN nation n ON n.n_nationkey = deg.v
+    ORDER BY nation
+    """,
+)
+def clustering_coefficient_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation on the heavy-trade graph:
+    lcc(v) = 2*triangles(v) / (deg(v)*(deg(v)-1)) — how close each node's
+    neighborhood is to a clique, the closure metric that complements the
+    raw triangle counts. Triangles use the same canonical-orientation
+    3-join as triangle_count_trade; the ratio is one exact-integer
+    division, rounded at 6.
+
+    Scale shape: identical to the triangle query (degree-orientable at
+    scale); degree and triangle tables are |V|-row."""
+    nation = load(spark, sf_dir, "nation")
+    e, _sym, deg = _heavy_edges(spark, sf_dir)
+    e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("tc"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("tb") == F.col("b2"))
+        .join(e3, (F.col("ta") == F.col("a3")) & (F.col("tc") == F.col("c3")))
+        .select("ta", "tb", "tc")
+    )
+    pn = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(pn, F.col("node") == F.col("v"), "left")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("v"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy("nation")
+    )

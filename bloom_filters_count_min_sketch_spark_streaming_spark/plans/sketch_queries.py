@@ -2281,3 +2281,138 @@ def kll_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02
         ).alias("within_bound"),
     ).orderBy("q")
+
+
+@query(
+    "cms_count_mean_min_debias",
+    oracle="""
+    -- Count-MEAN-min (Deng & Rafiei 2007) vs plain count-min on a
+    -- DELIBERATELY narrow sketch (d=5, w=64, ~2k distinct users -> heavy
+    -- collisions): each row's counter over-counts by colliding mass, and
+    -- CMM subtracts its expectation (N - c)/(w-1), taking the MEDIAN of
+    -- the 5 debiased rows (odd depth -> the median is an order statistic,
+    -- no interpolation, engine-exact). Positions are md5-portable, the
+    -- counter table is exact SQL, so both estimators replicate exactly.
+    WITH kc AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM kc),
+    hp AS (
+      SELECT key, cnt, i AS r,
+             ('0x' || substr(md5(key || '|' || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+               % 64 AS pos
+      FROM kc CROSS JOIN (SELECT unnest(range(5)) AS i)
+    ),
+    ctr AS (
+      SELECT r, pos, CAST(SUM(cnt) AS BIGINT) AS c FROM hp GROUP BY r, pos
+    ),
+    probes AS (
+      SELECT key, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rnk
+      FROM kc QUALIFY rnk <= 10
+    ),
+    est AS (
+      SELECT p.key, p.cnt, p.rnk, hp.r, ctr.c,
+             ctr.c - (nn.n - ctr.c) / 63.0 AS est_r
+      FROM probes p
+      JOIN hp ON hp.key = p.key
+      JOIN ctr ON ctr.r = hp.r AND ctr.pos = hp.pos
+      CROSS JOIN nn
+    ),
+    med AS (
+      SELECT key, cnt, rnk, est_r,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY est_r, r) AS mr
+      FROM est
+    ),
+    mn AS (
+      SELECT key, CAST(MIN(c) AS BIGINT) AS cms_est FROM est GROUP BY key
+    )
+    SELECT CAST(med.key AS BIGINT) AS user_id, med.cnt AS exact_cnt,
+           mn.cms_est,
+           CAST(mn.cms_est - med.cnt AS BIGINT) AS err_cms,
+           ROUND(med.est_r, 6) AS cmm_est,
+           ROUND(med.est_r - med.cnt, 6) AS err_cmm,
+           med.rnk
+    FROM med JOIN mn ON mn.key = med.key
+    WHERE med.mr = 3
+    ORDER BY med.rnk
+    """,
+)
+def cms_count_mean_min_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-mean-min debiasing (Deng & Rafiei 2007) demonstrated against
+    plain count-min on a sketch narrow enough to collide hard (d=5, w=64
+    over ~2k distinct users): CMM subtracts each row's expected colliding
+    mass (N - c)/(w-1) and takes the median of the 5 debiased rows —
+    depth is odd, so the median is a pure order statistic (row 3 of the
+    per-key sort), never an interpolation, and matches DuckDB bit-for-bit.
+    Hash positions are the repo's portable md5 scheme, so the whole
+    counter array is exact in both engines.
+
+    Scale shape: the only full scan is groupBy(user_id) with map-side
+    combine; the counter table is d*w = 320 rows regardless of data
+    volume, and probes are a broadcast top-10."""
+    d, w_cells = 5, 64
+    ev = load(spark, sf_dir, "events")
+    kc = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()
+    nn = kc.agg(F.sum("cnt").cast("long").alias("n"))
+    rs = F.broadcast(spark.range(d).select(F.col("id").cast("int").alias("r")))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit("|"), F.col("r").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w_cells
+    )
+    hp = kc.crossJoin(rs).select("key", "cnt", "r", pos.alias("pos"))
+    ctr = hp.groupBy("r", "pos").agg(F.sum("cnt").cast("long").alias("c"))
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    probes = (
+        kc.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("key", "cnt", "rnk")
+    )
+    hp_p = hp.select(
+        F.col("key").alias("hkey"), F.col("r").alias("hr"), F.col("pos").alias("hpos")
+    )
+    ctr_p = ctr.select(
+        F.col("r").alias("cr"), F.col("pos").alias("cpos"), F.col("c")
+    )
+    est = (
+        probes.join(hp_p, F.col("hkey") == F.col("key"))
+        .join(ctr_p, (F.col("cr") == F.col("hr")) & (F.col("cpos") == F.col("hpos")))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "key",
+            "cnt",
+            "rnk",
+            F.col("hr").alias("r"),
+            "c",
+            (F.col("c") - (F.col("n") - F.col("c")) / 63.0).alias("est_r"),
+        )
+    )
+    w_med = Window.partitionBy("key").orderBy(F.asc("est_r"), F.asc("r"))
+    med = est.withColumn("mr", F.row_number().over(w_med)).filter(F.col("mr") == 3)
+    mn = est.groupBy(F.col("key").alias("mkey")).agg(
+        F.min("c").cast("long").alias("cms_est")
+    )
+    return (
+        med.join(mn, F.col("mkey") == F.col("key"))
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("err_cms"),
+            F.round("est_r", 6).alias("cmm_est"),
+            F.round(F.col("est_r") - F.col("cnt"), 6).alias("err_cmm"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
