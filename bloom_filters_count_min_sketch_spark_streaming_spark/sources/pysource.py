@@ -96,10 +96,14 @@ class SynthStreamReader(SimpleDataSourceStreamReader):
         ]
 
     def read(self, start):
+        # pyspark's SimpleStreamReader prefetch cache advances the returned
+        # value with next(), so this must be an ITERATOR over the concrete
+        # list (a bare list raised TypeError in the post-stop latestOffset
+        # probe; the rows themselves are still materialized for pickling)
         k = start["batch"]
         if k >= self.n_batches:
-            return [], start
-        return self._rows(k, k + 1), {"batch": k + 1}
+            return iter([]), start
+        return iter(self._rows(k, k + 1)), {"batch": k + 1}
 
     def readBetweenOffsets(self, start, end):
         return self._rows(start["batch"], end["batch"])
