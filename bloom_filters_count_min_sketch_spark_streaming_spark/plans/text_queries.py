@@ -1932,3 +1932,303 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_gray", 6).alias("mean_gray"),
     )
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    -- The Gopher (Rae et al. 2021, A1.1) document-quality rule battery as
+    -- a per-source audit: each rule evaluated exactly (integer counts and
+    -- int/int double divisions, identical cross-engine), then pass RATES
+    -- per source. Thresholds are the published ones; rates (not a
+    -- pass/fail corpus) keep the report informative on fixture-sized docs.
+    WITH m AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             len(ws) AS n_tok,
+             CASE WHEN len(ws) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN list_sum(list_transform(ws, w -> length(w))) * 1.0
+                         / len(ws) BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS r2,
+             CASE WHEN n_sym * 1.0 / len(ws) < 0.1 THEN 1 ELSE 0 END AS r3,
+             CASE WHEN len(list_filter(lines,
+                          l -> left(ltrim(l), 1) IN ('-', '*'))) * 1.0
+                         / len(lines) <= 0.9 THEN 1 ELSE 0 END AS r4,
+             CASE WHEN len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                         * 1.0 / len(ws) > 0.8 THEN 1 ELSE 0 END AS r5,
+             CASE WHEN len(list_distinct(list_filter(ws,
+                          w -> w IN {_STOPS_SQL}))) >= 2 THEN 1 ELSE 0 END AS r6
+      FROM m
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(r1) * 1.0 / COUNT(*), 6) AS word_count_rate,
+           ROUND(SUM(r2) * 1.0 / COUNT(*), 6) AS mean_word_len_rate,
+           ROUND(SUM(r3) * 1.0 / COUNT(*), 6) AS symbol_ratio_rate,
+           ROUND(SUM(r4) * 1.0 / COUNT(*), 6) AS bullet_line_rate,
+           ROUND(SUM(r5) * 1.0 / COUNT(*), 6) AS alpha_word_rate,
+           ROUND(SUM(r6) * 1.0 / COUNT(*), 6) AS stopword_rate,
+           ROUND(SUM(r1 * r2 * r3 * r4 * r5 * r6) * 1.0 / COUNT(*), 6)
+             AS pass_all_rate
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (word-count bounds, mean word length 3-10,
+    symbol-to-word ratio < 0.1, bullet-line fraction <= 0.9, >80% words
+    alphabetic, >= 2 distinct stopwords) evaluated exactly per document
+    and reported as per-source pass rates plus the all-rules rate — the
+    canonical pre-training hygiene report. Every rule is an integer count
+    or an int/int division, so pass flags are engine-exact.
+
+    Scale shape: one map-only pass per document (no shuffle before the
+    per-source aggregation); the HOF lambdas run on short per-doc arrays,
+    not hot inner loops."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    lines = F.split(F.col("text"), "\n")
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "#", ""))
+        + (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+        )
+        / 3
+    )
+    n_tok = F.size(ws)
+    avg_len = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) * 1.0 / n_tok
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*"),
+            )
+        )
+        * 1.0
+        / F.size(lines)
+    )
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))) * 1.0 / n_tok
+    )
+    n_stops = F.size(
+        F.array_distinct(F.filter(ws, lambda w: w.isin(T.EN_STOPWORDS)))
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r = docs.select(
+        "source",
+        flag(n_tok.between(50, 100000)).alias("r1"),
+        flag(avg_len.between(3, 10)).alias("r2"),
+        flag(n_sym * 1.0 / n_tok < 0.1).alias("r3"),
+        flag(bullet_frac <= 0.9).alias("r4"),
+        flag(alpha_frac > 0.8).alias("r5"),
+        flag(n_stops >= 2).alias("r6"),
+    )
+    cnt = F.count(F.lit(1))
+    rate = lambda c: F.round(F.sum(c) * 1.0 / cnt, 6)  # noqa: E731
+    return (
+        r.groupBy("source")
+        .agg(
+            cnt.cast("long").alias("n_docs"),
+            rate(F.col("r1")).alias("word_count_rate"),
+            rate(F.col("r2")).alias("mean_word_len_rate"),
+            rate(F.col("r3")).alias("symbol_ratio_rate"),
+            rate(F.col("r4")).alias("bullet_line_rate"),
+            rate(F.col("r5")).alias("alpha_word_rate"),
+            rate(F.col("r6")).alias("stopword_rate"),
+            rate(
+                F.col("r1")
+                * F.col("r2")
+                * F.col("r3")
+                * F.col("r4")
+                * F.col("r5")
+                * F.col("r6")
+            ).alias("pass_all_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEXTRANK_ITERS = 4
+_TEXTRANK_VOCAB = 40
+
+
+def _textrank_oracle(iters: int = _TEXTRANK_ITERS) -> str:
+    sql = f"""
+    -- TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    -- co-occurrence graph (adjacent whitespace tokens), vocabulary capped
+    -- at the top-{_TEXTRANK_VOCAB} non-stopword alphabetic words so the
+    -- unrolled iterations run on a bounded graph. The symmetric edge set
+    -- means no dangling nodes, so the recurrence needs no dangling-mass
+    -- term; contributions ROUND@12 into DECIMAL(38,12) sums exactly like
+    -- pagerank_nation_trade. Per-iteration CTEs are MATERIALIZED (DuckDB
+    -- inlines CTEs; >1 reference would re-evaluate exponentially).
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS w FROM toks)
+      WHERE regexp_matches(w, '^[a-z]+$') AND w NOT IN {_STOPS_SQL}
+      GROUP BY w
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM wc
+      ) WHERE rn <= {_TEXTRANK_VOCAB}
+    ),
+    pairs AS (
+      SELECT unnest([{{'wa': ws[i], 'wb': ws[i+1]}}
+                     for i in range(1, len(ws))], recursive := true)
+      FROM toks WHERE len(ws) >= 2
+    ),
+    e AS MATERIALIZED (
+      SELECT LEAST(wa, wb) AS u, GREATEST(wa, wb) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs
+      WHERE wa <> wb
+        AND wa IN (SELECT w FROM vocab) AND wb IN (SELECT w FROM vocab)
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst, w FROM e
+      UNION ALL SELECT v, u, w FROM e
+    ),
+    ow AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM sym GROUP BY src
+    ),
+    ew AS MATERIALIZED (
+      SELECT sym.src, sym.dst, sym.w * 1.0 / ow.ow AS f
+      FROM sym JOIN ow USING (src)
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+    nn AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+    pr0 AS MATERIALIZED (
+      SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    pr{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * COALESCE(s.m, 0.0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT ew.dst AS node,
+               CAST(SUM(CAST(ROUND(p.r * ew.f, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS m
+        FROM pr{i - 1} p JOIN ew ON p.node = ew.src
+        GROUP BY ew.dst
+      ) s ON s.node = nodes.node
+    )"""
+    sql += f"""
+    SELECT p.node AS word, ROUND(p.r, 8) AS textrank,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(p.r, 8) DESC, p.node)
+             AS BIGINT) AS rnk
+    FROM pr{iters} p
+    QUALIFY rnk <= 15
+    ORDER BY rnk
+    """
+    return sql
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank (d=0.85, 4 supersteps) over
+    the adjacency graph of corpus tokens, vocabulary capped at the top-40
+    non-stopword alphabetic words. The symmetric co-occurrence edge set has
+    no dangling nodes, so the recurrence is the pure weighted-contribution
+    form; contributions ROUND@12 into decimal sums — the same engine-exact
+    iterative-float discipline as pagerank_nation_trade.
+
+    Scale shape: the only corpus-wide work is the token bigram explode
+    (arrays_zip of slices — no interpreted per-element lambda over long
+    arrays) feeding two hash aggregations; the PageRank loop runs on a
+    <=40-node broadcastable graph with localCheckpoint keeping lineage
+    constant-depth."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    toks = docs.select(ws.alias("ws")).persist()
+    wc = (
+        toks.select(F.explode("ws").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & ~F.col("w").isin(T.EN_STOPWORDS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = (
+        wc.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .filter(F.col("rn") <= _TEXTRANK_VOCAB)
+        .select("w")
+    )
+    n_ws = F.size("ws")
+    pairs = (
+        toks.filter(n_ws >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, n_ws - 1).alias("wa"),
+                    F.slice("ws", 2, n_ws - 1).alias("wb"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .filter(F.col("wa") != F.col("wb"))
+    )
+    va = F.broadcast(vocab.select(F.col("w").alias("wa")))
+    vb = F.broadcast(vocab.select(F.col("w").alias("wb")))
+    e = (
+        pairs.join(va, "wa")
+        .join(vb, "wb")
+        .select(
+            F.least("wa", "wb").alias("u"), F.greatest("wa", "wb").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    ow = sym.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    ew = (
+        sym.join(ow, "src")
+        .select("src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("f"))
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    n = float(nodes.count())
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            pr.join(ew, pr.node == ew.src)
+            .select("dst", F.round(F.col("r") * F.col("f"), 12).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("m"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = pr.select(F.col("node").alias("word"), F.round("r", 8).alias("textrank"))
+    w_rnk = F.row_number().over(Window.orderBy(F.desc("textrank"), F.asc("word")))
+    return (
+        out.withColumn("rnk", w_rnk.cast("long"))
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
