@@ -531,3 +531,308 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("smape_sum") / F.col("cnt_s"), 6).alias("smape"),
         )
     )
+
+
+_ALS_ITERS = 2
+
+
+def _als_oracle(iters: int = _ALS_ITERS) -> str:
+    sql = """
+    -- Rank-1 ALS on the user x event_type count matrix: each half-step is
+    -- the CLOSED-FORM least-squares solve over observed entries
+    -- (u_i = sum r_ij v_j / sum v_j^2, then symmetrically for v), so two
+    -- unrolled iterations are pure aggregates — a factorization training
+    -- loop that passes the value-hash gate. Every cross-term product is
+    -- ROUNDed@12 into a DECIMAL(38,12) sum (order independence); the
+    -- division num/den is one double op, identical in both engines.
+    -- CTEs referenced more than once are MATERIALIZED (DuckDB inlining is
+    -- exponential in the iteration count otherwise).
+    WITH r AS MATERIALIZED (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+      SELECT event_type, 1.0 AS v FROM (SELECT DISTINCT event_type FROM r)
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    u{i} AS MATERIALIZED (
+      SELECT r.user_id,
+             CAST(SUM(CAST(ROUND(r.c * v.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(v.v * v.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS u
+      FROM r JOIN v{i - 1} v USING (event_type)
+      GROUP BY r.user_id
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT r.event_type,
+             CAST(SUM(CAST(ROUND(r.c * u.u, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(u.u * u.u, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS v
+      FROM r JOIN u{i} u USING (user_id)
+      GROUP BY r.event_type
+    )"""
+    sql += f""",
+    sse AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(ROUND((r.c - u.u * v.v) * (r.c - u.u * v.v), 10)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sse
+      FROM r
+      JOIN u{iters} u USING (user_id)
+      JOIN v{iters} v USING (event_type)
+    )
+    SELECT v.event_type, ROUND(v.v, 6) AS item_factor,
+           sse.n_obs, ROUND(sqrt(sse.sse / sse.n_obs), 6) AS rmse
+    FROM v{iters} v CROSS JOIN sse
+    ORDER BY v.event_type
+    """
+    return sql
+
+
+@query("als_rank1_factorization", oracle=_als_oracle())
+def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares on the user x event_type count
+    matrix (2 iterations, item factors initialized to 1): each half-step
+    solves its per-row least squares in CLOSED FORM over observed entries,
+    so the whole training loop is four hash aggregations and the oracle
+    unrolls them exactly — the recommender-system member of the repo's
+    hash-checked training-loop family (logreg GD, k-means coreset, IPF).
+    Reports the final item factors and the rank-1 reconstruction RMSE.
+
+    Scale shape: each half-step is one groupBy over the observed-entries
+    table with a broadcastable 5-row factor side; the user-factor table
+    shuffles on user_id exactly like any per-user aggregate. No driver
+    state beyond the loop counter; lineage stays flat (2 iterations)."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    v = r.select("event_type").distinct().select(
+        "event_type", F.lit(1.0).alias("v")
+    )
+    dec = lambda c, s=12: F.sum(F.round(c, s).cast("decimal(38,12)")).cast(  # noqa: E731
+        "double"
+    )
+    for _ in range(_ALS_ITERS):
+        u = (
+            r.join(F.broadcast(v), "event_type")
+            .groupBy("user_id")
+            .agg(
+                (
+                    dec(F.col("c") * F.col("v")) / dec(F.col("v") * F.col("v"))
+                ).alias("u")
+            )
+        )
+        v = (
+            r.join(u, "user_id")
+            .groupBy("event_type")
+            .agg(
+                (
+                    dec(F.col("c") * F.col("u")) / dec(F.col("u") * F.col("u"))
+                ).alias("v")
+            )
+        )
+        u = u.localCheckpoint(eager=True)
+        v = v.localCheckpoint(eager=True)
+    sse = (
+        r.join(u, "user_id")
+        .join(F.broadcast(v), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(
+                F.round(
+                    (F.col("c") - F.col("u") * F.col("v"))
+                    * (F.col("c") - F.col("u") * F.col("v")),
+                    10,
+                ).cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias("sse"),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(sse))
+        .select(
+            "event_type",
+            F.round("v", 6).alias("item_factor"),
+            "n_obs",
+            F.round(F.sqrt(F.col("sse") / F.col("n_obs")), 6).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "naive_bayes_langid",
+    oracle="""
+    -- Multinomial naive Bayes language ID, trained on even doc_ids and
+    -- evaluated on odd ones: Laplace-smoothed word likelihoods over the
+    -- training vocabulary, log-space scoring with per-term ROUND ->
+    -- DECIMAL sums, argmax with a rounded-score + lang tie-break. The
+    -- whole train/score/argmax pipeline is aggregates and joins — a
+    -- hash-checked CLASSIFIER beyond the logistic family.
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(list_filter(
+               string_split(lower(text), ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    train AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    vocab AS MATERIALIZED (SELECT DISTINCT w FROM train),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+    langs AS MATERIALIZED (SELECT DISTINCT lang FROM train),
+    prior AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_l
+      FROM train GROUP BY lang
+    ),
+    prior_tot AS (SELECT CAST(SUM(n_docs_l) AS BIGINT) AS n_train FROM prior),
+    wl AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM train GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot_l FROM train GROUP BY lang
+    ),
+    prob AS MATERIALIZED (
+      -- Laplace table over the FULL vocab x lang grid (zero counts smoothed)
+      SELECT l.lang, v.w,
+             (COALESCE(wl.c, 0) + 1) * 1.0 / (tot.tot_l + vs.v_size) AS p
+      FROM langs l
+      CROSS JOIN vocab v
+      CROSS JOIN vs
+      JOIN tot ON tot.lang = l.lang
+      LEFT JOIN wl ON wl.lang = l.lang AND wl.w = v.w
+    ),
+    test_wc AS MATERIALIZED (
+      SELECT t.doc_id, t.lang AS labeled_lang, t.w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM toks t WHERE t.doc_id % 2 = 1
+        AND t.w IN (SELECT w FROM vocab)
+      GROUP BY 1, 2, 3
+    ),
+    term AS (
+      SELECT tw.doc_id, p.lang,
+             CAST(SUM(CAST(ROUND(tw.cw * ln(p.p), 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS tsum
+      FROM test_wc tw JOIN prob p ON p.w = tw.w
+      GROUP BY 1, 2
+    ),
+    test_docs AS MATERIALIZED (
+      SELECT DISTINCT doc_id, lang AS labeled_lang FROM documents
+      WHERE doc_id % 2 = 1
+    ),
+    score AS (
+      SELECT d.doc_id, d.labeled_lang, l.lang,
+             ROUND(ln(pr.n_docs_l * 1.0 / pt.n_train), 10)
+               + COALESCE(t.tsum, 0.0) AS s
+      FROM test_docs d
+      CROSS JOIN langs l
+      JOIN prior pr ON pr.lang = l.lang
+      CROSS JOIN prior_tot pt
+      LEFT JOIN term t ON t.doc_id = d.doc_id AND t.lang = l.lang
+    ),
+    pred AS (
+      SELECT doc_id, labeled_lang, lang AS predicted_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY ROUND(s, 8) DESC, lang) AS rn
+      FROM score
+    )
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier: train on even doc_ids
+    (Laplace-smoothed P(word|lang) over the training vocabulary), score the
+    odd half in log space, report the confusion matrix. Training is two
+    wordcount-shaped aggregates; scoring is one join of test word counts
+    against the broadcastable vocab x lang probability grid; per-term
+    ROUND -> DECIMAL sums make every log-likelihood engine-exact, and the
+    argmax tie-breaks on (rounded score, lang).
+
+    Scale shape: the classifier state (prob grid) is |V| x |langs| rows
+    independent of corpus size; scoring shuffles once on (doc, lang)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(ws).alias("w")
+    ).persist()
+    train = toks.filter(F.col("doc_id") % 2 == 0).persist()
+    vocab = train.select("w").distinct().persist()
+    v_size = vocab.count()
+    langs = train.select("lang").distinct()
+    prior = train.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_l")
+    )
+    n_train = prior.agg(F.sum("n_docs_l").cast("long").alias("n_train"))
+    wl = train.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("tot_l"))
+    grid = (
+        langs.crossJoin(vocab)
+        .join(tot, "lang")
+        .join(wl, ["lang", "w"], "left")
+        .select(
+            "lang",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                * 1.0
+                / (F.col("tot_l") + F.lit(v_size))
+            ).alias("p"),
+        )
+    )
+    test_wc = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(vocab), "w")
+        .groupBy(
+            "doc_id", F.col("lang").alias("labeled_lang"), "w"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    grid_p = grid.select(
+        F.col("lang").alias("plang"), F.col("w"), F.col("p")
+    )
+    term = (
+        test_wc.join(F.broadcast(grid_p), "w")
+        .groupBy("doc_id", F.col("plang").alias("lang"))
+        .agg(
+            F.sum(
+                F.round(F.col("cw") * F.log(F.col("p")), 10).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("tsum")
+        )
+    )
+    test_docs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("labeled_lang"))
+        .distinct()
+    )
+    score = (
+        test_docs.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(n_train))
+        .join(term, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "lang",
+            (
+                F.round(
+                    F.log(F.col("n_docs_l") * 1.0 / F.col("n_train")), 10
+                )
+                + F.coalesce(F.col("tsum"), F.lit(0.0))
+            ).alias("s"),
+        )
+    )
+    w_arg = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("s"), 8)), F.asc("lang")
+    )
+    pred = score.withColumn("rn", F.row_number().over(w_arg)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("labeled_lang", F.col("lang").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
