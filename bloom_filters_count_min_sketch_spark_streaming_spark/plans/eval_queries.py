@@ -836,3 +836,250 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+@query(
+    "isotonic_calibration_pava",
+    oracle="""
+    -- Isotonic calibration of per-bin positive rates by the CLOSED-FORM
+    -- pool-adjacent-violators solution: iso_i = max_{j<=i} min_{k>=i}
+    -- weightedAvg(bins j..k). On B=20 integer bins the minimax runs as a
+    -- bounded triple join (B^3 rows), fully declarative — no sequential
+    -- PAVA loop, no driver state. Counts and cumulative sums are exact
+    -- integers; each candidate average is one int/int double division, so
+    -- the max-min lattice picks among identical doubles in both engines.
+    WITH lab AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ext AS (
+      SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab
+    ),
+    binned AS (
+      SELECT CAST(FLOOR((score - lo) * 20 / (hi - lo + 1)) AS BIGINT) AS bin,
+             y
+      FROM lab CROSS JOIN ext
+    ),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    idx AS (
+      SELECT bin, n, pos,
+             CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+             CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cp
+      FROM b
+    ),
+    seg AS (
+      -- weighted average of observed-bin segment [j..k]
+      SELECT j.i AS j, k.i AS k,
+             (k.cp - (j.cp - j.pos)) * 1.0 / (k.cn - (j.cn - j.n)) AS avgjk
+      FROM idx j JOIN idx k ON j.i <= k.i
+    ),
+    mins AS (
+      -- for each (i, j<=i): min over k>=i of avg(j,k)
+      SELECT x.i, s.j, MIN(s.avgjk) AS mn
+      FROM idx x JOIN seg s ON s.j <= x.i AND s.k >= x.i
+      GROUP BY x.i, s.j
+    ),
+    iso AS (
+      SELECT i, MAX(mn) AS iso_rate FROM mins GROUP BY i
+    )
+    SELECT idx.bin, idx.n, idx.pos,
+           ROUND(idx.pos * 1.0 / idx.n, 6) AS raw_rate,
+           ROUND(iso.iso_rate, 6) AS iso_rate
+    FROM idx JOIN iso ON iso.i = idx.i
+    ORDER BY idx.bin
+    """,
+)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the binned P(lang='en' | doc length)
+    curve, via the minimax closed form iso_i = max_{j<=i} min_{k>=i}
+    avg(j..k) — the exact pool-adjacent-violators solution expressed as a
+    bounded triple join over the 20-bin table instead of a sequential
+    merge loop. Bin membership is pure integer arithmetic; cumulative
+    pos/count prefixes are exact, so every candidate segment average is
+    the same double in both engines and the calibrated curve hash-matches.
+
+    Scale shape: one scan bins the corpus (map-side); everything after is
+    O(B^3) on B=20 rows. The binning min/max travels as a broadcast 1-row
+    cross join, not a driver collect."""
+    docs = load(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    ext = lab.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = lab.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("score") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "y",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_ord = Window.orderBy("bin")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    idx = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("n").over(w_cum).cast("long").alias("cn"),
+        F.sum("pos").over(w_cum).cast("long").alias("cp"),
+    ).persist()
+    j = idx.select(
+        F.col("i").alias("j"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+        F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"),
+    )
+    k = idx.select(
+        F.col("i").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    seg = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcp") - (F.col("jcp") - F.col("jpos")))
+            * 1.0
+            / (F.col("kcn") - (F.col("jcn") - F.col("jn")))
+        ).alias("avgjk"),
+    )
+    x = idx.select(F.col("i").alias("xi"))
+    mins = (
+        x.join(seg, (F.col("j") <= F.col("xi")) & (F.col("k") >= F.col("xi")))
+        .groupBy("xi", "j")
+        .agg(F.min("avgjk").alias("mn"))
+    )
+    iso = mins.groupBy("xi").agg(F.max("mn").alias("iso_rate"))
+    return (
+        idx.join(iso, F.col("xi") == F.col("i"))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "eb_shrunk_conversion_rates",
+    oracle="""
+    -- Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    -- rates: method-of-moments prior from the raw rate distribution
+    -- (alpha/beta from mean m and variance v), then every user's rate is
+    -- shrunk toward it: (x + alpha) / (n + alpha + beta) — small-sample
+    -- users move most, the fix for "top converter has 1 event". Moments
+    -- accumulate as ROUNDed DECIMAL sums; the prior and shrunk estimates
+    -- are elementwise double chains, identical cross-engine.
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(ROUND(x * 1.0 / n, 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS sp,
+             CAST(SUM(CAST(ROUND((x * 1.0 / n) * (x * 1.0 / n), 10)
+                           AS DECIMAL(28,10))) AS DOUBLE) AS sp2
+      FROM u
+    ),
+    prior AS (
+      SELECT n_users,
+             (sp / n_users) * ((sp / n_users) * (1.0 - sp / n_users)
+               / (sp2 / n_users - (sp / n_users) * (sp / n_users)) - 1.0)
+               AS alpha,
+             (1.0 - sp / n_users) * ((sp / n_users) * (1.0 - sp / n_users)
+               / (sp2 / n_users - (sp / n_users) * (sp / n_users)) - 1.0)
+               AS beta
+      FROM mom
+    ),
+    shrunk AS (
+      SELECT u.user_id, u.n, u.x,
+             ROUND(u.x * 1.0 / u.n, 6) AS raw_rate,
+             (u.x + p.alpha) / (u.n + p.alpha + p.beta) AS sh,
+             p.alpha, p.beta
+      FROM u CROSS JOIN prior p
+    )
+    SELECT user_id, n, x, raw_rate, ROUND(sh, 6) AS shrunk_rate,
+           ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(sh, 8) DESC, user_id)
+             AS BIGINT) AS rnk
+    FROM shrunk
+    QUALIFY rnk <= 15
+    ORDER BY rnk
+    """,
+)
+def eb_shrunk_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase-share estimates: a
+    beta-binomial prior fit by method of moments on the raw per-user
+    rates, then (x + alpha)/(n + alpha + beta) per user — the
+    James-Stein-flavored leaderboard that stops one-event users from
+    topping the conversion ranking. Moment sums follow the ROUND ->
+    DECIMAL rule; prior and posterior are pure double chains.
+
+    Scale shape: one groupBy(user_id) scan; the prior is a broadcast
+    1-row cross join; top-15 with a full tie-break."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("x"),
+    )
+    p = F.col("x") * 1.0 / F.col("n")
+    mom = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.round(p, 10).cast("decimal(28,10)")).cast("double").alias("sp"),
+        F.sum(F.round(p * p, 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sp2"),
+    )
+    m = F.col("sp") / F.col("n_users")
+    v = F.col("sp2") / F.col("n_users") - m * m
+    k = m * (1.0 - m) / v - 1.0
+    prior = mom.select(
+        (m * k).alias("alpha"), ((1.0 - m) * k).alias("beta")
+    )
+    shrunk = u.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "x",
+        F.round(p, 6).alias("raw_rate"),
+        ((F.col("x") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta"))).alias("sh"),
+        "alpha",
+        "beta",
+    )
+    w_rnk = Window.orderBy(F.desc(F.round(F.col("sh"), 8)), F.asc("user_id"))
+    return (
+        shrunk.withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
+        .filter(F.col("rnk") <= 15)
+        .select(
+            "user_id",
+            "n",
+            "x",
+            "raw_rate",
+            F.round("sh", 6).alias("shrunk_rate"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
