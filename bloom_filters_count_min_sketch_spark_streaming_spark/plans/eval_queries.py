@@ -1083,3 +1083,307 @@ def eb_shrunk_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "sequential_pattern_support",
+    oracle="""
+    -- Frequent 2-step SUBSEQUENCE patterns (PrefixSpan depth-1): user
+    -- supports a -> b iff some a-event strictly precedes some b-event —
+    -- equivalently MIN(ts of a) < MAX(ts of b), so the whole mining pass
+    -- is one (user, type) aggregate and a self-join, never a scan of
+    -- event pairs. Confidence and lift are exact integer ratios.
+    -- Timestamps compare at MICROsecond precision on both engines (the
+    -- parquet is nanos; Spark loads micros).
+    WITH ua AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ua),
+    tu AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users_t FROM ua
+           GROUP BY event_type),
+    sup AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM ua a JOIN ua b
+        ON a.user_id = b.user_id AND a.mn < b.mx
+      GROUP BY 1, 2
+    )
+    SELECT s.antecedent, s.consequent, s.support,
+           ROUND(s.support * 1.0 / ta.users_t, 6) AS confidence,
+           ROUND(s.support * 1.0 * nu.n_users / (ta.users_t * tb.users_t), 6)
+             AS lift,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY s.support DESC, s.antecedent, s.consequent) AS BIGINT)
+             AS rnk
+    FROM sup s
+    JOIN tu ta ON ta.event_type = s.antecedent
+    JOIN tu tb ON tb.event_type = s.consequent
+    CROSS JOIN nu
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 sequential pattern mining (the PrefixSpan base case): for
+    every ordered event-type pair a -> b, the number of users with an
+    a-event strictly before a b-event, plus confidence and lift. The
+    subsequence test collapses to MIN(ts_a) < MAX(ts_b) per user, so
+    support mining is a (user,type) aggregate + equi-self-join — no
+    pairwise event scan, the shape that survives 100 TB. Both engines
+    compare timestamps at microseconds.
+
+    event_path_trigrams covers ADJACENT transitions; this adds the
+    gap-tolerant subsequence semantics association mining needs."""
+    ev = load(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).persist()
+    nu = ua.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    tu = ua.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("users_t")
+    )
+    a = ua.select(
+        F.col("user_id").alias("ua_uid"),
+        F.col("event_type").alias("antecedent"),
+        F.col("mn"),
+    )
+    b = ua.select(
+        F.col("user_id").alias("ub_uid"),
+        F.col("event_type").alias("consequent"),
+        F.col("mx"),
+    )
+    sup = (
+        a.join(b, (F.col("ua_uid") == F.col("ub_uid")) & (F.col("mn") < F.col("mx")))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    ta = tu.select(
+        F.col("event_type").alias("antecedent"), F.col("users_t").alias("users_a")
+    )
+    tb = tu.select(
+        F.col("event_type").alias("consequent"), F.col("users_t").alias("users_b")
+    )
+    out = (
+        sup.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(F.col("support") * 1.0 / F.col("users_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support")
+                * 1.0
+                * F.col("n_users")
+                / (F.col("users_a") * F.col("users_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w_rnk = Window.orderBy(
+        F.desc("support"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "rmst_by_user_parity",
+    oracle="""
+    -- Restricted mean survival time (area under the KM curve up to
+    -- tau=168h) per user-parity group: the EFFECT-SIZE companion to the
+    -- log-rank chi2 (how many conversion-free hours does each group keep
+    -- within the first week). Survival steps use the KM exp-of-decimal-
+    -- ln-sums discipline per group; interval areas ROUND@8 then DECIMAL-
+    -- sum. The synthetic t=0, S=1 row closes the first interval; LEAD
+    -- orders by (t, s DESC) so a real death at t=0 stays deterministic.
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    death AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s USING (user_id)
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id % 2 AS g,
+             CASE WHEN d.td IS NOT NULL THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR((epoch_us(COALESCE(d.td, l.tl)) - epoch_us(s.t0))
+                        / 3600000000.0) AS BIGINT) AS dur_h
+      FROM s
+      LEFT JOIN death d USING (user_id)
+      JOIN last_seen l USING (user_id)
+    ),
+    dt AS (
+      SELECT g, dur_h AS t, COUNT(*) AS d
+      FROM obs WHERE died = 1 GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT dt.g, dt.t, dt.d,
+             (SELECT COUNT(*) FROM obs
+              WHERE obs.g = dt.g AND obs.dur_h >= dt.t) AS n
+      FROM dt
+    ),
+    curve AS (
+      SELECT g, t,
+             CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY g ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE ROUND(exp(CAST(SUM(CAST(ROUND(ln(1.0 - d * 1.0 / n), 10)
+                                     AS DECIMAL(28,10)))
+                              OVER (PARTITION BY g ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING)
+                            AS DOUBLE)), 10) END AS sv
+      FROM risk WHERE d < n
+      UNION ALL
+      SELECT g, t, 0.0 FROM risk WHERE d >= n
+    ),
+    aug AS (
+      SELECT g, CAST(0 AS BIGINT) AS t, 1.0 AS sv
+      FROM (SELECT DISTINCT g FROM obs)
+      UNION ALL SELECT g, t, sv FROM curve
+    ),
+    step AS (
+      SELECT g, t, sv,
+             LEAD(t) OVER (PARTITION BY g ORDER BY t, sv DESC) AS nt
+      FROM aug
+    ),
+    agg AS (
+      SELECT g,
+             CAST(SUM(CAST(ROUND(sv * (LEAST(COALESCE(nt, 168), 168) - t), 8)
+                           AS DECIMAL(28,8))) AS DOUBLE) AS rmst
+      FROM step WHERE t < 168 GROUP BY g
+    )
+    SELECT g AS user_parity, CAST(168 AS BIGINT) AS tau_hours,
+           ROUND(rmst, 6) AS rmst_hours
+    FROM agg ORDER BY user_parity
+    """,
+)
+def rmst_by_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to tau=168h for each user-parity
+    group — the clinically standard effect size to pair with the log-rank
+    test: expected conversion-free hours within the first week. Per-group
+    KM curves use the exp-of-decimal-ln-sums trick; the area adds one
+    LEAD window and a decimal sum of ROUNDed rectangle areas.
+
+    Scale shape: same bounded tables as kaplan_meier_survival, one extra
+    |death times|-row window."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    death = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    last_seen = (
+        ev.join(s.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("tl"))
+    )
+    obs = (
+        s.join(death, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            (F.col("user_id") % 2).alias("g"),
+            F.when(F.col("td").isNotNull(), 1).otherwise(0).alias("died"),
+            F.floor(
+                (F.unix_micros(F.coalesce("td", "tl")) - F.unix_micros("t0"))
+                / 3600000000.0
+            )
+            .cast("long")
+            .alias("dur_h"),
+        )
+        .persist()
+    )
+    dt = (
+        obs.filter(F.col("died") == 1)
+        .groupBy("g", F.col("dur_h").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    at_risk = obs.select(F.col("g").alias("rg"), F.col("dur_h").alias("r_dur"))
+    risk = (
+        dt.join(at_risk, (F.col("rg") == F.col("g")) & (F.col("r_dur") >= F.col("t")))
+        .groupBy("g", "t", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    alive = risk.filter(F.col("d") < F.col("n")).select(
+        "g",
+        "t",
+        F.when(
+            F.max(F.when(F.col("d") >= F.col("n"), 1).otherwise(0)).over(w_cum)
+            == 1,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.round(
+                            F.log(1.0 - F.col("d") * 1.0 / F.col("n")), 10
+                        ).cast("decimal(28,10)")
+                    )
+                    .over(w_cum)
+                    .cast("double")
+                ),
+                10,
+            )
+        )
+        .alias("sv"),
+    )
+    dead = risk.filter(F.col("d") >= F.col("n")).select(
+        "g", "t", F.lit(0.0).alias("sv")
+    )
+    aug = (
+        obs.select("g")
+        .distinct()
+        .select("g", F.lit(0).cast("long").alias("t"), F.lit(1.0).alias("sv"))
+        .unionAll(alive.unionAll(dead))
+    )
+    w_lead = Window.partitionBy("g").orderBy(F.asc("t"), F.desc("sv"))
+    step = aug.withColumn("nt", F.lead("t").over(w_lead))
+    agg = (
+        step.filter(F.col("t") < 168)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("sv")
+                    * (F.least(F.coalesce(F.col("nt"), F.lit(168)), F.lit(168)) - F.col("t")),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("rmst")
+        )
+    )
+    return agg.select(
+        F.col("g").alias("user_parity"),
+        F.lit(168).cast("long").alias("tau_hours"),
+        F.round("rmst", 6).alias("rmst_hours"),
+    ).orderBy("user_parity")
