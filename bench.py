@@ -173,6 +173,18 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "kll_quantile_sketch_table",
     "stream_kll_quantiles",
+    # round-7: model-eval stats, debiased sketches, graph/text ranking,
+    # hash-checked trainers, calibration, sequence mining
+    "roc_auc_doc_length",
+    "logrank_test_user_parity",
+    "cms_count_mean_min_debias",
+    "adamic_adar_link_prediction",
+    "textrank_keywords",
+    "gopher_quality_rules",
+    "als_rank1_factorization",
+    "naive_bayes_langid",
+    "isotonic_calibration_pava",
+    "sequential_pattern_support",
 ]
 
 

@@ -3228,3 +3228,65 @@ def labeler_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
         ).alias("f1"),
     )
+
+
+@query(
+    "diversity_index_by_source",
+    oracle="""
+    -- Language-diversity indices per source — the curation dashboard's
+    -- "is this feed monolingual" number: Simpson (1 - sum p^2), Shannon
+    -- entropy (nats), and Hill number exp(H) = effective language count.
+    -- Shares are exact int/int doubles; squared/ln terms ROUND@10 into
+    -- DECIMAL sums; exp runs on the identical double in both engines.
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+    terms AS (
+      SELECT c.source, c.c, n.n,
+             CAST(ROUND((c.c * 1.0 / n.n) * (c.c * 1.0 / n.n), 10)
+               AS DECIMAL(28,10)) AS p2,
+             CAST(ROUND((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n), 10)
+               AS DECIMAL(28,10)) AS plnp
+      FROM c JOIN n USING (source)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(1.0 - CAST(SUM(p2) AS DOUBLE), 6) AS simpson,
+           ROUND(-CAST(SUM(plnp) AS DOUBLE), 6) AS shannon_nats,
+           ROUND(exp(-CAST(SUM(plnp) AS DOUBLE)), 6) AS effective_langs
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def diversity_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson index, Shannon entropy, and the Hill effective-language
+    count of each source's language mix — the diversity triple a mixture
+    planner reads before rebalancing a feed. One (source, lang) aggregate;
+    squared-share and p*ln(p) terms follow the ROUND -> DECIMAL rule, so
+    all three indices are engine-exact.
+
+    Scale shape: map-side combine on (source, lang); everything after is
+    |sources| x |langs| rows."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = c.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = c.join(n, "source").select(
+        "source",
+        F.round(p * p, 10).cast("decimal(28,10)").alias("p2"),
+        F.round(p * F.log(p), 10).cast("decimal(28,10)").alias("plnp"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(1.0 - F.sum("p2").cast("double"), 6).alias("simpson"),
+            F.round(-F.sum("plnp").cast("double"), 6).alias("shannon_nats"),
+            F.round(F.exp(-F.sum("plnp").cast("double")), 6).alias(
+                "effective_langs"
+            ),
+        )
+        .orderBy("source")
+    )

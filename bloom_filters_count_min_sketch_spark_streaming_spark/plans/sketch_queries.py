@@ -2416,3 +2416,131 @@ def cms_count_mean_min_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "hierarchical_heavy_hitters",
+    oracle="""
+    -- Discounted hierarchical heavy hitters (Cormode et al. 2003) over
+    -- the (day -> hour) time hierarchy, phi = 3%: a node is HHH when its
+    -- count MINUS already-reported descendant HHH mass clears phi*N —
+    -- the drill-down alarm that doesn't re-report a spike at every level.
+    -- Thresholds compare as 100*count >= 3*N in exact integers; the
+    -- bottom-up discount is two unrolled set-difference aggregations.
+    WITH leaf AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM leaf),
+    h0 AS (
+      SELECT day, hr, c FROM leaf CROSS JOIN nn WHERE 100 * c >= 3 * n
+    ),
+    d AS (
+      SELECT day, CAST(SUM(c) AS BIGINT) AS raw FROM leaf GROUP BY day
+    ),
+    d_disc AS (
+      SELECT d.day, d.raw,
+             CAST(d.raw - COALESCE((SELECT SUM(h0.c) FROM h0
+                               WHERE h0.day = d.day), 0) AS BIGINT) AS disc
+      FROM d
+    ),
+    h1 AS (
+      SELECT day, raw, disc FROM d_disc CROSS JOIN nn
+      WHERE 100 * disc >= 3 * n
+    ),
+    root AS (
+      SELECT nn.n AS raw,
+             CAST(nn.n - COALESCE((SELECT SUM(c) FROM h0), 0)
+                  - COALESCE((SELECT SUM(disc) FROM h1), 0) AS BIGINT) AS disc
+      FROM nn
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS level, day || ' h' || CAST(hr AS VARCHAR)
+               AS node, c AS raw_count, c AS discounted
+      FROM h0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), day, raw, disc FROM h1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'ALL', raw, disc
+      FROM root CROSS JOIN nn WHERE 100 * disc >= 3 * n
+    )
+    ORDER BY level, node
+    """,
+)
+def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted hierarchical heavy hitters over (all -> day -> hour) at
+    phi = 3%: each level reports only the mass its already-reported
+    descendants don't explain, so a one-hour spike surfaces once instead
+    of cascading up the hierarchy. All thresholds are exact integer
+    cross-multiplications (100*c >= 3*N); the discount is a bottom-up
+    anti-mass subtraction, one aggregate per level.
+
+    Scale shape: the leaf aggregate is the only full scan (map-side
+    combine on (day,hour)); levels above run on calendar-bounded tables.
+    The sketch-regime version of HHH plugs the same lattice walk into the
+    CMS estimates (cms_time_range_freq's dyadic machinery); this exact
+    twin is what the value-hash gate can verify."""
+    ev = load(spark, sf_dir, "events")
+    leaf = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
+    nn = leaf.agg(F.sum("c").cast("long").alias("n"))
+    h0 = (
+        leaf.crossJoin(F.broadcast(nn))
+        .filter(100 * F.col("c") >= 3 * F.col("n"))
+        .select("day", "hr", "c")
+        .persist()
+    )
+    d = leaf.groupBy("day").agg(F.sum("c").cast("long").alias("raw"))
+    h0_day = h0.groupBy(F.col("day").alias("hday")).agg(
+        F.sum("c").cast("long").alias("h0c")
+    )
+    d_disc = (
+        d.join(h0_day, F.col("hday") == F.col("day"), "left")
+        .select(
+            "day",
+            "raw",
+            (F.col("raw") - F.coalesce(F.col("h0c"), F.lit(0))).alias("disc"),
+        )
+    )
+    h1 = (
+        d_disc.crossJoin(F.broadcast(nn))
+        .filter(100 * F.col("disc") >= 3 * F.col("n"))
+        .select("day", "raw", "disc")
+        .persist()
+    )
+    h0_tot = h0.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t0"))
+    h1_tot = h1.agg(F.coalesce(F.sum("disc"), F.lit(0)).cast("long").alias("t1"))
+    root = (
+        nn.crossJoin(F.broadcast(h0_tot))
+        .crossJoin(F.broadcast(h1_tot))
+        .select(
+            F.col("n").alias("raw"),
+            (F.col("n") - F.col("t0") - F.col("t1")).alias("disc"),
+            F.col("n"),
+        )
+    )
+    lvl0 = h0.select(
+        F.lit(0).cast("long").alias("level"),
+        F.concat(F.col("day"), F.lit(" h"), F.col("hr").cast("string")).alias(
+            "node"
+        ),
+        F.col("c").alias("raw_count"),
+        F.col("c").alias("discounted"),
+    )
+    lvl1 = h1.select(
+        F.lit(1).cast("long").alias("level"),
+        F.col("day").alias("node"),
+        F.col("raw").alias("raw_count"),
+        F.col("disc").alias("discounted"),
+    )
+    lvl2 = root.filter(100 * F.col("disc") >= 3 * F.col("n")).select(
+        F.lit(2).cast("long").alias("level"),
+        F.lit("ALL").alias("node"),
+        F.col("raw").alias("raw_count"),
+        F.col("disc").alias("discounted"),
+    )
+    return lvl0.unionAll(lvl1).unionAll(lvl2).orderBy("level", "node")
