@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloom_filters_count_min_sketch_spark_streaming_spark.operators import similarity
@@ -685,3 +685,217 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.round(F.col("pcs")[c], 5).alias(f"pc{c + 1}") for c in range(4)],
     ).orderBy("vec_id")
+
+
+@query(
+    "jl_projection_distortion",
+    oracle="""
+    -- Johnson-Lindenstrauss audit: the theory underwriting every LSH /
+    -- random-projection stage in the ANN family, measured. A PORTABLE
+    -- +/-1 sign matrix (md5(i|j) parity, 64 -> 16 dims) projects a
+    -- deterministic 30-pair sample; reported distortion is
+    -- ||R(a-b)||^2 / (k * ||a-b||^2), which JL says concentrates near 1.
+    -- All sums are ROUNDed-term DECIMAL accumulations over unnested
+    -- (vector, dim) rows — no list_sum ordering dependence.
+    WITH sel AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '|jl'), vec_id) AS rn
+      FROM embeddings QUALIFY rn <= 60
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    ks AS (SELECT unnest(range(1, 17)) AS j),
+    signs AS (
+      SELECT i, j,
+             CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                        || CAST(j AS VARCHAR)), 1, 2))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM dims CROSS JOIN ks
+    ),
+    elems AS (
+      SELECT sel.rn, sel.vec_id, dims.i,
+             CAST(embedding[dims.i] AS DOUBLE) AS x
+      FROM sel CROSS JOIN dims
+    ),
+    proj AS (
+      SELECT e.rn, s.j,
+             CAST(SUM(CAST(ROUND(e.x * s.s, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               AS y
+      FROM elems e JOIN signs s ON s.i = e.i
+      GROUP BY e.rn, s.j
+    ),
+    pairs AS (
+      SELECT a.rn AS ra, b.rn AS rb, a.vec_id AS va, b.vec_id AS vb,
+             CAST((a.rn + 1) / 2 AS BIGINT) AS pair_id
+      FROM sel a JOIN sel b ON b.rn = a.rn + 1 AND a.rn % 2 = 1
+    ),
+    d2x AS (
+      SELECT p.pair_id,
+             CAST(SUM(CAST(ROUND((ea.x - eb.x) * (ea.x - eb.x), 10)
+                           AS DECIMAL(28,10))) AS DOUBLE) AS dx
+      FROM pairs p
+      JOIN elems ea ON ea.rn = p.ra
+      JOIN elems eb ON eb.rn = p.rb AND eb.i = ea.i
+      GROUP BY p.pair_id
+    ),
+    d2y AS (
+      SELECT p.pair_id,
+             CAST(SUM(CAST(ROUND((pa.y - pb.y) * (pa.y - pb.y), 8)
+                           AS DECIMAL(28,8))) AS DOUBLE) AS dy
+      FROM pairs p
+      JOIN proj pa ON pa.rn = p.ra
+      JOIN proj pb ON pb.rn = p.rb AND pb.j = pa.j
+      GROUP BY p.pair_id
+    )
+    SELECT p.pair_id, p.va, p.vb,
+           ROUND(x.dx, 6) AS d2_orig,
+           ROUND(y.dy / (16.0 * x.dx), 6) AS distortion_ratio
+    FROM pairs p JOIN d2x x USING (pair_id) JOIN d2y y USING (pair_id)
+    ORDER BY p.pair_id
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project a deterministic
+    30-pair embedding sample through a portable md5-parity +/-1 matrix
+    (64 -> 16 dims) and report ||R(a-b)||^2 / (k*||a-b||^2) per pair —
+    the measured version of the concentration bound the ANN/LSH family
+    leans on. Sign matrix, sample, and every squared-distance sum are
+    engine-exact (rounded-term decimal accumulation over unnested rows).
+
+    Scale shape: the sample join prunes the corpus before any explode;
+    the projection is (60 x 64 x 16) rows — at production scale the same
+    shape is mapInPandas GEMM per batch (knn_blocked_gemm_topk), this
+    query is the portable correctness witness."""
+    emb = load(spark, sf_dir, "embeddings")
+    w_rn = Window.orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|jl"))),
+        F.col("vec_id"),
+    )
+    sel = (
+        emb.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= 60)
+        .select("rn", "vec_id", "embedding")
+        .persist()
+    )
+    dims = F.broadcast(
+        spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
+    )
+    ks = F.broadcast(
+        spark.range(1, 17).select(F.col("id").cast("int").alias("j"))
+    )
+    signs = dims.crossJoin(ks).select(
+        "i",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    elems = (
+        sel.select(
+            "rn", "vec_id", F.posexplode("embedding").alias("p0", "xf")
+        )
+        .select(
+            "rn",
+            "vec_id",
+            (F.col("p0") + 1).cast("int").alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .persist()
+    )
+    proj = (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("rn", "j")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("s"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    a = sel.select(F.col("rn").alias("ra"), F.col("vec_id").alias("va"))
+    b = sel.select(F.col("rn").alias("rb"), F.col("vec_id").alias("vb"))
+    pairs = (
+        a.join(b, (F.col("rb") == F.col("ra") + 1) & (F.col("ra") % 2 == 1))
+        .select(
+            "ra",
+            "rb",
+            "va",
+            "vb",
+            ((F.col("ra") + 1) / 2).cast("long").alias("pair_id"),
+        )
+        .persist()
+    )
+    ea = elems.select(
+        F.col("rn").alias("era"), F.col("i").alias("ia"), F.col("x").alias("xa")
+    )
+    eb = elems.select(
+        F.col("rn").alias("erb"), F.col("i").alias("ib"), F.col("x").alias("xb")
+    )
+    d2x = (
+        pairs.join(ea, F.col("era") == F.col("ra"))
+        .join(eb, (F.col("erb") == F.col("rb")) & (F.col("ib") == F.col("ia")))
+        .groupBy("pair_id")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")),
+                    10,
+                ).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("dx")
+        )
+    )
+    pa = proj.select(
+        F.col("rn").alias("pra"), F.col("j").alias("ja"), F.col("y").alias("ya")
+    )
+    pb = proj.select(
+        F.col("rn").alias("prb"), F.col("j").alias("jb"), F.col("y").alias("yb")
+    )
+    d2y = (
+        pairs.join(pa, F.col("pra") == F.col("ra"))
+        .join(pb, (F.col("prb") == F.col("rb")) & (F.col("jb") == F.col("ja")))
+        .groupBy(F.col("pair_id").alias("pid2"))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("dy")
+        )
+    )
+    return (
+        pairs.join(d2x, "pair_id")
+        .join(d2y, F.col("pid2") == F.col("pair_id"))
+        .select(
+            "pair_id",
+            "va",
+            "vb",
+            F.round("dx", 6).alias("d2_orig"),
+            F.round(F.col("dy") / (16.0 * F.col("dx")), 6).alias(
+                "distortion_ratio"
+            ),
+        )
+        .orderBy("pair_id")
+    )
