@@ -1387,3 +1387,165 @@ def rmst_by_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(168).cast("long").alias("tau_hours"),
         F.round("rmst", 6).alias("rmst_hours"),
     ).orderBy("user_parity")
+
+
+@query(
+    "ridge_normal_equations",
+    oracle="""
+    -- Ridge regression (lambda = 1) of event value on (hour, dow, 1) by
+    -- the closed-form normal equations: X'X entries are EXACT integers
+    -- (features are small ints), X'y rows are ROUND->DECIMAL sums, and
+    -- the 3x3 solve is Cramer's rule written as the identical cofactor
+    -- double chain in both engines — a regularized multi-feature trainer
+    -- through the value-hash gate with ONE data pass + one residual pass.
+    WITH f AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS h,
+             CAST(isodow(ts) AS BIGINT) AS d,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(h * h) AS BIGINT) + 1 AS a11,
+             CAST(SUM(h * d) AS BIGINT) AS a12,
+             CAST(SUM(h) AS BIGINT) AS a13,
+             CAST(SUM(d * d) AS BIGINT) + 1 AS a22,
+             CAST(SUM(d) AS BIGINT) AS a23,
+             CAST(COUNT(*) AS BIGINT) + 1 AS a33,
+             CAST(SUM(CAST(ROUND(h * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS b1,
+             CAST(SUM(CAST(ROUND(d * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS b2,
+             CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS b3
+      FROM f
+    ),
+    solve AS (
+      SELECT n, b1, b2, b3,
+             CAST(a11 AS DOUBLE) AS a11, CAST(a12 AS DOUBLE) AS a12,
+             CAST(a13 AS DOUBLE) AS a13, CAST(a22 AS DOUBLE) AS a22,
+             CAST(a23 AS DOUBLE) AS a23, CAST(a33 AS DOUBLE) AS a33
+      FROM m
+    ),
+    dets AS (
+      SELECT n, b1, b2, b3,
+             a11 * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+             b1 * (a22 * a33 - a23 * a23)
+               - a12 * (b2 * a33 - a23 * b3)
+               + a13 * (b2 * a23 - a22 * b3) AS det1,
+             a11 * (b2 * a33 - a23 * b3)
+               - b1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * b3 - b2 * a13) AS det2,
+             a11 * (a22 * b3 - b2 * a23)
+               - a12 * (a12 * b3 - b2 * a13)
+               + b1 * (a12 * a23 - a22 * a13) AS det3
+      FROM solve
+    ),
+    beta AS (
+      SELECT n, det1 / det AS w_h, det2 / det AS w_d, det3 / det AS w_0
+      FROM dets
+    ),
+    res AS (
+      SELECT beta.n, beta.w_h, beta.w_d, beta.w_0,
+             CAST(SUM(CAST(ROUND(
+               (f.y - (beta.w_h * f.h + beta.w_d * f.d + beta.w_0))
+               * (f.y - (beta.w_h * f.h + beta.w_d * f.d + beta.w_0)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sse
+      FROM f CROSS JOIN beta
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT n, ROUND(w_h, 8) AS w_hour, ROUND(w_d, 8) AS w_dow,
+           ROUND(w_0, 8) AS intercept,
+           ROUND(sqrt(sse / n), 6) AS rmse
+    FROM res
+    """,
+)
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (lambda=1) of event value on hour-of-day and
+    day-of-week by exact normal equations: the Gram matrix is integer-
+    exact (small-int features), the moment vector uses rounded-term
+    decimal sums, and the 3x3 solve is Cramer's rule as an identical
+    cofactor chain in both engines (entries ~1e7 stay exact in doubles;
+    the triple products that would overflow int64 are computed in
+    floating point on exactly-representable integers). One scan builds
+    the moments, one residual pass reports train RMSE.
+
+    Scale shape: two map-side-combined scans and a broadcast 1-row
+    coefficient cross join — the canonical closed-form distributed
+    trainer; at 100 TB this is exactly how you fit small GLMs."""
+    ev = load(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB isodow: 1=Mon..7=Sun.
+    # Use the ISO convention on both sides.
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    f = ev.select(
+        F.hour("ts").cast("long").alias("h"),
+        iso_dow.cast("long").alias("d"),
+        F.col("value").alias("y"),
+    )
+    dsum = lambda c: F.sum(F.round(c, 6).cast("decimal(28,6)")).cast(  # noqa: E731
+        "double"
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.col("h") * F.col("h")).cast("long") + 1).alias("a11"),
+        F.sum(F.col("h") * F.col("d")).cast("long").alias("a12"),
+        F.sum("h").cast("long").alias("a13"),
+        (F.sum(F.col("d") * F.col("d")).cast("long") + 1).alias("a22"),
+        F.sum("d").cast("long").alias("a23"),
+        (F.count(F.lit(1)).cast("long") + 1).alias("a33"),
+        dsum(F.col("h") * F.col("y")).alias("b1"),
+        dsum(F.col("d") * F.col("y")).alias("b2"),
+        dsum(F.col("y")).alias("b3"),
+    )
+    # cofactor products on DOUBLE copies: entries (~1e8) are exactly
+    # representable, but their triple products overflow int64 at sf0.1
+    # (ANSI would throw); both engines run the identical double chain
+    a11, a12, a13 = (F.col(c).cast("double") for c in ("a11", "a12", "a13"))
+    a22, a23, a33 = (F.col(c).cast("double") for c in ("a22", "a23", "a33"))
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    solve = m.select(
+        "n",
+        "b1",
+        "b2",
+        "b3",
+        (
+            a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)
+        ).alias("det"),
+        (
+            b1 * (a22 * a33 - a23 * a23)
+            - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3)
+        ).alias("det1"),
+        (
+            a11 * (b2 * a33 - a23 * b3)
+            - b1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * b3 - b2 * a13)
+        ).alias("det2"),
+        (
+            a11 * (a22 * b3 - b2 * a23)
+            - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13)
+        ).alias("det3"),
+    )
+    beta = solve.select(
+        "n",
+        (F.col("det1") / F.col("det")).alias("w_h"),
+        (F.col("det2") / F.col("det")).alias("w_d"),
+        (F.col("det3") / F.col("det")).alias("w_0"),
+    )
+    pred_err = F.col("y") - (
+        F.col("w_h") * F.col("h") + F.col("w_d") * F.col("d") + F.col("w_0")
+    )
+    res = (
+        f.crossJoin(F.broadcast(beta))
+        .groupBy("n", "w_h", "w_d", "w_0")
+        .agg(dsum(pred_err * pred_err).alias("sse"))
+    )
+    return res.select(
+        "n",
+        F.round("w_h", 8).alias("w_hour"),
+        F.round("w_d", 8).alias("w_dow"),
+        F.round("w_0", 8).alias("intercept"),
+        F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
+    )
