@@ -2418,9 +2418,7 @@ def cms_count_mean_min_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hierarchical_heavy_hitters",
-    oracle="""
+_HHH_ORACLE = """
     -- Discounted hierarchical heavy hitters (Cormode et al. 2003) over
     -- the (day -> hour) time hierarchy, phi = 3%: a node is HHH when its
     -- count MINUS already-reported descendant HHH mass clears phi*N —
@@ -2467,26 +2465,14 @@ def cms_count_mean_min_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM root CROSS JOIN nn WHERE 100 * disc >= 3 * n
     )
     ORDER BY level, node
-    """,
-)
-def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discounted hierarchical heavy hitters over (all -> day -> hour) at
-    phi = 3%: each level reports only the mass its already-reported
-    descendants don't explain, so a one-hour spike surfaces once instead
-    of cascading up the hierarchy. All thresholds are exact integer
-    cross-multiplications (100*c >= 3*N); the discount is a bottom-up
-    anti-mass subtraction, one aggregate per level.
+    """
 
-    Scale shape: the leaf aggregate is the only full scan (map-side
-    combine on (day,hour)); levels above run on calendar-bounded tables.
-    The sketch-regime version of HHH plugs the same lattice walk into the
-    CMS estimates (cms_time_range_freq's dyadic machinery); this exact
-    twin is what the value-hash gate can verify."""
-    ev = load(spark, sf_dir, "events")
-    leaf = ev.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.hour("ts").cast("long").alias("hr"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
+
+def hhh_lattice(leaf: DataFrame) -> DataFrame:
+    """Shared discounted-HHH lattice walk over a (day, hr, c) leaf table —
+    used by the batch query below and by the streaming twin (the merged
+    state-store histogram feeds the same walk, so both share _HHH_ORACLE)."""
+    leaf = leaf.persist()
     nn = leaf.agg(F.sum("c").cast("long").alias("n"))
     h0 = (
         leaf.crossJoin(F.broadcast(nn))
@@ -2498,13 +2484,10 @@ def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     h0_day = h0.groupBy(F.col("day").alias("hday")).agg(
         F.sum("c").cast("long").alias("h0c")
     )
-    d_disc = (
-        d.join(h0_day, F.col("hday") == F.col("day"), "left")
-        .select(
-            "day",
-            "raw",
-            (F.col("raw") - F.coalesce(F.col("h0c"), F.lit(0))).alias("disc"),
-        )
+    d_disc = d.join(h0_day, F.col("hday") == F.col("day"), "left").select(
+        "day",
+        "raw",
+        (F.col("raw") - F.coalesce(F.col("h0c"), F.lit(0))).alias("disc"),
     )
     h1 = (
         d_disc.crossJoin(F.broadcast(nn))
@@ -2544,3 +2527,25 @@ def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc").alias("discounted"),
     )
     return lvl0.unionAll(lvl1).unionAll(lvl2).orderBy("level", "node")
+
+
+@query("hierarchical_heavy_hitters", oracle=_HHH_ORACLE)
+def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted hierarchical heavy hitters over (all -> day -> hour) at
+    phi = 3%: each level reports only the mass its already-reported
+    descendants don't explain, so a one-hour spike surfaces once instead
+    of cascading up the hierarchy. All thresholds are exact integer
+    cross-multiplications (100*c >= 3*N); the discount is a bottom-up
+    anti-mass subtraction, one aggregate per level.
+
+    Scale shape: the leaf aggregate is the only full scan (map-side
+    combine on (day,hour)); levels above run on calendar-bounded tables.
+    The sketch-regime version of HHH plugs the same lattice walk into the
+    CMS estimates (cms_time_range_freq's dyadic machinery); this exact
+    twin is what the value-hash gate can verify."""
+    ev = load(spark, sf_dir, "events")
+    leaf = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return hhh_lattice(leaf)

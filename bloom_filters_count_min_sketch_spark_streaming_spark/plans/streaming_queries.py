@@ -2243,3 +2243,43 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02
         ).alias("within_bound"),
     ).orderBy("q")
+
+
+@query(
+    "stream_hierarchical_heavy_hitters",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries",
+        fromlist=["_HHH_ORACLE"],
+    )._HHH_ORACLE,
+)
+def stream_hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical heavy hitters maintained ONLINE: each micro-batch folds
+    its (day, hour) counts into sharded state-store histograms (shard =
+    content hash of the leaf, so every leaf lives in exactly one shard and
+    the state is calendar-bounded — 365*24 longs/shard/year regardless of
+    volume); after the stream drains, the merged last-emission histograms
+    feed the SAME discounted-HHH lattice as the batch query, so the online
+    answer hash-equals the batch scan and shares its oracle. This is the
+    streaming twin of hierarchical_heavy_hitters — the drill-down alarm
+    running continuously without ever re-reading history."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries import (
+        hhh_lattice,
+    )
+
+    src = (
+        events_stream_source(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hr", F.hour("ts").cast("long"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("day", "hr"), F.lit(8)).cast("long")
+        )
+    )
+    out = run_available_now(
+        stateful.streaming_leaf_histogram(src, "day", "hr"), "append"
+    )
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("day", "hr", "c")
+    )
+    return hhh_lattice(last)

@@ -1959,3 +1959,59 @@ def kll_quantile_state(stream_df: DataFrame, k: int = 200) -> DataFrame:
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _KLL_OUT, _KLL_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_LEAFH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("day", StringType()),
+        StructField("hr", LongType()),
+        StructField("c", LongType()),
+    ]
+)
+_LEAFH_STATE = StructType(
+    [StructField("hist", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_leaf_histogram(
+    stream_df: DataFrame, day_col: str, hr_col: str
+) -> DataFrame:
+    """Per-shard (day, hour) leaf-count histogram maintained ONLINE — the
+    state layer under the streaming hierarchical-heavy-hitters twin. Each
+    shard holds a calendar-bounded dict {(day,hr): count} (a year of
+    stream costs 365*24 longs per shard no matter the event volume) and
+    re-emits its full histogram every batch; the LAST emission per shard
+    (max seq) is the shard's exact leaf table, and the merged shards feed
+    the same discounted-HHH lattice as the batch query — final answers
+    hash-equal the batch scan. Expects a 'shard' column on the stream
+    (content hash, so placement is partitioning-invariant)."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hist = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            hist, seq = {}, 0
+        for pdf in pdfs:
+            for (day, hr), c in pdf.groupby([day_col, hr_col]).size().items():
+                k = (str(day), int(hr))
+                hist[k] = hist.get(k, 0) + int(c)
+        seq += 1
+        state.update((pickle.dumps(hist, protocol=4), seq))
+        keys = sorted(hist)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(keys),
+                "seq": [seq] * len(keys),
+                "day": [k[0] for k in keys],
+                "hr": [k[1] for k in keys],
+                "c": [hist[k] for k in keys],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _LEAFH_OUT, _LEAFH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
