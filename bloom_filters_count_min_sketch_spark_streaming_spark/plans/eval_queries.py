@@ -1549,3 +1549,127 @@ def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_0", 8).alias("intercept"),
         F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
     )
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle="""
+    -- Cochran-Armitage test for a linear trend in purchase share across
+    -- the ordered hour-of-day factor: with integer scores i, the
+    -- statistic's numerator N*sum(i*x_i) - X*sum(i*n_i) is EXACT in
+    -- int64; the variance pieces stay as exact integers too and only
+    -- combine in the final double formula (their int64 product would
+    -- overflow), written identically in both engines.
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_i
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(x_i) AS BIGINT) AS x,
+             CAST(SUM(i * n_i) AS BIGINT) AS sin,
+             CAST(SUM(i * x_i) AS BIGINT) AS six,
+             CAST(SUM(i * i * n_i) AS BIGINT) AS si2n
+      FROM h
+    )
+    SELECT n, x,
+           ROUND((n * six - x * sin)
+                 * sqrt(CAST(n AS DOUBLE))
+                 / sqrt(CAST(x AS DOUBLE) * (n - x))
+                 / sqrt(CAST(n AS DOUBLE) * si2n - CAST(sin AS DOUBLE) * sin),
+                 6) AS z_trend
+    FROM m
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage linear-trend test: does the purchase share drift
+    monotonically across the hour-of-day factor? The dose-response member
+    of the categorical family (chi-square/G-test see ANY association;
+    CA targets ordered trend with more power). The scaled numerator
+    N*sum(i*x) - X*sum(i*n) is exact int64; variance factors combine only
+    in the final double expression (identical text both engines) because
+    their integer product would overflow.
+
+    Scale shape: one 24-row grouped aggregate; everything else scalar."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").cast("long").alias("i")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("x_i"),
+    )
+    m = h.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("x_i").cast("long").alias("x"),
+        F.sum(F.col("i") * F.col("n_i")).cast("long").alias("sin"),
+        F.sum(F.col("i") * F.col("x_i")).cast("long").alias("six"),
+        F.sum(F.col("i") * F.col("i") * F.col("n_i")).cast("long").alias("si2n"),
+    )
+    return m.select(
+        "n",
+        "x",
+        F.round(
+            (F.col("n") * F.col("six") - F.col("x") * F.col("sin"))
+            * F.sqrt(F.col("n").cast("double"))
+            / F.sqrt(F.col("x").cast("double") * (F.col("n") - F.col("x")))
+            / F.sqrt(
+                F.col("n").cast("double") * F.col("si2n")
+                - F.col("sin").cast("double") * F.col("sin")
+            ),
+            6,
+        ).alias("z_trend"),
+    )
+
+
+@query(
+    "negbin_overdispersion_fit",
+    oracle=_daily_series_sql()
+    + """,
+    m2 AS (
+      SELECT st.n, st.sx, CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM idx CROSS JOIN st GROUP BY st.n, st.sx
+    )
+    SELECT n AS n_days,
+           ROUND(sx * 1.0 / n, 6) AS mean_daily,
+           ROUND(sx2 * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n), 6)
+             AS var_daily,
+           ROUND((sx2 * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                 / (sx * 1.0 / n), 6) AS fano,
+           ROUND((sx * 1.0 / n) * (sx * 1.0 / n)
+                 / ((sx2 * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                    - sx * 1.0 / n), 6) AS nb_r,
+           ROUND((sx * 1.0 / n)
+                 / (sx2 * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)), 6)
+             AS nb_p
+    FROM m2
+    """,
+)
+def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnosis of the daily event-count series: Fano
+    factor (var/mean — 1 under Poisson) and the method-of-moments
+    negative-binomial fit (r = m^2/(v-m), p = m/v) — the distributional
+    check that decides whether Poisson-based alerting thresholds are
+    honest. Moments are exact integer sums; ratios are identical double
+    divisions.
+
+    Scale shape: one map-side day aggregation; scalar closed forms."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    m2 = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("n")
+    var = F.col("sx2") * 1.0 / F.col("n") - mean * mean
+    return m2.select(
+        F.col("n").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round(mean * mean / (var - mean), 6).alias("nb_r"),
+        F.round(mean / var, 6).alias("nb_p"),
+    )

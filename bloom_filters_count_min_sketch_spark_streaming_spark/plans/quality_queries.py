@@ -3290,3 +3290,107 @@ def diversity_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PH_LAMBDA = 150.0
+PH_ORACLE = """
+    -- Page-Hinkley drift monitor per event type: m_t = sum(x_s - mean_s)
+    -- over the daily series (running mean, delta=0), alarm when
+    -- m_t - min_{s<=t} m_s clears lambda. Terms ROUND@8 into DECIMAL
+    -- window sums; running means k/t never hit a rounding tie (t <= 31:
+    -- terminating denominators have <= 6 decimals). Reports each key's
+    -- max PH statistic and first alarm day.
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, x,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS t
+      FROM daily
+    ),
+    terms AS (
+      SELECT event_type, day,
+             CAST(ROUND(x - cum * 1.0 / t, 8) AS DECIMAL(28,8)) AS term
+      FROM w
+    ),
+    mt AS (
+      SELECT event_type, day,
+             CAST(SUM(term) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS m
+      FROM terms
+    ),
+    ph AS (
+      SELECT event_type, day, m,
+             m - MIN(m) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS ph
+      FROM mt
+    )
+    SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(ph), 6) AS max_ph,
+           COALESCE(MIN(CASE WHEN ph > 150.0 THEN day END), 'none')
+             AS first_alarm_day
+    FROM ph GROUP BY event_type ORDER BY key
+    """
+
+
+@query("page_hinkley_drift", oracle=PH_ORACLE)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift monitor on each event type's daily series —
+    the sequential drift detector between the EWMA chart (smooth drift)
+    and CUSUM (retrospective argmax): alarms online when the walk
+    m_t = sum(x_s - running_mean_s) rises lambda above its running
+    minimum. Terms ROUND@8 into decimal window sums; with <= 31 days a
+    running mean can never land on a rounding tie, so the walk is
+    engine-exact.
+
+    Scale shape: one map-side (type, day) aggregate; the walk runs on
+    calendar-bounded partitions."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(w_cum).cast("long").alias("cum"),
+        F.row_number().over(w_ord).cast("long").alias("t"),
+    )
+    terms = w.select(
+        "event_type",
+        "day",
+        F.round(F.col("x") - F.col("cum") * 1.0 / F.col("t"), 8)
+        .cast("decimal(28,8)")
+        .alias("term"),
+    )
+    mt = terms.select(
+        "event_type",
+        "day",
+        F.sum("term").over(w_cum).cast("double").alias("m"),
+    )
+    ph = mt.select(
+        "event_type",
+        "day",
+        (F.col("m") - F.min("m").over(w_cum)).alias("ph"),
+    )
+    return (
+        ph.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("ph"), 6).alias("max_ph"),
+            F.coalesce(
+                F.min(F.when(F.col("ph") > PH_LAMBDA, F.col("day"))),
+                F.lit("none"),
+            ).alias("first_alarm_day"),
+        )
+        .orderBy("key")
+    )

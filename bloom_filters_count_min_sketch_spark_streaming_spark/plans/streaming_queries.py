@@ -2283,3 +2283,37 @@ def stream_hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataF
         .select("day", "hr", "c")
     )
     return hhh_lattice(last)
+
+
+@query(
+    "stream_page_hinkley",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries",
+        fromlist=["PH_ORACLE"],
+    ).PH_ORACLE,
+)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Page-Hinkley drift monitor maintained ONLINE — the
+    streaming member of the drift family between the EWMA chart and the
+    CUSUM changepoint: O(days) histogram state per key, the PH walk
+    re-derived each batch with the exact Decimal arithmetic of the batch
+    query's ROUND@8 -> DECIMAL window sums. The last emission per key
+    hash-equals page_hinkley_drift, which is the oracle."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries import (
+        PH_LAMBDA,
+    )
+
+    src = events_stream_source(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = run_available_now(
+        stateful.streaming_page_hinkley(src, "event_type", "day", PH_LAMBDA),
+        "append",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "n_days", "max_ph", "first_alarm_day")
+        .orderBy("key")
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -2014,4 +2015,92 @@ def streaming_leaf_histogram(
 
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _LEAFH_OUT, _LEAFH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_PH_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("n_days", LongType()),
+        StructField("max_ph", DoubleType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+_PH_STATE = StructType(
+    [StructField("days", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_page_hinkley(
+    stream_df: DataFrame, key_col: str, day_col: str, lam: float
+) -> DataFrame:
+    """Per-key Page-Hinkley drift monitor maintained ONLINE: state is the
+    day->count histogram (O(days) longs per key, volume-independent —
+    same state discipline as the streaming CUSUM), and every batch
+    re-derives the PH walk from the merged histogram. Terms are quantized
+    with Decimal ROUND_HALF_UP at 1e-8 and summed exactly in Decimal —
+    the same arithmetic as Spark's ROUND@8 -> DECIMAL(28,8) window sum —
+    so the last emission per key hash-equals the batch page_hinkley_drift
+    scan regardless of micro-batch boundaries."""
+    import pickle
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1e-8")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            days = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            days, seq = {}, 0
+        for pdf in pdfs:
+            for day, c in pdf.groupby(day_col).size().items():
+                days[day] = days.get(day, 0) + int(c)
+        seq += 1
+        state.update((pickle.dumps(days, protocol=4), seq))
+        ordered = sorted(days)
+        cum = 0
+        m = Decimal(0)
+        min_m = None
+        max_ph = None
+        first_alarm = None
+        for t, day in enumerate(ordered, start=1):
+            x = days[day]
+            cum += x
+            term = Decimal(repr(x - cum * 1.0 / t)).quantize(
+                q8, rounding=ROUND_HALF_UP
+            )
+            m += term
+            # the batch twin casts each decimal prefix sum to DOUBLE before
+            # the MIN window and the subtraction — mirror that exactly
+            fm = float(m)
+            if min_m is None or fm < min_m:
+                min_m = fm
+            ph = fm - min_m
+            if max_ph is None or ph > max_ph:
+                max_ph = ph
+            if first_alarm is None and ph > lam:
+                first_alarm = day
+        rounded = (
+            float(
+                Decimal(repr(max_ph)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
+            if max_ph is not None
+            else 0.0
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "seq": [seq],
+                "n_days": [len(ordered)],
+                "max_ph": [rounded],
+                "first_alarm_day": [first_alarm or "none"],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, _PH_OUT, _PH_STATE, "append", GroupStateTimeout.NoTimeout
     )

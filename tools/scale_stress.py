@@ -54,6 +54,13 @@ PROBES = [
     "aqp_sampled_groupby",
     "kmeans_coreset_fit",
     "fellegi_sunter_link_weights",
+    # round-7: the additions whose shapes must hold at 10x — subsequence
+    # self-join, co-occurrence graph build, NB scoring join, rank AUC
+    "sequential_pattern_support",
+    "textrank_keywords",
+    "naive_bayes_langid",
+    "roc_auc_doc_length",
+    "hierarchical_heavy_hitters",
 ]
 
 

@@ -98,6 +98,21 @@ DEFAULT_PROBES = [
     "multimodal_jpeg_decode",
     "kll_quantile_sketch_table",
     "stream_kll_quantiles",
+    # round-7: rank-based evaluation, survival comparison, subsequence
+    # mining, token co-occurrence PageRank, classifier/trainer loops,
+    # bounded-lattice HHH (batch + sharded streaming state)
+    "roc_auc_doc_length",
+    "logrank_test_user_parity",
+    "sequential_pattern_support",
+    "textrank_keywords",
+    "naive_bayes_langid",
+    "als_rank1_factorization",
+    "gopher_quality_rules",
+    "hierarchical_heavy_hitters",
+    "stream_hierarchical_heavy_hitters",
+    "adamic_adar_link_prediction",
+    "isotonic_calibration_pava",
+    "ridge_normal_equations",
 ]
 
 SF_DIRS = [
