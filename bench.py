@@ -185,6 +185,8 @@ HEADLINE = [
     "naive_bayes_langid",
     "isotonic_calibration_pava",
     "sequential_pattern_support",
+    "stream_hierarchical_heavy_hitters",
+    "stream_page_hinkley",
 ]
 
 

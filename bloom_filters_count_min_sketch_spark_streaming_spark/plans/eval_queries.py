@@ -1673,3 +1673,239 @@ def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean * mean / (var - mean), 6).alias("nb_r"),
         F.round(mean / var, 6).alias("nb_p"),
     )
+
+
+@query(
+    "cox_one_step_hazard_ratio",
+    oracle="""
+    -- One Newton step of the Cox proportional-hazards partial likelihood
+    -- from beta=0, binary covariate = user parity, Breslow ties: at each
+    -- death time the score contributes d1 - d*n1/n and the information
+    -- d*(n1/n)*(1-n1/n); beta_1 = U/I, HR = exp(beta_1), SE = 1/sqrt(I).
+    -- The survival family's effect estimator (log-rank tests, RMST
+    -- describes, Cox quantifies). Same exact risk tables as the log-rank;
+    -- score/information terms ROUND@10 into DECIMAL sums.
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    death AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s USING (user_id)
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id % 2 AS g,
+             CASE WHEN d.td IS NOT NULL THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR((epoch_us(COALESCE(d.td, l.tl)) - epoch_us(s.t0))
+                        / 3600000000.0) AS BIGINT) AS dur_h
+      FROM s
+      LEFT JOIN death d USING (user_id)
+      JOIN last_seen l USING (user_id)
+    ),
+    dt AS (
+      SELECT dur_h AS t, COUNT(*) AS d,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+      FROM obs WHERE died = 1 GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dt.t, dt.d, dt.d1,
+             (SELECT COUNT(*) FROM obs WHERE obs.dur_h >= dt.t) AS n,
+             (SELECT COUNT(*) FROM obs
+              WHERE obs.dur_h >= dt.t AND obs.g = 1) AS n1
+      FROM dt
+    ),
+    agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CAST(ROUND(d * n1 * 1.0 / n, 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS e1,
+             CAST(SUM(CAST(ROUND(d * (n1 * 1.0 / n) * (1.0 - n1 * 1.0 / n),
+                                 10) AS DECIMAL(28,10))) AS DOUBLE) AS info
+      FROM risk
+    )
+    SELECT o1, ROUND(e1, 6) AS e1, ROUND(info, 6) AS information,
+           ROUND((o1 - e1) / info, 6) AS beta_one_step,
+           ROUND(exp((o1 - e1) / info), 6) AS hazard_ratio,
+           ROUND(1.0 / sqrt(info), 6) AS se_beta,
+           ROUND((o1 - e1) / sqrt(info), 6) AS score_z
+    FROM agg
+    """,
+)
+def cox_one_step_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Newton step of Cox partial likelihood from beta=0 (binary
+    covariate = user parity, Breslow tie handling): U = sum(d1 - d*n1/n),
+    I = sum d*(n1/n)(1-n1/n), beta = U/I, hazard ratio = exp(beta) —
+    the survival family's EFFECT ESTIMATOR (the log-rank tests, RMST
+    describes, Cox quantifies; the score z here IS the Breslow-variance
+    log-rank). Same bounded risk tables; rounded-term decimal sums.
+
+    Scale shape: identical to logrank_test_user_parity."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    death = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    last_seen = (
+        ev.join(s.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("tl"))
+    )
+    obs = (
+        s.join(death, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            (F.col("user_id") % 2).alias("g"),
+            F.when(F.col("td").isNotNull(), 1).otherwise(0).alias("died"),
+            F.floor(
+                (F.unix_micros(F.coalesce("td", "tl")) - F.unix_micros("t0"))
+                / 3600000000.0
+            )
+            .cast("long")
+            .alias("dur_h"),
+        )
+        .persist()
+    )
+    dt = (
+        obs.filter(F.col("died") == 1)
+        .groupBy(F.col("dur_h").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum((F.col("g") == 1).cast("long")).cast("long").alias("d1"),
+        )
+    )
+    at_risk = obs.select(F.col("dur_h").alias("r_dur"), F.col("g").alias("r_g"))
+    risk = (
+        dt.join(at_risk, F.col("r_dur") >= F.col("t"))
+        .groupBy("t", "d", "d1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("r_g") == 1).cast("long")).alias("n1"),
+        )
+    )
+    p1 = F.col("n1") * 1.0 / F.col("n")
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.round(F.col("d") * p1, 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("e1"),
+        F.sum(F.round(F.col("d") * p1 * (1.0 - p1), 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("info"),
+    )
+    u = F.col("o1") - F.col("e1")
+    return agg.select(
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("info", 6).alias("information"),
+        F.round(u / F.col("info"), 6).alias("beta_one_step"),
+        F.round(F.exp(u / F.col("info")), 6).alias("hazard_ratio"),
+        F.round(1.0 / F.sqrt(F.col("info")), 6).alias("se_beta"),
+        F.round(u / F.sqrt(F.col("info")), 6).alias("score_z"),
+    )
+
+
+@query(
+    "cumulative_gains_deciles",
+    oracle="""
+    -- Cumulative gains / lift table: rank documents by the length score
+    -- descending, cut into 10 integer deciles ((rank-1)*10 div N), and
+    -- report what share of all positives (lang='en') each cumulative
+    -- decile captures and its lift over random targeting — the chart a
+    -- ranking model ships with alongside its AUC. All counts integer;
+    -- ratios are identical int/int divisions.
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS p FROM r),
+    d AS (
+      SELECT CAST(((rk - 1) * 10) // nn.n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM r CROSS JOIN nn GROUP BY 1
+    ),
+    c AS (
+      SELECT decile, n_docs, n_pos,
+             CAST(SUM(n_docs) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      FROM d
+    )
+    SELECT c.decile, c.n_docs, c.n_pos,
+           ROUND(c.cum_pos * 1.0 / nn.p, 6) AS cum_capture,
+           ROUND((c.cum_pos * 1.0 / c.cum_docs) / (nn.p * 1.0 / nn.n), 6)
+             AS cum_lift
+    FROM c CROSS JOIN nn ORDER BY c.decile
+    """,
+)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile for the length-based
+    English classifier — the targeting chart that pairs with ROC AUC:
+    decile k's cumulative capture (share of all positives reached) and
+    lift over random. Integer decile cuts ((rank-1)*10 div N) and exact
+    count ratios keep the whole table engine-exact.
+
+    Scale shape: one global rank window (at production scale: pre-bin by
+    score histogram instead of ranking raw rows — same table, coarser
+    cut); everything else is a 10-row rollup."""
+    docs = load(spark, sf_dir, "documents")
+    r = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    nn = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    d = (
+        r.crossJoin(F.broadcast(nn))
+        .groupBy(
+            F.floor((F.col("rk") - 1) * 10 / F.col("n")).cast("long").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(w_cum).cast("long").alias("cum_docs"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(nn))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("cum_pos") * 1.0 / F.col("p"), 6).alias("cum_capture"),
+            F.round(
+                (F.col("cum_pos") * 1.0 / F.col("cum_docs"))
+                / (F.col("p") * 1.0 / F.col("n")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )

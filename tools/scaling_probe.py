@@ -113,6 +113,7 @@ DEFAULT_PROBES = [
     "adamic_adar_link_prediction",
     "isotonic_calibration_pava",
     "ridge_normal_equations",
+    "stream_page_hinkley",
 ]
 
 SF_DIRS = [
