@@ -3394,3 +3394,119 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "calibration_error_summary",
+    oracle="""
+    -- The scalar calibration scorecard on top of the reliability diagram:
+    -- ECE (bin-weighted |mean score - observed rate|), MCE (worst bin),
+    -- and the Brier score — the numbers a probability gate must publish
+    -- before its threshold is trusted. Same logistic score and fixed 0.1
+    -- bins as score_calibration_bins; per-bin and per-doc terms ROUND
+    -- into DECIMAL sums.
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(1.0 / (1.0 + exp(-(
+               -1.5
+               + 4.0 * (len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains(
+                               ['the','a','of','and','to','in','is','it','that','for'],
+                               w))) * 1.0
+                        / len(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '')))
+               - 6.0 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                        / length(text))
+               + 0.004 * len(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> ''))
+             ))), 6) AS score
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+        AND length(text) > 0
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ss,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM f GROUP BY 1
+    ),
+    nn AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM b),
+    gaps AS (
+      SELECT b.n_b, nn.n,
+             ABS(b.ss / b.n_b - b.pos * 1.0 / b.n_b) AS gap
+      FROM b CROSS JOIN nn
+    ),
+    ece AS (
+      SELECT CAST(SUM(CAST(ROUND(n_b * gap / n, 10) AS DECIMAL(28,10)))
+               AS DOUBLE) AS ece,
+             MAX(ROUND(gap, 10)) AS mce
+      FROM gaps
+    ),
+    brier AS (
+      SELECT CAST(SUM(CAST(ROUND((score - y) * (score - y), 8)
+                           AS DECIMAL(28,8))) AS DOUBLE) AS bsum
+      FROM f
+    )
+    SELECT nn.n, ROUND(ece.ece, 6) AS ece, ROUND(ece.mce, 6) AS mce,
+           ROUND(brier.bsum / nn.n, 6) AS brier
+    FROM nn CROSS JOIN ece CROSS JOIN brier
+    """,
+)
+def calibration_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error and the Brier score of the
+    logistic quality gate — the scalar scorecard over the reliability
+    diagram (ECE weights each bin's |confidence - accuracy| gap by mass;
+    Brier is the proper scoring rule that decomposes into calibration +
+    refinement). Same fixed 0.1 bins; every sum is a rounded-term decimal
+    accumulation, so all three scalars are engine-exact.
+
+    Scale shape: one map-side scored scan + a 10-row rollup."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.word_tokens(F.col("text")))
+    lin = T.logistic_quality_linear(F.col("text"))
+    f = docs.filter((n_tok > 0) & (F.length("text") > 0)).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6).alias("score"),
+    ).persist()
+    b = f.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.round("score", 6).cast("decimal(28,6)")).cast("double").alias("ss"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    nn = b.agg(F.sum("n_b").cast("long").alias("n"))
+    gap = F.abs(F.col("ss") / F.col("n_b") - F.col("pos") * 1.0 / F.col("n_b"))
+    gaps = b.crossJoin(F.broadcast(nn)).select("n_b", "n", gap.alias("gap"))
+    ece = gaps.agg(
+        F.sum(
+            F.round(F.col("n_b") * F.col("gap") / F.col("n"), 10).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("ece"),
+        F.max(F.round("gap", 10)).alias("mce"),
+    )
+    brier = f.agg(
+        F.sum(
+            F.round(
+                (F.col("score") - F.col("y")) * (F.col("score") - F.col("y")), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("bsum")
+    )
+    return (
+        nn.crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "n",
+            F.round("ece", 6).alias("ece"),
+            F.round("mce", 6).alias("mce"),
+            F.round(F.col("bsum") / F.col("n"), 6).alias("brier"),
+        )
+    )

@@ -2317,3 +2317,84 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "n_days", "max_ph", "first_alarm_day")
         .orderBy("key")
     )
+
+
+@query(
+    "stream_roc_auc",
+    oracle="""
+    -- batch twin of the ONLINE AUC: exact tie-averaged rank AUC of
+    -- "is this event a purchase?" scored by the rounded event value —
+    -- the same integer rank machinery as roc_auc_doc_length, over the
+    -- support the streaming histogram maintains.
+    WITH v AS (
+      SELECT ROUND(value, 1) AS score, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT c, c1,
+             COALESCE(CAST(SUM(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS s
+      FROM v
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1 * (2 * s + c + 1)) AS BIGINT) AS two_r1 FROM w
+    )
+    SELECT n.n1 AS n_pos, n.n0 AS n_neg,
+           ROUND((agg.two_r1 - n.n1 * (n.n1 + 1)) / (2.0 * n.n1 * n.n0), 6)
+             AS auc
+    FROM agg CROSS JOIN n
+    """,
+)
+def stream_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC maintained ONLINE: the per-distinct-score (count, positives)
+    histogram is a mergeable sufficient statistic for rank AUC, so each
+    shard keeps O(distinct scores) longs in the state store and the exact
+    tie-averaged AUC is recomputed from merged last emissions after the
+    stream drains — continuous model evaluation without storing a single
+    raw score, hash-equal to the batch rank computation (the oracle).
+    Scores are rounded to 0.1 so the support (and the state) is bounded."""
+    src = (
+        events_stream_source(spark, sf_dir)
+        .withColumn("score", F.round("value", 1))
+        .withColumn("y", (F.col("event_type") == "purchase").cast("long"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("score"), F.lit(8)).cast("long")
+        )
+    )
+    out = run_available_now(
+        stateful.streaming_score_histogram(src, "score", "y"), "append"
+    )
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("score", "c", "c1")
+    )
+    w_prev = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w = last.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_prev).cast("long"), F.lit(0)).alias("s"),
+    )
+    n = last.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n0"),
+    )
+    agg = w.agg(
+        F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_r1")
+    )
+    u1_x2 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(u1_x2 / (2.0 * F.col("n1") * F.col("n0")), 6).alias("auc"),
+    )

@@ -2104,3 +2104,56 @@ def streaming_page_hinkley(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, _PH_OUT, _PH_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_SCOREH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("score", DoubleType()),
+        StructField("c", LongType()),
+        StructField("c1", LongType()),
+    ]
+)
+_SCOREH_STATE = StructType(
+    [StructField("hist", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_score_histogram(stream_df: DataFrame, score_col: str, y_col: str) -> DataFrame:
+    """Per-shard (score -> (count, positives)) histogram maintained ONLINE —
+    the state layer under the streaming ROC-AUC twin. AUC is a pure
+    function of the per-distinct-score counts, which ARE mergeable (plain
+    sums), so the online evaluator keeps O(distinct scores / shards)
+    longs per shard forever and the rank arithmetic runs on the merged
+    last emissions. Expects a 'shard' column (content hash of the score,
+    so each distinct score lives in exactly one shard)."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hist = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            hist, seq = {}, 0
+        for pdf in pdfs:
+            g = pdf.groupby(score_col)[y_col].agg(["count", "sum"])
+            for score, row in g.iterrows():
+                c0, c10 = hist.get(float(score), (0, 0))
+                hist[float(score)] = (c0 + int(row["count"]), c10 + int(row["sum"]))
+        seq += 1
+        state.update((pickle.dumps(hist, protocol=4), seq))
+        keys = sorted(hist)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(keys),
+                "seq": [seq] * len(keys),
+                "score": keys,
+                "c": [hist[k][0] for k in keys],
+                "c1": [hist[k][1] for k in keys],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _SCOREH_OUT, _SCOREH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
