@@ -12,9 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as _T
 from bloom_filters_count_min_sketch_spark_streaming_spark.operators import quality
 from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import query
 from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+_STOPS_SQL = "('" + "','".join(_T.EN_STOPWORDS) + "')"
 
 
 @query(
@@ -3509,4 +3512,93 @@ def calibration_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mce", 6).alias("mce"),
             F.round(F.col("bsum") / F.col("n"), 6).alias("brier"),
         )
+    )
+
+
+@query(
+    "fleiss_kappa_weak_labelers",
+    oracle=f"""
+    -- Fleiss' kappa across THREE weak English-labelers (stopword-density,
+    -- punctuation-sparsity, length): the multi-rater generalization of
+    -- Cohen's kappa the weak-supervision audit needs once there are more
+    -- than two labelers. With n=3 raters and 2 categories, each doc's
+    -- agreement P_i has an exact integer numerator, so Pbar, Pe, and
+    -- kappa are pure int-ratio double chains — engine-exact.
+    WITH votes AS (
+      SELECT
+        (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN {_STOPS_SQL})) * 1.0
+                   / len(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) >= 0.05
+              THEN 1 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     * 1.0 / length(text) <= 0.08 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS n_en
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+        AND length(text) > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_en * (n_en - 1) + (3 - n_en) * (2 - n_en))
+               AS BIGINT) AS agree_num,
+             CAST(SUM(n_en) AS BIGINT) AS tot_en
+      FROM votes
+    )
+    SELECT n_docs,
+           ROUND(agree_num * 1.0 / (6.0 * n_docs), 6) AS pbar,
+           ROUND((tot_en * 1.0 / (3.0 * n_docs)) * (tot_en * 1.0 / (3.0 * n_docs))
+                 + (1.0 - tot_en * 1.0 / (3.0 * n_docs))
+                   * (1.0 - tot_en * 1.0 / (3.0 * n_docs)), 6) AS pe,
+           ROUND((agree_num * 1.0 / (6.0 * n_docs)
+                  - ((tot_en * 1.0 / (3.0 * n_docs))
+                     * (tot_en * 1.0 / (3.0 * n_docs))
+                     + (1.0 - tot_en * 1.0 / (3.0 * n_docs))
+                       * (1.0 - tot_en * 1.0 / (3.0 * n_docs))))
+                 / (1.0 - ((tot_en * 1.0 / (3.0 * n_docs))
+                           * (tot_en * 1.0 / (3.0 * n_docs))
+                           + (1.0 - tot_en * 1.0 / (3.0 * n_docs))
+                             * (1.0 - tot_en * 1.0 / (3.0 * n_docs)))), 6)
+             AS kappa
+    FROM agg
+    """,
+)
+def fleiss_kappa_weak_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic weak English-labelers
+    (stopword density >= 0.05, punctuation ratio <= 0.08, length >= 500)
+    — the multi-rater agreement statistic that extends the Cohen's-kappa
+    audit once a labeling pipeline has more than two weak sources. Each
+    document's pairwise-agreement numerator n_en(n_en-1)+(3-n_en)(2-n_en)
+    is an exact integer, so the whole statistic is one aggregate and an
+    exact int-ratio double chain.
+
+    Scale shape: one map-only vote pass, one scalar aggregate."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.word_tokens(F.col("text")))
+    r1 = (T.stopword_ratio(F.col("text")) >= 0.05).cast("long")
+    r2 = (T.punct_ratio(F.col("text")) <= 0.08).cast("long")
+    r3 = (F.col("n_chars") >= 500).cast("long")
+    votes = docs.filter((n_tok > 0) & (F.length("text") > 0)).select(
+        (r1 + r2 + r3).alias("n_en")
+    )
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.col("n_en") * (F.col("n_en") - 1)
+            + (3 - F.col("n_en")) * (2 - F.col("n_en"))
+        )
+        .cast("long")
+        .alias("agree_num"),
+        F.sum("n_en").cast("long").alias("tot_en"),
+    )
+    p_en = F.col("tot_en") * 1.0 / (3.0 * F.col("n_docs"))
+    pe = p_en * p_en + (1.0 - p_en) * (1.0 - p_en)
+    pbar = F.col("agree_num") * 1.0 / (6.0 * F.col("n_docs"))
+    return agg.select(
+        "n_docs",
+        F.round(pbar, 6).alias("pbar"),
+        F.round(pe, 6).alias("pe"),
+        F.round((pbar - pe) / (1.0 - pe), 6).alias("kappa"),
     )

@@ -899,3 +899,148 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+@query(
+    "knn_label_ndcg",
+    oracle="""
+    -- Ranking-quality metrics for the exact cosine top-10 with label-match
+    -- relevance: per query, DCG@10 / nDCG@10 (ideal = min(pool,10) ones)
+    -- and AP@10 — the retrieval scorecard on top of the kNN family.
+    -- Ranks agree cross-engine per the knn_cosine_bruteforce note; gain
+    -- and precision terms ROUND@10 into DECIMAL sums.
+    WITH ranks AS (
+      SELECT q.vec_id AS query_id, q.label AS qlab, c.label AS clab,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    pool AS (
+      SELECT q.vec_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_pool
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label = q.label
+      WHERE q.vec_id < 20 GROUP BY 1
+    ),
+    top AS (
+      SELECT query_id, rank,
+             CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel
+      FROM ranks WHERE rank <= 10
+    ),
+    prec AS (
+      SELECT query_id, rank, rel,
+             CAST(SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrel
+      FROM top
+    ),
+    per AS (
+      SELECT query_id,
+             CAST(SUM(CAST(ROUND(rel * ln(2.0) / ln(rank + 1.0), 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS dcg,
+             CAST(SUM(CAST(ROUND(CASE WHEN rel = 1
+                                      THEN cumrel * 1.0 / rank
+                                      ELSE 0.0 END, 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS ap_num,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_top
+      FROM prec GROUP BY 1
+    ),
+    idcg AS (
+      SELECT pool.query_id,
+             CAST(SUM(CAST(ROUND(ln(2.0) / ln(r.i + 1.0), 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS idcg
+      FROM pool JOIN (SELECT unnest(range(1, 11)) AS i) r
+        ON r.i <= LEAST(pool.n_rel_pool, 10)
+      GROUP BY 1
+    )
+    SELECT per.query_id, pool.n_rel_pool, per.n_rel_top,
+           ROUND(per.dcg, 6) AS dcg,
+           ROUND(per.dcg / idcg.idcg, 6) AS ndcg,
+           ROUND(per.ap_num / LEAST(pool.n_rel_pool, 10), 6) AS ap
+    FROM per
+    JOIN pool ON pool.query_id = per.query_id
+    JOIN idcg ON idcg.query_id = per.query_id
+    ORDER BY per.query_id
+    """,
+)
+def knn_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 and AP@10 of the exact cosine top-10 under label-match
+    relevance — the retrieval scorecard the ANN variants' recall numbers
+    roll up into (recall says how many relevant came back; nDCG/AP say
+    how well they were ORDERED). Gains and precision terms are rounded-
+    term decimal sums; the ideal DCG joins a 10-row rank series against
+    each query's relevant-pool size.
+
+    Scale shape: reuses the broadcast-query brute-force ranking (the
+    Arrow-batched einsum path); the metric layer is 200 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clab")
+    )
+    top = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(clab, "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("clab") == F.col("qlab")).cast("long").alias("rel"),
+        )
+    )
+    c2 = emb.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
+    pool = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(c2, (F.col("cid") != F.col("query_id")) & (F.col("cl") == F.col("ql")))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_pool"))
+    )
+    w_cum = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prec = top.withColumn("cumrel", F.sum("rel").over(w_cum).cast("long"))
+    dec10 = lambda c: F.sum(F.round(c, 10).cast("decimal(28,10)")).cast(  # noqa: E731
+        "double"
+    )
+    per = prec.groupBy("query_id").agg(
+        dec10(
+            F.col("rel") * F.log(F.lit(2.0)) / F.log(F.col("rank") + 1.0)
+        ).alias("dcg"),
+        dec10(
+            F.when(
+                F.col("rel") == 1, F.col("cumrel") * 1.0 / F.col("rank")
+            ).otherwise(0.0)
+        ).alias("ap_num"),
+        F.sum("rel").cast("long").alias("n_rel_top"),
+    )
+    ranks10 = F.broadcast(
+        spark.range(1, 11).select(F.col("id").cast("int").alias("i"))
+    )
+    idcg = (
+        pool.crossJoin(ranks10)
+        .filter(F.col("i") <= F.least(F.col("n_rel_pool"), F.lit(10)))
+        .groupBy(F.col("query_id").alias("qid2"))
+        .agg(
+            dec10(F.log(F.lit(2.0)) / F.log(F.col("i") + 1.0)).alias("idcg")
+        )
+    )
+    return (
+        per.join(pool, "query_id")
+        .join(idcg, F.col("qid2") == F.col("query_id"))
+        .select(
+            "query_id",
+            "n_rel_pool",
+            "n_rel_top",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round(
+                F.col("ap_num") / F.least(F.col("n_rel_pool"), F.lit(10)), 6
+            ).alias("ap"),
+        )
+        .orderBy("query_id")
+    )
