@@ -203,6 +203,25 @@ _NESTED_LOOP_OK = {
                                    # range-join the domain-bounded CDF
                                    # (<= ~56k distinct 2-decimal values at
                                    # ANY scale) for exact-vs-estimate ranks
+    # round-7 additions — every BNLJ below is a broadcast 1-row scalar
+    # cross (totals / priors / extrema) or a bounded dimension cross:
+    "roc_auc_doc_length",          # 1-row (n1,n0) scalar join onto the
+                                   # distinct-score table + 1-row argmax
+    "logrank_test_user_parity",    # risk-set range join over |death times|
+                                   # (calendar-bounded), KM-family shape
+    "cms_count_mean_min_debias",   # 1-row total-N scalar join onto the
+                                   # 320-row counter table
+    "adamic_adar_link_prediction", # 1-row edge-total scalar join (the
+                                   # 1.2x-mean threshold) on a |V|^2-bounded
+                                   # nation graph
+    "als_rank1_factorization",     # 1-row RMSE scalar join onto the 5-row
+                                   # factor table
+    "naive_bayes_langid",          # |langs|(=4)-row broadcast cross onto
+                                   # test docs + 1-row prior-total scalar
+    "isotonic_calibration_pava",   # 1-row (min,max) scalar join for integer
+                                   # binning; the PAVA minimax runs on B=20
+    "sequential_pattern_support",  # 1-row n_users scalar join onto the
+                                   # 25-row pattern table
 }
 
 
