@@ -842,7 +842,7 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nodes.select(F.col("v").alias("u"))
     n2 = nodes.select(F.col("v").alias("v2"))
     cand = (
-        n1.join(n2, F.col("u") < F.col("v2"))
+        n1.join(F.broadcast(n2), F.col("u") < F.col("v2"))
         .join(
             e,
             (F.col("a") == F.col("u")) & (F.col("b") == F.col("v2")),
