@@ -187,6 +187,11 @@ HEADLINE = [
     "sequential_pattern_support",
     "stream_hierarchical_heavy_hitters",
     "stream_page_hinkley",
+    "cox_one_step_hazard_ratio",
+    "calibration_error_summary",
+    "fleiss_kappa_weak_labelers",
+    "knn_label_ndcg",
+    "stream_roc_auc",
 ]
 
 

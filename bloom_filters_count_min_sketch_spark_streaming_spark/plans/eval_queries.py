@@ -1909,3 +1909,80 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "dalenius_hodges_strata",
+    oracle="""
+    -- Dalenius-Hodges cum-sqrt(f) stratification of the order-value
+    -- distribution into 4 strata: bin o_totalprice on a fixed integer
+    -- grid, accumulate ROUND@8 sqrt(freq) terms as decimals, and cut
+    -- where the cumulative crosses k/4 of the total — the boundary-design
+    -- step that the Neyman allocation query takes as given. Stratum
+    -- assignment ceil(4 * cum / total) is a comparison on the same
+    -- decimal-summed doubles in both engines.
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, f,
+             CAST(SUM(CAST(ROUND(sqrt(f), 8) AS DECIMAL(28,8)))
+               OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+      FROM b
+    ),
+    t AS (SELECT MAX(cum) AS tot FROM c),
+    assigned AS (
+      SELECT c.bin, c.f,
+             LEAST(CAST(CEIL(4.0 * c.cum / t.tot) AS BIGINT), 4) AS stratum
+      FROM c CROSS JOIN t
+    )
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(bin) AS BIGINT) AS bin_lo,
+           CAST(MAX(bin) AS BIGINT) AS bin_hi,
+           CAST(SUM(f) AS BIGINT) AS n_orders
+    FROM assigned GROUP BY stratum ORDER BY stratum
+    """,
+)
+def dalenius_hodges_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dalenius-Hodges cumulative-sqrt(f) rule: design 4 near-optimal
+    stratum boundaries over the order-value distribution — the boundary
+    step ahead of stratified_neyman_sample's allocation step (together
+    they are the textbook design-based sampling pipeline). The cum-sqrt
+    accumulation is a rounded-term decimal window sum; stratum cuts are
+    ceil comparisons on identical doubles.
+
+    Scale shape: one map-side histogram; the rule runs on the bounded
+    bin table."""
+    orders = load(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 20000).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bin",
+        "f",
+        F.sum(F.round(F.sqrt("f"), 8).cast("decimal(28,8)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cum"),
+    )
+    t = c.agg(F.max("cum").alias("tot"))
+    assigned = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "f",
+        F.least(
+            F.ceil(4.0 * F.col("cum") / F.col("tot")).cast("long"), F.lit(4)
+        ).alias("stratum"),
+    )
+    return (
+        assigned.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.min("bin").cast("long").alias("bin_lo"),
+            F.max("bin").cast("long").alias("bin_hi"),
+            F.sum("f").cast("long").alias("n_orders"),
+        )
+        .orderBy("stratum")
+    )
