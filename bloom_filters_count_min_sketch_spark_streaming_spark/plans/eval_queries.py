@@ -1986,3 +1986,252 @@ def dalenius_hodges_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=_daily_series_sql()
+    + """,
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tg FROM idx GROUP BY x)
+      WHERE tg > 1
+    )
+    SELECT st.n AS n_days, p.s,
+           ROUND((st.n * (st.n - 1) * (2 * st.n + 5) - t.tie_term) / 18.0, 6)
+             AS var_s,
+           ROUND(CASE WHEN p.s > 0 THEN (p.s - 1)
+                      WHEN p.s < 0 THEN (p.s + 1)
+                      ELSE 0 END
+                 / sqrt((st.n * (st.n - 1) * (2 * st.n + 5) - t.tie_term)
+                        / 18.0), 6) AS z_mk
+    FROM pairs p CROSS JOIN ties t CROSS JOIN st
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric partner of the Theil-Sen slope (MK decides IF there is
+    a monotone trend; Sen's slope says how steep): S = sum of pairwise
+    signs (exact integer over the |days|^2 pair join), tie-corrected
+    variance as an exact rational, continuity-corrected z.
+
+    Scale shape: day aggregate (map-side), then a calendar-bounded pair
+    join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+        "x",
+    ).persist()
+    st = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = idx.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("tb") > F.col("ta")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .filter(F.col("tg") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+                ).cast("long"),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_expr = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z_num = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("n").alias("n_days"),
+            "s",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z_num / F.sqrt(var_expr), 6).alias("z_mk"),
+        )
+    )
+
+
+@query(
+    "runs_test_daily",
+    oracle=_daily_series_sql()
+    + """,
+    med AS (
+      -- lower median by integer rank: exact, engine-identical
+      SELECT x AS m FROM (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, t) AS r FROM idx
+      ) CROSS JOIN st WHERE r = (st.n + 1) // 2
+    ),
+    signs AS (
+      SELECT t, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+      FROM idx CROSS JOIN med WHERE x <> m
+    ),
+    seq AS (
+      SELECT s, LAG(s) OVER (ORDER BY t) AS prev FROM signs
+    ),
+    agg AS (
+      SELECT CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM seq
+    )
+    SELECT runs, n1, n2,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS mu_runs,
+           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))), 6)
+             AS z_runs
+    FROM agg
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily count series
+    around its (lower) median — the serial-dependence check that says
+    whether treating days as i.i.d. (as the bootstrap and CLT error bars
+    do) is defensible. Median by integer rank, runs and group counts
+    exact integers, closed-form z.
+
+    Scale shape: day aggregate + |days|-row windows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+        "x",
+    ).persist()
+    st = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = idx.select(
+        "x", F.row_number().over(Window.orderBy("x", "t")).cast("long").alias("r")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(st))
+        .filter(F.col("r") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("x").alias("m"))
+    )
+    signs = (
+        idx.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("t", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    seq = signs.select(
+        "s", F.lag("s").over(Window.orderBy("t")).alias("prev")
+    )
+    agg = seq.agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    nn = F.col("n1") + F.col("n2")
+    sig = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (nn * nn * 1.0 * (nn - 1))
+    )
+    return agg.select(
+        "runs",
+        "n1",
+        "n2",
+        F.round(mu, 6).alias("mu_runs"),
+        F.round((F.col("runs") - mu) / sig, 6).alias("z_runs"),
+    )
+
+
+@query(
+    "durbin_watson_daily",
+    oracle=_daily_series_sql()
+    + """,
+    y AS (
+      SELECT idx.t, st.n * idx.x - st.sx AS y
+      FROM idx CROSS JOIN st
+    ),
+    dw AS (
+      SELECT
+        CAST((SELECT SUM((b.y - a.y) * (b.y - a.y))
+              FROM y a JOIN y b ON b.t = a.t + 1) AS BIGINT) AS num,
+        CAST((SELECT SUM(a.y * a.y) FROM y a) AS BIGINT) AS den
+    )
+    SELECT st.n AS n_days, dw.num, dw.den,
+           ROUND(dw.num * 1.0 / dw.den, 6) AS dw_stat
+    FROM dw CROSS JOIN st
+    """,
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic of the mean-centered daily
+    series: DW = sum of squared successive residual differences over the
+    residual sum of squares. The n*x - S centering keeps BOTH sums exact
+    integers (the common n^2 scale cancels in the ratio), so DW ~ 2(1 -
+    rho1) comes out of one exact division — the diagnostic that pairs
+    with the Yule-Walker fit.
+
+    Scale shape: day aggregate + one lag self-join on the bounded series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+        "x",
+    )
+    st = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    y = idx.crossJoin(F.broadcast(st)).select(
+        "t", (F.col("n") * F.col("x") - F.col("sx")).alias("y")
+    ).persist()
+    a = y.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = y.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    num = a.join(b, F.col("tb") == F.col("ta") + 1).agg(
+        F.sum((F.col("yb") - F.col("ya")) * (F.col("yb") - F.col("ya")))
+        .cast("long")
+        .alias("num")
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("den"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("n").alias("n_days"),
+            "num",
+            "den",
+            F.round(F.col("num") * 1.0 / F.col("den"), 6).alias("dw_stat"),
+        )
+    )
