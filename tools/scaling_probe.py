@@ -114,6 +114,17 @@ DEFAULT_PROBES = [
     "isotonic_calibration_pava",
     "ridge_normal_equations",
     "stream_page_hinkley",
+    # round-7 second wave: survival effect size, retrieval scorecard,
+    # online AUC state, drift walk, projection audit, colliding-sketch
+    # debias
+    "cox_one_step_hazard_ratio",
+    "knn_label_ndcg",
+    "stream_roc_auc",
+    "page_hinkley_drift",
+    "mann_kendall_trend",
+    "calibration_error_summary",
+    "jl_projection_distortion",
+    "cms_count_mean_min_debias",
 ]
 
 SF_DIRS = [
