@@ -2235,3 +2235,214 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") * 1.0 / F.col("den"), 6).alias("dw_stat"),
         )
     )
+
+
+@query(
+    "granger_causality_click_purchase",
+    oracle="""
+    -- Does yesterday's click volume help predict today's purchase volume
+    -- beyond purchase history itself? Granger causality, 1 lag: full OLS
+    -- y_t ~ [1, y_{t-1}, x_{t-1}] vs restricted y_t ~ [1, y_{t-1}],
+    -- F = (SSE_r - SSE_f) / (SSE_f / (n-3)). Counts are integers, so both
+    -- Gram matrices and moment vectors are EXACT int64; the solves are
+    -- Cramer cofactor chains on double-cast entries (identical text both
+    -- engines) and the SSE passes use ROUND->DECIMAL sums.
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y, x
+      FROM daily
+    ),
+    r AS (
+      SELECT a.y AS yt, b.y AS yl, b.x AS xl
+      FROM idx a JOIN idx b ON a.t = b.t + 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yl) AS BIGINT) AS syl,
+             CAST(SUM(xl) AS BIGINT) AS sxl,
+             CAST(SUM(yl * yl) AS BIGINT) AS syy,
+             CAST(SUM(yl * xl) AS BIGINT) AS syx,
+             CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+             CAST(SUM(yt) AS BIGINT) AS sy,
+             CAST(SUM(yl * yt) AS BIGINT) AS sly,
+             CAST(SUM(xl * yt) AS BIGINT) AS slx
+      FROM r
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS n, CAST(syl AS DOUBLE) AS a12,
+             CAST(sxl AS DOUBLE) AS a13, CAST(syy AS DOUBLE) AS a22,
+             CAST(syx AS DOUBLE) AS a23, CAST(sxx AS DOUBLE) AS a33,
+             CAST(sy AS DOUBLE) AS b1, CAST(sly AS DOUBLE) AS b2,
+             CAST(slx AS DOUBLE) AS b3
+      FROM m
+    ),
+    fullm AS (
+      SELECT n, b1, b2, b3, a12, a13, a22, a23, a33,
+             n * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+             b1 * (a22 * a33 - a23 * a23)
+               - a12 * (b2 * a33 - a23 * b3)
+               + a13 * (b2 * a23 - a22 * b3) AS det1,
+             n * (b2 * a33 - a23 * b3)
+               - b1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * b3 - b2 * a13) AS det2,
+             n * (a22 * b3 - b2 * a23)
+               - a12 * (a12 * b3 - b2 * a13)
+               + b1 * (a12 * a23 - a22 * a13) AS det3
+      FROM d
+    ),
+    beta AS (
+      SELECT n, det1 / det AS f0, det2 / det AS f1, det3 / det AS f2,
+             (b1 * a22 - a12 * b2) / (n * a22 - a12 * a12) AS r0,
+             (n * b2 - a12 * b1) / (n * a22 - a12 * a12) AS r1
+      FROM fullm
+    ),
+    sse AS (
+      SELECT beta.n, beta.f1, beta.f2,
+             CAST(SUM(CAST(ROUND(
+               (r.yt - (beta.f0 + beta.f1 * r.yl + beta.f2 * r.xl))
+               * (r.yt - (beta.f0 + beta.f1 * r.yl + beta.f2 * r.xl)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sse_f,
+             CAST(SUM(CAST(ROUND(
+               (r.yt - (beta.r0 + beta.r1 * r.yl))
+               * (r.yt - (beta.r0 + beta.r1 * r.yl)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sse_r
+      FROM r CROSS JOIN beta
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n_eff, ROUND(f1, 8) AS beta_y_lag,
+           ROUND(f2, 8) AS beta_x_lag,
+           ROUND(sse_f, 4) AS sse_full, ROUND(sse_r, 4) AS sse_restricted,
+           ROUND((sse_r - sse_f) / (sse_f / (n - 3)), 6) AS f_granger
+    FROM sse
+    """,
+)
+def granger_causality_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (1 lag): does the click series improve one-step
+    prediction of the purchase series beyond its own history? Full and
+    restricted OLS solved in closed form from EXACT integer Gram matrices
+    (daily counts are integers, so every cross-moment is int64-exact; the
+    solves double-cast entries before the Cramer cofactor products), one
+    residual pass per model, F from the SSE gap — the causal-screening
+    member of the time-series family next to AR(2)/MASE/MK/DW.
+
+    Scale shape: one map-side day aggregate; the lag join and both
+    residual passes run on the calendar-bounded series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        "y",
+        "x",
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("yt"))
+    b = idx.select(
+        F.col("t").alias("tb"), F.col("y").alias("yl"), F.col("x").alias("xl")
+    )
+    r = a.join(b, F.col("ta") == F.col("tb") + 1).select("yt", "yl", "xl").persist()
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yl").cast("long").alias("syl"),
+        F.sum("xl").cast("long").alias("sxl"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("syy"),
+        F.sum(F.col("yl") * F.col("xl")).cast("long").alias("syx"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+        F.sum("yt").cast("long").alias("sy"),
+        F.sum(F.col("yl") * F.col("yt")).cast("long").alias("sly"),
+        F.sum(F.col("xl") * F.col("yt")).cast("long").alias("slx"),
+    )
+    d = m.select(
+        F.col("n").cast("double").alias("n"),
+        F.col("syl").cast("double").alias("a12"),
+        F.col("sxl").cast("double").alias("a13"),
+        F.col("syy").cast("double").alias("a22"),
+        F.col("syx").cast("double").alias("a23"),
+        F.col("sxx").cast("double").alias("a33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("sly").cast("double").alias("b2"),
+        F.col("slx").cast("double").alias("b3"),
+    )
+    n, a12, a13 = F.col("n"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    fullm = d.select(
+        "n",
+        "b1",
+        "b2",
+        "b3",
+        "a12",
+        "a13",
+        "a22",
+        "a23",
+        "a33",
+        (
+            n * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)
+        ).alias("det"),
+        (
+            b1 * (a22 * a33 - a23 * a23)
+            - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3)
+        ).alias("det1"),
+        (
+            n * (b2 * a33 - a23 * b3)
+            - b1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * b3 - b2 * a13)
+        ).alias("det2"),
+        (
+            n * (a22 * b3 - b2 * a23)
+            - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13)
+        ).alias("det3"),
+    )
+    beta = fullm.select(
+        "n",
+        (F.col("det1") / F.col("det")).alias("f0"),
+        (F.col("det2") / F.col("det")).alias("f1"),
+        (F.col("det3") / F.col("det")).alias("f2"),
+        ((b1 * a22 - a12 * b2) / (n * a22 - a12 * a12)).alias("r0"),
+        ((n * b2 - a12 * b1) / (n * a22 - a12 * a12)).alias("r1"),
+    )
+    ef = F.col("yt") - (
+        F.col("f0") + F.col("f1") * F.col("yl") + F.col("f2") * F.col("xl")
+    )
+    er = F.col("yt") - (F.col("r0") + F.col("r1") * F.col("yl"))
+    sse = (
+        r.crossJoin(F.broadcast(beta))
+        .groupBy("n", "f1", "f2")
+        .agg(
+            F.sum(F.round(ef * ef, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sse_f"),
+            F.sum(F.round(er * er, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sse_r"),
+        )
+    )
+    return sse.select(
+        F.col("n").cast("long").alias("n_eff"),
+        F.round("f1", 8).alias("beta_y_lag"),
+        F.round("f2", 8).alias("beta_x_lag"),
+        F.round("sse_f", 4).alias("sse_full"),
+        F.round("sse_r", 4).alias("sse_restricted"),
+        F.round(
+            (F.col("sse_r") - F.col("sse_f")) / (F.col("sse_f") / (F.col("n") - 3)),
+            6,
+        ).alias("f_granger"),
+    )
