@@ -222,6 +222,15 @@ _NESTED_LOOP_OK = {
                                    # binning; the PAVA minimax runs on B=20
     "sequential_pattern_support",  # 1-row n_users scalar join onto the
                                    # 25-row pattern table
+    "cox_one_step_hazard_ratio",   # risk-set range join over |death times|
+                                   # (calendar-bounded, same shape as the
+                                   # log-rank / KM family)
+    "calibration_error_summary",   # 1-row total-N scalar join onto the
+                                   # 10-bin gap table
+    "fleiss_kappa_weak_labelers",  # single scalar aggregate (listed for
+                                   # the 1-row pattern if AQE re-plans)
+    "knn_label_ndcg",              # 10-row broadcast rank series joined
+                                   # to per-query ideal-pool sizes
 }
 
 
