@@ -192,6 +192,8 @@ HEADLINE = [
     "fleiss_kappa_weak_labelers",
     "knn_label_ndcg",
     "stream_roc_auc",
+    "granger_causality_click_purchase",
+    "mann_kendall_trend",
 ]
 
 
