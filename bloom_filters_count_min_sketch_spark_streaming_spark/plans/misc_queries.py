@@ -2745,3 +2745,117 @@ def rendezvous_hash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "udtf_analyze_dynamic_schema",
+    oracle="""
+    -- twin of the polymorphic UDTF: splitting the dash-joined triple
+    -- (event_type-day-hour) into 3 typed columns and counting — the
+    -- output schema the UDTF's analyze() computed from its literal arg.
+    SELECT string_split(k, '-')[1] AS c0, string_split(k, '-')[2] AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type || '-' || CAST(hour(ts) AS VARCHAR) || '-'
+               || CAST(isodow(ts) AS VARCHAR) AS k
+      FROM events
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed at
+    plan time by a static ``analyze()`` from the literal n_fields argument
+    (c0..c{n-1} string columns) — the dynamic-schema half of the UDTF
+    contract that udtf_power_series' static returnType doesn't exercise.
+    The UDTF splits a dash-joined key into its first n fields; the result
+    re-aggregates to counts the oracle computes with string_split."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitFields:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._n = (
+                len(analyze_result.schema) if analyze_result is not None else 2
+            )
+
+        def eval(self, s: str, n: int):
+            parts = (s or "").split("-")
+            yield tuple((parts + [""] * n)[:n])
+
+    spark.udtf.register("bfcms_split_fields", SplitFields)
+    ev = load(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    keyed = ev.select(
+        F.concat_ws(
+            "-",
+            F.col("event_type"),
+            F.hour("ts").cast("string"),
+            iso_dow.cast("string"),
+        ).alias("k")
+    )
+    keyed.createOrReplaceTempView("bfcms_udtf_keys")
+    out = spark.sql(
+        "SELECT f.c0, f.c1 FROM bfcms_udtf_keys, "
+        "LATERAL bfcms_split_fields(k, 2) f"
+    )
+    return (
+        out.groupBy("c0", "c1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("c0", "c1")
+    )
+
+
+@query(
+    "pandas_udaf_window_trailing_mean",
+    oracle="""
+    -- twin of the pandas UDAF evaluated as a WINDOW function: trailing
+    -- 7-row mean of each type's daily counts. Integer window sums are
+    -- exact in float64 on both sides, so the means match bit-for-bit.
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, c,
+           ROUND(AVG(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS trail_mean
+    FROM daily ORDER BY event_type, day
+    """,
+)
+def pandas_udaf_window_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas UDAF evaluated OVER A WINDOW (the bounded-frame grouped-
+    aggregate pandas UDF execution mode — B31-33's last uncovered
+    surface): trailing 7-day mean of per-type daily counts, Arrow-shipped
+    one frame per row. Integer counts sum exactly in float64, so the
+    Python-side mean is bit-identical to the oracle's window AVG."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trail_mean(v: pd.Series) -> float:
+        return float(v.sum()) / len(v)
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.round(trail_mean(F.col("c")).over(w), 6).alias("trail_mean"),
+    ).orderBy("event_type", "day")

@@ -2463,3 +2463,58 @@ def fellegi_sunter_link_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_name", "g_bal", "g_fmt")
     )
+
+
+@query(
+    "sink_python_datasource_write",
+    oracle="""
+    -- batch twin of the custom Python WRITER: the (event_type, day) count
+    -- table written out through the bfcms_jsondir sink and read back must
+    -- re-aggregate to the per-type totals computed directly.
+    SELECT event_type, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Spark 4 Python DataSource contract: the per-
+    (type, day) count table fans out through the custom ``bfcms_jsondir``
+    sink (executor-parallel JSON-lines files, write-then-rename with
+    two-phase commit messages and a _SUCCESS marker), is read BACK from
+    the committed files, and must re-aggregate to the directly-computed
+    per-type totals — proving bytes actually went through the connector,
+    not just the plan. Completes B2's custom-connector story
+    (read + streaming read + write)."""
+    import os
+    import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.pysource import (
+        JsonDirSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonDirSinkDataSource)
+    ev = load(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .repartition(4)
+    )
+    out = tempfile.mkdtemp(prefix="bfcms_pysink_")
+    per_day.write.format("bfcms_jsondir").mode("append").option(
+        "path", out
+    ).save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.schema("event_type STRING, day STRING, c BIGINT").json(
+        os.path.join(out, "part-*.json")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count_distinct("day").cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -16,7 +16,13 @@ O(0) storage, parallelism = requested partitions.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 _MUL = 48271  # Park-Miller multiplier; value = (id * MUL) % MOD
@@ -125,3 +131,65 @@ class SynthStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SynthStreamDataSource)
+
+
+class _JsonDirCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class _JsonDirWriter(DataSourceWriter):
+    """Executor-parallel writer: each partition lands one JSON-lines file
+    under the target directory (write-then-commit: files are written under
+    a temp name and the filenames travel in the commit messages, so an
+    aborted task leaves only an orphan the reader never sees)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.json")
+        n = 0
+        with open(name + ".tmp", "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(name + ".tmp", name)
+        return _JsonDirCommit(name, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = sum(m.n_rows for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"files": len(messages), "rows": total}))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonDirSinkDataSource(DataSource):
+    """Python DataSource WRITE path (Spark 4): df.write.format(
+    'bfcms_jsondir').option('path', dir).save() fans partitions out to
+    executor-local JSON-lines files with a two-phase commit — the writer
+    half of the custom-connector contract (SynthDataSource covers batch
+    read, SynthStreamDataSource streaming read)."""
+
+    @classmethod
+    def name(cls):
+        return "bfcms_jsondir"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _JsonDirWriter(self.options)
