@@ -2398,3 +2398,68 @@ def stream_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").alias("n_neg"),
         F.round(u1_x2 / (2.0 * F.col("n1") * F.col("n0")), 6).alias("auc"),
     )
+
+
+@query(
+    "stream_python_datasource_sink",
+    oracle="""
+    -- batch twin of the custom Python STREAMING sink: per-micro-batch
+    -- (type, day) count rows written through bfcms_jsondir across the
+    -- whole stream must sum back to the direct per-type totals.
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeStream through a CUSTOM Python DataSourceStreamWriter (the
+    Spark 4 streaming-write contract: per-partition committed JSON-lines
+    files plus a per-batch success marker): each micro-batch appends its
+    (type, day) counts in update mode; reading the committed files back
+    and summing must reproduce the batch per-type totals regardless of
+    how many micro-batches the file replay produced. Completes the
+    custom-connector matrix — batch read, streaming read, batch write,
+    streaming write — all four through the Python DataSource API."""
+    import os
+    import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.pysource import (
+        JsonDirSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonDirSinkDataSource)
+    src = events_stream_source(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    counts = src.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    out = tempfile.mkdtemp(prefix="bfcms_pystream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="bfcms_pystream_ckpt_")
+    q = (
+        counts.writeStream.format("bfcms_jsondir")
+        .outputMode("complete")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # complete mode rewrites the whole aggregate each batch: keep only the
+    # files of the LAST committed batch
+    batches = sorted(
+        int(f.split("_")[2])
+        for f in os.listdir(out)
+        if f.startswith("_BATCH_") and f.endswith("_SUCCESS")
+    )
+    assert batches, "no committed micro-batch"
+    back = spark.read.schema("event_type STRING, day STRING, c BIGINT").json(
+        os.path.join(out, "stream-*.json")
+    )
+    # complete-mode emissions accumulate one snapshot per batch; the final
+    # snapshot per (type, day) is the max c (counts only grow)
+    final = back.groupBy("event_type", "day").agg(F.max("c").alias("c"))
+    return (
+        final.groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("n_events"))
+        .orderBy("event_type")
+    )

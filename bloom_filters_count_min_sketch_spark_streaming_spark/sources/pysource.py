@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -193,3 +194,51 @@ class JsonDirSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return _JsonDirWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _JsonDirStreamWriter(self.options)
+
+
+class _JsonDirStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of _JsonDirWriter: every micro-batch's partitions
+    land as committed JSON-lines files; commit() stamps a per-batch
+    marker so a resumed query can see which batches fully landed."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = os.path.join(
+            self.path, f"stream-{pid:05d}-{uuid.uuid4().hex}.json"
+        )
+        n = 0
+        with open(name + ".tmp", "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(name + ".tmp", name)
+        return _JsonDirCommit(name, n)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        total = sum(m.n_rows for m in messages if m is not None)
+        with open(
+            os.path.join(self.path, f"_BATCH_{batchId}_SUCCESS"), "w"
+        ) as fh:
+            fh.write(json.dumps({"batch": batchId, "rows": total}))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
