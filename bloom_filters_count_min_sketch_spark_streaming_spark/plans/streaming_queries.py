@@ -2463,3 +2463,47 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("c").cast("long").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_lossy_counting_topk",
+    oracle="""
+    -- streaming Lossy Counting in the exact regime: eps=1e-6 makes the
+    -- bucket width larger than any shard's substream, so no boundary
+    -- prune ever fires and the merged per-shard summaries are the exact
+    -- global counts.
+    SELECT event_type AS item, COUNT(*) AS lc_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type ORDER BY rnk
+    """,
+)
+def stream_lossy_counting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE Lossy Counting heavy hitters — the third classic counter
+    summary beside the Misra-Gries and SpaceSaving twins (subtract /
+    overwrite / PRUNE-at-bucket-boundary deletion policies; together they
+    cover the deterministic heavy-hitter design space the reference's CMS
+    approximates probabilistically). eps=1e-6 keeps this run in the exact
+    regime (oracle = exact counts); the pruning regime's f >= f_true -
+    eps*N guarantee is pinned by tests/test_state_sketches-style property
+    tests on the pure core."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"), F.col("event_type").alias("item")
+    )
+    out = run_available_now(
+        stateful.lossy_counting_state(keyed, eps=1e-6), "append"
+    )
+    w_shard = Window.partitionBy("shard")
+    latest = out.withColumn("max_seq", F.max("seq").over(w_shard)).filter(
+        F.col("seq") == F.col("max_seq")
+    )
+    merged = latest.groupBy("item").agg(
+        F.sum("lc_value").cast("long").alias("lc_count")
+    )
+    wm = Window.orderBy(F.desc("lc_count"), "item")
+    return (
+        merged.withColumn("rnk", F.row_number().over(wm).cast("long"))
+        .select("item", "lc_count", "rnk")
+        .orderBy("rnk")
+    )

@@ -2157,3 +2157,112 @@ def streaming_score_histogram(stream_df: DataFrame, score_col: str, y_col: str) 
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _SCOREH_OUT, _SCOREH_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_LC_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("item", StringType()),
+        StructField("lc_value", LongType()),
+        StructField("lc_delta", LongType()),
+    ]
+)
+_LC_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("items", StringType()),
+        StructField("counts", BinaryType()),
+        StructField("deltas", BinaryType()),
+    ]
+)
+
+
+def lossy_counting_state(
+    stream_df: DataFrame, eps: float, item_col: str = "item"
+) -> DataFrame:
+    """Per-shard Lossy Counting (Manku & Motwani, VLDB 2002) across
+    micro-batches — the deterministic-deletion member of the counter-
+    summary family (Misra-Gries subtracts, SpaceSaving overwrites, Lossy
+    Counting prunes at bucket boundaries): each tracked item carries
+    (count, delta) with delta = the bucket it entered at; after folding a
+    batch, items with count + delta <= current bucket are dropped, so
+    state is O(1/eps * log(eps*N)) and every kept estimate over-reads the
+    truth by at most eps*N_shard. Batch folding assigns new items the
+    batch-entry bucket, which only loosens delta toward the same bound.
+    Emits the full summary each batch (deterministic item order); read
+    the last seq per shard and ADD shard summaries (per-shard bounds add
+    to eps*N)."""
+    import math
+
+    w = max(1, math.ceil(1.0 / eps))
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "shard": empty64,
+                    "seq": empty64,
+                    "item": pd.Series([], dtype="object"),
+                    "lc_value": empty64,
+                    "lc_delta": empty64,
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            seq, n_seen, items_s, cnt_b, dlt_b = state.get
+            seq, n_seen = int(seq), int(n_seen)
+            items = items_s.split("\x1f") if items_s else []
+            counts = dict(
+                zip(items, (int(c) for c in np.frombuffer(cnt_b, dtype=np.int64)))
+            )
+            deltas = dict(
+                zip(items, (int(d) for d in np.frombuffer(dlt_b, dtype=np.int64)))
+            )
+        else:
+            seq, n_seen, counts, deltas = 0, 0, {}, {}
+        b_entry = n_seen // w  # bucket new items enter at (batch-folded)
+        for it, c in pdf[item_col].value_counts().items():
+            if it in counts:
+                counts[it] += int(c)
+            else:
+                counts[it] = int(c)
+                deltas[it] = b_entry
+        n_seen += len(pdf)
+        b_cur = n_seen // w
+        for it in [i for i in counts if counts[i] + deltas[i] <= b_cur]:
+            del counts[it], deltas[it]
+        seq += 1
+        order = sorted(counts)
+        state.update(
+            (
+                seq,
+                n_seen,
+                "\x1f".join(order),
+                np.array([counts[i] for i in order], dtype=np.int64).tobytes(),
+                np.array([deltas[i] for i in order], dtype=np.int64).tobytes(),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.full(len(order), int(key[0]), dtype=np.int64),
+                "seq": np.full(len(order), seq, dtype=np.int64),
+                "item": pd.Series(order, dtype="object"),
+                "lc_value": np.array(
+                    [counts[i] for i in order], dtype=np.int64
+                ),
+                "lc_delta": np.array(
+                    [deltas[i] for i in order], dtype=np.int64
+                ),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _LC_OUT, _LC_STATE, "append", GroupStateTimeout.NoTimeout
+    )

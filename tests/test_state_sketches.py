@@ -393,3 +393,66 @@ def test_stable_bloom_decay_forgets_old_keys():
         if not all(cells[j] > 0 for j in _sbf_positions(x, kh, m)):
             forgotten += 1
     assert forgotten > 0, "decay must eventually forget stale keys"
+
+
+def test_streaming_lossy_counting_pruning_regime(spark, tmp_path):
+    """eps large enough that bucket boundaries fall inside the stream:
+    state must prune low-frequency items, every surviving estimate obeys
+    f_true - eps*N <= est <= f_true (batch folding only widens delta
+    toward the same bound), and the genuinely frequent item survives."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import (
+        stateful,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    # one shard, 300 rows: 'hot' is 1/3 of the stream; 20 cold singtons
+    # cycle through the rest
+    rows = []
+    for rep in range(100):
+        rows.append((0, "hot"))
+        rows.append((0, f"cold{rep % 20}"))
+        rows.append((0, f"cold{(rep + 7) % 20}"))
+    n = len(rows)
+    batches = [rows[:100], rows[100:220], rows[220:]]
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        pdf = pd.DataFrame(b, columns=["shard", "item"])
+        pdf["shard"] = pdf["shard"].astype("int64")
+        path = f"{src_dir}/part-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    eps = 0.05  # w = 20 -> 15 bucket boundaries inside the stream
+    out = run_available_now(stateful.lossy_counting_state(src, eps=eps), "append")
+    final = {
+        r["item"]: r["lc_value"]
+        for r in out.filter(
+            F.col("seq") == out.agg(F.max("seq")).collect()[0][0]
+        ).collect()
+    }
+    true = {}
+    for _, it in rows:
+        true[it] = true.get(it, 0) + 1
+    # pruning actually fired: the cold tail cannot all survive
+    assert len(final) < len(true), (len(final), len(true))
+    assert "hot" in final, "an item above eps*N must survive"
+    for item, v in final.items():
+        assert 0 < v <= true[item], (item, v, true[item])
+        assert true[item] - v <= eps * n, (item, v, true[item], eps * n)
