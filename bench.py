@@ -194,6 +194,11 @@ HEADLINE = [
     "stream_roc_auc",
     "granger_causality_click_purchase",
     "mann_kendall_trend",
+    "stream_lossy_counting_topk",
+    "sink_python_datasource_write",
+    "stream_python_datasource_sink",
+    "udtf_analyze_dynamic_schema",
+    "pandas_udaf_window_trailing_mean",
 ]
 
 
