@@ -231,6 +231,10 @@ _NESTED_LOOP_OK = {
                                    # the 1-row pattern if AQE re-plans)
     "knn_label_ndcg",              # 10-row broadcast rank series joined
                                    # to per-query ideal-pool sizes
+    "granger_causality_click_purchase",  # 1-row broadcast coefficient
+                                         # cross onto the lagged series
+    "mann_kendall_trend",          # calendar-bounded pairwise-sign join
+                                   # + 1-row scalar crosses
 }
 
 
