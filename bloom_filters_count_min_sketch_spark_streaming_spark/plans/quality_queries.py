@@ -3602,3 +3602,122 @@ def fleiss_kappa_weak_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((pbar - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "brown_forsythe_variance_test",
+    oracle="""
+    -- Brown-Forsythe variance-equality test of event value across the 5
+    -- event types: one-way ANOVA on |x - group LOWER MEDIAN| — the robust
+    -- Levene variant that justifies (or forbids) the pooled-variance
+    -- assumption under anova_f_oneway_value_by_type. The lower median is
+    -- an exact order statistic (rank (n+1)//2 with event_id tie-break), so
+    -- every deviation is an exact IEEE subtraction; z terms ROUND@1e-6 ->
+    -- DECIMAL moments -> closed-form F, bit-identical cross-engine.
+    WITH e AS (SELECT event_type, value, event_id FROM events),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_g
+      FROM e
+    ),
+    med AS (SELECT event_type, value AS med FROM r WHERE rn = (n_g + 1) // 2),
+    z AS (
+      SELECT e.event_type, ROUND(ABS(e.value - m.med), 6) AS z
+      FROM e JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ss_g
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ss_g AS DECIMAL(28,6))) AS DOUBLE) AS ss
+      FROM g
+    ),
+    parts AS (
+      SELECT tot.k, tot.n,
+             CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE)
+               - tot.s * tot.s / tot.n AS ssb,
+             tot.ss - CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 6)
+                                    AS DECIMAL(28,6))) AS DOUBLE) AS ssw
+      FROM g CROSS JOIN tot
+      GROUP BY tot.k, tot.n, tot.s, tot.ss
+    )
+    SELECT k, n, ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS bf_stat
+    FROM parts
+    """,
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test of variance equality across event types — the
+    robust (median-centered) Levene variant: the diagnostic that decides
+    whether anova_f_oneway's pooled-variance denominator or welch_t's
+    unpooled one is the honest model. F on |x - group median| deviations.
+
+    Scale shape: the lower median is an exact rank selection (one window
+    per group; k = 5 groups, so the per-group sorts run in parallel — at
+    real scale the selection step would swap to the histogram-bisect rank
+    search the quantile family uses, the deviation/moment passes are
+    unchanged). Medians broadcast (k rows); deviations and moments are one
+    map-side-combining scan. ROUND->DECIMAL moments keep F bit-identical."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_g", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n_g + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.round(F.abs(F.col("value") - F.col("med")), 6).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("z").cast("decimal(28,6)")).cast("double").alias("s_g"),
+        F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s_g").cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(F.col("ss_g").cast("decimal(28,6)")).cast("double").alias("ss"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.sum(
+                F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("between_raw")
+        )
+        .select(
+            "k",
+            "n",
+            (F.col("between_raw") - F.col("s") * F.col("s") / F.col("n")).alias("ssb"),
+            (F.col("ss") - F.col("between_raw")).alias("ssw"),
+        )
+    )
+    return parts.select(
+        "k",
+        "n",
+        F.round(F.col("ssb"), 4).alias("ss_between"),
+        F.round(F.col("ssw"), 4).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )

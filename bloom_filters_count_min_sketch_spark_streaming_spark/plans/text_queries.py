@@ -2232,3 +2232,192 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 15)
         .orderBy("rnk")
     )
+
+
+@query(
+    "good_turing_vocab_coverage",
+    oracle="""
+    -- Good-Turing unseen-vocabulary mass + Chao1 richness per source: from
+    -- the frequency-of-frequencies (N1 = hapaxes, N2 = dis legomena) the
+    -- Turing estimator puts P(next token is a NEW word) = N1/N and the
+    -- bias-corrected Chao1 puts total richness at V + N1(N1-1)/(2(N2+1)).
+    -- All inputs are exact integers; each output is one exact-int ratio.
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    wc AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    a AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS v_observed,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, v_observed, n1, n2,
+           ROUND(n1 * 1.0 / n_tokens, 6) AS p_unseen_gt,
+           ROUND(1.0 - n1 * 1.0 / n_tokens, 6) AS coverage_gt,
+           ROUND(v_observed + n1 * (n1 - 1.0) / (2.0 * (n2 + 1)), 4)
+             AS chao1_richness
+    FROM a ORDER BY source
+    """,
+)
+def good_turing_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass and Chao1 vocabulary-richness estimates per
+    source — the "how much vocabulary have we NOT crawled yet" companion to
+    the Heaps'-law growth fit: P0 = N1/N (probability the next token is a
+    never-seen word) and Chao1 = V + N1(N1-1)/(2(N2+1)) (asymptotic distinct
+    vocabulary), both closed forms over the frequency-of-frequencies.
+
+    Scale shape: one wordcount pass (the canonical map-side-combine shuffle
+    on (source, term)), then a per-source fold of exact integer counters —
+    no vocabulary leaves the cluster, no second scan. Every estimator input
+    (N, V, N1, N2) is an exact int64, so the outputs are identical doubles
+    cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(T.word_tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return a.select(
+        "source",
+        "n_tokens",
+        "v_observed",
+        "n1",
+        "n2",
+        F.round(F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias("p_unseen_gt"),
+        F.round(F.lit(1.0) - F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+            "coverage_gt"
+        ),
+        F.round(
+            F.col("v_observed")
+            + F.col("n1") * (F.col("n1") - F.lit(1.0)) / (F.lit(2.0) * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+    ).orderBy("source")
+
+
+@query(
+    "pmi_top_collocations",
+    oracle="""
+    -- top-25 PMI collocations: pointwise mutual information of adjacent
+    -- word pairs, log2(p(xy) / (p(x)p(y))) decomposed into six integer-
+    -- argument log terms, each ROUND@1e-8 then combined in DECIMAL so both
+    -- engines add the same quantized values. Min bigram count 10 filters
+    -- the unstable low-count tail (classic Church-Hanks practice).
+    WITH lsts AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS lst
+      FROM documents
+    ),
+    toks AS (SELECT unnest(lst) AS term FROM lsts),
+    uni AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    bg AS (
+      SELECT unnest([struct_pack(w1 := lst[i], w2 := lst[i + 1])
+                     for i in range(1, len(lst))]) AS p
+      FROM lsts WHERE len(lst) >= 2
+    ),
+    bgc AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_xy
+      FROM bg GROUP BY 1, 2
+    ),
+    b AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM bgc),
+    pmi AS (
+      SELECT g.w1, g.w2, g.c_xy,
+             ROUND(CAST(
+               CAST(ROUND(log2(g.c_xy), 8) AS DECIMAL(28,8))
+               - CAST(ROUND(log2(b.n_bg), 8) AS DECIMAL(28,8))
+               - CAST(ROUND(log2(u1.c), 8) AS DECIMAL(28,8))
+               - CAST(ROUND(log2(u2.c), 8) AS DECIMAL(28,8))
+               + 2 * CAST(ROUND(log2(n.n_tok), 8) AS DECIMAL(28,8))
+             AS DOUBLE), 6) AS pmi_bits
+      FROM bgc g
+      JOIN uni u1 ON u1.term = g.w1
+      JOIN uni u2 ON u2.term = g.w2
+      CROSS JOIN n CROSS JOIN b
+      WHERE g.c_xy >= 10
+    )
+    SELECT w1, w2, c_xy, pmi_bits
+    FROM pmi
+    ORDER BY pmi_bits DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PMI collocations (Church-Hanks pointwise mutual information
+    over adjacent word pairs) — the phrase-discovery primitive under
+    tokenizer-merge seeding and boilerplate detection: pairs that co-occur
+    far above their unigram rates are names, idioms, or template fragments.
+
+    Scale shape: bigram stream via arrays_zip of shifted slices (no
+    interpreted element_at lambdas), two wordcount passes (unigram, bigram)
+    that partial-aggregate map-side, broadcast unigram joins onto the
+    bigram table, TakeOrderedAndProject for the top-k. PMI is decomposed
+    into integer-argument logs, each quantized @1e-8 and combined in
+    DECIMAL, so the ranking key is bit-identical cross-engine; ties break
+    on (w1, w2)."""
+    docs = load(spark, sf_dir, "documents")
+    lsts = docs.select("doc_id", T.word_tokens(F.col("text")).alias("lst"))
+    uni = (
+        lsts.select(F.explode("lst").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    nrow = uni.agg(F.sum("c").cast("long").alias("n_tok")).collect()[0]
+    n_tok = int(nrow["n_tok"])  # bounded: one scalar
+
+    sz = F.size("lst")
+    bg = (
+        lsts.filter(sz >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lst", 1, sz - 1).alias("w1"),
+                    F.slice(F.col("lst"), 2, sz - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_bg = bgc.agg(F.sum("c_xy").cast("long").alias("n_bg")).collect()[0]["n_bg"]
+    n_bg = int(n_bg)  # bounded: one scalar
+
+    def dec8(col):
+        return F.round(col, 8).cast("decimal(28,8)")
+
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        bgc.filter(F.col("c_xy") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                (
+                    dec8(F.log2("c_xy"))
+                    - dec8(F.log2(F.lit(float(n_bg))))
+                    - dec8(F.log2("c1"))
+                    - dec8(F.log2("c2"))
+                    + F.lit(2) * dec8(F.log2(F.lit(float(n_tok))))
+                ).cast("double"),
+                6,
+            ).alias("pmi_bits"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi_bits"), "w1", "w2").limit(25)
