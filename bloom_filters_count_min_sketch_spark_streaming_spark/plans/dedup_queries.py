@@ -847,3 +847,122 @@ def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     would actually consume. See operators/dedup.py:duplicate_span_removal_stats."""
     docs = load(spark, sf_dir, "documents")
     return dedup.duplicate_span_removal_stats(docs, n=3)
+
+
+# --- Winnowing (MOSS) fingerprint overlap -------------------------------------
+
+_WIN_K = 4  # words per gram
+_WIN_W = 5  # grams per winnowing window
+
+
+@query(
+    "winnowing_fingerprint_overlap",
+    oracle=f"""
+    -- Winnowing (Schleimer-Wilkerson-Aiken, MOSS): hash every {_WIN_K}-word
+    -- gram, slide a {_WIN_W}-gram window, keep the RIGHTMOST MINIMUM hash of
+    -- each full window — the selected set is a position-robust fingerprint
+    -- that provably catches any shared run of >= w+k-1 words. Tie-break is
+    -- packed into the key (40-bit md5 hash * 8192 + (8191 - pos), positions
+    -- < 8192), so the window MIN is a total order. Docs sharing fingerprints
+    -- are plagiarism/contamination candidates; top-20 pairs by shared count.
+    WITH dt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([struct_pack(
+                       g := ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3],
+                       p := i)
+                     for i in range(1, len(ws) - {_WIN_K - 2})]) AS s
+      FROM dt WHERE len(ws) >= {_WIN_K + _WIN_W - 1}
+    ),
+    k AS (
+      SELECT doc_id, s.p AS p,
+             ('0x' || substr(md5(s.g), 1, 10))::BIGINT * 8192 + (8191 - s.p) AS key
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, p,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+               AS mk
+      FROM k
+    ),
+    fp AS (SELECT DISTINCT doc_id, mk // 8192 AS h FROM m WHERE p >= {_WIN_W}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_fps
+    FROM pairs
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003 —
+    the MOSS algorithm): hash all k-word grams, keep the rightmost minimum
+    of every w-gram window. Guarantee: any match of >= w+k-1 consecutive
+    words shares at least one selected fingerprint, with expected density
+    2/(w+1) — position-robust contamination/plagiarism detection that
+    md5-whole-doc (doc_fingerprints) and bag-of-shingles MinHash both miss.
+
+    Scale shape: gram hashing is map-only; the window MIN is a per-doc
+    sorted window (docs are short — the sort is within a row group, no
+    cross-doc shuffle); the candidate join is an equi-join on the selected
+    hash, carrying ~2/(w+1) of gram volume. The rightmost-tie-break is
+    packed INTO the key (hash*8192 + (8191 - pos)) so the argmin is total
+    and the selected set is deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select("doc_id", dedup.tokens_col(F.col("text")).alias("ws"))
+    n = F.size("ws")
+    zipped = F.arrays_zip(
+        *[
+            F.slice("ws", i + 1, n - (_WIN_K - 1)).alias(f"g{i}")
+            for i in range(_WIN_K)
+        ]
+    )
+    g = (
+        dt.filter(n >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", F.posexplode(zipped).alias("p0", "s"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),  # 1-indexed, matches the oracle
+            F.concat_ws(
+                " ", *[F.col(f"s.g{i}") for i in range(_WIN_K)]
+            ).alias("gram"),
+        )
+    )
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+        * F.lit(8192)
+        + (F.lit(8191) - F.col("p"))
+    )
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    m = g.select("doc_id", "p", key.alias("key")).withColumn(
+        "mk", F.min("key").over(win)
+    )
+    fp = (
+        m.filter(F.col("p") >= _WIN_W)
+        .select("doc_id", (F.col("mk") / 8192).cast("long").alias("h"))
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(20)

@@ -2518,3 +2518,106 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "padding_efficiency_audit",
+    oracle="""
+    -- length-grouped batching audit: pack documents into training batches
+    -- of 32 and pad every sequence to its batch max. Strategy 'arrival'
+    -- batches in doc_id order, 'length_sorted' after sorting by (length,
+    -- doc_id) — the length-grouped batching every trainer dataloader
+    -- offers. Padded tokens = n_in_batch * batch_max; waste is the padding
+    -- share. All exact integers; the two-row delta is the measured win.
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS l
+      FROM documents
+    ),
+    arrival AS (
+      SELECT l, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM d
+    ),
+    srt AS (
+      SELECT l, (ROW_NUMBER() OVER (ORDER BY l, doc_id) - 1) // 32 AS b FROM d
+    ),
+    pa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_in_batch,
+             CAST(SUM(l) AS BIGINT) AS tok, CAST(MAX(l) AS BIGINT) AS mx
+      FROM arrival GROUP BY b
+    ),
+    ps AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_in_batch,
+             CAST(SUM(l) AS BIGINT) AS tok, CAST(MAX(l) AS BIGINT) AS mx
+      FROM srt GROUP BY b
+    ),
+    u AS (
+      SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(tok) AS BIGINT) AS real_tokens,
+             CAST(SUM(n_in_batch * mx) AS BIGINT) AS padded_tokens
+      FROM pa
+      UNION ALL
+      SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(tok) AS BIGINT), CAST(SUM(n_in_batch * mx) AS BIGINT)
+      FROM ps
+    )
+    SELECT strategy, n_batches, real_tokens, padded_tokens,
+           ROUND(1.0 - real_tokens * 1.0 / padded_tokens, 6) AS pad_waste_frac
+    FROM u ORDER BY strategy
+    """,
+)
+def padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching audit — the dataloader decision every
+    trainer makes: batches of 32 padded to their batch max, arrival order
+    vs length-sorted order, and the padding-waste fraction each pays.
+    The two-row delta is the measured GPU-hours win of length bucketing
+    (the sibling of corpus_pack_sequences' concat-packing, for models
+    that can't cross document boundaries).
+
+    Scale shape: length is map-only; each strategy is one shuffle (the
+    global row_number here stands in for what a production dataloader
+    does per shard — at 100 TB the sort runs range-partitioned per epoch
+    shard and the batch ids stay local; waste numbers are identical
+    because both are sums over batches). Exact integers end to end."""
+    docs = load(spark, sf_dir, "documents")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    d = docs.select(
+        "doc_id", F.size(T.word_tokens(F.col("text"))).cast("long").alias("l")
+    )
+
+    def waste(df: DataFrame, order_cols, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batches = df.select(
+            "l",
+            ((F.row_number().over(w) - 1) / 32).cast("long").alias("b"),
+        )
+        per = batches.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_batch"),
+            F.sum("l").cast("long").alias("tok"),
+            F.max("l").cast("long").alias("mx"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+            F.sum(F.col("n_in_batch") * F.col("mx")).cast("long").alias(
+                "padded_tokens"
+            ),
+        )
+
+    u = waste(d, ["doc_id"], "arrival").unionAll(
+        waste(d, ["l", "doc_id"], "length_sorted")
+    )
+    return u.select(
+        "strategy",
+        "n_batches",
+        "real_tokens",
+        "padded_tokens",
+        F.round(
+            F.lit(1.0) - F.col("real_tokens") * F.lit(1.0) / F.col("padded_tokens"),
+            6,
+        ).alias("pad_waste_frac"),
+    ).orderBy("strategy")

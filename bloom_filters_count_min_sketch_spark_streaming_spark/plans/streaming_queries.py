@@ -2507,3 +2507,48 @@ def stream_lossy_counting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "lc_count", "rnk")
         .orderBy("rnk")
     )
+
+
+@query(
+    "stream_vocab_coverage",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.text_queries",
+        fromlist=["GT_ORACLE"],
+    ).GT_ORACLE,
+)
+def stream_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing/Chao1 vocabulary coverage maintained ONLINE — the
+    "is the crawl still finding new words" monitor running continuously:
+    documents stream in doc_id order, each micro-batch's tokens fold into
+    sharded (source, term) count dictionaries in the state store (shard =
+    content hash, so every vocabulary entry has exactly one owner and the
+    per-source frequency-of-frequency partials are additive across
+    shards); the merged last emissions feed the SAME estimator fold as
+    the batch query, so the online answer hash-equals
+    good_turing_vocab_coverage and shares its oracle.
+
+    Scale shape: token counting partial-aggregates map-side inside each
+    batch before hitting the 8-shard state exchange; state grows with
+    DISTINCT vocabulary (Heaps-sublinear), never token volume — the
+    reference's 'sketch state over micro-batches' discipline applied to
+    the coverage estimator."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
+        text as T,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.text_queries import (
+        gt_estimates,
+    )
+
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    toks = src.select(
+        "source", F.explode(T.word_tokens(F.col("text"))).alias("term")
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("source", "term"), F.lit(8)).cast("long")
+    )
+    out = run_available_now(stateful.streaming_vocab_coverage(toks), "append")
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("source", "n_tokens", "v_observed", "n1", "n2")
+    )
+    return gt_estimates(last)

@@ -2234,9 +2234,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "good_turing_vocab_coverage",
-    oracle="""
+GT_ORACLE = """
     -- Good-Turing unseen-vocabulary mass + Chao1 richness per source: from
     -- the frequency-of-frequencies (N1 = hapaxes, N2 = dis legomena) the
     -- Turing estimator puts P(next token is a NEW word) = N1/N and the
@@ -2263,8 +2261,38 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(v_observed + n1 * (n1 - 1.0) / (2.0 * (n2 + 1)), 4)
              AS chao1_richness
     FROM a ORDER BY source
-    """,
-)
+    """
+
+
+def gt_estimates(partials: DataFrame) -> DataFrame:
+    """Fold per-source Good-Turing partials (n_tokens, v_observed, n1, n2 —
+    additive as long as every (source, term) pair is counted by exactly one
+    contributor) into the estimator row the batch and streaming twins share."""
+    a = partials.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("v_observed").cast("long").alias("v_observed"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("n2").cast("long").alias("n2"),
+    )
+    return a.select(
+        "source",
+        "n_tokens",
+        "v_observed",
+        "n1",
+        "n2",
+        F.round(F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias("p_unseen_gt"),
+        F.round(F.lit(1.0) - F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+            "coverage_gt"
+        ),
+        F.round(
+            F.col("v_observed")
+            + F.col("n1") * (F.col("n1") - F.lit(1.0)) / (F.lit(2.0) * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+    ).orderBy("source")
+
+
+@query("good_turing_vocab_coverage", oracle=GT_ORACLE)
 def good_turing_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing unseen-mass and Chao1 vocabulary-richness estimates per
     source — the "how much vocabulary have we NOT crawled yet" companion to
@@ -2283,28 +2311,13 @@ def good_turing_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    a = wc.groupBy("source").agg(
+    partials = wc.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("v_observed"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
     )
-    return a.select(
-        "source",
-        "n_tokens",
-        "v_observed",
-        "n1",
-        "n2",
-        F.round(F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias("p_unseen_gt"),
-        F.round(F.lit(1.0) - F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
-            "coverage_gt"
-        ),
-        F.round(
-            F.col("v_observed")
-            + F.col("n1") * (F.col("n1") - F.lit(1.0)) / (F.lit(2.0) * (F.col("n2") + 1)),
-            4,
-        ).alias("chao1_richness"),
-    ).orderBy("source")
+    return gt_estimates(partials)
 
 
 @query(

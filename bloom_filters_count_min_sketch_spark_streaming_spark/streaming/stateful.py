@@ -2266,3 +2266,69 @@ def lossy_counting_state(
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _LC_OUT, _LC_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_GT_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("v_observed", LongType()),
+        StructField("n1", LongType()),
+        StructField("n2", LongType()),
+    ]
+)
+_GT_STATE = StructType(
+    [StructField("counts", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_vocab_coverage(stream_df: DataFrame) -> DataFrame:
+    """Per-shard (source, term) count dictionary maintained ONLINE — the
+    state layer under the streaming Good-Turing/Chao1 twin. Shard = content
+    hash of (source, term), so every vocabulary entry lives in exactly one
+    shard and the per-source sufficient statistics (n_tokens, v_observed,
+    n1, n2) emitted by different shards are ADDITIVE; the merged last
+    emissions feed the same estimator fold as the batch scan, so the online
+    vocabulary-coverage answer hash-equals good_turing_vocab_coverage.
+    State is O(vocabulary/shard) — it grows with DISTINCT words (Heaps-law
+    sublinear), never with token volume. Expects columns source, term and a
+    content-hash 'shard'."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            counts = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            counts, seq = {}, 0
+        for pdf in pdfs:
+            for (src, term), c in pdf.groupby(["source", "term"]).size().items():
+                k = (str(src), str(term))
+                counts[k] = counts.get(k, 0) + int(c)
+        seq += 1
+        state.update((pickle.dumps(counts, protocol=4), seq))
+        agg: dict = {}
+        for (src, _term), c in counts.items():
+            a = agg.setdefault(src, [0, 0, 0, 0])
+            a[0] += c
+            a[1] += 1
+            a[2] += 1 if c == 1 else 0
+            a[3] += 1 if c == 2 else 0
+        srcs = sorted(agg)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(srcs),
+                "seq": [seq] * len(srcs),
+                "source": srcs,
+                "n_tokens": [agg[s][0] for s in srcs],
+                "v_observed": [agg[s][1] for s in srcs],
+                "n1": [agg[s][2] for s in srcs],
+                "n2": [agg[s][3] for s in srcs],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _GT_OUT, _GT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
