@@ -2552,3 +2552,128 @@ def stream_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_tokens", "v_observed", "n1", "n2")
     )
     return gt_estimates(last)
+
+
+# --- streaming CMS join-size estimation ---------------------------------------
+
+_JS_EPS, _JS_CONF, _JS_SEED = 0.001, 0.99, 42
+_JS_SHARD_BITS = 10
+
+
+def stream_numpy_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    order_col: str,
+    eps: float = _JS_EPS,
+    confidence: float = _JS_CONF,
+    seed: int = _JS_SEED,
+):
+    """Maintain a NumpyCMS over a replayed fixture table ONLINE and return
+    the assembled sketch: rows map to (counter position, +1) deltas in an
+    Arrow batch (pre-aggregated with bincount, so the state exchange
+    carries at most DISTINCT-touched-counter rows per batch — the
+    CLAUDE.md O(distinct x depth) delta rule), the global counter array
+    lives sharded in the state store (sharded_counter_state: 8 KB dense
+    blocks, abelian deltas), and the last block per shard reassembles the
+    EXACT array a batch build produces — counters are an abelian monoid,
+    so the result is batch-split invariant (asserted bit-for-bit in
+    tests/test_streaming.py)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        NumpyCMS,
+    )
+
+    proto = NumpyCMS.from_params(eps, confidence, seed)
+    depth, width = proto.depth, proto.width
+    n_pos = depth * width
+    row_off = (np.arange(depth, dtype=np.int64) * width)[:, None]
+
+    src = table_stream_source(spark, sf_dir, table, order_col).select(
+        F.col(key_col).cast("long").alias("k")
+    ).filter(F.col("k").isNotNull())
+
+    def to_deltas(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = pdf["k"].to_numpy(dtype=np.int64)
+            pos = (row_off + proto._buckets(v)).ravel()
+            agg = np.bincount(pos, minlength=0)
+            touched = np.nonzero(agg)[0]
+            yield pd.DataFrame(
+                {
+                    "pos": touched.astype(np.int64),
+                    "d": agg[touched].astype(np.int64),
+                }
+            )
+
+    deltas = src.mapInPandas(to_deltas, "pos long, d long").withColumn(
+        "shard", F.shiftright("pos", _JS_SHARD_BITS).cast("long")
+    )
+    out = run_available_now(
+        stateful.sharded_counter_state(deltas, shard_bits=_JS_SHARD_BITS), "append"
+    )
+    last = out.groupBy("shard").agg(
+        F.max_by("counters", "seq").alias("counters")
+    ).collect()  # bounded: O(n_counters/8KB) shard blocks
+    flat = np.zeros(n_pos, dtype=np.int64)
+    block = 1 << _JS_SHARD_BITS
+    for r in last:
+        base = int(r["shard"]) << _JS_SHARD_BITS
+        arr = np.frombuffer(bytes(r["counters"]), dtype=np.int64)
+        end = min(base + block, n_pos)
+        flat[base:end] = arr[: end - base]
+    sk = NumpyCMS.from_params(eps, confidence, seed)
+    sk.table = flat.reshape(depth, width)
+    sk.total = int(sk.table[0].sum())
+    return sk
+
+
+@query(
+    "stream_cms_join_size",
+    oracle="""
+    -- the Spark side maintains BOTH key sketches online (sharded counter
+    -- state), computes the CM-2005 inner-product join-size estimate from
+    -- the drained state, and asserts the guarantees as data: the estimate
+    -- NEVER underestimates (algebraic: every per-row dot >= the true
+    -- inner product) and stays within exact + eps*|A|*|B| (probabilistic
+    -- at confidence 0.99; verified on the deterministic fixtures at
+    -- sf0.001/0.01/0.1).
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS exact_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS lineitem_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS orders_rows,
+           TRUE AS overestimates,
+           TRUE AS within_bound
+    """,
+)
+def stream_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two CMS sketches maintained ONLINE
+    — the reference's sketch-over-micro-batches discipline applied to the
+    planner-statistics primitive: lineitem and orders keys stream in as
+    micro-batches, each folds into a sharded global counter array in the
+    state store (8 KB dense blocks, bincount-preaggregated deltas), and
+    when the streams drain, est(|A join B|) = min_i dot(rowA_i, rowB_i)
+    (Cormode & Muthukrishnan 2005 §4.2) comes straight off the final
+    state — sizing a fact-fact join WITHOUT running it, continuously.
+
+    The streamed counter arrays are bit-identical to a batch build
+    (abelian merge; asserted in tests/test_streaming.py), so the batch
+    twin cms_join_size_estimate and this query agree by construction.
+    Output pins the exact size plus both guarantee assertions."""
+    sk_a = stream_numpy_cms(spark, sf_dir, "lineitem", "l_orderkey", "l_orderkey")
+    sk_b = stream_numpy_cms(spark, sf_dir, "orders", "o_orderkey", "o_orderkey")
+    per_row = (sk_a.table.astype(object) * sk_b.table.astype(object)).sum(axis=1)
+    est = int(per_row.min())
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    n_a, n_b = li.count(), orders.count()
+    bound = exact + _JS_EPS * n_a * n_b
+    return spark.createDataFrame(
+        [(exact, n_a, n_b, bool(est >= exact), bool(est <= bound))],
+        "exact_size bigint, lineitem_rows bigint, orders_rows bigint, "
+        "overestimates boolean, within_bound boolean",
+    )

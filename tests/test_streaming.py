@@ -477,3 +477,34 @@ def test_rocksdb_provider_matches_hdfs_provider(spark, sf_dir):
     rocks = final_counts("rocksdb")
     assert rocks == hdfs and len(hdfs) > 0
     assert spark.conf.get(_PROVIDER_CONF, None) is None
+
+
+def test_stream_cms_counters_equal_batch_build(spark, sf_dir):
+    """The streamed sharded-counter CMS is BIT-IDENTICAL to a batch build:
+    counters form an abelian monoid, so the drained state must equal the
+    one-pass table regardless of micro-batch boundaries — the exactness
+    statement under stream_cms_join_size."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_numpy,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.streaming_queries import (
+        _JS_CONF,
+        _JS_EPS,
+        _JS_SEED,
+        stream_numpy_cms,
+    )
+
+    streamed = stream_numpy_cms(
+        spark, sf_dir, "orders", "o_orderkey", "o_orderkey"
+    )
+    batch = cms_build_numpy(
+        load(spark, sf_dir, "orders"),
+        "o_orderkey",
+        eps=_JS_EPS,
+        confidence=_JS_CONF,
+        seed=_JS_SEED,
+    )
+    assert np.array_equal(streamed.table, batch.table)
+    assert streamed.total == batch.total
