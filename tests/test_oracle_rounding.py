@@ -35,7 +35,13 @@ NOISE_REL = 1e-9
 # construction, so boundary proximity is harmless:
 # - window_running_value_per_user: running SUM over a totally-ordered ROWS
 #   frame — both engines accumulate in the exact same order, bit-for-bit.
-EXEMPT = {"window_running_value_per_user"}
+# - pandas_udaf_window_trailing_mean: AVG(BIGINT) over a ROWS frame — the
+#   window sum is an exact integer in both engines (DuckDB hugeint, Spark
+#   long) and the single division of exact ints is IEEE-identical, so the
+#   pre-round doubles are bit-equal by construction. (Trips the heuristic
+#   only because 501/7's repetend digit lands ~7e-8 from a boundary, right
+#   at the 1e-9*|v| threshold.)
+EXEMPT = {"window_running_value_per_user", "pandas_udaf_window_trailing_mean"}
 
 _AGG_RE = re.compile(
     r"(?i)\b(sum|avg|mean|stddev|stddev_samp|stddev_pop|var_samp|var_pop|corr|covar_samp|covar_pop)\s*\("
