@@ -199,6 +199,14 @@ HEADLINE = [
     "stream_python_datasource_sink",
     "udtf_analyze_dynamic_schema",
     "pandas_udaf_window_trailing_mean",
+    # round-7 continuation additions
+    "good_turing_vocab_coverage",
+    "pmi_top_collocations",
+    "brown_forsythe_variance_test",
+    "winnowing_fingerprint_overlap",
+    "padding_efficiency_audit",
+    "stream_vocab_coverage",
+    "stream_cms_join_size",
 ]
 
 

@@ -966,3 +966,127 @@ def clustering_coefficient_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss: the triangle-grounded tightening of the k-core — every surviving
+# edge must sit in >= k-2 triangles AMONG surviving edges, so trees, chains
+# and barely-attached spokes that survive a degree peel unravel here.
+
+_KTRUSS_ROUNDS = 3
+_KTRUSS_K = 4  # support >= k-2 = 2 triangles per surviving edge
+
+
+def _ktruss_oracle() -> str:
+    sql = """
+    WITH base AS MATERIALIZED (
+      SELECT LEAST(sn, cn) AS a, GREATEST(sn, cn) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ) WHERE sn <> cn GROUP BY 1, 2
+    ),
+    t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(w) AS BIGINT) AS tot FROM base),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM base CROSS JOIN t WHERE w * n * 5 >= 6 * tot)"""
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        p = r - 1
+        sql += f""",
+    sym{p} AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e{p} UNION ALL SELECT b, a FROM e{p}),
+    sup{r} AS MATERIALIZED (
+      SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS s
+      FROM e{p} e
+      JOIN sym{p} n1 ON n1.s = e.a
+      JOIN sym{p} n2 ON n2.s = e.b AND n2.d = n1.d
+      GROUP BY e.a, e.b),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM sup{r} WHERE s >= {_KTRUSS_K - 2})"""
+    last, prev = _KTRUSS_ROUNDS, _KTRUSS_ROUNDS - 1
+    sql += f""",
+    fs AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e{last} UNION ALL SELECT b, a FROM e{last})
+    SELECT e.a AS nation_a, e.b AS nation_b,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           (SELECT COUNT(*) FROM e{prev}) = (SELECT COUNT(*) FROM e{last})
+             AS converged
+    FROM e{last} e
+    JOIN fs n1 ON n1.s = e.a
+    JOIN fs n2 ON n2.s = e.b AND n2.d = n1.d
+    GROUP BY e.a, e.b
+    ORDER BY nation_a, nation_b
+    """
+    return sql
+
+
+@query("ktruss_trade_graph", oracle=_ktruss_oracle())
+def ktruss_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (bounded peel) of the heavy-trade nation graph
+    — the triangle-grounded member of the graph family, strictly stronger
+    than the k-core: every surviving edge must close >= k-2 triangles with
+    other SURVIVING edges, so degree-rich but closure-poor structure
+    (stars, chains) that a k-core keeps unravels here. Same heavy-edge
+    rule as kcore_trade_graph (weight >= 1.2x mean, integer
+    cross-multiplied); {rounds} bounded peel rounds with a `converged`
+    flag over the last two edge counts.
+
+    Scale shape: the O(|lineitem|) edge aggregation is distributed; the
+    peel runs on the collected nations^2-bounded pair list (same
+    dimension-table bound as the k-core peel). On a big edge list each
+    round is the standard distributed truss step: one triangle
+    enumeration via two hash joins on the ordered adjacency + one
+    filter-semi-join — exactly the shape the oracle's unroll mirrors.""".format(
+        rounds=_KTRUSS_ROUNDS
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_nationkey").alias("sn"), F.col("c_nationkey").alias("cn"))
+        .filter(F.col("sn") != F.col("cn"))
+        .groupBy("sn", "cn")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    base = (
+        pairs.select(
+            F.least("sn", "cn").alias("a"), F.greatest("sn", "cn").alias("b"), "w"
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    rows = base.collect()  # bounded: nations^2 <= 300 weighted pairs
+    n = len(rows)
+    tot = sum(r["w"] for r in rows)
+    edges = {(r["a"], r["b"]) for r in rows if r["w"] * n * 5 >= 6 * tot}
+
+    def supports(es: set) -> dict:
+        adj: dict[int, set] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    sizes = []
+    for _ in range(_KTRUSS_ROUNDS):
+        sup = supports(edges)
+        edges = {e for e in edges if sup[e] >= _KTRUSS_K - 2}
+        sizes.append(len(edges))
+    converged = sizes[-1] == sizes[-2]
+    final_sup = supports(edges)
+    return spark.createDataFrame(
+        [
+            (int(a), int(b), int(final_sup[(a, b)]), bool(converged))
+            for a, b in sorted(edges)
+        ],
+        "nation_a BIGINT, nation_b BIGINT, support BIGINT, converged BOOLEAN",
+    )

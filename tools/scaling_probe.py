@@ -125,6 +125,16 @@ DEFAULT_PROBES = [
     "calibration_error_summary",
     "jl_projection_distortion",
     "cms_count_mean_min_debias",
+    # round-7 continuation: wordcount-shaped coverage estimators + their
+    # streaming vocab state, window-min fingerprint selection, batch-
+    # economics audit, online double-sketch join sizing, triangle peel
+    "good_turing_vocab_coverage",
+    "pmi_top_collocations",
+    "winnowing_fingerprint_overlap",
+    "padding_efficiency_audit",
+    "stream_vocab_coverage",
+    "stream_cms_join_size",
+    "ktruss_trade_graph",
 ]
 
 SF_DIRS = [
