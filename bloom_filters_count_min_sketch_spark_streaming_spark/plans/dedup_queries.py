@@ -966,3 +966,84 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
     )
     return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "dedup_weighted_jaccard_pairs",
+    oracle="""
+    -- tf-WEIGHTED Jaccard top-20: J_w(a,b) = sum_s min(tf_a, tf_b) /
+    -- sum_s max(tf_a, tf_b) over 3-gram occurrence counts — the multiset
+    -- refinement of dedup_ngram_jaccard_pairs (set semantics saturate on
+    -- doc pairs that repeat the same boilerplate shingle many times;
+    -- weighted semantics count every occurrence). sum max = T_a + T_b -
+    -- sum min keeps it one intersection join. Exact integers -> exact-int
+    -- ratio -> identical doubles; ties break on (doc_a, doc_b).
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ),
+    tf AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM sh GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS s_min
+      FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, s_min,
+           ROUND(s_min * 1.0 / (ta.t + tb.t - s_min), 6) AS weighted_jaccard
+    FROM inter
+    JOIN tot ta ON ta.doc_id = doc_a
+    JOIN tot tb ON tb.doc_id = doc_b
+    ORDER BY weighted_jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted Jaccard near-duplicate pairs (top-20) — the multiset
+    member of the similarity family: set Jaccard (dedup_ngram_jaccard_pairs)
+    treats a shingle repeated 50x and once as identical evidence; the
+    weighted form sum-min/sum-max counts occurrences, separating genuine
+    near-copies from boilerplate-heavy pairs.
+
+    Scale shape: identical to the set version — inverted-index equi-join on
+    the shingle (no |docs|^2 product), tf tables partial-aggregate map-side,
+    sum-max derived from per-doc totals so only the intersection join runs.
+    Exact integer tf everywhere; the ratio is an exact-int division."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_occurrences_col(F.col("text"), 3)).alias("s"),
+    )
+    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("t"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    wj = (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "s_min",
+            F.round(
+                F.col("s_min")
+                * F.lit(1.0)
+                / (F.col("t_a") + F.col("t_b") - F.col("s_min")),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )
+    return wj.orderBy(F.desc("weighted_jaccard"), "doc_a", "doc_b").limit(20)

@@ -2446,3 +2446,171 @@ def granger_causality_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("f_granger"),
     )
+
+
+def _stump_oracle() -> str:
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.text import (
+        EN_STOPWORDS,
+    )
+
+    stops = "('" + "','".join(EN_STOPWORDS) + "')"
+    return f"""
+    -- exact Gini-optimal decision stump: all operands exact int64 (see the
+    -- Spark docstring); argmax on score = (A*n_r + B*n_l)/(n_l*n_r), the
+    -- monotone transform of weighted Gini; window SUM cast to BIGINT
+    -- (DuckDB returns HUGEINT).
+    WITH d AS (
+      SELECT n_chars AS x,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                       w -> w IN {stops})) * 1.0
+                       / len(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> '')) >= 0.05
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos FROM d),
+    g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(y) AS BIGINT) AS p FROM d GROUP BY x),
+    cum AS (
+      SELECT x, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (ORDER BY x) AS BIGINT) AS pl
+      FROM g
+    ),
+    sc AS (
+      SELECT c.x AS t, tot.n, tot.pos,
+             c.nl AS n_left, tot.n - c.nl AS n_right,
+             c.pl AS pos_left, tot.pos - c.pl AS pos_right,
+             (c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl)) AS a_sq,
+             ((tot.pos - c.pl) * (tot.pos - c.pl)
+              + ((tot.n - c.nl) - (tot.pos - c.pl))
+                * ((tot.n - c.nl) - (tot.pos - c.pl))) AS b_sq
+      FROM cum c CROSS JOIN tot WHERE c.nl < tot.n
+    ),
+    scored AS (
+      SELECT t, n, pos, n_left, n_right, pos_left, pos_right,
+             (a_sq * n_right + b_sq * n_left) * 1.0 / (n_left * n_right)
+               AS score
+      FROM sc
+    )
+    SELECT t AS split_threshold, n_left, n_right, pos_left, pos_right,
+           ROUND(1.0 - (pos * pos + (n - pos) * (n - pos)) * 1.0 / (n * n), 6)
+             AS base_gini,
+           ROUND(1.0 - score / n, 6) AS split_gini,
+           ROUND(score / n
+                 - (pos * pos + (n - pos) * (n - pos)) * 1.0 / (n * n), 6)
+             AS gini_gain
+    FROM scored
+    ORDER BY score DESC, t
+    LIMIT 1
+    """
+
+
+@query("decision_stump_quality", oracle=_stump_oracle())
+def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training through the value-hash gate — the
+    TREE member of the trainer family (beside the logistic GD loop, ridge
+    normal equations, rank-1 ALS and naive Bayes): predict the stopword-
+    ratio quality gate (>= 0.05) from document length by choosing the
+    Gini-optimal split threshold over ALL distinct n_chars values.
+
+    Exactness: with cumulative (n_l, pos_l) over the sorted distinct
+    feature values, minimizing weighted Gini is maximizing score(t) =
+    (A*n_r + B*n_l)/(n_l*n_r) with A/B the left/right pos^2+neg^2 sums —
+    every operand an exact int64 (< 2^53 products at every sf), so the
+    argmax ordering and the reported impurities are identical doubles
+    cross-engine; ties break on the smaller threshold.
+
+    Scale shape: one scan for labels, one groupBy on the feature, a
+    cumulative window over DISTINCT feature values (bounded by the value
+    support, not rows — the same candidate-split compression every
+    histogram-based GBDT uses), one TakeOrdered for the argmax."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ws_n = F.size(T.word_tokens(F.col("text")))
+    d = docs.filter(ws_n > 0).select(
+        F.col("n_chars").alias("x"),
+        F.when(T.stopword_ratio(F.col("text")) >= 0.05, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    g = d.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy("x")
+    cum = g.select(
+        "x",
+        F.sum("c").over(w).cast("long").alias("nl"),
+        F.sum("p").over(w).cast("long").alias("pl"),
+    )
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            F.col("x").alias("t"),
+            "n",
+            "pos",
+            F.col("nl").alias("n_left"),
+            (F.col("n") - F.col("nl")).alias("n_right"),
+            F.col("pl").alias("pos_left"),
+            (F.col("pos") - F.col("pl")).alias("pos_right"),
+        )
+        .withColumn(
+            "a_sq",
+            F.col("pos_left") * F.col("pos_left")
+            + (F.col("n_left") - F.col("pos_left"))
+            * (F.col("n_left") - F.col("pos_left")),
+        )
+        .withColumn(
+            "b_sq",
+            F.col("pos_right") * F.col("pos_right")
+            + (F.col("n_right") - F.col("pos_right"))
+            * (F.col("n_right") - F.col("pos_right")),
+        )
+        .withColumn(
+            "score",
+            (F.col("a_sq") * F.col("n_right") + F.col("b_sq") * F.col("n_left"))
+            * F.lit(1.0)
+            / (F.col("n_left") * F.col("n_right")),
+        )
+    )
+    base = F.lit(1.0) - (
+        F.col("pos") * F.col("pos")
+        + (F.col("n") - F.col("pos")) * (F.col("n") - F.col("pos"))
+    ) * F.lit(1.0) / (F.col("n") * F.col("n"))
+    return (
+        sc.orderBy(F.desc("score"), "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("split_threshold"),
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.round(base, 6).alias("base_gini"),
+            F.round(F.lit(1.0) - F.col("score") / F.col("n"), 6).alias(
+                "split_gini"
+            ),
+            F.round(
+                F.col("score") / F.col("n")
+                - (
+                    F.col("pos") * F.col("pos")
+                    + (F.col("n") - F.col("pos")) * (F.col("n") - F.col("pos"))
+                )
+                * F.lit(1.0)
+                / (F.col("n") * F.col("n")),
+                6,
+            ).alias("gini_gain"),
+        )
+    )
+
+
