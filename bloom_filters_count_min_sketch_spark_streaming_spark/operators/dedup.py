@@ -665,3 +665,62 @@ def duplicate_span_removal_stats(
             ).alias("retained_ratio"),
         )
     )
+
+
+def icws_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_samples: int = 32,
+) -> DataFrame:
+    """ICWS — Ioffe's Consistent Weighted Sampling (ICDM 2010): the
+    weighted-Jaccard analogue of MinHash. For each of ``num_samples``
+    independent samples, every (shingle s, tf weight w) draws
+    r, c ~ Gamma(2,1) and b ~ U(0,1) deterministically from md5(s | k),
+    then t = floor(ln w / r + b), y = exp(r (t - b)), a = c / (y e^r);
+    the sample's signature element is the argmin-a (s, t) pair, and
+    P[element_A == element_B] = J_w(A, B) exactly — the property the
+    companion test pins against dedup_weighted_jaccard_pairs' exact
+    values.
+
+    All arithmetic is JVM expressions (md5 -> conv 32-bit uniforms,
+    ln/exp/floor, one min_by per (doc, sample)); the fan-out is
+    tf-rows x num_samples with map-side partial argmins, so the shuffle
+    carries O(docs x samples) rows. Rows-only (the argmin chain crosses
+    libm, so near-tied a-values make cross-engine hashing luck-dependent
+    by construction — the guarantee is statistical, property-tested)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_occurrences_col(F.col(text_col), n)).alias("s"),
+    )
+    tf = sh.groupBy("doc", "s").agg(F.count(F.lit(1)).alias("w"))
+    fan = tf.withColumn(
+        "k", F.explode(F.array(*[F.lit(i) for i in range(num_samples)]))
+    )
+
+    def u32(tag: str):
+        h = F.md5(F.concat_ws("|", F.col("s"), F.col("k").cast("string"), F.lit(tag)))
+        # 4 independent 32-bit uniforms from one md5: hex slices
+        return [
+            (
+                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(float(1 << 32))
+            for i in range(4)
+        ]
+
+    u1, u2, u3, u4 = u32("rc")
+    b = u32("b")[0]
+    r = -(F.log(u1) + F.log(u2))  # Gamma(2,1) = Exp(1) + Exp(1)
+    c = -(F.log(u3) + F.log(u4))
+    t_idx = F.floor(F.log(F.col("w").cast("double")) / r + b)
+    y = F.exp(r * (t_idx - b))
+    a = c / (y * F.exp(r))
+    return (
+        fan.select("doc", "k", "s", t_idx.cast("long").alias("t"), a.alias("a"))
+        .groupBy("doc", "k")
+        .agg(F.min_by(F.struct("s", "t"), F.struct("a", "s")).alias("el"))
+        .select("doc", "k", F.col("el.s").alias("sig_s"), F.col("el.t").alias("sig_t"))
+    )

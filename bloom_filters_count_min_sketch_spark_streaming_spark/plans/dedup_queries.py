@@ -854,17 +854,10 @@ def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
 _WIN_K = 4  # words per gram
 _WIN_W = 5  # grams per winnowing window
 
-
-@query(
-    "winnowing_fingerprint_overlap",
-    oracle=f"""
-    -- Winnowing (Schleimer-Wilkerson-Aiken, MOSS): hash every {_WIN_K}-word
-    -- gram, slide a {_WIN_W}-gram window, keep the RIGHTMOST MINIMUM hash of
-    -- each full window — the selected set is a position-robust fingerprint
-    -- that provably catches any shared run of >= w+k-1 words. Tie-break is
-    -- packed into the key (40-bit md5 hash * 8192 + (8191 - pos), positions
-    -- < 8192), so the window MIN is a total order. Docs sharing fingerprints
-    -- are plagiarism/contamination candidates; top-20 pairs by shared count.
+# Shared CTE prefix producing fp(doc_id, h) — the winnowing fingerprint set
+# per document. Used by the batch overlap oracle AND the streaming first-seen
+# contamination oracle.
+_WINNOW_FP_CTES = f"""
     WITH dt AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
@@ -890,8 +883,43 @@ _WIN_W = 5  # grams per winnowing window
                AS mk
       FROM k
     ),
-    fp AS (SELECT DISTINCT doc_id, mk // 8192 AS h FROM m WHERE p >= {_WIN_W}),
-    pairs AS (
+    fp AS (SELECT DISTINCT doc_id, mk // 8192 AS h FROM m WHERE p >= {_WIN_W})"""
+
+
+def winnow_fingerprints_py(text: str) -> list[int]:
+    """Pure-Python twin of the winnowing fingerprint construction (same
+    tokenization, md5-derived 40-bit gram hash, packed rightmost-tie-break
+    key, full-window minima) — the per-row form streaming mapInPandas uses,
+    where Spark's per-doc window functions aren't available. Equality with
+    the JVM/SQL construction is enforced by the shared oracle."""
+    import hashlib
+
+    ws = [w for w in text.lower().split(" ") if w != ""]
+    if len(ws) < _WIN_K + _WIN_W - 1:
+        return []
+    keys = []
+    for i in range(len(ws) - _WIN_K + 1):
+        g = " ".join(ws[i : i + _WIN_K])
+        h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:10], 16)
+        keys.append(h * 8192 + (8191 - (i + 1)))  # 1-indexed position
+    sel = set()
+    for end in range(_WIN_W - 1, len(keys)):
+        sel.add(min(keys[end - _WIN_W + 1 : end + 1]) // 8192)
+    return sorted(sel)
+
+
+@query(
+    "winnowing_fingerprint_overlap",
+    oracle=_WINNOW_FP_CTES
+    + f"""
+    -- Winnowing (Schleimer-Wilkerson-Aiken, MOSS): hash every {_WIN_K}-word
+    -- gram, slide a {_WIN_W}-gram window, keep the RIGHTMOST MINIMUM hash of
+    -- each full window — the selected set is a position-robust fingerprint
+    -- that provably catches any shared run of >= w+k-1 words. Tie-break is
+    -- packed into the key (40-bit md5 hash * 8192 + (8191 - pos), positions
+    -- < 8192), so the window MIN is a total order. Docs sharing fingerprints
+    -- are plagiarism/contamination candidates; top-20 pairs by shared count.
+    , pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS shared_fps
       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -1047,3 +1075,85 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wj.orderBy(F.desc("weighted_jaccard"), "doc_a", "doc_b").limit(20)
+
+
+# Streaming first-seen contamination oracle: a fingerprint is "owned" by the
+# lowest doc_id presenting it; every later doc's hit count + earliest owner.
+WINNOW_FIRST_SEEN_ORACLE = (
+    _WINNOW_FP_CTES
+    + """
+    , own AS (SELECT h, MIN(doc_id) AS owner FROM fp GROUP BY h)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(o.owner) AS BIGINT) AS first_owner
+    FROM fp f JOIN own o ON o.h = f.h AND o.owner < f.doc_id
+    GROUP BY f.doc_id
+    ORDER BY doc_id
+    """
+)
+
+
+@query("dedup_icws_weighted_minhash")
+def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash via ICWS (Ioffe 2010) — the SKETCH path to the
+    weighted-Jaccard values dedup_weighted_jaccard_pairs computes exactly:
+    per-sample consistent weighted samples whose collision probability IS
+    J_w, so matching signature elements estimate the multiset similarity
+    in O(docs x samples) space instead of an intersection join. Output:
+    top-20 candidate pairs by matched samples, with the estimate beside
+    the exact value (the estimator audit, same report shape as the ANN
+    recall scorecards). Rows-only: the argmin chain crosses libm (see
+    operators/dedup.py:icws_signatures); the collision guarantee is
+    property-tested in tests/test_dedup.py."""
+    m = 32
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.icws_signatures(docs, num_samples=m).persist()
+    a = sig.select(
+        F.col("doc").alias("doc_a"), "k", "sig_s", "sig_t"
+    )
+    b = sig.select(F.col("doc").alias("doc_b"), "k", "sig_s", "sig_t")
+    matches = (
+        a.join(b, ["k", "sig_s", "sig_t"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_samples"))
+        .filter(F.col("matched_samples") >= 4)
+    )
+    # exact J_w for the audit column (same construction as
+    # dedup_weighted_jaccard_pairs, scoped to the candidate pairs)
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_occurrences_col(F.col("text"), 3)).alias("s"),
+    )
+    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("t"))
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
+    inter = (
+        ta.join(tb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
+    )
+    sa = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    sb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    out = (
+        matches.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "matched_samples",
+            F.round(F.col("matched_samples") * F.lit(1.0) / m, 4).alias("est_jw"),
+            F.round(
+                F.coalesce(F.col("s_min"), F.lit(0))
+                * F.lit(1.0)
+                / (F.col("t_a") + F.col("t_b") - F.coalesce(F.col("s_min"), F.lit(0))),
+                6,
+            ).alias("exact_jw"),
+        )
+    )
+    return out.orderBy(
+        F.desc("matched_samples"), "doc_a", "doc_b"
+    ).limit(20)

@@ -2677,3 +2677,63 @@ def stream_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_size bigint, lineitem_rows bigint, orders_rows bigint, "
         "overestimates boolean, within_bound boolean",
     )
+
+
+@query(
+    "stream_winnowing_contamination",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries",
+        fromlist=["WINNOW_FIRST_SEEN_ORACLE"],
+    ).WINNOW_FIRST_SEEN_ORACLE,
+)
+def stream_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint contamination gate running ONLINE — the
+    deterministic (seedless) sibling of stream_minhash_lsh_dedup with a
+    STRONGER check: because winnowing is a pure md5 construction, the
+    streaming first-seen output is fully SQL-expressible and hash-checked
+    (the LSH variant's xxhash signatures are rows-only). Documents stream
+    in doc_id order; each batch computes its fingerprints per row
+    (mapInPandas — the per-doc window-min needs no cross-row state) and a
+    stateful first-seen index (one int64 per occupied fingerprint) flags
+    every doc presenting a fingerprint an earlier doc owns. Guarantee
+    carried over from winnowing: any shared run >= w+k-1 words WILL
+    collide — ingest-time plagiarism/contamination detection that can't
+    be fooled by re-positioning.
+
+    Scale shape: fingerprinting is map-only (density 2/(w+1) of gram
+    volume); state is O(distinct fingerprints) int64s forever; each batch
+    shuffles only its own (fingerprint) rows."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries import (
+        winnow_fingerprints_py,
+    )
+
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+
+    def fps(batches):
+        for pdf in batches:
+            docs_out, h_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for h in winnow_fingerprints_py(text or ""):
+                    docs_out.append(int(doc_id))
+                    h_out.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc": np.array(docs_out, dtype=np.int64),
+                    "bucket": np.array(h_out, dtype=np.int64),
+                }
+            )
+
+    fp = src.select("doc_id", "text").mapInPandas(
+        fps, "doc long, bucket long"
+    ).withColumn("band", F.lit(0).cast("long"))
+    flags = stateful.first_seen_flags(fp)
+    out = run_available_now(flags, "append")
+    return (
+        out.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("owner").cast("long").alias("first_owner"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_hits", "first_owner")
+        .orderBy("doc_id")
+    )

@@ -99,3 +99,35 @@ def test_components_min_label_empty_pairs(spark):
     nodes = spark.createDataFrame([(7,), (8,)], "doc_id long")
     got = {r["doc_id"]: r["component"] for r in components_min_label(pairs, nodes).collect()}
     assert got == {7: 7, 8: 8}
+
+
+def test_icws_collision_rate_estimates_weighted_jaccard(spark):
+    """ICWS guarantee (Ioffe 2010): P[signature elements match] equals the
+    weighted Jaccard. m=256 samples -> binomial sd ~0.031 at J_w=0.5;
+    assert within 4 sd. Identical docs must match on every sample."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        icws_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b b"),   # tf {a:4, b:2}
+            (2, "a a b b b b"),   # tf {a:2, b:4} -> J_w = (2+2)/(4+4) = 0.5
+            (3, "a a a a b b"),   # identical to 1 -> J_w = 1
+            (4, "c c c d"),       # disjoint from 1 -> J_w = 0
+        ],
+        "doc_id long, text string",
+    )
+    m = 256
+    sig = icws_signatures(docs, n=1, num_samples=m).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc"], {})[r["k"]] = (r["sig_s"], r["sig_t"])
+    assert all(len(v) == m for v in by_doc.values())
+
+    def est(a, b):
+        return sum(by_doc[a][k] == by_doc[b][k] for k in range(m)) / m
+
+    assert est(1, 3) == 1.0
+    assert est(1, 4) == 0.0
+    assert abs(est(1, 2) - 0.5) < 0.125
