@@ -2621,3 +2621,125 @@ def padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste_frac"),
     ).orderBy("strategy")
+
+
+@query(
+    "er_sorted_neighborhood_metrics",
+    oracle="""
+    -- Sorted-Neighborhood blocking (Hernandez-Stolfo): sort by the
+    -- blocking key (lang, n_chars, doc_id), take every pair within a
+    -- window of 5, and audit the classic blocking trade-off AGAINST THE
+    -- EXACT TRUTH (3-gram Jaccard >= 0.8 pairs): reduction ratio (how
+    -- much of the n^2 pair space the window avoids) vs pair completeness
+    -- (how many true near-dup pairs the window still catches). All exact
+    -- integers and exact-int ratios.
+    WITH arr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM arr a JOIN arr b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+    ),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), sets AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM truth t JOIN cand c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found
+    )
+    SELECT n_docs, n_candidates, n_truth, n_found,
+           ROUND(1.0 - n_candidates * 2.0 / (n_docs * (n_docs - 1)), 6)
+             AS reduction_ratio,
+           ROUND(n_found * 1.0 / n_truth, 6) AS pair_completeness
+    FROM m
+    """,
+)
+def er_sorted_neighborhood_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking audit (Hernandez-Stolfo 1995) — the
+    third blocking strategy in the entity-resolution family (beside LSH
+    banding and Fellegi-Sunter's exact keys): sort once by a cheap
+    blocking key, compare only within a sliding window, and report the
+    canonical trade-off pair — reduction ratio (pair-space saved) vs pair
+    completeness (true matches retained) — against the exact 3-gram
+    Jaccard >= 0.8 truth.
+
+    Scale shape: one global sort (range-partitioned at scale, with a
+    w-row partition-boundary overlap — the standard distributed SNM) and
+    a self-join bounded by window x n rows instead of n^2; the truth side
+    reuses the inverted-index Jaccard join. Everything integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("lang", "n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    a = arr.select(F.col("doc_id").alias("id_a"), F.col("rn").alias("rn_a"))
+    b = arr.select(F.col("doc_id").alias("id_b"), F.col("rn").alias("rn_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + 5),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .persist()
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    ).persist()
+    n_docs = docs.count()
+    n_candidates = cand.count()
+    n_truth = truth.count()
+    n_found = truth.join(cand, ["doc_a", "doc_b"]).count()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v: float) -> float:
+        # DuckDB ROUND is half-away-from-zero; Python round() is half-even
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    rr = 1.0 - n_candidates * 2.0 / (n_docs * (n_docs - 1))
+    pc = n_found * 1.0 / n_truth if n_truth else float("nan")
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_candidates,
+                n_truth,
+                n_found,
+                r6(rr),
+                r6(pc),
+            )
+        ],
+        "n_docs bigint, n_candidates bigint, n_truth bigint, n_found bigint, "
+        "reduction_ratio double, pair_completeness double",
+    )

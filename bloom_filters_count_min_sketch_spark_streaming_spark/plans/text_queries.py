@@ -2434,3 +2434,94 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi_bits"), "w1", "w2").limit(25)
+
+
+_FUZZY_PATTERNS = ["custmer", "filtre", "orden", "vectr", "windw"]
+_FUZZY_PAT_SQL = "('" + "','".join(_FUZZY_PATTERNS) + "')"
+
+
+@query(
+    "trigram_fuzzy_vocab_search",
+    oracle=f"""
+    -- pg_trgm-style fuzzy search: for each misspelled pattern, find the
+    -- vocabulary terms within edit distance 2 WITHOUT scanning the
+    -- vocabulary — an inverted character-trigram index supplies the
+    -- candidates (terms sharing >= 1 trigram with the pattern; recall is
+    -- index-bounded, exactly as in pg_trgm — a match destroying every
+    -- common trigram is invisible by design), exact levenshtein verifies.
+    WITH vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    tg AS (
+      SELECT DISTINCT term, unnest([substr(term, i, 3)
+                                    for i in range(1, len(term) - 1)]) AS g
+      FROM vocab WHERE len(term) >= 3
+    ),
+    pats AS (SELECT unnest({_FUZZY_PATTERNS!r}) AS pattern),
+    pat AS (
+      SELECT DISTINCT pattern, unnest([substr(pattern, i, 3)
+                                       for i in range(1, len(pattern) - 1)]) AS g
+      FROM pats
+    ),
+    cand AS (
+      SELECT DISTINCT p.pattern, t.term FROM tg t JOIN pat p ON p.g = t.g)
+    SELECT c.pattern AS pattern, c.term AS term, v.freq,
+           CAST(levenshtein(c.term, c.pattern) AS BIGINT) AS edit_dist
+    FROM cand c JOIN vocab v ON v.term = c.term
+    WHERE levenshtein(c.term, c.pattern) <= 2
+    ORDER BY c.pattern, edit_dist, c.term
+    """,
+)
+def trigram_fuzzy_vocab_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed fuzzy search (the pg_trgm / code-search primitive):
+    find vocabulary terms within edit distance 2 of a misspelled pattern
+    by equi-joining an inverted character-trigram index for candidates,
+    then verifying with exact levenshtein — the index join touches only
+    trigram-sharing terms, never the full vocabulary.
+
+    Scale shape: the trigram index is a wordcount-shaped build over the
+    DISTINCT vocabulary (Heaps-sublinear in corpus size); a query is one
+    broadcast of ~|pattern| trigrams + an index equi-join + verification
+    on candidates only — the same prefilter-then-verify discipline as the
+    Bloom contamination gate. Everything exact integers/strings."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.word_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    tg = (
+        vocab.filter(F.length("term") >= 3)
+        .select(
+            "term",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 2), i -> substring(term, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    pat_rows = sorted(
+        {
+            (p, p[i : i + 3])
+            for p in _FUZZY_PATTERNS
+            for i in range(len(p) - 2)
+        }
+    )
+    pat = docs.sparkSession.createDataFrame(pat_rows, "pattern string, g string")
+    cand = tg.join(F.broadcast(pat), "g").select("pattern", "term").distinct()
+    return (
+        cand.join(vocab, "term")
+        .withColumn(
+            "edit_dist", F.levenshtein("term", F.col("pattern")).cast("long")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("pattern", "term", "freq", "edit_dist")
+        .orderBy("pattern", "edit_dist", "term")
+    )
