@@ -769,3 +769,102 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ann_rptree_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    levels: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via a RANDOM-PROJECTION TREE (the annoy-family
+    member of the ANN suite, beside hyperplane LSH and IVF): one seeded
+    projection per level, each node split at its own MEDIAN score, so the
+    tree is balanced by construction (2^levels leaves of ~|corpus|/2^levels
+    vectors each — the guarantee hyperplane buckets don't give). Queries
+    descend the same splits and probe BOTH children at the last level
+    (the standard spill that rescues boundary-adjacent neighbors), so each
+    query exact-re-ranks ~2/2^levels of the corpus.
+
+    Scale shape: the split medians are one tiny table per level (2^l
+    rows, broadcast); assignment is a per-row projection (Arrow-batched
+    matmul); candidate generation is a leaf equi-join — the |Q| x |corpus|
+    product never materializes. Build is levels passes over (id, score,
+    node) scalars, not vectors. Recall is tunable via levels/spill;
+    rows-only (median boundaries cross libm), recall asserted in
+    tests/test_similarity.py."""
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((levels, dim))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scores(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy())
+        s = v @ proj.T  # (batch, levels)
+        return pd.Series(list(s))
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), _as_double_array(vec_col).alias("cv")
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = c.select("vid", "cv", scores(F.col("cv")).alias("sc")).withColumn(
+        "node", F.lit(0).cast("long")
+    )
+    c = c.persist()
+    meds = []
+    for lvl in range(levels):
+        s_l = F.element_at("sc", lvl + 1)
+        med_l = (
+            c.groupBy("node")
+            .agg(F.expr(f"percentile(element_at(sc, {lvl + 1}), 0.5)").alias("med"))
+        )
+        meds.append(med_l.persist())
+        c = (
+            c.join(F.broadcast(med_l), "node")
+            .withColumn(
+                "node",
+                F.col("node") * 2 + (s_l > F.col("med")).cast("long"),
+            )
+            .drop("med")
+            .localCheckpoint(eager=True)
+            if lvl < levels - 1
+            else c.join(F.broadcast(med_l), "node").withColumn(
+                "child_hi", (s_l > F.col("med")).cast("long")
+            )
+        )
+    # corpus leaf: the actual child; queries: probe BOTH last-level children
+    corpus_leaf = c.select(
+        F.col("vid").alias("neighbor_id"),
+        "cv",
+        (F.col("node") * 2 + F.col("child_hi")).alias("leaf"),
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    q_leaf = (
+        c.join(F.broadcast(qids), c.vid == qids.query_id)
+        .select(
+            "query_id",
+            F.col("cv").alias("qv"),
+            F.explode(
+                F.array(F.col("node") * 2, F.col("node") * 2 + 1)
+            ).alias("leaf"),
+        )
+    )
+    candidates = (
+        corpus_leaf.join(F.broadcast(q_leaf), "leaf")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

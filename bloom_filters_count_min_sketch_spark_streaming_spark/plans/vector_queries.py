@@ -1044,3 +1044,17 @@ def knn_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query("ann_rptree_topk")
+def ann_rptree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via a random-projection tree (the annoy-family
+    member beside LSH tables and IVF cells): median splits give BALANCED
+    leaves by construction, queries spill to both last-level children.
+    Recall < 1 by construction -> rows-only; recall vs brute force
+    asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_rptree_topk(
+        emb, queries, k=5, levels=3, dim=64, seed=42
+    )

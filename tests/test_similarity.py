@@ -242,3 +242,26 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.35, recall
+
+
+def test_rptree_recall_vs_bruteforce(spark, sf_dir):
+    """RP-tree with last-level spill probes ~2/2^levels of the corpus;
+    recall must stay well above the random-candidate floor."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        ann_rptree_topk,
+        cosine_topk_bruteforce,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_rptree_topk(emb, queries, k=5, levels=3, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"RP-tree recall {recall:.2f} collapsed"
