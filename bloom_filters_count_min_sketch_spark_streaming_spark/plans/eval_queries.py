@@ -2526,25 +2526,39 @@ def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window over DISTINCT feature values (bounded by the value
     support, not rows — the same candidate-split compression every
     histogram-based GBDT uses), one TakeOrdered for the argmax."""
+    docs = load(spark, sf_dir, "documents")
+    d = stump_labeled_features(docs)
+    g = d.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    return stump_split_from_counts(g)
+
+
+def stump_labeled_features(docs: DataFrame) -> DataFrame:
+    """(x = n_chars, y = stopword-ratio >= 0.05) rows — the labeled feature
+    stream the batch and streaming stump trainers share."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
         text as T,
     )
 
-    docs = load(spark, sf_dir, "documents")
     ws_n = F.size(T.word_tokens(F.col("text")))
-    d = docs.filter(ws_n > 0).select(
+    return docs.filter(ws_n > 0).select(
         F.col("n_chars").alias("x"),
         F.when(T.stopword_ratio(F.col("text")) >= 0.05, 1)
         .otherwise(0)
         .alias("y"),
     )
-    tot = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("pos"),
-    )
-    g = d.groupBy("x").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum("y").cast("long").alias("p"),
+
+
+def stump_split_from_counts(g: DataFrame) -> DataFrame:
+    """Gini-optimal stump from the per-feature-value sufficient statistic
+    g(x, c, p) — the fold both the batch trainer and the streaming
+    histogram state share (the table is additive, so any partition of the
+    input rows yields the same g and therefore the same split)."""
+    tot = g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("pos"),
     )
     w = Window.orderBy("x")
     cum = g.select(

@@ -2737,3 +2737,38 @@ def stream_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("doc").alias("doc_id"), "n_hits", "first_owner")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stream_decision_stump",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.eval_queries",
+        fromlist=["_stump_oracle"],
+    )._stump_oracle(),
+)
+def stream_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training maintained ONLINE (the Hoeffding-tree/VFDT
+    state discipline applied to the batch trainer): documents stream in,
+    each micro-batch folds its (n_chars, quality label) rows into sharded
+    value-histograms in the state store — the split-finding sufficient
+    statistic, value-support bounded like every histogram-based GBDT —
+    and the drained state feeds the SAME Gini fold as the batch query, so
+    the online split hash-equals decision_stump_quality and shares its
+    oracle. The streaming trainer never revisits history: the model
+    statistic is O(distinct feature values) no matter the stream length."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.eval_queries import (
+        stump_labeled_features,
+        stump_split_from_counts,
+    )
+
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    d = stump_labeled_features(src).withColumn(
+        "shard", F.pmod(F.xxhash64("x"), F.lit(8)).cast("long")
+    )
+    out = run_available_now(stateful.streaming_xy_histogram(d), "append")
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("x", "c", "p")
+    )
+    return stump_split_from_counts(last)

@@ -2332,3 +2332,56 @@ def streaming_vocab_coverage(stream_df: DataFrame) -> DataFrame:
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _GT_OUT, _GT_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_XYH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("x", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+_XYH_STATE = StructType(
+    [StructField("hist", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_xy_histogram(stream_df: DataFrame) -> DataFrame:
+    """Per-shard (feature value x -> [count, positives]) histogram
+    maintained ONLINE — the sufficient statistic under the streaming
+    decision-stump trainer (and any other split-finding / calibration
+    consumer): Hoeffding-tree-style, the MODEL state is value-support
+    bounded, never row bounded. Shard = content hash of x, so each
+    feature value has one owner and the merged last emissions equal the
+    batch groupBy exactly. Expects columns x (long), y (0/1 int), shard."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hist = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            hist, seq = {}, 0
+        for pdf in pdfs:
+            grp = pdf.groupby("x")["y"].agg(["count", "sum"])
+            for x, row in grp.iterrows():
+                c0, p0 = hist.get(int(x), (0, 0))
+                hist[int(x)] = (c0 + int(row["count"]), p0 + int(row["sum"]))
+        seq += 1
+        state.update((pickle.dumps(hist, protocol=4), seq))
+        xs = sorted(hist)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(xs),
+                "seq": [seq] * len(xs),
+                "x": xs,
+                "c": [hist[x][0] for x in xs],
+                "p": [hist[x][1] for x in xs],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _XYH_OUT, _XYH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
