@@ -3721,3 +3721,111 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bf_stat"),
     )
+
+
+@query(
+    "woe_information_value",
+    oracle="""
+    -- Weight-of-Evidence / Information Value — the credit-scoring feature
+    -- screen: per fixed-width document-length bin, WOE = ln(pos share /
+    -- neg share) (Laplace +1 per cell so empty cells stay finite), and
+    -- IV = sum (pos_share - neg_share) * WOE. The standard read: IV < 0.02
+    -- useless, 0.1-0.3 medium, > 0.5 suspicious. Counts exact int64; each
+    -- WOE is ln of an exact-int ratio ROUND@1e-8; IV terms ROUND@1e-8 ->
+    -- DECIMAL sum.
+    WITH d AS (
+      SELECT CAST(n_chars // 100 AS BIGINT) AS bin,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                       w -> w IN {stops})) * 1.0
+                       / len(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> '')) >= 0.05
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+    ),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS pos_tot,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_tot FROM d),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM d GROUP BY bin
+    ),
+    w AS (
+      SELECT b.bin, b.n, b.pos, b.neg,
+             ROUND(ln((b.pos + 1) * (t.neg_tot + 1) * 1.0
+                      / ((b.neg + 1) * (t.pos_tot + 1))), 8) AS woe,
+             (b.pos + 1) * 1.0 / (t.pos_tot + 1)
+               - (b.neg + 1) * 1.0 / (t.neg_tot + 1) AS share_gap
+      FROM b CROSS JOIN tot t
+    ),
+    iv AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(share_gap * woe, 8)
+                                 AS DECIMAL(28,8))) AS DOUBLE), 6) AS iv
+      FROM w
+    )
+    SELECT w.bin, w.n, w.pos, w.neg, ROUND(w.woe, 6) AS woe, iv.iv
+    FROM w CROSS JOIN iv
+    ORDER BY w.bin
+    """.replace("{stops}", _STOPS_SQL),
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value screen of document length
+    against the stopword quality gate — the credit-scoring-era feature
+    audit that complements PSI (drift) and the decision stump (best
+    split): per-bin WOE says WHERE the feature separates, IV compresses
+    it to the one screening number every feature pipeline ranks by.
+
+    Scale shape: one labeled scan, one groupBy on a fixed-width bin
+    (data-independent — no quantile pass), a broadcast totals row; WOE is
+    ln of exact-int ratios (Laplace +1 keeps empty cells finite) and IV a
+    per-term-rounded decimal sum, so the report is hash-stable."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.eval_queries import (
+        stump_labeled_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = stump_labeled_features(docs).select(
+        (F.col("x") / 100).cast("long").alias("bin"), "y"
+    )
+    tot = d.agg(
+        F.sum("y").cast("long").alias("pos_tot"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_tot"),
+    )
+    b = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "pos",
+        "neg",
+        F.round(
+            F.log(
+                (F.col("pos") + 1)
+                * (F.col("neg_tot") + 1)
+                * F.lit(1.0)
+                / ((F.col("neg") + 1) * (F.col("pos_tot") + 1))
+            ),
+            8,
+        ).alias("woe"),
+        (
+            (F.col("pos") + 1) * F.lit(1.0) / (F.col("pos_tot") + 1)
+            - (F.col("neg") + 1) * F.lit(1.0) / (F.col("neg_tot") + 1)
+        ).alias("share_gap"),
+    )
+    iv = w.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("share_gap") * F.col("woe"), 8).cast("decimal(28,8)")
+            ).cast("double"),
+            6,
+        ).alias("iv")
+    )
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select("bin", "n", "pos", "neg", F.round("woe", 6).alias("woe"), "iv")
+        .orderBy("bin")
+    )
