@@ -3829,3 +3829,179 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n", "pos", "neg", F.round("woe", 6).alias("woe"), "iv")
         .orderBy("bin")
     )
+
+
+# --- Mondrian k-anonymity generalization --------------------------------------
+
+_MOND_K = 50
+_MOND_ROUNDS = 4
+
+
+def _mondrian_oracle() -> str:
+    """Unrolled Mondrian rounds (Mondrian multidimensional k-anonymity,
+    LeFevre et al. 2006): every CTE referenced more than once is
+    MATERIALIZED (the r6 exponential-re-evaluation lesson)."""
+    sql = """
+    WITH p0 AS MATERIALIZED (
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nk,
+             c_acctbal AS ab, CAST(0 AS BIGINT) AS pid
+      FROM customer
+    ),
+    g AS MATERIALIZED (
+      SELECT (MAX(nk) - MIN(nk)) * 1.0 AS gnk,
+             (MAX(ab) - MIN(ab)) * 1.0 AS gab
+      FROM p0
+    )"""
+    for r in range(_MOND_ROUNDS):
+        sql += f""",
+    rk{r} AS MATERIALIZED (
+      SELECT pid, id, nk, ab,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY nk, id) AS rn_nk,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ab, id) AS rn_ab,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM p{r}
+    ),
+    med{r} AS MATERIALIZED (
+      SELECT pid,
+             MAX(CASE WHEN rn_nk = (n + 1) // 2 THEN nk END) AS med_nk,
+             MAX(CASE WHEN rn_ab = (n + 1) // 2 THEN ab END) AS med_ab,
+             MAX(nk) - MIN(nk) AS wnk, MAX(ab) - MIN(ab) AS wab
+      FROM rk{r} GROUP BY pid
+    ),
+    dec{r} AS MATERIALIZED (
+      SELECT m.pid,
+             CASE WHEN m.wnk * 1.0 / g.gnk >= m.wab / g.gab
+                  THEN 0 ELSE 1 END AS dim,
+             m.med_nk, m.med_ab
+      FROM med{r} m CROSS JOIN g
+    ),
+    nl{r} AS MATERIALIZED (
+      SELECT r.pid,
+             CAST(SUM(CASE WHEN (d.dim = 0 AND r.nk <= d.med_nk)
+                             OR (d.dim = 1 AND r.ab <= d.med_ab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM rk{r} r JOIN dec{r} d ON d.pid = r.pid GROUP BY r.pid
+    ),
+    p{r + 1} AS MATERIALIZED (
+      SELECT r.id, r.nk, r.ab,
+             CASE WHEN l.nl >= {_MOND_K} AND l.n - l.nl >= {_MOND_K}
+                  THEN r.pid * 2
+                       + (CASE WHEN (d.dim = 0 AND r.nk <= d.med_nk)
+                                 OR (d.dim = 1 AND r.ab <= d.med_ab)
+                               THEN 0 ELSE 1 END)
+                  ELSE r.pid * 2 END AS pid
+      FROM rk{r} r
+      JOIN dec{r} d ON d.pid = r.pid
+      JOIN nl{r} l ON l.pid = r.pid
+    )"""
+    sql += f"""
+    SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(nk) AS BIGINT) AS nation_lo,
+           CAST(MAX(nk) AS BIGINT) AS nation_hi,
+           MIN(ab) AS acctbal_lo, MAX(ab) AS acctbal_hi,
+           COUNT(*) >= {_MOND_K} AS k_anonymous
+    FROM p{_MOND_ROUNDS}
+    GROUP BY pid ORDER BY pid
+    """
+    return sql
+
+
+@query("mondrian_k_anonymity", oracle=_mondrian_oracle())
+def mondrian_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymity (LeFevre et al. 2006) — the
+    privacy TRANSFORMATION beside the k_anonymity_ldiversity_audit: greedy
+    recursive median cuts over the quasi-identifier space (nationkey,
+    acctbal), each partition splitting on its widest globally-normalized
+    dimension, a cut allowed only if BOTH halves keep >= k rows. Output is
+    the generalized release: one row per final partition with its QI
+    bounding box and size — every box >= k by construction.
+
+    Determinism: split dimension chosen by comparing two divisions of
+    IEEE-identical doubles; split point is the exact lower-median order
+    statistic ((n+1) DIV 2 with id tie-break); unsplit partitions keep a
+    left-child pid so the pid space never collides.
+
+    Scale shape: each round is one pair of per-partition window ranks +
+    one groupBy + two BROADCAST joins of <= 2^r-row decision tables — the
+    data shuffles on pid once per round and never collects; bounded
+    rounds, localCheckpoint keeps lineage constant-depth (the k-means /
+    PageRank discipline)."""
+    cust = load(spark, sf_dir, "customer")
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_acctbal").alias("ab"),
+        F.lit(0).cast("long").alias("pid"),
+    )
+    g = p.agg(
+        ((F.max("nk") - F.min("nk")) * F.lit(1.0)).alias("gnk"),
+        ((F.max("ab") - F.min("ab")) * F.lit(1.0)).alias("gab"),
+    )
+    for _ in range(_MOND_ROUNDS):
+        w_nk = Window.partitionBy("pid").orderBy("nk", "id")
+        w_ab = Window.partitionBy("pid").orderBy("ab", "id")
+        w_all = Window.partitionBy("pid")
+        rk = (
+            p.withColumn("rn_nk", F.row_number().over(w_nk))
+            .withColumn("rn_ab", F.row_number().over(w_ab))
+            .withColumn("n", F.count(F.lit(1)).over(w_all))
+        )
+        med = rk.groupBy("pid").agg(
+            F.max(
+                F.when(F.col("rn_nk") == F.expr("(n + 1) DIV 2"), F.col("nk"))
+            ).alias("med_nk"),
+            F.max(
+                F.when(F.col("rn_ab") == F.expr("(n + 1) DIV 2"), F.col("ab"))
+            ).alias("med_ab"),
+            (F.max("nk") - F.min("nk")).alias("wnk"),
+            (F.max("ab") - F.min("ab")).alias("wab"),
+        )
+        dec = med.crossJoin(F.broadcast(g)).select(
+            "pid",
+            F.when(
+                F.col("wnk") * F.lit(1.0) / F.col("gnk")
+                >= F.col("wab") / F.col("gab"),
+                0,
+            )
+            .otherwise(1)
+            .alias("dim"),
+            "med_nk",
+            "med_ab",
+        )
+        joined = rk.join(F.broadcast(dec), "pid")
+        left = ((F.col("dim") == 0) & (F.col("nk") <= F.col("med_nk"))) | (
+            (F.col("dim") == 1) & (F.col("ab") <= F.col("med_ab"))
+        )
+        nl = joined.groupBy("pid").agg(
+            F.sum(left.cast("int")).cast("long").alias("nl"),
+            F.count(F.lit(1)).cast("long").alias("n2"),
+        )
+        p = (
+            joined.join(F.broadcast(nl), "pid")
+            .select(
+                "id",
+                "nk",
+                "ab",
+                F.when(
+                    (F.col("nl") >= _MOND_K)
+                    & (F.col("n2") - F.col("nl") >= _MOND_K),
+                    F.col("pid") * 2 + F.when(left, 0).otherwise(1),
+                )
+                .otherwise(F.col("pid") * 2)
+                .alias("pid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        p.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("nk").cast("long").alias("nation_lo"),
+            F.max("nk").cast("long").alias("nation_hi"),
+            F.min("ab").alias("acctbal_lo"),
+            F.max("ab").alias("acctbal_hi"),
+            (F.count(F.lit(1)) >= _MOND_K).alias("k_anonymous"),
+        )
+        .orderBy("pid")
+    )
