@@ -1684,3 +1684,160 @@ def _jpeg_encode_planes(planes, q: int = _JPEG_Q) -> bytes:
         sos_body += bytes([cid, 0x00])
     sos = seg(0xFFDA, sos_body + bytes([0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: TIFF (baseline uncompressed RGB, both byte orders — the
+# IFD tag walk is the whole format; pure struct + numpy)
+
+TIFF_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def _tiff_bytes(media_id: int) -> bytes:
+    """Deterministic baseline TIFF: width 5 + (id % 9), height 2 + (id % 6),
+    solid (r, g, b) = ((id*5) % 256, (id*17) % 256, (id*23) % 256);
+    little-endian ('II') for even ids, big-endian ('MM') for odd — a real
+    reader must honor the byte-order mark, so the synthesizer exercises
+    both. One strip, uncompressed, 9 IFD entries."""
+    import struct
+
+    import numpy as np
+
+    w = 5 + (media_id % 9)
+    h = 2 + (media_id % 6)
+    r, g, b = (media_id * 5) % 256, (media_id * 17) % 256, (media_id * 23) % 256
+    le = media_id % 2 == 0
+    e = "<" if le else ">"
+    pixels = np.tile(np.array([r, g, b], dtype=np.uint8), w * h).tobytes()
+
+    # layout: 8-byte header | BitsPerSample array (6 bytes @ off 8) | pad |
+    # pixel strip | IFD
+    bits_off = 8
+    strip_off = 16
+    ifd_off = strip_off + len(pixels)
+    header = struct.pack(e + "2sHI", b"II" if le else b"MM", 42, ifd_off)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # SHORT values sit in the low half of the value field per spec
+        if typ == 3 and count == 1:
+            return struct.pack(e + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),            # ImageWidth
+        entry(257, 3, 1, h),            # ImageLength
+        entry(258, 3, 3, bits_off),     # BitsPerSample -> offset
+        entry(259, 3, 1, 1),            # Compression: none
+        entry(262, 3, 1, 2),            # Photometric: RGB
+        entry(273, 4, 1, strip_off),    # StripOffsets
+        entry(277, 3, 1, 3),            # SamplesPerPixel
+        entry(278, 3, 1, h),            # RowsPerStrip
+        entry(279, 4, 1, len(pixels)),  # StripByteCounts
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(
+        e + "I", 0
+    )
+    bits = struct.pack(e + "HHH", 8, 8, 8)
+    body = bytearray(b"\x00" * ifd_off)
+    body[0:8] = header
+    body[bits_off : bits_off + 6] = bits
+    body[strip_off : strip_off + len(pixels)] = pixels
+    return bytes(body) + ifd
+
+
+def _tiff_feats(payload: bytes) -> tuple[str, int, int, float, float, float]:
+    """REAL TIFF decode: byte-order mark, magic 42, IFD tag walk (SHORT
+    values read from the value field per spec), single-strip uncompressed
+    RGB lift, per-channel means."""
+    import struct
+
+    import numpy as np
+
+    bom = payload[0:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, int] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, off)
+        if typ == 3 and count == 1:
+            (val,) = struct.unpack_from(e + "H", payload, off + 8)
+        else:
+            (val,) = struct.unpack_from(e + "I", payload, off + 8)
+        tags[tag] = val
+    if tags.get(259, 1) != 1:
+        raise ValueError("compressed TIFF not supported")
+    w, h = tags[256], tags[257]
+    spp = tags.get(277, 1)
+    strip_off, strip_len = tags[273], tags[279]
+    px = np.frombuffer(payload, dtype=np.uint8, count=strip_len, offset=strip_off)
+    img = px.reshape(h, w, spp).astype(np.float64)
+    means = img.reshape(-1, spp).mean(axis=0)
+    return (
+        "II" if e == "<" else "MM",
+        int(w),
+        int(h),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    )
+
+
+def attach_tiff_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a TIFF-bytes payload column (deterministic per id)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: _tiff_bytes(int(i))),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(
+        _gen,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_tiff_features(df: DataFrame) -> DataFrame:
+    """REAL image decode for TIFF: IFD walk in both byte orders, strip
+    lift, per-channel means — same mapInPandas shape as the BMP/PNG/JPEG
+    decoders."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_tiff_feats(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=["byte_order", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(_decode, TIFF_FEATURE_SCHEMA)

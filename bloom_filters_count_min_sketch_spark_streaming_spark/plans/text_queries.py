@@ -2525,3 +2525,39 @@ def trigram_fuzzy_vocab_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pattern", "term", "freq", "edit_dist")
         .orderBy("pattern", "edit_dist", "term")
     )
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+    -- closed-form twin of the real TIFF decode: solid-color images, so
+    -- the per-channel means equal the generator's channel values; byte
+    -- order alternates with id parity (the decoder must honor the
+    -- II/MM byte-order mark, not assume one)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(5 + (doc_id % 9) AS BIGINT) AS width,
+           CAST(2 + (doc_id % 6) AS BIGINT) AS height,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 17) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 23) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec TIFF path (D5's tag-directory format, completing the
+    image matrix beside BMP/PNG/JPEG/GIF): byte-order mark (II and MM both
+    synthesized and both decoded), magic 42, IFD tag walk with
+    SHORT-in-value-field semantics, uncompressed RGB strip lift — the
+    whole format IS its tag directory, which is exactly what a real
+    ingest pipeline must parse to route scanned-document corpora. Solid
+    colors keep the oracle closed-form while the decoder sees only
+    bytes."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.multimodal import (
+        attach_tiff_payload,
+        decode_tiff_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_tiff_payload(docs, "doc_id")
+    return decode_tiff_features(media)
