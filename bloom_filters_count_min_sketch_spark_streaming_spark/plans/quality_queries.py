@@ -4005,3 +4005,97 @@ def mondrian_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+@query(
+    "krippendorff_alpha_labelers",
+    oracle=f"""
+    -- Krippendorff's alpha over the same three weak English-labelers as
+    -- the Fleiss audit — the agreement coefficient that (unlike kappa
+    -- family) is defined from a coincidence matrix and generalizes across
+    -- metrics/missing data; for complete binary data with m=3 it reduces
+    -- to alpha = 1 - S*(3N-1) / (2*T*(3N-T)) with S = sum n_en*(3-n_en)
+    -- (within-unit disagreeing pairs) and T = total 'en' votes — every
+    -- operand an exact int64, so alpha is one exact-int-ratio double.
+    WITH votes AS (
+      SELECT
+        (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN {{stops}})) * 1.0
+                   / len(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) >= 0.05
+              THEN 1 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     * 1.0 / length(text) <= 0.08 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS n_en
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+        AND length(text) > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_en * (3 - n_en)) AS BIGINT) AS s_dis,
+             CAST(SUM(n_en) AS BIGINT) AS tot_en
+      FROM votes
+    )
+    SELECT n_docs,
+           ROUND(s_dis * 1.0 / (3.0 * n_docs), 6) AS d_observed,
+           ROUND(2.0 * tot_en * (3 * n_docs - tot_en)
+                 / (3.0 * n_docs * (3 * n_docs - 1)), 6) AS d_expected,
+           ROUND(1.0 - s_dis * (3.0 * n_docs - 1)
+                 / (2.0 * tot_en * (3 * n_docs - tot_en)), 6) AS alpha
+    FROM agg
+    """.replace("{stops}", _STOPS_SQL),
+)
+def krippendorff_alpha_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over the three weak English-labelers —
+    completing the agreement family (Cohen pairwise, McNemar paired
+    difference, Fleiss multi-rater, Krippendorff coincidence-based): the
+    coefficient content-analysis methodology actually prescribes, with
+    chance correction from the COINCIDENCE matrix (sampling votes without
+    replacement, hence the 3N-1 denominator that separates it from
+    Fleiss' Pe). Complete binary data collapses it to one exact integer
+    aggregate: S = within-doc disagreeing pairs, T = total positive votes.
+
+    Scale shape: one map-only vote pass, one scalar aggregate — identical
+    to the Fleiss scan; the two coefficients diverge on exactly the
+    (3N-1) finite-sample correction, a useful numeric cross-check."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.word_tokens(F.col("text")))
+    r1 = (T.stopword_ratio(F.col("text")) >= 0.05).cast("long")
+    r2 = (T.punct_ratio(F.col("text")) <= 0.08).cast("long")
+    r3 = (F.col("n_chars") >= 500).cast("long")
+    votes = docs.filter((n_tok > 0) & (F.length("text") > 0)).select(
+        (r1 + r2 + r3).alias("n_en")
+    )
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_en") * (3 - F.col("n_en"))).cast("long").alias("s_dis"),
+        F.sum("n_en").cast("long").alias("tot_en"),
+    )
+    n3 = 3.0 * F.col("n_docs")
+    return agg.select(
+        "n_docs",
+        F.round(F.col("s_dis") * 1.0 / n3, 6).alias("d_observed"),
+        F.round(
+            2.0
+            * F.col("tot_en")
+            * (3 * F.col("n_docs") - F.col("tot_en"))
+            / (n3 * (3 * F.col("n_docs") - 1)),
+            6,
+        ).alias("d_expected"),
+        F.round(
+            F.lit(1.0)
+            - F.col("s_dis")
+            * (3.0 * F.col("n_docs") - 1)
+            / (
+                2.0
+                * F.col("tot_en")
+                * (3 * F.col("n_docs") - F.col("tot_en"))
+            ),
+            6,
+        ).alias("alpha"),
+    )

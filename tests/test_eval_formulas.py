@@ -290,3 +290,32 @@ def test_cochran_armitage_direct():
     den = pbar * (1 - pbar) * ((i * i * ni).sum() - (i * ni).sum() ** 2 / N)
     z = num / math.sqrt(den)
     assert abs(out["z_trend"][0] - round(z, 6)) <= 1e-4
+
+
+def test_krippendorff_alpha_closed_form_vs_coincidence_matrix():
+    """The query's closed form alpha = 1 - S(3N-1)/(2T(3N-T)) must equal
+    the TEXTBOOK procedure: build the coincidence matrix o_ck =
+    sum_u n_uc (n_uk - d_ck) / (m_u - 1), then alpha = 1 - Do/De with
+    Do = off-diagonal mass / n and De = sum_{c!=k} n_c n_k / (n(n-1))."""
+    rng = np.random.default_rng(7)
+    n_en = rng.integers(0, 4, size=200)  # 3 raters, binary, complete
+
+    # textbook coincidence-matrix alpha
+    o = np.zeros((2, 2))
+    for k in n_en:
+        counts = np.array([3 - k, k], dtype=float)
+        for c in range(2):
+            for d in range(2):
+                o[c, d] += counts[c] * (counts[d] - (1 if c == d else 0)) / 2.0
+    n_c = o.sum(axis=1)
+    n = n_c.sum()
+    do = (o[0, 1] + o[1, 0]) / n
+    de = (n_c[0] * n_c[1] + n_c[1] * n_c[0]) / (n * (n - 1))
+    alpha_ref = 1 - do / de
+
+    # the query's closed form
+    N = len(n_en)
+    S = int((n_en * (3 - n_en)).sum())
+    T = int(n_en.sum())
+    alpha_cf = 1 - S * (3 * N - 1) / (2 * T * (3 * N - T))
+    assert abs(alpha_cf - alpha_ref) < 1e-12
