@@ -2561,3 +2561,129 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_tiff_payload(docs, "doc_id")
     return decode_tiff_features(media)
+
+
+@query(
+    "dunning_llr_collocations",
+    oracle="""
+    -- Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    -- rare-event-honest companion to PMI: G2 = 2 * sum O ln(O/E) over the
+    -- 2x2 bigram contingency (O11 = c(xy), margins = bigram-position
+    -- counts, E from independence). Zero cells contribute 0. Every O and
+    -- E is an exact int or exact-int ratio; each term ROUND@1e-8 ->
+    -- DECIMAL sum -> one double at the end. Top-25, ties on (w1, w2).
+    WITH lsts AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS lst
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest([struct_pack(w1 := lst[i], w2 := lst[i + 1])
+                     for i in range(1, len(lst))]) AS p
+      FROM lsts WHERE len(lst) >= 2
+    ),
+    bgc AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS o11
+      FROM bg GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, CAST(SUM(o11) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(o11) AS BIGINT) AS c2 FROM bgc GROUP BY w2),
+    tot AS (SELECT CAST(SUM(o11) AS BIGINT) AS b FROM bgc),
+    cells AS (
+      SELECT g.w1, g.w2, g.o11,
+             m1.c1 - g.o11 AS o12,
+             m2.c2 - g.o11 AS o21,
+             t.b - m1.c1 - m2.c2 + g.o11 AS o22,
+             m1.c1, m2.c2, t.b
+      FROM bgc g JOIN m1 ON m1.w1 = g.w1 JOIN m2 ON m2.w2 = g.w2
+      CROSS JOIN tot t
+      WHERE g.o11 >= 10
+    ),
+    llr AS (
+      SELECT w1, w2, o11,
+             ROUND(CAST(
+               CAST(ROUND(CASE WHEN o11 > 0 THEN 2.0 * o11 *
+                 ln(o11 * 1.0 * b / (c1 * 1.0 * c2)) ELSE 0 END, 8)
+                 AS DECIMAL(28,8))
+               + CAST(ROUND(CASE WHEN o12 > 0 THEN 2.0 * o12 *
+                 ln(o12 * 1.0 * b / (c1 * 1.0 * (b - c2))) ELSE 0 END, 8)
+                 AS DECIMAL(28,8))
+               + CAST(ROUND(CASE WHEN o21 > 0 THEN 2.0 * o21 *
+                 ln(o21 * 1.0 * b / ((b - c1) * 1.0 * c2)) ELSE 0 END, 8)
+                 AS DECIMAL(28,8))
+               + CAST(ROUND(CASE WHEN o22 > 0 THEN 2.0 * o22 *
+                 ln(o22 * 1.0 * b / ((b - c1) * 1.0 * (b - c2))) ELSE 0 END, 8)
+                 AS DECIMAL(28,8))
+             AS DOUBLE), 6) AS llr_g2
+      FROM cells
+    )
+    SELECT w1, w2, o11 AS bigram_count, llr_g2
+    FROM llr
+    ORDER BY llr_g2 DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    standard fix for PMI's rare-event bias (PMI rewards low-frequency
+    flukes; G2 weights evidence by volume): 2 * sum O ln(O/E) over the
+    2x2 contingency of each adjacent pair vs its bigram-position margins.
+    Same wordcount-shaped passes and broadcast margin joins as the PMI
+    query; the two rankings side by side are the classic collocation
+    lecture in query form.
+
+    Determinism: each of the four G2 terms is an exact integer times ln of
+    an exact-int ratio, quantized @1e-8 and summed in DECIMAL; zero cells
+    contribute exactly 0 (CASE, not ln(0) guards)."""
+    docs = load(spark, sf_dir, "documents")
+    lsts = docs.select("doc_id", T.word_tokens(F.col("text")).alias("lst"))
+    sz = F.size("lst")
+    bg = (
+        lsts.filter(sz >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lst", 1, sz - 1).alias("w1"),
+                    F.slice(F.col("lst"), 2, sz - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("o11")).persist()
+    m1 = bgc.groupBy("w1").agg(F.sum("o11").cast("long").alias("c1"))
+    m2 = bgc.groupBy("w2").agg(F.sum("o11").cast("long").alias("c2"))
+    b_tot = int(bgc.agg(F.sum("o11")).collect()[0][0])  # bounded: one scalar
+
+    cells = (
+        bgc.filter(F.col("o11") >= 10)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .withColumn("b", F.lit(b_tot))
+        .withColumn("o12", F.col("c1") - F.col("o11"))
+        .withColumn("o21", F.col("c2") - F.col("o11"))
+        .withColumn("o22", F.col("b") - F.col("c1") - F.col("c2") + F.col("o11"))
+    )
+
+    def term(o, num_margin, den_margin):
+        return F.when(
+            o > 0,
+            F.round(
+                2.0 * o * F.log(o * F.lit(1.0) * F.col("b") / (num_margin * F.lit(1.0) * den_margin)),
+                8,
+            ),
+        ).otherwise(F.lit(0.0)).cast("decimal(28,8)")
+
+    llr = (
+        term(F.col("o11"), F.col("c1"), F.col("c2"))
+        + term(F.col("o12"), F.col("c1"), F.col("b") - F.col("c2"))
+        + term(F.col("o21"), F.col("b") - F.col("c1"), F.col("c2"))
+        + term(F.col("o22"), F.col("b") - F.col("c1"), F.col("b") - F.col("c2"))
+    ).cast("double")
+    out = cells.select(
+        "w1",
+        "w2",
+        F.col("o11").alias("bigram_count"),
+        F.round(llr, 6).alias("llr_g2"),
+    )
+    return out.orderBy(F.desc("llr_g2"), "w1", "w2").limit(25)
