@@ -2772,3 +2772,48 @@ def stream_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "c", "p")
     )
     return stump_split_from_counts(last)
+
+
+@query(
+    "stream_priority_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ROUND(n_chars::DOUBLE * 4294967296.0
+                   / (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1),
+                   4) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM s ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup) maintained ONLINE — the
+    ingest-time weighted sample: every arriving document computes its
+    hash-derived priority w/u map-side, sharded state keeps each shard's
+    running top-50 (top-k is a mergeable monoid, so k rows of state per
+    shard, volume-independent), and the merged last emissions reproduce
+    the batch TakeOrdered sample EXACTLY — same oracle as
+    priority_sample_docs. The sample of an unbounded stream is always
+    available, never recomputed."""
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    u_int = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    pri = F.round(
+        F.col("n_chars").cast("double") * F.lit(4294967296.0) / u_int.cast("double"),
+        4,
+    )
+    d = src.select(
+        "doc_id", "n_chars", pri.alias("priority")
+    ).withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("long"))
+    out = run_available_now(stateful.streaming_topk_priority(d, k=50), "append")
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("doc_id", "n_chars", "priority")
+    )
+    return last.orderBy(F.desc("priority"), "doc_id").limit(50)

@@ -2385,3 +2385,57 @@ def streaming_xy_histogram(stream_df: DataFrame) -> DataFrame:
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _XYH_OUT, _XYH_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_TOPP_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("priority", DoubleType()),
+    ]
+)
+_TOPP_STATE = StructType(
+    [StructField("rows", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def streaming_topk_priority(stream_df: DataFrame, k: int = 50) -> DataFrame:
+    """Per-shard running top-k by (priority DESC, doc_id ASC) maintained
+    ONLINE — the state layer under streaming priority sampling. Top-k is a
+    mergeable monoid: each shard keeps its k best rows ever seen (k rows
+    of state, volume-independent), and the k best of the merged last
+    emissions equal the batch TakeOrdered exactly. Expects columns
+    doc_id, n_chars, priority (already quantized) and a content-hash
+    'shard'."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            rows = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            rows, seq = [], 0
+        for pdf in pdfs:
+            rows.extend(
+                (float(p), int(d), int(c))
+                for d, c, p in zip(pdf["doc_id"], pdf["n_chars"], pdf["priority"])
+            )
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:k]
+        seq += 1
+        state.update((pickle.dumps(rows, protocol=4), seq))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(rows),
+                "seq": [seq] * len(rows),
+                "doc_id": [r[1] for r in rows],
+                "n_chars": [r[2] for r in rows],
+                "priority": [r[0] for r in rows],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _TOPP_OUT, _TOPP_STATE, "append", GroupStateTimeout.NoTimeout
+    )
