@@ -4099,3 +4099,115 @@ def krippendorff_alpha_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+@query(
+    "anderson_darling_two_sample",
+    oracle="""
+    -- exact two-sample Anderson-Darling statistic (Pettitt 1976) between
+    -- the stream's time halves — the drift test that WEIGHTS THE TAILS
+    -- where KS sees only the single largest ECDF gap: A2 = (1/(n0*n1)) *
+    -- sum_{i<N} (c0_i*N - i*n0)^2 / (i*(N-i)) over the pooled total order
+    -- (value, event_id tie-break). c0_i*N - i*n0 is an exact int (< 2^53
+    -- as a double), the square/divide chain is identical IEEE in both
+    -- engines, terms ROUND@1e-8 -> DECIMAL sum.
+    WITH b AS (
+      SELECT epoch_us(MIN(ts))
+             + CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2) AS BIGINT)
+               AS cut_us
+      FROM events
+    ),
+    pooled AS (
+      SELECT CASE WHEN epoch_us(ts) < b.cut_us THEN 0 ELSE 1 END AS h,
+             value, event_id
+      FROM events CROSS JOIN b
+    ),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM pooled
+    ),
+    walk AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY value, event_id) AS i,
+             CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c0
+      FROM pooled
+    ),
+    terms AS (
+      SELECT ROUND((w.c0 * n.nn - w.i * n.n0) * 1.0
+                   * (w.c0 * n.nn - w.i * n.n0)
+                   / (w.i * 1.0 * (n.nn - w.i)), 8) AS t
+      FROM walk w CROSS JOIN n
+      WHERE w.i < n.nn
+    )
+    SELECT n.n0, n.nn - n.n0 AS n1,
+           ROUND(CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE)
+                 / (n.n0 * 1.0 * (n.nn - n.n0)), 6) AS ad_a2
+    FROM terms CROSS JOIN n
+    GROUP BY n.n0, n.nn
+    """,
+)
+def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Anderson-Darling statistic (Pettitt's rank form)
+    between the stream's time halves — completing the drift-test family
+    with the member that weights the DISTRIBUTION TAILS: KS reports the
+    one largest ECDF gap, Wasserstein the average transport, AD the
+    variance-normalized integral that amplifies tail divergence (where
+    quality regressions in training data usually hide). Rank-only, so
+    every input to the statistic is an exact integer over the same pooled
+    total order as the KS query; under the null A2 ~ 1, large values flag
+    drift.
+
+    Scale shape: one pooled sort (single total-order window, same as KS —
+    at 100 TB you'd run it on a uniform sample, the statistic converges
+    at sqrt(n)), one ROUND->DECIMAL term sum, one scalar divide."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+            ).cast("long")
+        ).alias("cut_us")
+    )
+    pooled = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.unix_micros("ts") < F.col("cut_us"), 0).otherwise(1).alias("h"),
+        "value",
+        "event_id",
+    )
+    n = pooled.agg(
+        F.sum(F.when(F.col("h") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("value", "event_id")
+    walk = pooled.select(
+        F.row_number().over(w).alias("i"),
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("c0"),
+    )
+    d = (F.col("c0") * F.col("nn") - F.col("i") * F.col("n0")) * F.lit(1.0)
+    terms = (
+        walk.crossJoin(F.broadcast(n))
+        .filter(F.col("i") < F.col("nn"))
+        .select(
+            "n0",
+            "nn",
+            F.round(
+                d * d / (F.col("i") * F.lit(1.0) * (F.col("nn") - F.col("i"))), 8
+            ).alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("n0", "nn")
+        .agg(
+            F.round(
+                F.sum(F.col("t").cast("decimal(38,8)")).cast("double")
+                / (F.col("n0") * F.lit(1.0) * (F.col("nn") - F.col("n0"))),
+                6,
+            ).alias("ad_a2")
+        )
+        .select("n0", (F.col("nn") - F.col("n0")).alias("n1"), "ad_a2")
+    )
