@@ -1058,3 +1058,118 @@ def ann_rptree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_rptree_topk(
         emb, queries, k=5, levels=3, dim=64, seed=42
     )
+
+
+@query(
+    "energy_distance_embeddings",
+    oracle="""
+    -- ENERGY DISTANCE between two embedding populations (labels 0-4 vs
+    -- 5-9): E = 2*E|X-Y| - E|X-X'| - E|Y-Y'| — the two-sample test that
+    -- works IN VECTOR SPACE, where KS/AD/PSI (scalar drift family) can't
+    -- see: E = 0 iff the distributions are equal. Pairwise L2 distances
+    -- are identical IEEE chains (exact float32->double lifts, in-order
+    -- 64-element folds, one sqrt), ROUND@1e-6 -> DECIMAL sums over exact
+    -- pair counts. Scoped to the vec_id % 5 = 0 sample — the estimator
+    -- converges like any V-statistic, so sampling IS the 100 TB plan.
+    WITH s AS (
+      SELECT vec_id, CASE WHEN label < 5 THEN 0 ELSE 1 END AS grp,
+             embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.grp AS ga, b.grp AS gb,
+             ROUND(sqrt(list_sum(list_transform(
+               list_zip(a.v, b.v),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS d
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN ga = 0 AND gb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nxx,
+        CAST(SUM(CASE WHEN ga = 1 AND gb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nyy,
+        CAST(SUM(CASE WHEN ga <> gb THEN 1 ELSE 0 END) AS BIGINT) AS nxy,
+        CAST(SUM(CASE WHEN ga = 0 AND gb = 0
+                      THEN CAST(d AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx,
+        CAST(SUM(CASE WHEN ga = 1 AND gb = 1
+                      THEN CAST(d AS DECIMAL(28,6)) END) AS DOUBLE) AS syy,
+        CAST(SUM(CASE WHEN ga <> gb
+                      THEN CAST(d AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy
+      FROM pairs
+    )
+    SELECT nxx, nyy, nxy,
+           ROUND(sxx / nxx, 6) AS mean_within_x,
+           ROUND(syy / nyy, 6) AS mean_within_y,
+           ROUND(sxy / nxy, 6) AS mean_between,
+           ROUND(2.0 * sxy / nxy - sxx / nxx - syy / nyy, 6) AS energy_distance
+    FROM agg
+    """,
+)
+def energy_distance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance (Szekely-Rizzo) between two embedding populations —
+    the drift test that works IN VECTOR SPACE, closing the gap the scalar
+    family (KS / AD / PSI / Wasserstein) leaves: a representation shift
+    that preserves every per-coordinate marginal still moves pairwise
+    distances, and E = 2*E|X-Y| - E|X-X'| - E|Y-Y'| is zero iff the
+    distributions coincide. Embedding-space distribution monitoring is
+    the production check between retrain snapshots.
+
+    Scale shape: V-statistic on a hash sample (vec_id % 5 — the estimator
+    converges like any mean of pairwise kernels, so sampling IS the plan
+    at 100 TB; the blocked-GEMM path exists for exact sweeps); distances
+    are in-order 64-element JVM folds rounded @1e-6, sums DECIMAL, counts
+    exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.when(F.col("label") < 5, 0).otherwise(1).alias("grp"),
+        similarity._as_double_array("embedding").alias("v"),
+    )
+    a = s.select(
+        F.col("vec_id").alias("ida"), F.col("grp").alias("ga"), F.col("v").alias("va")
+    )
+    b = s.select(
+        F.col("vec_id").alias("idb"), F.col("grp").alias("gb"), F.col("v").alias("vb")
+    )
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select("ga", "gb", d.alias("d"))
+    )
+    dec = lambda cond: F.sum(F.when(cond, F.col("d").cast("decimal(28,6)"))).cast(
+        "double"
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    xx = (F.col("ga") == 0) & (F.col("gb") == 0)
+    yy = (F.col("ga") == 1) & (F.col("gb") == 1)
+    xy = F.col("ga") != F.col("gb")
+    agg = pairs.agg(
+        cnt(xx).alias("nxx"),
+        cnt(yy).alias("nyy"),
+        cnt(xy).alias("nxy"),
+        dec(xx).alias("sxx"),
+        dec(yy).alias("syy"),
+        dec(xy).alias("sxy"),
+    )
+    return agg.select(
+        "nxx",
+        "nyy",
+        "nxy",
+        F.round(F.col("sxx") / F.col("nxx"), 6).alias("mean_within_x"),
+        F.round(F.col("syy") / F.col("nyy"), 6).alias("mean_within_y"),
+        F.round(F.col("sxy") / F.col("nxy"), 6).alias("mean_between"),
+        F.round(
+            2.0 * F.col("sxy") / F.col("nxy")
+            - F.col("sxx") / F.col("nxx")
+            - F.col("syy") / F.col("nyy"),
+            6,
+        ).alias("energy_distance"),
+    )
