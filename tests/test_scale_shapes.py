@@ -235,6 +235,8 @@ _NESTED_LOOP_OK = {
                                          # cross onto the lagged series
     "mann_kendall_trend",          # calendar-bounded pairwise-sign join
                                    # + 1-row scalar crosses
+    "brown_forsythe_variance_test",  # 1-row (k,n,s,ss) totals cross onto
+                                     # the 5-row group-moment table
 }
 
 
