@@ -2743,3 +2743,143 @@ def er_sorted_neighborhood_metrics(spark: SparkSession, sf_dir: str) -> DataFram
         "n_docs bigint, n_candidates bigint, n_truth bigint, n_found bigint, "
         "reduction_ratio double, pair_completeness double",
     )
+
+
+@query(
+    "shapley_source_vocab_value",
+    oracle="""
+    -- EXACT SHAPLEY DATA VALUATION of 5 source groups by vocabulary
+    -- coverage: v(S) = |vocab covered by the union of groups in S| — a
+    -- submodular coalition value where naive per-source attribution
+    -- double-counts shared vocabulary. With 5 players the full Shapley
+    -- sum is exact: per-term group BITMASKS -> 32 mask counts -> v over
+    -- all 32 coalitions -> phi_i = sum_S |S|!(4-|S|)!/5! * marginal,
+    -- scaled by 120 so every intermediate is an exact BIGINT. Efficiency
+    -- (sum phi_i = v(full)) is pinned in tests/test_eval_formulas.py.
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INTEGER) % 5 AS gid,
+             unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS term
+      FROM documents
+    ),
+    tm AS (
+      SELECT term, CAST(bit_or(1 << gid) AS BIGINT) AS mask
+      FROM toks GROUP BY term
+    ),
+    mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM tm GROUP BY mask),
+    coal AS (SELECT unnest(range(32)) AS s),
+    v AS (
+      SELECT coal.s,
+             CAST(COALESCE(SUM(CASE WHEN (mc.mask & coal.s) <> 0
+                                    THEN mc.c ELSE 0 END), 0) AS BIGINT) AS v
+      FROM coal LEFT JOIN mc ON TRUE GROUP BY coal.s
+    ),
+    players AS (SELECT unnest(range(5)) AS i),
+    marg AS (
+      SELECT p.i,
+             ((vs.s) & 1) + ((vs.s >> 1) & 1) + ((vs.s >> 2) & 1)
+               + ((vs.s >> 3) & 1) + ((vs.s >> 4) & 1) AS k,
+             vfull.v - vs.v AS gain
+      FROM players p
+      JOIN v vs ON (vs.s & (1 << p.i)) = 0
+      JOIN v vfull ON vfull.s = vs.s + (1 << p.i)
+    ),
+    phi AS (
+      SELECT i,
+             CAST(SUM(CASE k WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
+                             WHEN 3 THEN 6 WHEN 4 THEN 24 END * gain)
+               AS BIGINT) AS phi_x120
+      FROM marg GROUP BY i
+    ),
+    tot AS (SELECT v AS v_full FROM v WHERE s = 31)
+    SELECT phi.i AS source_group, phi.phi_x120,
+           ROUND(phi.phi_x120 / 120.0, 4) AS shapley_terms,
+           ROUND(phi.phi_x120 * 1.0 / (120.0 * tot.v_full), 6) AS coverage_share,
+           tot.v_full AS vocab_total
+    FROM phi CROSS JOIN tot
+    ORDER BY source_group
+    """,
+)
+def shapley_source_vocab_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley data valuation of source groups by vocabulary
+    coverage (the data-markets question "which source actually buys us
+    new content?"): coalition value v(S) = distinct vocabulary covered by
+    the union — submodular, so leave-one-out and naive per-source counts
+    both mis-attribute shared vocabulary; the Shapley value is the unique
+    efficient/symmetric split. Five groups keep the 2^5 coalition lattice
+    exact — phi scaled by 5! = 120 stays integer end to end.
+
+    Scale shape: ONE wordcount-shaped pass builds per-term group bitmasks
+    (bit_or aggregate); everything after runs on the 32-row mask-count
+    table (the coalition lattice is data-independent) — the classic
+    "reduce to a sufficient statistic, then do the exponential part on
+    kilobytes" discipline, same as the HHH lattice."""
+    docs = load(spark, sf_dir, "documents")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    gid = (F.substring("source", 4, 8).cast("int") % 5).alias("gid")
+    toks = docs.select(
+        gid, F.explode(T.word_tokens(F.col("text"))).alias("term")
+    )
+    tm = toks.groupBy("term").agg(
+        F.bit_or(F.expr("shiftleft(1L, gid)")).cast("long").alias("mask")
+    )
+    mc = tm.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spark_ = docs.sparkSession
+    coal = spark_.range(32).select(F.col("id").cast("long").alias("s"))
+    v = (
+        coal.crossJoin(F.broadcast(mc))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("s")) != 0, F.col("c")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+    ).persist()
+    players = spark_.range(5).select(F.col("id").cast("int").alias("i"))
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vf = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    k = sum(
+        F.shiftright(F.col("s0"), b).bitwiseAND(F.lit(1)) for b in range(5)
+    )
+    weight = (
+        F.when(k == 0, 24)
+        .when(k == 1, 6)
+        .when(k == 2, 4)
+        .when(k == 3, 6)
+        .otherwise(24)
+    )
+    marg = (
+        players.crossJoin(vs)
+        .filter(F.col("s0").bitwiseAND(F.expr("shiftleft(1L, i)")) == 0)
+        .join(
+            vf,
+            F.col("s1")
+            == F.col("s0") + F.expr("shiftleft(1L, i)").cast("long"),
+        )
+        .select("i", (weight * (F.col("v1") - F.col("v0"))).alias("wg"))
+    )
+    phi = marg.groupBy("i").agg(F.sum("wg").cast("long").alias("phi_x120"))
+    tot = v.filter(F.col("s") == 31).select(F.col("v").alias("v_full"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("source_group"),
+            "phi_x120",
+            F.round(F.col("phi_x120") / 120.0, 4).alias("shapley_terms"),
+            F.round(
+                F.col("phi_x120") * F.lit(1.0) / (120.0 * F.col("v_full")), 6
+            ).alias("coverage_share"),
+            F.col("v_full").alias("vocab_total"),
+        )
+        .orderBy("source_group")
+    )

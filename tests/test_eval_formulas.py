@@ -319,3 +319,40 @@ def test_krippendorff_alpha_closed_form_vs_coincidence_matrix():
     T = int(n_en.sum())
     alpha_cf = 1 - S * (3 * N - 1) / (2 * T * (3 * N - T))
     assert abs(alpha_cf - alpha_ref) < 1e-12
+
+
+def test_shapley_vocab_efficiency_and_brute_force():
+    """The query's 32-coalition lattice Shapley must equal brute-force
+    enumeration over all 5! permutations AND satisfy efficiency
+    (sum phi_i = v(grand coalition)) on a random mask-count table."""
+    import itertools
+
+    rng = np.random.default_rng(11)
+    masks = rng.integers(1, 32, size=40)
+    counts = rng.integers(1, 100, size=40)
+
+    def v(S):
+        return int(sum(c for m, c in zip(masks, counts) if m & S))
+
+    # brute force over permutations
+    phi_bf = np.zeros(5)
+    for perm in itertools.permutations(range(5)):
+        S = 0
+        for i in perm:
+            phi_bf[i] += v(S | (1 << i)) - v(S)
+            S |= 1 << i
+    phi_bf /= 120.0
+
+    # the query's lattice form: phi_i*120 = sum over S w(|S|) marginal
+    w = {0: 24, 1: 6, 2: 4, 3: 6, 4: 24}
+    phi_lat = np.zeros(5)
+    for i in range(5):
+        for S in range(32):
+            if S & (1 << i):
+                continue
+            k = bin(S).count("1")
+            phi_lat[i] += w[k] * (v(S | (1 << i)) - v(S))
+    phi_lat /= 120.0
+
+    assert np.allclose(phi_bf, phi_lat)
+    assert abs(phi_lat.sum() - v(31)) < 1e-9  # efficiency
