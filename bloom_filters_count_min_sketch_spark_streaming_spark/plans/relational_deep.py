@@ -4075,3 +4075,225 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "n_risk", F.col("d").alias("n_deaths"), "cum_hazard")
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+
+_MRK_K = 25  # absorption power-iteration steps (geometric convergence)
+_MRK_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_edges_sql() -> str:
+    """Shared CTE prefix: user journeys -> (cur, nxt) edge counts with
+    START / CONV / NULL states (journey = events up to first purchase)."""
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS fp_rn,
+             MAX(rn) AS max_rn
+      FROM seq GROUP BY user_id
+    ),
+    path AS (
+      SELECT s.user_id, s.rn,
+             CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                  ELSE s.event_type END AS st,
+             f.fp_rn, f.max_rn
+      FROM seq s JOIN fp f USING (user_id)
+      WHERE s.rn <= COALESCE(f.fp_rn, f.max_rn)
+    ),
+    hops AS (
+      SELECT user_id, rn, st,
+             LEAD(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+             fp_rn, max_rn
+      FROM path
+    ),
+    edges AS (
+      SELECT 'START' AS cur, st AS nxt FROM path WHERE rn = 1
+      UNION ALL
+      SELECT st, nxt FROM hops WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT st, 'NULL' FROM hops
+      WHERE nxt IS NULL AND fp_rn IS NULL AND rn = max_rn
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2
+    ),
+    outs AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_out FROM trans GROUP BY cur),
+    scen AS (SELECT unnest(['base'] + {chans!r}) AS r),
+    strans AS MATERIALIZED (
+      SELECT s.r, t.cur,
+             CASE WHEN s.r <> 'base' AND t.nxt = s.r THEN 'NULL'
+                  ELSE t.nxt END AS nxt,
+             CAST(SUM(t.n) AS BIGINT) AS n,
+             o.n_out
+      FROM scen s
+      JOIN trans t ON s.r = 'base' OR t.cur <> s.r
+      JOIN outs o ON o.cur = t.cur
+      GROUP BY s.r, t.cur, 3, o.n_out
+    ),
+    p0 AS (SELECT r, 'CONV' AS state, 1.0 AS p FROM scen)""".replace(
+        "{chans!r}", repr(_MRK_CHANNELS)
+    )
+
+
+def _markov_oracle() -> str:
+    sql = _markov_edges_sql()
+    for k in range(1, _MRK_K + 1):
+        sql += f""",
+    p{k} AS MATERIALIZED (
+      SELECT t.r, t.cur AS state,
+             CAST(SUM(CAST(ROUND(t.n * 1.0 / t.n_out * q.p, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS p
+      FROM strans t JOIN p{k - 1} q ON q.r = t.r AND q.state = t.nxt
+      GROUP BY t.r, t.cur
+      UNION ALL
+      SELECT r, 'CONV', 1.0 FROM scen
+    )"""
+    sql += f""",
+    finals AS MATERIALIZED (
+      SELECT r, p FROM p{_MRK_K} WHERE state = 'START'
+    ),
+    base AS (SELECT p AS bp FROM finals WHERE r = 'base'),
+    re AS MATERIALIZED (
+      SELECT f.r AS channel, f.p AS conv_prob_removed,
+             1.0 - f.p / b.bp AS re
+      FROM finals f CROSS JOIN base b WHERE f.r <> 'base'
+    ),
+    tot AS (SELECT SUM(re) AS s FROM re)
+    SELECT channel,
+           ROUND(conv_prob_removed, 6) AS conv_prob_removed,
+           ROUND(re, 6) AS removal_effect,
+           ROUND(re / tot.s, 6) AS attribution_share
+    FROM re CROSS JOIN tot
+    ORDER BY channel
+    """
+    return sql
+
+
+@query("markov_removal_attribution", oracle=_markov_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (the data-driven upgrade of
+    the position-weighted 40/20/40 rule): model user journeys as a
+    first-order chain (START -> channels -> CONV at first purchase / NULL
+    at journey end), then credit each channel by how much the absorption
+    probability into CONV DROPS when every edge into that channel is
+    redirected to NULL — the standard removal-effect construction, the
+    unique attribution that respects the actual path structure instead of
+    positional heuristics.
+
+    Determinism: absorption probabilities come from a fixed-K power
+    iteration whose per-term arithmetic is pinned (ROUND@1e-12 ->
+    DECIMAL(38,12) sums — the PageRank discipline), replicated on the
+    driver with Decimal HALF_UP over the COLLECTED transition table
+    (bounded: |states|^2 <= 36 rows x 5 scenarios), so the result
+    hash-equals the oracle's unrolled-CTE iteration at any K.
+
+    Scale shape: the only data pass is the per-user journey window + edge
+    aggregate (one shuffle on user_id); the exponential-free part runs on
+    the kilobyte transition table — the HHH-lattice discipline again."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    fp = seq.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("fp_rn"),
+        F.max("rn").alias("max_rn"),
+    )
+    path = (
+        seq.join(fp, "user_id")
+        .filter(F.col("rn") <= F.coalesce(F.col("fp_rn"), F.col("max_rn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "fp_rn",
+            "max_rn",
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    hops = path.withColumn("nxt", F.lead("st").over(wp))
+    edges = (
+        path.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("cur"), F.col("st").alias("nxt"))
+        .unionAll(
+            hops.filter(F.col("nxt").isNotNull()).select(
+                F.col("st").alias("cur"), "nxt"
+            )
+        )
+        .unionAll(
+            hops.filter(
+                F.col("nxt").isNull()
+                & F.col("fp_rn").isNull()
+                & (F.col("rn") == F.col("max_rn"))
+            ).select(F.col("st").alias("cur"), F.lit("NULL").alias("nxt"))
+        )
+    )
+    trans = (
+        edges.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # bounded: |states|^2 <= 36 edge rows
+
+    n_out: dict[str, int] = {}
+    for r in trans:
+        n_out[r["cur"]] = n_out.get(r["cur"], 0) + int(r["n"])
+
+    q12 = Decimal("1e-12")
+    scenarios = ["base"] + _MRK_CHANNELS
+    results = {}
+    for sc in scenarios:
+        # redirected transition list: (cur, nxt, prob as exact double)
+        agg: dict[tuple[str, str], int] = {}
+        for r in trans:
+            cur, nxt, n = r["cur"], r["nxt"], int(r["n"])
+            if sc != "base" and cur == sc:
+                continue
+            if sc != "base" and nxt == sc:
+                nxt = "NULL"
+            agg[(cur, nxt)] = agg.get((cur, nxt), 0) + n
+        p = {"CONV": 1.0}
+        for _ in range(_MRK_K):
+            acc: dict[str, Decimal] = {}
+            for (cur, nxt), n in agg.items():
+                pv = p.get(nxt, 0.0)
+                if pv == 0.0:
+                    # term is exactly 0 — same as the SQL sum skipping it
+                    term = 0.0
+                else:
+                    term = n * 1.0 / n_out[cur] * pv
+                acc[cur] = acc.get(cur, Decimal(0)) + Decimal(repr(term)).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+            p = {cur: float(v) for cur, v in acc.items()}
+            p["CONV"] = 1.0
+        results[sc] = p.get("START", 0.0)
+
+    bp = results["base"]
+    res = [(c, results[c], 1.0 - results[c] / bp) for c in _MRK_CHANNELS]
+    s = sum(re for _, _, re in res)
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    rows = [
+        (c, r6(pr), r6(re), r6(re / s)) for c, pr, re in res
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "channel string, conv_prob_removed double, removal_effect double, "
+        "attribution_share double",
+    )
