@@ -207,6 +207,24 @@ HEADLINE = [
     "padding_efficiency_audit",
     "stream_vocab_coverage",
     "stream_cms_join_size",
+    "ktruss_trade_graph",
+    "dedup_weighted_jaccard_pairs",
+    "dedup_icws_weighted_minhash",
+    "decision_stump_quality",
+    "er_sorted_neighborhood_metrics",
+    "trigram_fuzzy_vocab_search",
+    "stream_winnowing_contamination",
+    "ann_rptree_topk",
+    "stream_decision_stump",
+    "woe_information_value",
+    "mondrian_k_anonymity",
+    "krippendorff_alpha_labelers",
+    "dunning_llr_collocations",
+    "stream_priority_sample",
+    "anderson_darling_two_sample",
+    "energy_distance_embeddings",
+    "shapley_source_vocab_value",
+    "markov_removal_attribution",
 ]
 
 

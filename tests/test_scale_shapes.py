@@ -237,6 +237,19 @@ _NESTED_LOOP_OK = {
                                    # + 1-row scalar crosses
     "brown_forsythe_variance_test",  # 1-row (k,n,s,ss) totals cross onto
                                      # the 5-row group-moment table
+    "decision_stump_quality",      # 1-row (n,pos) totals cross onto the
+                                   # value-support cumulative table
+    "woe_information_value",       # 1-row totals + 1-row IV crosses onto
+                                   # the fixed-width bin table
+    "anderson_darling_two_sample", # 1-row time-cut + 1-row (n0,nn) scalar
+                                   # crosses onto the pooled walk
+    "energy_distance_embeddings",  # hash-sampled pair join (ida < idb) —
+                                   # the V-statistic IS pairwise on the
+                                   # bounded sample, both sides broadcast-
+                                   # sized
+    "shapley_source_vocab_value",  # 32-row coalition lattice x 32-row
+                                   # mask counts + 1-row totals — the
+                                   # exponential part runs on kilobytes
 }
 
 

@@ -135,6 +135,27 @@ DEFAULT_PROBES = [
     "stream_vocab_coverage",
     "stream_cms_join_size",
     "ktruss_trade_graph",
+    # round-7 continuation, later passes: multiset/sketch similarity,
+    # tree trainers batch+online, blocking/fuzzy-search index joins,
+    # streaming deterministic gates, privacy transform, coalition lattice,
+    # tail-weighted + vector-space drift, journey-chain attribution
+    "dedup_weighted_jaccard_pairs",
+    "dedup_icws_weighted_minhash",
+    "decision_stump_quality",
+    "stream_decision_stump",
+    "er_sorted_neighborhood_metrics",
+    "trigram_fuzzy_vocab_search",
+    "stream_winnowing_contamination",
+    "ann_rptree_topk",
+    "woe_information_value",
+    "mondrian_k_anonymity",
+    "krippendorff_alpha_labelers",
+    "dunning_llr_collocations",
+    "stream_priority_sample",
+    "anderson_darling_two_sample",
+    "energy_distance_embeddings",
+    "shapley_source_vocab_value",
+    "markov_removal_attribution",
 ]
 
 SF_DIRS = [
