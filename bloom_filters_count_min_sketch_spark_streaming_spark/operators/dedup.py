@@ -93,6 +93,43 @@ def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     ).select("doc", F.explode(shingles_col(F.col("_text"), n)).alias("sh"))
 
 
+def doc_shingle_tf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc, s, tf) term-frequency table over n-gram occurrences with the
+    hot-shingle document-frequency cap — the multiset analogue of the
+    capped sets ``ngram_jaccard_pairs`` joins on. A boilerplate shingle
+    present in D documents contributes O(D^2) pairs to any tf-intersection
+    self-join, so shingles with df > ``max_shingle_df`` are dropped from
+    the tf universe (weights AND totals — the capped universe stays
+    self-consistent, like the set version). The hot list is tiny by
+    construction and broadcast, so the cap adds no shuffle. The default
+    cap is far above fixture document frequencies, so capped and uncapped
+    results coincide on the fixtures; pass ``None`` for exact uncapped
+    semantics."""
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .repartition(n_parts)
+        .select("doc", F.explode(shingle_occurrences_col(F.col("_text"), n)).alias("s"))
+    )
+    tf = sh.groupBy("doc", "s").agg(F.count(F.lit(1)).alias("tf"))
+    if max_shingle_df is not None:
+        hot = (
+            tf.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        tf = tf.join(F.broadcast(hot), "s", "left_anti")
+    return tf
+
+
 def duplicate_ngram_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -889,9 +889,10 @@ _WINNOW_FP_CTES = f"""
 def winnow_fingerprints_py(text: str) -> list[int]:
     """Pure-Python twin of the winnowing fingerprint construction (same
     tokenization, md5-derived 40-bit gram hash, packed rightmost-tie-break
-    key, full-window minima) — the per-row form streaming mapInPandas uses,
-    where Spark's per-doc window functions aren't available. Equality with
-    the JVM/SQL construction is enforced by the shared oracle."""
+    key, full-window minima). Kept as the readable specification and used
+    by the property tests; the hot paths (batch window-min, streaming
+    numpy sliding-min over JVM-hashed keys) are equality-tested against
+    it via the shared oracle."""
     import hashlib
 
     ws = [w for w in text.lower().split(" ") if w != ""]
@@ -906,6 +907,38 @@ def winnow_fingerprints_py(text: str) -> list[int]:
     for end in range(_WIN_W - 1, len(keys)):
         sel.add(min(keys[end - _WIN_W + 1 : end + 1]) // 8192)
     return sorted(sel)
+
+
+def winnow_keyed_grams(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, p, key) packed winnowing keys, pure JVM expressions — the
+    shared map-only front half of the winnowing construction: tokenize,
+    form every k-word gram via arrays_zip of shifted slices (no
+    per-element lambdas), posexplode, md5 -> 40-bit hash, pack the
+    rightmost tie-break into ``key = h * 8192 + (8191 - p)``. Rows for a
+    document are emitted contiguously in gram-position order (narrow
+    chain), which the streaming consumer's vectorized sliding-min relies
+    on. Batch consumers apply the per-doc window MIN; streaming consumers
+    apply the same min in numpy inside mapInPandas. Works on bounded and
+    unbounded inputs alike (everything here is stateless)."""
+    dt = docs.select(F.col(id_col).alias("doc"), dedup.tokens_col(F.col("text")).alias("ws"))
+    n = F.size("ws")
+    zipped = F.arrays_zip(
+        *[F.slice("ws", i + 1, n - (_WIN_K - 1)).alias(f"g{i}") for i in range(_WIN_K)]
+    )
+    g = (
+        dt.filter(n >= _WIN_K + _WIN_W - 1)
+        .select("doc", F.posexplode(zipped).alias("p0", "s"))
+        .select(
+            "doc",
+            (F.col("p0") + 1).alias("p"),  # 1-indexed, matches the oracle
+            F.concat_ws(" ", *[F.col(f"s.g{i}") for i in range(_WIN_K)]).alias("gram"),
+        )
+    )
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long") * F.lit(8192)
+        + (F.lit(8191) - F.col("p"))
+    )
+    return g.select("doc", "p", key.alias("key"))
 
 
 @query(
@@ -946,43 +979,13 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     packed INTO the key (hash*8192 + (8191 - pos)) so the argmin is total
     and the selected set is deterministic cross-engine."""
     docs = load(spark, sf_dir, "documents")
-    dt = docs.select("doc_id", dedup.tokens_col(F.col("text")).alias("ws"))
-    n = F.size("ws")
-    zipped = F.arrays_zip(
-        *[
-            F.slice("ws", i + 1, n - (_WIN_K - 1)).alias(f"g{i}")
-            for i in range(_WIN_K)
-        ]
-    )
-    g = (
-        dt.filter(n >= _WIN_K + _WIN_W - 1)
-        .select("doc_id", F.posexplode(zipped).alias("p0", "s"))
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("p"),  # 1-indexed, matches the oracle
-            F.concat_ws(
-                " ", *[F.col(f"s.g{i}") for i in range(_WIN_K)]
-            ).alias("gram"),
-        )
-    )
-    key = (
-        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
-        * F.lit(8192)
-        + (F.lit(8191) - F.col("p"))
-    )
     from pyspark.sql import Window as W
 
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(_WIN_W - 1), 0)
-    )
-    m = g.select("doc_id", "p", key.alias("key")).withColumn(
-        "mk", F.min("key").over(win)
-    )
+    win = W.partitionBy("doc").orderBy("p").rowsBetween(-(_WIN_W - 1), 0)
+    m = winnow_keyed_grams(docs).withColumn("mk", F.min("key").over(win))
     fp = (
         m.filter(F.col("p") >= _WIN_W)
-        .select("doc_id", (F.col("mk") / 8192).cast("long").alias("h"))
+        .select(F.col("doc").alias("doc_id"), (F.col("mk") / 8192).cast("long").alias("h"))
         .distinct()
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
@@ -1040,25 +1043,24 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the set version — inverted-index equi-join on
     the shingle (no |docs|^2 product), tf tables partial-aggregate map-side,
-    sum-max derived from per-doc totals so only the intersection join runs.
+    sum-max derived from per-doc totals so only the intersection join runs,
+    and the same hot-shingle df cap as the set path (dedup.doc_shingle_tf:
+    a boilerplate shingle in D docs is O(D^2) join pairs; the cap is far
+    above fixture dfs so results here are exactly the uncapped oracle's).
     Exact integer tf everywhere; the ratio is an exact-int division."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(dedup.shingle_occurrences_col(F.col("text"), 3)).alias("s"),
-    )
-    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("t"))
-    a = tf.select(F.col("doc_id").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
-    b = tf.select(F.col("doc_id").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
+    tf = dedup.doc_shingle_tf(docs, n=3)
+    tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
+    a = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
     inter = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
     )
-    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
-    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    ta = tot.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b"))
     wj = (
         inter.join(F.broadcast(ta), "doc_a")
         .join(F.broadcast(tb), "doc_b")
@@ -1120,23 +1122,21 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("matched_samples") >= 4)
     )
     # exact J_w for the audit column (same construction as
-    # dedup_weighted_jaccard_pairs, scoped to the candidate pairs)
-    sh = docs.select(
-        "doc_id",
-        F.explode(dedup.shingle_occurrences_col(F.col("text"), 3)).alias("s"),
-    )
-    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("t"))
-    ta = tf.select(F.col("doc_id").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
-    tb = tf.select(F.col("doc_id").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
+    # dedup_weighted_jaccard_pairs — including the hot-shingle df cap,
+    # which keeps this intersection self-join linear at corpus scale —
+    # scoped to the candidate pairs)
+    tf = dedup.doc_shingle_tf(docs, n=3)
+    tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
+    ta = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
     inter = (
         ta.join(tb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
     )
-    sa = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
-    sb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    sa = tot.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a"))
+    sb = tot.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b"))
     out = (
         matches.join(inter, ["doc_a", "doc_b"], "left")
         .join(F.broadcast(sa), "doc_a")
