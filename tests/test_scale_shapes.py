@@ -161,96 +161,124 @@ def test_transform_with_state_in_pandas(spark, sf_dir):
     assert final == exact
 
 
-# headline queries where a nested-loop/cartesian stage is the intended
-# algorithm (tiny broadcast side), not an accident
+# Headline queries where a nested-loop/cartesian stage is the intended
+# algorithm, not an accident. Value = the MAX rows the broadcast build side
+# of any BNLJ in the query may contain — a semantic bound (scalar totals,
+# calendar-bounded tables, fixed query sets), enforced MECHANICALLY by
+# test_whitelisted_bnlj_build_sides_are_bounded below, which executes each
+# query and reads the observed BroadcastExchange row metric. An entry here
+# is therefore a checked claim, not a trusted comment.
+_SCALAR = 8          # global totals / extrema / priors (1-row class)
+_CALENDAR = 4096     # event-time-bounded tables (death times, days)
 _NESTED_LOOP_OK = {
-    "knn_cosine_bruteforce",   # corpus x broadcast query set by design
-    "asof_join_last_click_before_error",  # union+window, no join at all
-    "language_balanced_resample",  # 1-row broadcast global-min seed join
-    "corpus_curation_e2e",         # same 1-row global-min seed, composed
-    "hybrid_search_rrf",           # corpus x broadcast 1-row query vector
-    "ams_f2_estimate",             # 1-row exact x 1-row estimate scalar join
-    "bm25_ranked_search",          # 1-row broadcast (n_docs, avgdl) scalar
-                                   # join — the lazy fusion of what r3
-                                   # collect()ed at build time
-    "corpus_divergence_kl",        # 1-row broadcast corpus-total scalar join
-    "kaplan_meier_survival",       # at-risk counting: deaths x durations
-                                   # range join (|death times| is tiny after
-                                   # hour bucketing; sort-once at scale)
-    "pareto_concentration_gini",   # 1-row totals / 1-row crossing scalar joins
-    "pq_adc_recall",               # 1-row n_hits x 1-row n_exact scalar join
-                                   # (the search itself is equi-join only —
-                                   # exact side is blocked-GEMM, not BNLJ)
-    "misra_gries_table_merge",     # 1-row merge-offset scalar cross join
-                                   # (the MG reduction's (k+1)-th count)
-    "kneser_ney_bigram_scores",    # 1-row broadcast |bigram types| scalar
-                                   # join (the KN continuation normalizer)
-    "quantile_normalize_sources",  # 1-row broadcast global-N scalar join
-                                   # feeding the integer rank map
-    "wasserstein_source_drift",    # 1-row broadcast corpus-total scalar
-                                   # join + the intended sources x support
-                                   # densification grid (support is value-
-                                   # domain-bounded: ~500 lengths at any SF)
-    "ipf_mixture_raking",          # 1-row broadcast (total, n_src) scalar
-                                   # join onto the |sources|x|langs| cells
-    "k_anonymity_ldiversity_audit",  # 4-row broadcast threshold sweep +
-                                     # 1-row totals scalar join
-    "fellegi_sunter_link_weights", # 1-row broadcast u-probability scalar
-                                   # join onto blocked candidate pairs
-    "aqp_sampled_groupby",         # (joins are equi; listed for the 1-row
-                                   # scalar pattern if AQE re-plans)
-    "kll_quantile_sketch_table",   # audit side: 5 broadcast (q, est) rows
-                                   # range-join the domain-bounded CDF
-                                   # (<= ~56k distinct 2-decimal values at
-                                   # ANY scale) for exact-vs-estimate ranks
-    # round-7 additions — every BNLJ below is a broadcast 1-row scalar
-    # cross (totals / priors / extrema) or a bounded dimension cross:
-    "roc_auc_doc_length",          # 1-row (n1,n0) scalar join onto the
-                                   # distinct-score table + 1-row argmax
-    "logrank_test_user_parity",    # risk-set range join over |death times|
-                                   # (calendar-bounded), KM-family shape
-    "cms_count_mean_min_debias",   # 1-row total-N scalar join onto the
-                                   # 320-row counter table
-    "adamic_adar_link_prediction", # 1-row edge-total scalar join (the
-                                   # 1.2x-mean threshold) on a |V|^2-bounded
-                                   # nation graph
-    "als_rank1_factorization",     # 1-row RMSE scalar join onto the 5-row
-                                   # factor table
-    "naive_bayes_langid",          # |langs|(=4)-row broadcast cross onto
-                                   # test docs + 1-row prior-total scalar
-    "isotonic_calibration_pava",   # 1-row (min,max) scalar join for integer
-                                   # binning; the PAVA minimax runs on B=20
-    "sequential_pattern_support",  # 1-row n_users scalar join onto the
-                                   # 25-row pattern table
-    "cox_one_step_hazard_ratio",   # risk-set range join over |death times|
-                                   # (calendar-bounded, same shape as the
-                                   # log-rank / KM family)
-    "calibration_error_summary",   # 1-row total-N scalar join onto the
-                                   # 10-bin gap table
-    "fleiss_kappa_weak_labelers",  # single scalar aggregate (listed for
-                                   # the 1-row pattern if AQE re-plans)
-    "knn_label_ndcg",              # 10-row broadcast rank series joined
-                                   # to per-query ideal-pool sizes
-    "granger_causality_click_purchase",  # 1-row broadcast coefficient
-                                         # cross onto the lagged series
-    "mann_kendall_trend",          # calendar-bounded pairwise-sign join
-                                   # + 1-row scalar crosses
-    "brown_forsythe_variance_test",  # 1-row (k,n,s,ss) totals cross onto
-                                     # the 5-row group-moment table
-    "decision_stump_quality",      # 1-row (n,pos) totals cross onto the
-                                   # value-support cumulative table
-    "woe_information_value",       # 1-row totals + 1-row IV crosses onto
-                                   # the fixed-width bin table
-    "anderson_darling_two_sample", # 1-row time-cut + 1-row (n0,nn) scalar
-                                   # crosses onto the pooled walk
-    "energy_distance_embeddings",  # hash-sampled pair join (ida < idb) —
-                                   # the V-statistic IS pairwise on the
-                                   # bounded sample, both sides broadcast-
-                                   # sized
-    "shapley_source_vocab_value",  # 32-row coalition lattice x 32-row
-                                   # mask counts + 1-row totals — the
-                                   # exponential part runs on kilobytes
+    "knn_cosine_bruteforce": 128,        # fixed 100-query probe set
+    "asof_join_last_click_before_error": _SCALAR,  # union+window, no join
+    "language_balanced_resample": _SCALAR,   # global-min seed
+    "corpus_curation_e2e": _SCALAR,           # same seed, composed
+    "hybrid_search_rrf": _SCALAR,             # 1-row query vector
+    "ams_f2_estimate": _SCALAR,               # exact x estimate scalars
+    "bm25_ranked_search": 64,           # (n_docs, avgdl) scalar + df table
+    "corpus_divergence_kl": _SCALAR,          # corpus-total scalar
+    "kaplan_meier_survival": _CALENDAR,       # hour-bucketed death times
+    "pareto_concentration_gini": _SCALAR,     # totals / crossing scalars
+    "pq_adc_recall": _SCALAR,                 # n_hits x n_exact scalars
+    "misra_gries_table_merge": _SCALAR,       # merge-offset scalar
+    "kneser_ney_bigram_scores": _SCALAR,      # |bigram types| scalar
+    "quantile_normalize_sources": _SCALAR,    # global-N scalar
+    "wasserstein_source_drift": _CALENDAR,    # value-domain-bounded support
+    "ipf_mixture_raking": _SCALAR,            # (total, n_src) scalar
+    "k_anonymity_ldiversity_audit": 16,       # threshold sweep + totals
+    "fellegi_sunter_link_weights": _SCALAR,   # u-probability scalar
+    "aqp_sampled_groupby": _SCALAR,           # scalar pattern if AQE re-plans
+    "kll_quantile_sketch_table": 65536,       # build side is the CDF over
+                                              # 2-decimal values: domain-
+                                              # bounded <= ~56k rows at ANY
+                                              # scale (not the 5 audit rows
+                                              # — the mechanical check
+                                              # corrected the old comment)
+    "roc_auc_doc_length": _SCALAR,            # (n1,n0) scalar + argmax
+    "logrank_test_user_parity": _CALENDAR,    # risk-set over death times
+    "cms_count_mean_min_debias": _SCALAR,     # total-N scalar
+    "adamic_adar_link_prediction": 64,        # |V|-bounded nation-graph side
+    "als_rank1_factorization": 16,            # RMSE scalar + 5 factors
+    "naive_bayes_langid": 64,                 # |langs| cross + per-class
+                                              # prior/vocab summary tables
+    "isotonic_calibration_pava": 32,          # fixed B=20 bin table
+    "sequential_pattern_support": _SCALAR,    # n_users scalar
+    "cox_one_step_hazard_ratio": _CALENDAR,   # risk-set over death times
+    "calibration_error_summary": _SCALAR,     # total-N scalar
+    "fleiss_kappa_weak_labelers": _SCALAR,    # scalar pattern if AQE re-plans
+    "knn_label_ndcg": 64,                     # 10-row rank series
+    "granger_causality_click_purchase": _SCALAR,  # coefficient cross
+    "mann_kendall_trend": _CALENDAR,          # day-pair sign join
+    "brown_forsythe_variance_test": _SCALAR,  # (k,n,s,ss) totals
+    "decision_stump_quality": _SCALAR,        # (n,pos) totals
+    "woe_information_value": _SCALAR,         # totals + IV scalars
+    "anderson_darling_two_sample": _SCALAR,   # time-cut + (n0,nn) scalars
+    "energy_distance_embeddings": _CALENDAR,  # hash-sampled bounded sample
+    "shapley_source_vocab_value": 64,         # 32-row coalition lattice
 }
+
+
+def _plan_kids(node):
+    """Physical-plan children, descending through adaptive/stage/reuse
+    wrappers so the walk sees the FINAL executed operators."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return [node.executedPlan()]
+    if cls.endswith("QueryStageExec"):
+        return [node.plan()]
+    if cls == "ReusedExchangeExec":
+        return [node.child()]
+    return [node.children().apply(i) for i in range(node.children().size())]
+
+
+def _broadcast_rows(node):
+    """Observed numOutputRows of the first BroadcastExchange under node."""
+    if "BroadcastExchange" in node.getClass().getSimpleName():
+        m = node.metrics()
+        if m.contains("numOutputRows"):
+            return int(m.apply("numOutputRows").value())
+    for k in _plan_kids(node):
+        r = _broadcast_rows(k)
+        if r is not None:
+            return r
+    return None
+
+
+def _bnlj_build_rows(df) -> list[int]:
+    """Execute df; return the observed build-side row count of every
+    BroadcastNestedLoopJoin in the final adaptive plan."""
+    df.collect()
+    found: list[int] = []
+
+    def walk(node):
+        kids = _plan_kids(node)
+        if node.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            build = kids[0] if node.buildSide().toString() == "BuildLeft" else kids[1]
+            rows = _broadcast_rows(build)
+            found.append(-1 if rows is None else rows)
+        for k in kids:
+            walk(k)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+def test_whitelisted_bnlj_build_sides_are_bounded(spark, sf_dir):
+    """The BNLJ whitelist is a set of CHECKED bounds, not trusted comments:
+    run every whitelisted headline query and assert each planned
+    BroadcastNestedLoopJoin's build side actually contained at most the
+    whitelisted row count (scalar totals stay 1-row, calendar-bounded
+    tables stay calendar-sized). A query whose 'scalar cross' silently
+    grows into a real fan-out fails here before it can ship."""
+    q = entrymod.queries()
+    for name, bound in _NESTED_LOOP_OK.items():
+        df = q[name](spark, sf_dir)
+        for rows in _bnlj_build_rows(df):
+            assert 0 <= rows <= bound, (
+                f"{name}: BNLJ build side had {rows} rows, whitelist bound {bound}"
+            )
 
 
 def test_headline_batch_plans_have_no_accidental_cross_products(spark, sf_dir):
