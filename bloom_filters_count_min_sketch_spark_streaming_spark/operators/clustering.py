@@ -229,7 +229,15 @@ def lightweight_coreset(
             "cid",
             "v",
             "q",
-            (F.lit(1.0) / (F.lit(float(m)) * F.col("q"))).alias("w"),
+            # Horvitz-Thompson weight: inclusion probability is
+            # min(1, m*q), so the unbiased weight is its reciprocal —
+            # points with m*q >= 1 are included surely with weight
+            # EXACTLY 1 (this is what makes the full-inclusion witness
+            # kmeans_coreset_full_exact reduce to plain Lloyd).
+            (
+                F.lit(1.0)
+                / F.least(F.lit(1.0), F.lit(float(m)) * F.col("q"))
+            ).alias("w"),
         )
     )
 
@@ -250,6 +258,9 @@ def coreset_kmeans_profile(
     coreset's weighted size and weighted inertia — the coreset guarantee
     is that the weighted columns estimate the full ones."""
     core = lightweight_coreset(df, id_col, vec_col, m).collect()  # <= ~m rows
+    # Sort by id: the driver-side float sums below then run in an order
+    # independent of how many partitions the collect drained.
+    core = sorted(core, key=lambda r: r["cid"])
     ids = [r["cid"] for r in core]
     X = np.array([list(r["v"]) for r in core], dtype=np.float64)
     W = np.array([float(r["w"]) for r in core], dtype=np.float64)

@@ -2301,6 +2301,61 @@ def kmeans_coreset_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreset_kmeans_profile(emb, k=8, m=128, n_iter=10)
 
 
+@query(
+    "kmeans_coreset_full_exact",
+    oracle="""
+    -- Coreset exactness witness: with m >= 2n, every point's inclusion
+    -- probability min(1, m*q) is 1 (q >= 1/(2n)), so the Poisson draw
+    -- keeps ALL rows and every Horvitz-Thompson weight is exactly 1 —
+    -- the weighted Lloyd on the coreset IS plain Lloyd on the full data.
+    -- The Spark side computes both trainers and compares their per-cluster
+    -- profiles; the oracle pins the corpus size and the two invariants
+    -- that must come out TRUE (the stream_cms_join_size assertion pattern
+    -- for not-directly-SQL-expressible guarantees).
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_rows,
+           TRUE AS all_weights_one,
+           TRUE AS profile_matches_lloyd
+    """,
+)
+def kmeans_coreset_full_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset exactness witness (the ann_lsh_full_tables_exact pattern
+    applied to the trainer family): at m >= 2n the lightweight coreset
+    degenerates — by construction, not by luck — to the full dataset with
+    all weights exactly 1, so coreset_kmeans_profile must reproduce the
+    distributed Lloyd profile (kmeans_cluster_profile) cluster-for-cluster.
+    Anything in the coreset machinery that biased q, the inclusion draw,
+    or the HT weights would break the equality. The full-corpus collect
+    here is the WITNESS configuration only (m is the knob; the production
+    path is kmeans_coreset_fit's m=128 ≪ n)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.clustering import (
+        kmeans_cluster_profile,
+        lightweight_coreset,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    m = 2 * n
+    weights_off = (
+        lightweight_coreset(emb, m=m)
+        .filter((F.col("w") < 0.9999999) | (F.col("w") > 1.0000001))
+        .count()
+    )
+    core = coreset_kmeans_profile(emb, k=8, m=m, n_iter=5)
+    lloyd = kmeans_cluster_profile(emb, k=8, n_iter=5)
+    mismatches = (
+        lloyd.join(core, "cluster", "full")
+        .filter(
+            (F.col("n_points") != F.col("n_full"))
+            | (F.abs(F.col("inertia") - F.col("full_inertia")) > 1e-4)
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n, weights_off == 0, mismatches == 0)],
+        "n_rows bigint, all_weights_one boolean, profile_matches_lloyd boolean",
+    )
+
+
 _FS_M = {"name": 0.9, "bal": 0.7, "fmt": 0.6}  # prior m-probabilities
 
 # the ER record pair (crm + typo'd web) plus two planted sources that light

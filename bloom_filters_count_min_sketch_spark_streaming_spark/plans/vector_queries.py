@@ -1046,6 +1046,39 @@ def knn_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_rptree_full_spill_exact",
+    oracle="""
+    -- RP-tree exactness witness (same pattern as ann_lsh_full_tables_exact
+    -- / ann_ivf_full_probe_exact): with a single tree level, the
+    -- both-children spill at the last level makes every query probe BOTH
+    -- leaves — i.e. the whole corpus — so the tree machinery (projection
+    -- scores, median split, leaf equi-join, dedup, exact re-rank) must
+    -- reproduce brute-force cosine kNN rank-for-rank. This puts the entire
+    -- RP-tree code path under the hash-checked oracle; recall<1 tree
+    -- depths of the SAME path are covered by the recall property tests.
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def ann_rptree_full_spill_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-tree exactness witness: levels=1 means the standard last-level
+    spill probes both children of the root — the candidate set IS the
+    corpus, so the output must equal brute-force kNN exactly. Promotes the
+    RP-tree path (ann_rptree_topk, rows-only by construction at depth>1)
+    into the hash-checked family, exactly how the LSH and IVF paths earned
+    their full-coverage witnesses."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_rptree_topk(emb, queries, k=5, levels=1, dim=64, seed=42)
+
+
 @query("ann_rptree_topk")
 def ann_rptree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via a random-projection tree (the annoy-family
