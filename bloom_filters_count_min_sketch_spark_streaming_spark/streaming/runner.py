@@ -119,7 +119,7 @@ def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
-    state_partitions: int = 16,
+    state_partitions: int = 8,
     state_provider: str | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink and
@@ -128,11 +128,12 @@ def run_available_now(
 
     ``state_partitions`` sizes the state store (fixed per checkpoint at
     first run). Fixture state is kilobytes, so a handful of partitions
-    avoids per-partition commit overhead dominating. 16 measured best on
-    this 32-thread host for the python-stateful family (r6 sweep: sp=8
-    70.1 s -> sp=16 62.9 s over the 15 streaming headline queries at
-    sf0.1; fewer partitions serialize the Arrow state workers, more adds
-    commit overhead). At real scale size this to state volume / executor
+    avoids per-partition commit overhead dominating. Default 8: the r8
+    re-sweep at sf0.1 (windowed 2.40/2.43/3.07 s at sp=4/8/16; session
+    windows 3.69/3.47/3.87; python-stateful CMS 3.39/3.39/3.42; minhash
+    dedup 6.65/5.99/6.28) shows 8 best-or-tied for BOTH the JVM-stateful
+    and Arrow-python-stateful families on this host — r6's sp=16 pick was
+    within host noise. At real scale size this to state volume / executor
     count instead. Results are partition-count invariant — only the
     physical distribution changes.
 

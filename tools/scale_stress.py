@@ -61,6 +61,18 @@ PROBES = [
     "naive_bayes_langid",
     "roc_auc_doc_length",
     "hierarchical_heavy_hitters",
+    # round-8 (VERDICT r7 item 5): the r6/r7 heavy cohort under 10x —
+    # winnowing batch+stream (post-vectorization), the weighted dedup
+    # paths (post-df-cap), the pairwise-on-sample energy distance, the
+    # double-fold CMS join sizer, recursive Mondrian cuts, k-truss peel
+    "winnowing_fingerprint_overlap",
+    "stream_winnowing_contamination",
+    "dedup_weighted_jaccard_pairs",
+    "dedup_icws_weighted_minhash",
+    "energy_distance_embeddings",
+    "stream_cms_join_size",
+    "mondrian_k_anonymity",
+    "ktruss_trade_graph",
 ]
 
 
