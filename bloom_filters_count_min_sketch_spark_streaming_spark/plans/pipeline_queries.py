@@ -2938,3 +2938,299 @@ def shapley_source_vocab_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM corpus RELEASE (round-8 composition flagship, VERDICT r7 item 9):
+# contamination gate -> dedup cascade (exact -> n-gram Jaccard -> SemDeDup)
+# -> quality gates -> temperature mixture -> packing, as ONE audited plan
+# whose output is the per-stage funnel (docs + tokens surviving each stage).
+
+_RELEASE_SEQ_LEN = 512
+
+
+@query(
+    "llm_corpus_release_e2e",
+    oracle=f"""
+    -- The full release cascade. Every stage CTE is referenced twice (next
+    -- stage + its funnel row) -> AS MATERIALIZED, or DuckDB's CTE inlining
+    -- re-evaluates the cascade exponentially (r6 lesson).
+    -- Mixture stage uses alpha=0.5 temperature: keep rate sqrt(min_cnt /
+    -- cnt_lang) — sqrt and exact-int division are correctly rounded IEEE
+    -- ops, so the rate bits match Spark exactly (no libm pow in a filter).
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    eval8 AS MATERIALIZED (
+      SELECT DISTINCT s FROM (
+        SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                       ws[i+6] || ' ' || ws[i+7]
+                       for i in range(1, len(ws) - 6)]) AS s
+        FROM (SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+              FROM documents WHERE doc_id % 97 = 0)
+      )
+    ),
+    corp AS MATERIALIZED (SELECT * FROM tok WHERE doc_id % 97 <> 0),
+    contaminated AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                       ws[i+6] || ' ' || ws[i+7]
+                       for i in range(1, len(ws) - 6)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+              FROM corp)
+      ) g JOIN eval8 USING (s)
+    ),
+    s1 AS MATERIALIZED (
+      SELECT c.* FROM corp c LEFT JOIN contaminated x USING (doc_id)
+      WHERE x.doc_id IS NULL
+    ),
+    keep2 AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(lower(text))),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN keep2 USING (doc_id)),
+    sets AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+              FROM s2) WHERE len(ws) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    jdrop AS MATERIALIZED (
+      SELECT DISTINCT doc_b AS doc_id FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p JOIN sizes sa ON sa.doc_id = p.doc_a
+           JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.c * 1.0 / (sa.n + sb.n - p.c) >= 0.8
+    ),
+    s3 AS MATERIALIZED (
+      SELECT s2.* FROM s2 LEFT JOIN jdrop USING (doc_id)
+      WHERE jdrop.doc_id IS NULL
+    ),
+    semdrop AS MATERIALIZED (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN s3 xa ON xa.doc_id = a.vec_id
+      JOIN s3 xb ON xb.doc_id = b.vec_id
+      WHERE ROUND(list_sum(list_transform(
+                    list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                    t -> t[1] * t[2]))
+              / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))),
+              6) >= 0.45
+    ),
+    s4 AS MATERIALIZED (
+      SELECT s3.* FROM s3 LEFT JOIN semdrop USING (doc_id)
+      WHERE semdrop.doc_id IS NULL
+    ),
+    s5 AS MATERIALIZED (
+      SELECT * FROM s4
+      WHERE len(list_filter(string_split(lower(text), ' '), w -> w IN {{stops}}))
+              * 1.0 / len(list_filter(string_split(lower(text), ' '), w -> w <> '')) >= 0.05
+        AND length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              * 1.0 / length(text) <= 0.2
+    ),
+    cnts AS (SELECT lang, COUNT(*) AS cnt FROM s5 GROUP BY lang),
+    mrate AS (
+      SELECT lang, sqrt((SELECT MIN(cnt) FROM cnts) * 1.0 / cnt) AS rate
+      FROM cnts
+    ),
+    s6 AS MATERIALIZED (
+      SELECT s5.* FROM s5 JOIN mrate USING (lang)
+      WHERE (('0x' || substr(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             % 10000) / 10000.0 < rate
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM tok
+      UNION ALL
+      SELECT 1, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'jaccard_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'semdedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 5, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s5
+      UNION ALL
+      SELECT 6, 'temp_mixture', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s6
+      UNION ALL
+      SELECT 7, 'packed_seqs_{_RELEASE_SEQ_LEN}',
+             CAST(CEIL(COALESCE(SUM(n_tok), 0) / {_RELEASE_SEQ_LEN}.0) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s6
+    ) ORDER BY stage
+    """.replace("{stops}", _STOPS_SQL),
+)
+def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM corpus RELEASE as one audited cascade — the
+    composition flagship the r7 verdict asked for: benchmark-contamination
+    gate (shared full 8-gram vs the held-out eval slice), exact dedup
+    (content-hash min-id), near-dup dedup (3-gram set Jaccard >= 0.8,
+    inverted-index join with the hot-shingle df cap), SemDeDup (cosine >=
+    0.45 within coarse clusters), Gopher-style quality gates, alpha=0.5
+    temperature mixture thinning, and concat-then-chop packing at 512
+    tokens. Output is the per-stage funnel (docs + tokens after each
+    stage) — the audit table a data-release review actually reads.
+
+    Every stage is also a standalone query (contamination_bloom_gate,
+    dedup_exact_docs, dedup_ngram_jaccard_pairs, semdedup_embeddings,
+    text_quality_by_source, temperature_resample_rates,
+    corpus_pack_sequences); the composite proves they chain in one plan
+    for exactly the sum of their shuffles. Each stage is persisted once
+    (funnel row + next stage share it) and carries an observe() audit
+    node, so the executed plan shows CollectMetrics checkpoints per stage.
+
+    Scale notes: the contamination join broadcasts the EVAL 8-gram set
+    (benchmark-sized at any corpus scale); Jaccard candidates flow through
+    the capped inverted index (no |docs|^2); SemDeDup's quadratic term is
+    bounded per cluster; the mixture rate is sqrt(min/cnt) — IEEE-exact in
+    both engines, no libm pow inside a filter predicate."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+    ).persist()
+
+    # S1 contamination gate: drop corpus docs sharing any full 8-gram with
+    # the held-out eval slice (doc_id % 97 == 0 — excluded from the release
+    # entirely, like any benchmark).
+    evald = tok.filter(F.col("doc_id") % 97 == 0)
+    corp = tok.filter(F.col("doc_id") % 97 != 0)
+    eval8 = evald.select(F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")).distinct()
+    contaminated = (
+        corp.select("doc_id", F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s"))
+        .join(F.broadcast(eval8), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    s1 = (
+        corp.join(contaminated, "doc_id", "left_anti")
+        .observe("release_decontaminated", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # S2 exact dedup: min doc_id per content hash.
+    keep2 = (
+        s1.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = (
+        s1.join(keep2, "doc_id")
+        .observe("release_exact_dedup", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # S3 near-dup: pairwise 3-gram set Jaccard >= 0.8 (capped inverted
+    # index), drop the larger id of each qualifying pair.
+    pairs = dedup.ngram_jaccard_pairs(s2.select("doc_id", "text"), threshold=0.8)
+    drop3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s3 = (
+        s2.join(drop3, "doc_id", "left_anti")
+        .observe("release_jaccard_dedup", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # S4 SemDeDup on the survivors' embeddings (cluster = label; docs
+    # without an embedding row pass through).
+    emb = load(spark, sf_dir, "embeddings")
+    emb_s = emb.join(s3.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    sem = similarity.semdedup(emb_s, cluster_col="label", threshold=0.45)
+    drop4 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+    s4 = (
+        s3.join(drop4, "doc_id", "left_anti")
+        .observe("release_semdedup", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # S5 quality gates (same predicates as corpus_curation_e2e).
+    s5 = (
+        s4.filter(
+            (T.stopword_ratio(F.col("text")) >= 0.05)
+            & (T.punct_ratio(F.col("text")) <= 0.2)
+        )
+        .observe("release_quality_gate", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # S6 temperature mixture, alpha=0.5: keep rate sqrt(min_cnt/cnt_lang)
+    # (sqrt + exact-int division are IEEE-correctly-rounded -> the rate
+    # bits match DuckDB exactly; no pow in the predicate).
+    cnts = s5.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = cnts.agg(F.min("cnt").alias("mn"))
+    rates = F.broadcast(
+        cnts.crossJoin(F.broadcast(mn)).select(
+            "lang",
+            F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double")).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    s6 = (
+        s5.join(rates, "lang")
+        .filter(u < F.col("rate"))
+        .observe("release_temp_mixture", F.count(F.lit(1)).alias("docs"))
+        .persist()
+    )
+
+    # Funnel rows are collected EAGERLY, stage by stage: a lazy 8-branch
+    # union would race the stage caches (branches recompute the cascade
+    # prefix before a sibling's persist lands — observed 5x blowup), while
+    # sequential collection populates each cache exactly once and pulls
+    # only 2 scalars per stage to the driver (bounded by construction).
+    funnel_rows: list[tuple[int, str, int, int]] = []
+    for stage, name, df in (
+        (0, "raw", tok),
+        (1, "decontaminated", s1),
+        (2, "exact_dedup", s2),
+        (3, "jaccard_dedup", s3),
+        (4, "semdedup", s4),
+        (5, "quality_gate", s5),
+        (6, "temp_mixture", s6),
+    ):
+        r = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).collect()[0]
+        funnel_rows.append((stage, name, int(r["n_docs"]), int(r["n_tokens"])))
+    total = funnel_rows[-1][3]
+    n_seqs = -(-total // _RELEASE_SEQ_LEN)  # ceil
+    funnel_rows.append((7, f"packed_seqs_{_RELEASE_SEQ_LEN}", n_seqs, total))
+    return spark.createDataFrame(
+        funnel_rows, "stage int, stage_name string, n_docs bigint, n_tokens bigint"
+    ).orderBy("stage")
