@@ -195,6 +195,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
 
@@ -204,10 +205,17 @@ def ngram_jaccard_pairs(
     boilerplate shingle appearing in D documents contributes O(D^2) join
     pairs, which is the operator's only super-linear term at 100 TB. Pass
     ``max_shingle_df=None`` for the exact uncapped semantics.
+
+    The returned DataFrame is lazy over a persisted intermediate, so the
+    operator cannot unpersist it itself; long-lived callers pass a list as
+    ``persisted_out`` and unpersist its entries once the result has been
+    fully consumed (one-shot sessions can ignore it).
     """
     # The shingle sets feed three plan branches (sizes, both join sides);
     # persist so tokenization+explode runs once, not per branch.
     sets = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out.append(sets)
     if max_shingle_df is not None:
         # The hot list is tiny by construction (only shingles with df >
         # cap), so broadcast it: the anti-join then adds NO shuffle on top

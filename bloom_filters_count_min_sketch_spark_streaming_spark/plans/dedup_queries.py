@@ -909,36 +909,51 @@ def winnow_fingerprints_py(text: str) -> list[int]:
     return sorted(sel)
 
 
-def winnow_keyed_grams(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, p, key) packed winnowing keys, pure JVM expressions — the
-    shared map-only front half of the winnowing construction: tokenize,
-    form every k-word gram via arrays_zip of shifted slices (no
-    per-element lambdas), posexplode, md5 -> 40-bit hash, pack the
-    rightmost tie-break into ``key = h * 8192 + (8191 - p)``. Rows for a
-    document are emitted contiguously in gram-position order (narrow
-    chain), which the streaming consumer's vectorized sliding-min relies
-    on. Batch consumers apply the per-doc window MIN; streaming consumers
-    apply the same min in numpy inside mapInPandas. Works on bounded and
-    unbounded inputs alike (everything here is stateless)."""
+def winnow_doc_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, bucket) distinct winnowing fingerprints per document, 100%
+    JVM expressions and map-only — the shared construction behind the
+    batch overlap query AND the streaming contamination gate: tokenize,
+    form every k-word gram via arrays_zip of shifted slices, md5 -> 40-bit
+    hash with the rightmost tie-break packed into
+    ``key = h * 8192 + (8191 - p)`` (positions 1-indexed, < 8192), take
+    the w-wide sliding MIN as ``least`` over w shifted slices of the
+    per-doc key array, shiftright(13) back to the hash, array_distinct,
+    explode. No per-doc shuffle (the old batch path's window needed one)
+    and no Arrow boundary (the old streaming path shipped every gram row
+    to a numpy sliding-min); only the selected fingerprints — expected
+    density 2/(w+1) of gram volume — ever leave the row. Stateless, so it
+    works on bounded and unbounded inputs alike.
+
+    The two lambdas are interpreted (Catalyst HOFs don't codegen) but
+    each does O(1) work per element with direct lambda-variable access —
+    no element_at indexing — so the per-doc cost stays linear and
+    JVM-side; md5 dominates either way."""
     dt = docs.select(F.col(id_col).alias("doc"), dedup.tokens_col(F.col("text")).alias("ws"))
     n = F.size("ws")
     zipped = F.arrays_zip(
         *[F.slice("ws", i + 1, n - (_WIN_K - 1)).alias(f"g{i}") for i in range(_WIN_K)]
     )
-    g = (
-        dt.filter(n >= _WIN_K + _WIN_W - 1)
-        .select("doc", F.posexplode(zipped).alias("p0", "s"))
-        .select(
-            "doc",
-            (F.col("p0") + 1).alias("p"),  # 1-indexed, matches the oracle
-            F.concat_ws(" ", *[F.col(f"s.g{i}") for i in range(_WIN_K)]).alias("gram"),
-        )
+    # key_j = md5-40bit(gram_j) * 8192 + (8191 - p) with p = j+1 (1-indexed)
+    keys = F.transform(
+        zipped,
+        lambda s, j: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", *[s[f"g{i}"] for i in range(_WIN_K)])), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(8192)
+        + (F.lit(8190) - j),
     )
-    key = (
-        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long") * F.lit(8192)
-        + (F.lit(8191) - F.col("p"))
+    ks = dt.filter(n >= _WIN_K + _WIN_W - 1).select("doc", keys.alias("ks"))
+    m = F.size("ks")
+    shifted = F.arrays_zip(
+        *[F.slice("ks", j + 1, m - (_WIN_W - 1)).alias(f"k{j}") for j in range(_WIN_W)]
     )
-    return g.select("doc", "p", key.alias("key"))
+    mins = F.transform(shifted, lambda s: F.least(*[s[f"k{j}"] for j in range(_WIN_W)]))
+    # keys are positive (< 2^53): shiftright 13 == // 8192 exactly, no
+    # float division anywhere near the 53-bit mantissa edge
+    buckets = F.array_distinct(F.transform(mins, lambda mk: F.shiftright(mk, 13)))
+    return ks.select("doc", F.explode(buckets).alias("bucket"))
 
 
 @query(
@@ -972,21 +987,16 @@ def winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     2/(w+1) — position-robust contamination/plagiarism detection that
     md5-whole-doc (doc_fingerprints) and bag-of-shingles MinHash both miss.
 
-    Scale shape: gram hashing is map-only; the window MIN is a per-doc
-    sorted window (docs are short — the sort is within a row group, no
-    cross-doc shuffle); the candidate join is an equi-join on the selected
-    hash, carrying ~2/(w+1) of gram volume. The rightmost-tie-break is
-    packed INTO the key (hash*8192 + (8191 - pos)) so the argmin is total
-    and the selected set is deterministic cross-engine."""
+    Scale shape: the whole fingerprint construction is map-only JVM array
+    expressions (winnow_doc_fingerprints — shared with the streaming
+    gate): gram hash, sliding min, and distinct all happen inside the
+    document row, so the only shuffle is the candidate equi-join on the
+    selected hash, carrying ~2/(w+1) of gram volume. The rightmost
+    tie-break is packed INTO the key (hash*8192 + (8191 - pos)) so the
+    argmin is total and the selected set is deterministic cross-engine."""
     docs = load(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
-    win = W.partitionBy("doc").orderBy("p").rowsBetween(-(_WIN_W - 1), 0)
-    m = winnow_keyed_grams(docs).withColumn("mk", F.min("key").over(win))
-    fp = (
-        m.filter(F.col("p") >= _WIN_W)
-        .select(F.col("doc").alias("doc_id"), (F.col("mk") / 8192).cast("long").alias("h"))
-        .distinct()
+    fp = winnow_doc_fingerprints(docs).select(
+        F.col("doc").alias("doc_id"), F.col("bucket").alias("h")
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
     b = fp.select(F.col("doc_id").alias("doc_b"), "h")

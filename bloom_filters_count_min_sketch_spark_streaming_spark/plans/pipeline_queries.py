@@ -3149,8 +3149,13 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # S3 near-dup: pairwise 3-gram set Jaccard >= 0.8 (capped inverted
-    # index), drop the larger id of each qualifying pair.
-    pairs = dedup.ngram_jaccard_pairs(s2.select("doc_id", "text"), threshold=0.8)
+    # index), drop the larger id of each qualifying pair. The operator's
+    # internal shingle-set cache is collected for the same end-of-funnel
+    # cleanup as the stage caches.
+    nested_caches: list = []
+    pairs = dedup.ngram_jaccard_pairs(
+        s2.select("doc_id", "text"), threshold=0.8, persisted_out=nested_caches
+    )
     drop3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     s3 = (
         s2.join(drop3, "doc_id", "left_anti")
@@ -3213,7 +3218,13 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix before a sibling's persist lands — observed 5x blowup), while
     # sequential collection populates each cache exactly once and pulls
     # only 2 scalars per stage to the driver (bounded by construction).
+    # Each stage cache exists only to keep its SUCCESSOR from recomputing
+    # the cascade prefix, so once stage i's funnel row lands (fully
+    # materializing its cache, which consumed stage i-1's), stage i-1 is
+    # dead weight — unpersist it immediately rather than holding 7 stage
+    # caches in executor storage for the rest of the session.
     funnel_rows: list[tuple[int, str, int, int]] = []
+    prev: DataFrame | None = None
     for stage, name, df in (
         (0, "raw", tok),
         (1, "decontaminated", s1),
@@ -3228,6 +3239,13 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
         ).collect()[0]
         funnel_rows.append((stage, name, int(r["n_docs"]), int(r["n_tokens"])))
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+    if prev is not None:
+        prev.unpersist()  # s6: the funnel is on the driver; nothing reads the stages again
+    for c in nested_caches:  # ngram_jaccard_pairs' shingle sets (dead once s3 cached)
+        c.unpersist()
     total = funnel_rows[-1][3]
     n_seqs = -(-total // _RELEASE_SEQ_LEN)  # ceil
     funnel_rows.append((7, f"packed_seqs_{_RELEASE_SEQ_LEN}", n_seqs, total))

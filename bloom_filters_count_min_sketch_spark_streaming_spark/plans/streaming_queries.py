@@ -2700,63 +2700,20 @@ def stream_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     collide — ingest-time plagiarism/contamination detection that can't
     be fooled by re-positioning.
 
-    Scale shape: fingerprinting is map-only (density 2/(w+1) of gram
-    volume); state is O(distinct fingerprints) int64s forever; each batch
-    shuffles only its own (fingerprint) rows. Gram hashing runs JVM-side
-    in whole-stage codegen (winnow_keyed_grams — the exact batch
-    construction); the only Python left is one numpy sliding-window MIN
-    per Arrow batch, vectorized, with a carry buffer so a document whose
-    gram rows straddle an Arrow batch boundary is winnowed whole (rows
-    arrive doc-contiguous in position order off the narrow JVM chain,
-    and the mask double-checks doc identity AND position deltas)."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
+    Scale shape: fingerprinting is 100% map-only JVM array expressions
+    (winnow_doc_fingerprints — the SAME construction the batch overlap
+    query runs): gram hash, w-wide sliding min via ``least`` over shifted
+    key-array slices, per-doc distinct — nothing crosses an Arrow
+    boundary and no Python runs at all; only the selected fingerprints
+    (density 2/(w+1) of gram volume) are exploded into the stateful
+    stage. State is O(distinct fingerprints) int64s forever; each batch
+    shuffles only its own (fingerprint) rows."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries import (
-        _WIN_W,
-        winnow_keyed_grams,
+        winnow_doc_fingerprints,
     )
 
     src = table_stream_source(spark, sf_dir, "documents", "doc_id")
-    keyed = winnow_keyed_grams(src, id_col="doc_id")
-
-    def _winnow_chunk(pdf):
-        # Vectorized full-window minima over doc-contiguous (doc, p, key)
-        # rows: every run of _WIN_W consecutive rows with the same doc and
-        # consecutive positions is a full winnowing window.
-        d = pdf["doc"].to_numpy(dtype=np.int64)
-        empty = np.array([], dtype=np.int64)
-        if len(d) < _WIN_W:
-            return pd.DataFrame({"doc": empty, "bucket": empty})
-        k = pdf["key"].to_numpy(dtype=np.int64)
-        p = pdf["p"].to_numpy(dtype=np.int64)
-        mins = sliding_window_view(k, _WIN_W).min(axis=1)
-        full = (d[_WIN_W - 1 :] == d[: -(_WIN_W - 1)]) & (
-            p[_WIN_W - 1 :] - p[: -(_WIN_W - 1)] == _WIN_W - 1
-        )
-        return pd.DataFrame(
-            {"doc": d[_WIN_W - 1 :][full], "bucket": mins[full] // 8192}
-        ).drop_duplicates()
-
-    def fps(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            d = pdf["doc"].to_numpy()
-            if len(d) == 0:
-                continue
-            # Hold back the trailing document: its grams may continue in
-            # the next Arrow batch. Complete docs are winnowed (and their
-            # (doc, bucket) sets deduped) entirely within one chunk.
-            earlier = np.flatnonzero(d != d[-1])
-            cut = int(earlier[-1]) + 1 if len(earlier) else 0
-            carry = pdf.iloc[cut:]
-            if cut:
-                yield _winnow_chunk(pdf.iloc[:cut])
-        if carry is not None and len(carry):
-            yield _winnow_chunk(carry)
-
-    fp = keyed.mapInPandas(fps, "doc long, bucket long").withColumn(
+    fp = winnow_doc_fingerprints(src, id_col="doc_id").withColumn(
         "band", F.lit(0).cast("long")
     )
     flags = stateful.first_seen_flags(fp)

@@ -133,20 +133,16 @@ def test_icws_collision_rate_estimates_weighted_jaccard(spark):
     assert abs(est(1, 2) - 0.5) < 0.125
 
 
-def test_winnow_vectorized_matches_python_spec(spark, sf_dir):
-    """The JVM gram-hash + numpy sliding-min winnowing path (what the
-    streaming contamination gate runs) must produce EXACTLY the
-    fingerprint sets of the pure-Python spec winnow_fingerprints_py —
-    including when Arrow batches are forced so small that one document's
-    gram rows straddle many mapInPandas batches (the carry-buffer path)."""
-    import numpy as np
-    import pandas as pd
-    from numpy.lib.stride_tricks import sliding_window_view
-
+def test_winnow_jvm_matches_python_spec(spark, sf_dir):
+    """The all-JVM array winnowing construction (the PRODUCTION
+    winnow_doc_fingerprints, shared by the batch overlap query and the
+    streaming contamination gate) must produce EXACTLY the fingerprint
+    sets of the pure-Python spec winnow_fingerprints_py — gram hashing,
+    packed rightmost tie-break, full-window sliding minima, and per-doc
+    distinct all agree element-for-element."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.plans.dedup_queries import (
-        _WIN_W,
+        winnow_doc_fingerprints,
         winnow_fingerprints_py,
-        winnow_keyed_grams,
     )
 
     docs = load(spark, sf_dir, "documents").limit(40)
@@ -156,54 +152,7 @@ def test_winnow_vectorized_matches_python_spec(spark, sf_dir):
     }
     expected = {d: fps for d, fps in expected.items() if fps}
 
-    # Same chunked consumer as stream_winnowing_contamination.fps, driven
-    # through mapInPandas with a tiny Arrow batch size to force carries.
-    def _winnow_chunk(pdf):
-        d = pdf["doc"].to_numpy(dtype=np.int64)
-        empty = np.array([], dtype=np.int64)
-        if len(d) < _WIN_W:
-            return pd.DataFrame({"doc": empty, "bucket": empty})
-        k = pdf["key"].to_numpy(dtype=np.int64)
-        p = pdf["p"].to_numpy(dtype=np.int64)
-        mins = sliding_window_view(k, _WIN_W).min(axis=1)
-        full = (d[_WIN_W - 1 :] == d[: -(_WIN_W - 1)]) & (
-            p[_WIN_W - 1 :] - p[: -(_WIN_W - 1)] == _WIN_W - 1
-        )
-        return pd.DataFrame(
-            {"doc": d[_WIN_W - 1 :][full], "bucket": mins[full] // 8192}
-        ).drop_duplicates()
-
-    def fps(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            d = pdf["doc"].to_numpy()
-            if len(d) == 0:
-                continue
-            earlier = np.flatnonzero(d != d[-1])
-            cut = int(earlier[-1]) + 1 if len(earlier) else 0
-            carry = pdf.iloc[cut:]
-            if cut:
-                yield _winnow_chunk(pdf.iloc[:cut])
-        if carry is not None and len(carry):
-            yield _winnow_chunk(carry)
-
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
-    try:
-        got_rows = (
-            winnow_keyed_grams(docs)
-            .coalesce(1)
-            .mapInPandas(fps, "doc long, bucket long")
-            .collect()
-        )
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
-        else:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got: dict[int, set[int]] = {}
-    for r in got_rows:
+    for r in winnow_doc_fingerprints(docs).collect():
         got.setdefault(int(r["doc"]), set()).add(int(r["bucket"]))
     assert {d: sorted(s) for d, s in got.items()} == expected

@@ -53,3 +53,21 @@ def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
         assert r["boot_lo"] <= r["point_mean"] <= r["boot_hi"]
         # a 95% CI from thousands of rows is narrow relative to the mean
         assert (r["boot_hi"] - r["boot_lo"]) < 0.5 * abs(r["point_mean"]) + 1.0
+
+
+def test_release_e2e_unpersists_all_stages(spark, sf_dir):
+    """llm_corpus_release_e2e persists 7 stage DataFrames to keep the
+    cascade from recomputing its prefix; every one must be unpersisted by
+    the time the funnel returns (r8 verdict: leftover stage caches held
+    executor storage for the rest of a bench/correctness sweep)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    rows = QUERIES["llm_corpus_release_e2e"](spark, sf_dir).collect()
+    assert len(rows) == 8  # 7 stages + packed_seqs
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked persisted RDD ids: {after - before}"
