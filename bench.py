@@ -225,6 +225,10 @@ HEADLINE = [
     "energy_distance_embeddings",
     "shapley_source_vocab_value",
     "markov_removal_attribution",
+    # round-8 additions
+    "llm_corpus_release_e2e",
+    "ann_rptree_full_spill_exact",
+    "kmeans_coreset_full_exact",
 ]
 
 

@@ -780,6 +780,7 @@ def ann_rptree_topk(
     levels: int = 3,
     dim: int = 64,
     seed: int = 42,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via a RANDOM-PROJECTION TREE (the annoy-family
     member of the ANN suite, beside hyperplane LSH and IVF): one seeded
@@ -857,11 +858,14 @@ def ann_rptree_topk(
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        cosine_pandas(F.col("qv"), F.col("cv")).alias("cos"),
-    )
+    cos = cosine_pandas(F.col("qv"), F.col("cv"))
+    # round_scores: rank on ROUND(cos, d) instead of the raw float — the
+    # round-before-compare rule for hash-checked witnesses, so a numpy-vs-
+    # DuckDB last-bit difference on a near-tie can't flip ROW_NUMBER ranks
+    # (ties at the rounded scale break on neighbor_id in both engines).
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
+    scored = candidates.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1057,10 +1057,15 @@ def knn_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- reproduce brute-force cosine kNN rank-for-rank. This puts the entire
     -- RP-tree code path under the hash-checked oracle; recall<1 tree
     -- depths of the SAME path are covered by the recall property tests.
+    -- Ranking is on ROUND(cos, 6) in BOTH engines (round-before-compare):
+    -- raw-float ranking would rest on fixture rank gaps to absorb
+    -- numpy-vs-DuckDB last-bit noise on near-ties.
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (
              PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.embedding, c.embedding), 6)
+                        DESC,
+                      c.vec_id
            ) AS rank
     FROM embeddings q, embeddings c
     WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
@@ -1073,10 +1078,13 @@ def ann_rptree_full_spill_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the output must equal brute-force kNN exactly. Promotes the
     RP-tree path (ann_rptree_topk, rows-only by construction at depth>1)
     into the hash-checked family, exactly how the LSH and IVF paths earned
-    their full-coverage witnesses."""
+    their full-coverage witnesses. Ranks on ROUND(cos, 6) cross-engine so
+    determinism comes from the rounding rule, not fixture margins."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_rptree_topk(emb, queries, k=5, levels=1, dim=64, seed=42)
+    return similarity.ann_rptree_topk(
+        emb, queries, k=5, levels=1, dim=64, seed=42, round_scores=6
+    )
 
 
 @query("ann_rptree_topk")
