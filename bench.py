@@ -229,6 +229,8 @@ HEADLINE = [
     "llm_corpus_release_e2e",
     "ann_rptree_full_spill_exact",
     "kmeans_coreset_full_exact",
+    # round-9 additions
+    "stream_corpus_release_funnel",
 ]
 
 

@@ -2949,9 +2949,10 @@ def shapley_source_vocab_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RELEASE_SEQ_LEN = 512
 
 
-@query(
-    "llm_corpus_release_e2e",
-    oracle=f"""
+# Shared by llm_corpus_release_e2e AND its streaming twin
+# (plans/streaming_queries.py:stream_corpus_release_funnel): the two must
+# produce the SAME funnel, so they share one oracle.
+RELEASE_FUNNEL_ORACLE = f"""
     -- The full release cascade. Every stage CTE is referenced twice (next
     -- stage + its funnel row) -> AS MATERIALIZED, or DuckDB's CTE inlining
     -- re-evaluates the cascade exponentially (r6 lesson).
@@ -3077,8 +3078,10 @@ _RELEASE_SEQ_LEN = 512
              CAST(CEIL(COALESCE(SUM(n_tok), 0) / {_RELEASE_SEQ_LEN}.0) AS BIGINT),
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s6
     ) ORDER BY stage
-    """.replace("{stops}", _STOPS_SQL),
-)
+    """.replace("{stops}", _STOPS_SQL)
+
+
+@query("llm_corpus_release_e2e", oracle=RELEASE_FUNNEL_ORACLE)
 def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end LLM corpus RELEASE as one audited cascade — the
     composition flagship the r7 verdict asked for: benchmark-contamination
@@ -3110,13 +3113,19 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
-    ).persist()
+    # repartition first: every stage below does per-row CPU work (shingle,
+    # md5, ratio scans) and the fixture is one row group -> one partition
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .persist()
+    )
 
     # S1 contamination gate: drop corpus docs sharing any full 8-gram with
     # the held-out eval slice (doc_id % 97 == 0 — excluded from the release

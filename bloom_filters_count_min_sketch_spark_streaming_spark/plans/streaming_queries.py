@@ -2807,3 +2807,298 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "priority")
     )
     return last.orderBy(F.desc("priority"), "doc_id").limit(50)
+
+
+# --- streaming corpus-release funnel (incremental at-rest release pipeline) ---
+
+
+@query(
+    "stream_corpus_release_funnel",
+    oracle=__import__(
+        "bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries",
+        fromlist=["RELEASE_FUNNEL_ORACLE"],
+    ).RELEASE_FUNNEL_ORACLE,
+)
+def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM release cascade running as an INGEST PIPELINE — the
+    streaming twin of llm_corpus_release_e2e, sharing its oracle: the
+    funnel a batch release audit produces must be reproducible by a
+    stream that saw the corpus one micro-batch at a time. Documents
+    replay in doc_id order; each micro-batch runs the stage gates
+    incrementally against AT-REST state tables (the foreachBatch +
+    incremental-index architecture — Structured Streaming's blessed
+    pattern for multi-stage stateful pipelines that one chained plan
+    can't express):
+
+    - S1 contamination: per-batch anti-join against the STATIC eval
+      8-gram set (benchmarks are static artifacts; broadcast once).
+    - S2 exact dedup: batch-local min-id per content hash, then anti-join
+      against the at-rest seen-hash table. Doc-ordered arrival makes
+      first-seen == global min, so decisions equal the batch cascade's.
+    - S3 Jaccard >= 0.8: within-batch inverted-index pairs UNION pairs of
+      (at-rest S2-survivor shingles x new docs) — every (a < b) pair is
+      generated exactly once, so the drop set equals the batch one.
+      The index stores ALL S2 survivors (a doc dropped in S3 can still
+      drop later docs — the batch pair rule is over S2).
+    - S4 SemDeDup: same split — within-batch pairs + at-rest S3-survivor
+      embeddings, cluster-scoped, ROUND(cos, 6) >= 0.45; prior ids are
+      always lower, matching the lower-id-wins keep rule.
+    - S5 quality gates: per-row, stateless.
+    - S6 temperature mixture runs POST-DRAIN over the accumulated live
+      set: the mixture rate depends on final language counts, so it is a
+      terminal cut of the release, not a per-batch gate (the batch twin
+      computes it over full s5 for the same reason).
+
+    The funnel accumulates per micro-batch (each stage carries an
+    observe() audit node per batch, mirroring the batch composite's
+    CollectMetrics checkpoints) and the output is the SAME 8-row funnel,
+    hash-checked against the SAME DuckDB cascade oracle.
+
+    Scale shape: every at-rest table is an append-only parquet increment
+    (hashes O(docs), shingle index O(corpus shingles), embeddings O(docs
+    x dim), live set O(docs x 3 cols)); per batch the work is (batch x
+    index) equi-joins — the inverted-index/cluster bounds of the batch
+    stages carry over, nothing rescans history, and no state lives on
+    the driver beyond 12 funnel counters. Divergence caveat: S3 computes
+    the exact (uncapped) Jaccard — identical to the oracle by
+    construction and to the batch Spark twin wherever the hot-shingle df
+    cap is inactive (everywhere at fixture scales)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
+        _as_double_array,
+        cosine_pandas,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries import (
+        _RELEASE_SEQ_LEN,
+    )
+
+    emb_static = load(spark, sf_dir, "embeddings")
+    docs_static = load(spark, sf_dir, "documents")
+    eval8 = (
+        docs_static.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s"))
+        .distinct()
+        .persist()
+    )
+    eval8.count()  # materialize the static gate once, before the stream starts
+
+    root = _tempfile.mkdtemp(prefix="bfcms_release_stream_")
+
+    # Manifest-style VERSIONED increments, not a shared append dir: a
+    # parquet append to a path fires refreshByPath, which recursively
+    # invalidates every cached plan reading that path — the current
+    # batch's own gate results would then lazily re-evaluate against
+    # state that already contains their own output (observed: every doc
+    # from batch 1 on deduped against itself -> empty stages). Reads
+    # enumerate the EXISTING inc_* dirs explicitly, writes create a NEW
+    # inc_{batch_id} dir (mode=overwrite -> a retried micro-batch
+    # rebuilds its own increment: the exactly-once contract, same as
+    # runner.versioned_merge_upsert).
+
+    def _read(name: str, schema: str) -> DataFrame:
+        base = _os.path.join(root, name)
+        incs = sorted(_glob.glob(_os.path.join(base, "inc_*")))
+        if not incs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*incs)
+
+    def _append(df: DataFrame, name: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            _os.path.join(root, name, f"inc_{batch_id}")
+        )
+
+    # stages 0..5 accumulate per micro-batch: [n_docs, n_tokens]
+    acc = [[0, 0] for _ in range(6)]
+
+    def _tally(stage_i: int, df: DataFrame) -> None:
+        r = df.agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
+        ).head()
+        acc[stage_i][0] += int(r["d"])
+        acc[stage_i][1] += int(r["t"])
+
+    def _stage_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a micro-batch is one replay file -> one partition; repartition
+        # before the per-row CPU stages (shingle, md5, ratio scans)
+        tok_b = (
+            batch_df.repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "text",
+                F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+            )
+            .persist()
+        )
+        _tally(0, tok_b)
+
+        # S1: static-eval contamination gate
+        corp_b = tok_b.filter(F.col("doc_id") % 97 != 0)
+        cont = (
+            corp_b.select(
+                "doc_id", F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")
+            )
+            .join(F.broadcast(eval8), "s")
+            .select("doc_id")
+            .distinct()
+        )
+        s1_b = (
+            corp_b.join(cont, "doc_id", "left_anti")
+            .observe(f"release_stream_decontaminated_{batch_id}", F.count(F.lit(1)).alias("docs"))
+            .persist()
+        )
+        _tally(1, s1_b)
+
+        # S2: content-hash first-seen (batch-local min-id, then at-rest index)
+        hashed = s1_b.withColumn("h", F.md5(F.lower("text")))
+        seen = _read("hashes", "h string")
+        fresh = hashed.join(seen, "h", "left_anti")
+        keep2 = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        s2_b = (
+            fresh.join(keep2, "doc_id")
+            .drop("h")
+            .observe(f"release_stream_exact_dedup_{batch_id}", F.count(F.lit(1)).alias("docs"))
+            .persist()
+        )
+        _tally(2, s2_b)
+        _append(fresh.select("h").distinct(), "hashes", batch_id)
+
+        # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles
+        sets_b = dedup.doc_shingle_sets(s2_b, "doc_id", "text", 3).persist()
+        sizes_b = sets_b.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        idx = _read("shingle_idx", "doc long, sh string")
+        idx_sizes = _read("shingle_sizes", "doc long, n long")
+        a_w = sets_b.select(F.col("doc").alias("doc_a"), "sh")
+        b_w = sets_b.select(F.col("doc").alias("doc_b"), "sh")
+        within = a_w.join(b_w, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+        cross = idx.select(F.col("doc").alias("doc_a"), "sh").join(
+            b_w, "sh"
+        )  # at-rest ids are strictly lower (doc-ordered replay)
+        common = (
+            within.select("doc_a", "doc_b")
+            .unionByName(cross.select("doc_a", "doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        sizes_all = sizes_b.unionByName(idx_sizes)
+        jdrop = (
+            common.join(sizes_all.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+            .join(sizes_b.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+            .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.8)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        s3_b = (
+            s2_b.join(jdrop, "doc_id", "left_anti")
+            .observe(f"release_stream_jaccard_dedup_{batch_id}", F.count(F.lit(1)).alias("docs"))
+            .persist()
+        )
+        _tally(3, s3_b)
+        _append(sets_b, "shingle_idx", batch_id)
+        _append(sizes_b, "shingle_sizes", batch_id)
+
+        # S4: SemDeDup vs within-batch + at-rest S3-survivor embeddings
+        emb_b = (
+            s3_b.select("doc_id")
+            .join(emb_static, F.col("doc_id") == emb_static["vec_id"])
+            .select("vec_id", "label", _as_double_array("embedding").alias("v"))
+            .persist()
+        )
+        prev_emb = _read("emb_idx", "vec_id long, label int, v array<double>")
+        a4 = prev_emb.unionByName(emb_b).select(
+            F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va")
+        )
+        b4 = emb_b.select(
+            F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+        )
+        drop4 = (
+            a4.join(b4, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+            .select(
+                "id_b",
+                F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.45)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        s4_b = s3_b.join(drop4, "doc_id", "left_anti").persist()
+        _tally(4, s4_b)
+        _append(emb_b, "emb_idx", batch_id)
+
+        # S5: quality gates (stateless)
+        s5_b = (
+            s4_b.filter(
+                (T.stopword_ratio(F.col("text")) >= 0.05)
+                & (T.punct_ratio(F.col("text")) <= 0.2)
+            )
+            .observe(f"release_stream_quality_gate_{batch_id}", F.count(F.lit(1)).alias("docs"))
+            .persist()
+        )
+        _tally(5, s5_b)
+        _append(s5_b.select("doc_id", "lang", "n_tok"), "live", batch_id)
+
+        for df in (s5_b, emb_b, s4_b, s3_b, sets_b, s2_b, s1_b, tok_b):
+            df.unpersist()
+
+    src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    try:
+        run_foreach_batch(src, _stage_batch)
+
+        # S6 post-drain: temperature mixture over the accumulated live set
+        live = _read("live", "doc_id long, lang string, n_tok long")
+        cnts = live.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+        mn = cnts.agg(F.min("cnt").alias("mn"))
+        rates = F.broadcast(
+            cnts.crossJoin(F.broadcast(mn)).select(
+                "lang",
+                F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double")).alias(
+                    "rate"
+                ),
+            )
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ) / 10000.0
+        r6 = (
+            live.join(rates, "lang")
+            .filter(u < F.col("rate"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("d"),
+                F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
+            )
+            .head()
+        )
+    finally:
+        eval8.unpersist()
+        _shutil.rmtree(root, ignore_errors=True)
+
+    names = [
+        "raw",
+        "decontaminated",
+        "exact_dedup",
+        "jaccard_dedup",
+        "semdedup",
+        "quality_gate",
+    ]
+    funnel = [(i, names[i], acc[i][0], acc[i][1]) for i in range(6)]
+    funnel.append((6, "temp_mixture", int(r6["d"]), int(r6["t"])))
+    total = int(r6["t"])
+    funnel.append((7, f"packed_seqs_{_RELEASE_SEQ_LEN}", -(-total // _RELEASE_SEQ_LEN), total))
+    return spark.createDataFrame(
+        funnel, "stage int, stage_name string, n_docs bigint, n_tokens bigint"
+    ).orderBy("stage")
