@@ -430,16 +430,10 @@ _SH_ORACLE = f"""
 """
 
 
-@query("simhash_portable_fingerprints", oracle=_SH_ORACLE)
-def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash witness (Charikar 2002) with an md5-derived 60-bit token
-    hash, computable identically in any engine: per token, bit i
-    contributes +1/-1 by the hash bit; per document, the fingerprint bit
-    is the sign of the summed contributions. One shuffle keyed on doc_id,
-    60 codegen'd conditional sums — the same plan shape as the production
-    xxhash64 simhash64 (operators/dedup.py), which stays the fast path;
-    this variant pins the construction under the driver's value hash."""
-    docs = load(spark, sf_dir, "documents")
+def portable_simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) md5-derived 60-bit SimHash — the engine-portable
+    construction shared by the fingerprint witness and the banded-candidate
+    witness. One shuffle keyed on doc_id, 60 codegen'd conditional sums."""
     toks = docs.select(
         F.col("doc_id"), F.explode(dedup.tokens_col(F.col("text"))).alias("w")
     )
@@ -458,6 +452,96 @@ def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(0)
     return bit_sums.select("doc_id", acc.alias("simhash"))
+
+
+@query("simhash_portable_fingerprints", oracle=_SH_ORACLE)
+def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash witness (Charikar 2002) with an md5-derived 60-bit token
+    hash, computable identically in any engine: per token, bit i
+    contributes +1/-1 by the hash bit; per document, the fingerprint bit
+    is the sign of the summed contributions. One shuffle keyed on doc_id,
+    60 codegen'd conditional sums — the same plan shape as the production
+    xxhash64 simhash64 (operators/dedup.py), which stays the fast path;
+    this variant pins the construction under the driver's value hash."""
+    return portable_simhash(load(spark, sf_dir, "documents"))
+
+
+_SH_BAND_W = _SH_BITS // 4  # 15 bits per band
+_SH_BANDED_ORACLE = f"""
+    -- SimHash BANDING witness: the production banding path
+    -- (dedup_simhash_candidates) is rows-only because xxhash64 isn't
+    -- SQL-expressible; this twin runs the IDENTICAL banding machinery —
+    -- 4 x {_SH_BAND_W}-bit band keys by shift/mask, band equi-join,
+    -- doc_a < doc_b, pair distinct, bit_count(xor) Hamming filter — over
+    -- the engine-portable md5 simhash, putting the whole candidate
+    -- pipeline under the value hash. Hamming <= 16 keeps fixture rows
+    -- non-empty (the pigeonhole d<=3 guarantee is threshold-independent).
+    WITH sh AS ({_SH_ORACLE}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * {_SH_BAND_W})) & {(1 << _SH_BAND_W) - 1} AS key
+      FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM pairs
+    ) WHERE hamming <= 16
+"""
+
+
+@query("dedup_simhash_banded_exact", oracle=_SH_BANDED_ORACLE)
+def dedup_simhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding exactness witness: the same band-bucket candidate
+    generation as dedup_simhash_candidates (4 equal-width band keys by
+    shift/mask, band equi-join, pair distinct, Hamming re-rank) run over
+    the md5-portable fingerprint (portable_simhash), so the ENTIRE
+    banding code path is hash-checked — the production query differs only
+    in the token hash (xxhash64). Same scale shape: band equi-join on
+    16-ish-bit keys, never all-pairs; Hamming is one codegen'd
+    bit_count(xor) per candidate."""
+    fp = portable_simhash(load(spark, sf_dir, "documents"))
+    mask = (1 << _SH_BAND_W) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * _SH_BAND_W)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            dedup.hamming64(F.col("sa"), F.col("sb")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 16)
+    )
 
 
 @query(

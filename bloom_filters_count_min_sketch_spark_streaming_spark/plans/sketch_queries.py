@@ -191,6 +191,38 @@ def histogram_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_numeric_saturated_exact",
+    oracle="""
+    -- histogram_numeric exactness witness: with nbins >= |distinct
+    -- values| the NAHC centroid-merge never fires, so the sketch
+    -- degenerates to exact (value, count) pairs REGARDLESS of partition
+    -- merge order — the saturated regime pins Spark's histogram_numeric
+    -- aggregate (partial build + merge + finalize) under the value hash,
+    -- the same trick the LSH/IVF/RP-tree witnesses use (full-coverage
+    -- parameters => approximate operator must equal the exact twin).
+    -- floor(value/50) has 21 distinct values < nbins=32.
+    SELECT CAST(floor(value / 50) AS DOUBLE) AS bin_x,
+           CAST(COUNT(*) AS BIGINT) AS bin_y
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_numeric_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric witness in the saturated regime: feeding the
+    sketch a column with fewer distinct values than bins means no centroid
+    ever merges, so (bin_x, bin_y) must equal the exact GROUP BY — the
+    real aggregate (JVM partials, tree merge) is hash-checked; the
+    data-dependent regime stays covered by histogram_event_value's
+    rows-only check + the exact twin histogram_fixed_bins."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.floor(F.col("value") / 50)).cast("double").alias("binv")
+    )
+    return sketches.histogram(ev, "binv", 32).select(
+        F.col("bin_x").cast("double").alias("bin_x"),
+        F.col("bin_y").cast("long").alias("bin_y"),
+    )
+
+
+@query(
     "approx_quantiles_value",
     oracle="""
     SELECT 0.25 AS prob, quantile_disc(value, 0.25) AS quantile FROM events
