@@ -3096,165 +3096,154 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is also a standalone query (contamination_bloom_gate,
     dedup_exact_docs, dedup_ngram_jaccard_pairs, semdedup_embeddings,
     text_quality_by_source, temperature_resample_rates,
-    corpus_pack_sequences); the composite proves they chain in one plan
-    for exactly the sum of their shuffles. Each stage is persisted once
-    (funnel row + next stage share it) and carries an observe() audit
-    node, so the executed plan shows CollectMetrics checkpoints per stage.
+    corpus_pack_sequences). Each stage materializes ONCE into a tmp
+    parquet snapshot (an observe() audit node executes with the write, so
+    the stage plan carries a CollectMetrics checkpoint), and the next
+    stage plans against the SNAPSHOT — this is deliberate lineage
+    truncation, not just caching: with chained persist() every action on
+    stage N re-ran Catalyst analysis over the whole accumulated cascade
+    tree (jaccard self-joins + semdedup pair joins referenced 2-3x per
+    level), and the driver-side optimizer cost grew to ~18 s for the
+    2-scalar mixture agg alone (r9 profile; query total 45-63 s, vs ~24 s
+    snapshot-based). At 100 TB the snapshots are the stage tables a table
+    format would hold between pipeline runs — the same at-rest
+    architecture the streaming twin uses per micro-batch.
 
     Scale notes: the contamination join broadcasts the EVAL 8-gram set
     (benchmark-sized at any corpus scale); Jaccard candidates flow through
     the capped inverted index (no |docs|^2); SemDeDup's quadratic term is
     bounded per cluster; the mixture rate is sqrt(min/cnt) — IEEE-exact in
     both engines, no libm pow inside a filter predicate."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
     from bloom_filters_count_min_sketch_spark_streaming_spark.operators import (
         dedup,
         similarity,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    # repartition first: every stage below does per-row CPU work (shingle,
-    # md5, ratio scans) and the fixture is one row group -> one partition
-    tok = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "text",
-            F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
-        )
-        .persist()
-    )
-
-    # S1 contamination gate: drop corpus docs sharing any full 8-gram with
-    # the held-out eval slice (doc_id % 97 == 0 — excluded from the release
-    # entirely, like any benchmark).
-    evald = tok.filter(F.col("doc_id") % 97 == 0)
-    corp = tok.filter(F.col("doc_id") % 97 != 0)
-    eval8 = evald.select(F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")).distinct()
-    contaminated = (
-        corp.select("doc_id", F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s"))
-        .join(F.broadcast(eval8), "s")
-        .select("doc_id")
-        .distinct()
-    )
-    s1 = (
-        corp.join(contaminated, "doc_id", "left_anti")
-        .observe("release_decontaminated", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # S2 exact dedup: min doc_id per content hash.
-    keep2 = (
-        s1.groupBy(F.md5(F.lower("text")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s2 = (
-        s1.join(keep2, "doc_id")
-        .observe("release_exact_dedup", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # S3 near-dup: pairwise 3-gram set Jaccard >= 0.8 (capped inverted
-    # index), drop the larger id of each qualifying pair. The operator's
-    # internal shingle-set cache is collected for the same end-of-funnel
-    # cleanup as the stage caches.
-    nested_caches: list = []
-    pairs = dedup.ngram_jaccard_pairs(
-        s2.select("doc_id", "text"), threshold=0.8, persisted_out=nested_caches
-    )
-    drop3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    s3 = (
-        s2.join(drop3, "doc_id", "left_anti")
-        .observe("release_jaccard_dedup", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # S4 SemDeDup on the survivors' embeddings (cluster = label; docs
-    # without an embedding row pass through).
-    emb = load(spark, sf_dir, "embeddings")
-    emb_s = emb.join(s3.select(F.col("doc_id").alias("vec_id")), "vec_id")
-    sem = similarity.semdedup(emb_s, cluster_col="label", threshold=0.45)
-    drop4 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
-    s4 = (
-        s3.join(drop4, "doc_id", "left_anti")
-        .observe("release_semdedup", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # S5 quality gates (same predicates as corpus_curation_e2e).
-    s5 = (
-        s4.filter(
-            (T.stopword_ratio(F.col("text")) >= 0.05)
-            & (T.punct_ratio(F.col("text")) <= 0.2)
-        )
-        .observe("release_quality_gate", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # S6 temperature mixture, alpha=0.5: keep rate sqrt(min_cnt/cnt_lang)
-    # (sqrt + exact-int division are IEEE-correctly-rounded -> the rate
-    # bits match DuckDB exactly; no pow in the predicate).
-    cnts = s5.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    mn = cnts.agg(F.min("cnt").alias("mn"))
-    rates = F.broadcast(
-        cnts.crossJoin(F.broadcast(mn)).select(
-            "lang",
-            F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double")).alias("rate"),
-        )
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    ) / 10000.0
-    s6 = (
-        s5.join(rates, "lang")
-        .filter(u < F.col("rate"))
-        .observe("release_temp_mixture", F.count(F.lit(1)).alias("docs"))
-        .persist()
-    )
-
-    # Funnel rows are collected EAGERLY, stage by stage: a lazy 8-branch
-    # union would race the stage caches (branches recompute the cascade
-    # prefix before a sibling's persist lands — observed 5x blowup), while
-    # sequential collection populates each cache exactly once and pulls
-    # only 2 scalars per stage to the driver (bounded by construction).
-    # Each stage cache exists only to keep its SUCCESSOR from recomputing
-    # the cascade prefix, so once stage i's funnel row lands (fully
-    # materializing its cache, which consumed stage i-1's), stage i-1 is
-    # dead weight — unpersist it immediately rather than holding 7 stage
-    # caches in executor storage for the rest of the session.
+    root = _tempfile.mkdtemp(prefix="bfcms_release_batch_")
     funnel_rows: list[tuple[int, str, int, int]] = []
-    prev: DataFrame | None = None
-    for stage, name, df in (
-        (0, "raw", tok),
-        (1, "decontaminated", s1),
-        (2, "exact_dedup", s2),
-        (3, "jaccard_dedup", s3),
-        (4, "semdedup", s4),
-        (5, "quality_gate", s5),
-        (6, "temp_mixture", s6),
-    ):
-        r = df.agg(
+
+    def snap(df: DataFrame, stage: int, name: str) -> DataFrame:
+        """Materialize a stage once (observe node executes with the
+        write), re-plan downstream against the snapshot, record its
+        funnel row (2 scalars to the driver)."""
+        p = _os.path.join(root, name)
+        df.observe(f"release_{name}", F.count(F.lit(1)).alias("docs")).write.mode(
+            "overwrite"
+        ).parquet(p)
+        out = spark.read.parquet(p)
+        r = out.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).collect()[0]
+        ).head()
         funnel_rows.append((stage, name, int(r["n_docs"]), int(r["n_tokens"])))
-        if prev is not None:
-            prev.unpersist()
-        prev = df
-    if prev is not None:
-        prev.unpersist()  # s6: the funnel is on the driver; nothing reads the stages again
-    for c in nested_caches:  # ngram_jaccard_pairs' shingle sets (dead once s3 cached)
-        c.unpersist()
+        return out
+
+    try:
+        docs = load(spark, sf_dir, "documents")
+        # repartition first: every stage below does per-row CPU work
+        # (shingle, md5, ratio scans) and the fixture is one row group ->
+        # one partition
+        tok = snap(
+            docs.repartition(spark.sparkContext.defaultParallelism).select(
+                "doc_id",
+                "lang",
+                "source",
+                "text",
+                F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+            ),
+            0,
+            "raw",
+        )
+
+        # S1 contamination gate: drop corpus docs sharing any full 8-gram
+        # with the held-out eval slice (doc_id % 97 == 0 — excluded from
+        # the release entirely, like any benchmark).
+        evald = tok.filter(F.col("doc_id") % 97 == 0)
+        corp = tok.filter(F.col("doc_id") % 97 != 0)
+        eval8 = evald.select(
+            F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")
+        ).distinct()
+        contaminated = (
+            corp.select(
+                "doc_id", F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")
+            )
+            .join(F.broadcast(eval8), "s")
+            .select("doc_id")
+            .distinct()
+        )
+        s1 = snap(corp.join(contaminated, "doc_id", "left_anti"), 1, "decontaminated")
+
+        # S2 exact dedup: min doc_id per content hash.
+        keep2 = (
+            s1.groupBy(F.md5(F.lower("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        s2 = snap(s1.join(keep2, "doc_id"), 2, "exact_dedup")
+
+        # S3 near-dup: pairwise 3-gram set Jaccard >= 0.8 (capped inverted
+        # index), drop the larger id of each qualifying pair. The
+        # operator's internal shingle-set cache is unpersisted as soon as
+        # the stage snapshot lands.
+        nested_caches: list = []
+        pairs = dedup.ngram_jaccard_pairs(
+            s2.select("doc_id", "text"), threshold=0.8, persisted_out=nested_caches
+        )
+        drop3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        s3 = snap(s2.join(drop3, "doc_id", "left_anti"), 3, "jaccard_dedup")
+        for c in nested_caches:
+            c.unpersist()
+
+        # S4 SemDeDup on the survivors' embeddings (cluster = label; docs
+        # without an embedding row pass through).
+        emb = load(spark, sf_dir, "embeddings")
+        emb_s = emb.join(s3.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        sem = similarity.semdedup(emb_s, cluster_col="label", threshold=0.45)
+        drop4 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        s4 = snap(s3.join(drop4, "doc_id", "left_anti"), 4, "semdedup")
+
+        # S5 quality gates (same predicates as corpus_curation_e2e).
+        s5 = snap(
+            s4.filter(
+                (T.stopword_ratio(F.col("text")) >= 0.05)
+                & (T.punct_ratio(F.col("text")) <= 0.2)
+            ),
+            5,
+            "quality_gate",
+        )
+
+        # S6 temperature mixture, alpha=0.5: keep rate sqrt(min_cnt /
+        # cnt_lang) (sqrt + exact-int division are IEEE-correctly-rounded
+        # -> the rate bits match DuckDB exactly; no pow in the predicate).
+        cnts = s5.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+        mn = cnts.agg(F.min("cnt").alias("mn"))
+        rates = F.broadcast(
+            cnts.crossJoin(F.broadcast(mn)).select(
+                "lang",
+                F.sqrt(
+                    F.col("mn").cast("double") / F.col("cnt").cast("double")
+                ).alias("rate"),
+            )
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mx:"), F.col("doc_id").cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ) / 10000.0
+        snap(s5.join(rates, "lang").filter(u < F.col("rate")), 6, "temp_mixture")
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
     total = funnel_rows[-1][3]
     n_seqs = -(-total // _RELEASE_SEQ_LEN)  # ceil
     funnel_rows.append((7, f"packed_seqs_{_RELEASE_SEQ_LEN}", n_seqs, total))

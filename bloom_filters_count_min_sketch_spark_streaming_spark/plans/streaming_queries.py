@@ -2924,19 +2924,29 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc[stage_i][0] += int(r["d"])
         acc[stage_i][1] += int(r["t"])
 
+    def _snap(df: DataFrame, name: str, batch_id: int) -> DataFrame:
+        """Materialize a per-batch stage once and re-plan downstream
+        against the snapshot — the same deliberate lineage truncation as
+        the batch twin: chained in-batch lineage plus the growing at-rest
+        reads made Catalyst re-analyze the whole cascade tree on every
+        one of the ~12 actions per batch."""
+        p = _os.path.join(root, "scratch", f"b{batch_id}", name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
     def _stage_batch(batch_df: DataFrame, batch_id: int) -> None:
         # a micro-batch is one replay file -> one partition; repartition
         # before the per-row CPU stages (shingle, md5, ratio scans)
-        tok_b = (
-            batch_df.repartition(spark.sparkContext.defaultParallelism)
-            .select(
+        tok_b = _snap(
+            batch_df.repartition(spark.sparkContext.defaultParallelism).select(
                 "doc_id",
                 "lang",
                 "source",
                 "text",
                 F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
-            )
-            .persist()
+            ),
+            "tok",
+            batch_id,
         )
         _tally(0, tok_b)
 
@@ -2950,10 +2960,13 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
-        s1_b = (
-            corp_b.join(cont, "doc_id", "left_anti")
-            .observe(f"release_stream_decontaminated_{batch_id}", F.count(F.lit(1)).alias("docs"))
-            .persist()
+        s1_b = _snap(
+            corp_b.join(cont, "doc_id", "left_anti").observe(
+                f"release_stream_decontaminated_{batch_id}",
+                F.count(F.lit(1)).alias("docs"),
+            ),
+            "s1",
+            batch_id,
         )
         _tally(1, s1_b)
 
@@ -2962,20 +2975,32 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen = _read("hashes", "h string")
         fresh = hashed.join(seen, "h", "left_anti")
         keep2 = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-        s2_b = (
+        s2_b = _snap(
             fresh.join(keep2, "doc_id")
             .drop("h")
-            .observe(f"release_stream_exact_dedup_{batch_id}", F.count(F.lit(1)).alias("docs"))
-            .persist()
+            .observe(
+                f"release_stream_exact_dedup_{batch_id}",
+                F.count(F.lit(1)).alias("docs"),
+            ),
+            "s2",
+            batch_id,
         )
         _tally(2, s2_b)
         _append(fresh.select("h").distinct(), "hashes", batch_id)
 
-        # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles
-        sets_b = dedup.doc_shingle_sets(s2_b, "doc_id", "text", 3).persist()
-        sizes_b = sets_b.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles.
+        # Read handles to the OLD increments are taken before this batch's
+        # increment is written; the batch's own shingles are then written
+        # once and read back as the within-batch side (snapshot role and
+        # index increment are the same bytes).
         idx = _read("shingle_idx", "doc long, sh string")
         idx_sizes = _read("shingle_sizes", "doc long, n long")
+        _append(dedup.doc_shingle_sets(s2_b, "doc_id", "text", 3), "shingle_idx", batch_id)
+        sets_b = spark.read.schema("doc long, sh string").parquet(
+            _os.path.join(root, "shingle_idx", f"inc_{batch_id}")
+        )
+        sizes_b = sets_b.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        _append(sizes_b, "shingle_sizes", batch_id)
         a_w = sets_b.select(F.col("doc").alias("doc_a"), "sh")
         b_w = sets_b.select(F.col("doc").alias("doc_b"), "sh")
         within = a_w.join(b_w, "sh").filter(F.col("doc_a") < F.col("doc_b"))
@@ -2996,23 +3021,30 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        s3_b = (
-            s2_b.join(jdrop, "doc_id", "left_anti")
-            .observe(f"release_stream_jaccard_dedup_{batch_id}", F.count(F.lit(1)).alias("docs"))
-            .persist()
+        s3_b = _snap(
+            s2_b.join(jdrop, "doc_id", "left_anti").observe(
+                f"release_stream_jaccard_dedup_{batch_id}",
+                F.count(F.lit(1)).alias("docs"),
+            ),
+            "s3",
+            batch_id,
         )
         _tally(3, s3_b)
-        _append(sets_b, "shingle_idx", batch_id)
-        _append(sizes_b, "shingle_sizes", batch_id)
 
         # S4: SemDeDup vs within-batch + at-rest S3-survivor embeddings
-        emb_b = (
+        # (old-increment handles first, then this batch's increment doubles
+        # as the within-batch snapshot, like S3's shingles)
+        prev_emb = _read("emb_idx", "vec_id long, label int, v array<double>")
+        _append(
             s3_b.select("doc_id")
             .join(emb_static, F.col("doc_id") == emb_static["vec_id"])
-            .select("vec_id", "label", _as_double_array("embedding").alias("v"))
-            .persist()
+            .select("vec_id", "label", _as_double_array("embedding").alias("v")),
+            "emb_idx",
+            batch_id,
         )
-        prev_emb = _read("emb_idx", "vec_id long, label int, v array<double>")
+        emb_b = spark.read.schema("vec_id long, label int, v array<double>").parquet(
+            _os.path.join(root, "emb_idx", f"inc_{batch_id}")
+        )
         a4 = prev_emb.unionByName(emb_b).select(
             F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va")
         )
@@ -3029,24 +3061,28 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        s4_b = s3_b.join(drop4, "doc_id", "left_anti").persist()
+        s4_b = _snap(s3_b.join(drop4, "doc_id", "left_anti"), "s4", batch_id)
         _tally(4, s4_b)
-        _append(emb_b, "emb_idx", batch_id)
 
-        # S5: quality gates (stateless)
-        s5_b = (
+        # S5: quality gates (stateless); the live increment IS the stage
+        # snapshot (doc_id, lang, n_tok is all S6 needs)
+        _append(
             s4_b.filter(
                 (T.stopword_ratio(F.col("text")) >= 0.05)
                 & (T.punct_ratio(F.col("text")) <= 0.2)
             )
-            .observe(f"release_stream_quality_gate_{batch_id}", F.count(F.lit(1)).alias("docs"))
-            .persist()
+            .observe(
+                f"release_stream_quality_gate_{batch_id}",
+                F.count(F.lit(1)).alias("docs"),
+            )
+            .select("doc_id", "lang", "n_tok"),
+            "live",
+            batch_id,
+        )
+        s5_b = spark.read.schema("doc_id long, lang string, n_tok long").parquet(
+            _os.path.join(root, "live", f"inc_{batch_id}")
         )
         _tally(5, s5_b)
-        _append(s5_b.select("doc_id", "lang", "n_tok"), "live", batch_id)
-
-        for df in (s5_b, emb_b, s4_b, s3_b, sets_b, s2_b, s1_b, tok_b):
-            df.unpersist()
 
     src = table_stream_source(spark, sf_dir, "documents", "doc_id")
     try:
