@@ -73,6 +73,12 @@ PROBES = [
     "stream_cms_join_size",
     "mondrian_k_anonymity",
     "ktruss_trade_graph",
+    # round-9: the 7-stage release cascade and its streaming twin must hold
+    # their per-stage linear shapes at 10x (snapshot materialization makes
+    # their cost executor-side again), plus the banding witness's equi-join
+    "llm_corpus_release_e2e",
+    "stream_corpus_release_funnel",
+    "dedup_simhash_banded_exact",
 ]
 
 

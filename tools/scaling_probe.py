@@ -156,6 +156,11 @@ DEFAULT_PROBES = [
     "energy_distance_embeddings",
     "shapley_source_vocab_value",
     "markov_removal_attribution",
+    # round-9: the release composites (batch cascade + streaming twin over
+    # versioned at-rest state) and the banding witness
+    "llm_corpus_release_e2e",
+    "stream_corpus_release_funnel",
+    "dedup_simhash_banded_exact",
 ]
 
 SF_DIRS = [
