@@ -1215,11 +1215,28 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("matched_samples"))
         .filter(F.col("matched_samples") >= 4)
     )
-    # exact J_w for the audit column (same construction as
-    # dedup_weighted_jaccard_pairs — including the hot-shingle df cap,
-    # which keeps this intersection self-join linear at corpus scale —
-    # scoped to the candidate pairs)
-    tf = dedup.doc_shingle_tf(docs, n=3)
+    # The report is the TOP-20 candidates (total tie-break), selected
+    # BEFORE the exact audit: exact J_w then touches <= 40 documents no
+    # matter the corpus — the r9 10x stress caught the old order (audit
+    # join over every candidate pair) going O(sum_s df_s^2) and OOMing
+    # once the synthetic gave every doc 9 deliberate near-copies. The 20
+    # rows come to the driver (bounded artifact), which also lets the
+    # signature cache be released before the audit runs.
+    top_rows = matches.orderBy(F.desc("matched_samples"), "doc_a", "doc_b").limit(20).collect()
+    sig.unpersist()
+    top = spark.createDataFrame(
+        top_rows, "doc_a long, doc_b long, matched_samples long"
+    )
+    pair_docs = (
+        top.select(F.col("doc_a").alias("doc"))
+        .union(top.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # exact J_w audit, same construction as dedup_weighted_jaccard_pairs
+    # (doc_shingle_tf applies the hot-shingle df cap on the FULL corpus
+    # first, so the audited values are identical to the unscoped ones),
+    # restricted to the reported pairs' documents.
+    tf = dedup.doc_shingle_tf(docs, n=3).join(F.broadcast(pair_docs), "doc")
     tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
     ta = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
@@ -1232,7 +1249,7 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = tot.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a"))
     sb = tot.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b"))
     out = (
-        matches.join(inter, ["doc_a", "doc_b"], "left")
+        top.join(inter, ["doc_a", "doc_b"], "left")
         .join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
@@ -1250,4 +1267,4 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.orderBy(
         F.desc("matched_samples"), "doc_a", "doc_b"
-    ).limit(20)
+    )

@@ -5,9 +5,11 @@ The driver ships fixtures up to sf0.1; the design target is 100 TB. This
 probe manufactures the next decade of scale locally — each big table is
 replicated 10x with key shifts (so joins keep their cardinality structure
 instead of degenerating into 10-way hot keys), document text gets a
-per-copy suffix token (so the near-dup surface grows linearly, not
-quadratically), and dims are kept as-is (dims don't scale with the fact
-tables in a warehouse either).
+per-copy suffix token (copies stay distinct docs rather than exact dups —
+note they still share all original shingles, so inverted-index candidate
+volume grows ~100x, deliberately stressing the dedup family's candidate
+bounds), and dims are kept as-is (dims don't scale with the fact tables
+in a warehouse either).
 
 Writes the synthetic tables to /tmp and appends a section to SCALING.md.
 Usage: python tools/scale_stress.py [query ...]
@@ -190,10 +192,22 @@ def main() -> None:
         "",
         "## 10x stress (synthetic ~sf1, tools/scale_stress.py)",
         "",
-        "Fact tables replicated 10x with key shifts (join structure and",
-        "near-dup surface grow linearly; dims stay dim-sized), run on the",
-        "same local[32]. A shape problem that 10x'd the work super-linearly",
-        "would show here before it shows on a cluster.",
+        "Fact tables replicated 10x with key shifts (dims stay dim-sized),",
+        "run on the same local[32]. A shape problem that 10x'd the work",
+        "super-linearly would show here before it shows on a cluster.",
+        "",
+        "Reading the dedup rows: each document's 10 copies differ only by a",
+        "suffix token, so they share every original shingle — per-shingle df",
+        "grows 10x and INVERTED-INDEX CANDIDATE VOLUME grows ~100x by",
+        "construction (measured r9: sum_s C(df_s, 2) for 3-gram shingles =",
+        "1.27M at sf0.1 vs 138M at 10x, a 109x ratio), while true J>=0.8",
+        "near-dup pairs grow ~45x (C(10,2) per original). Exact",
+        "pair-enumeration queries therefore legitimately exceed a naive",
+        "<2x bar here: their ratio should be read against the 109x candidate",
+        "growth (e.g. dedup_weighted_jaccard_pairs at ~8x wall is ~13x",
+        "SUBLINEAR in candidates). Sketch/banded paths (minhash, ICWS",
+        "top-k-then-audit, simhash bands) stay near-flat because their",
+        "shuffles carry signatures, not pairs.",
         "",
         "| query | sf0.1 s | 10x s | ratio |",
         "|---|---|---|---|",
