@@ -722,14 +722,14 @@ def icws_signatures(
     """ICWS — Ioffe's Consistent Weighted Sampling (ICDM 2010): the
     weighted-Jaccard analogue of MinHash. For each of ``num_samples``
     independent samples, every (shingle s, tf weight w) draws
-    r, c ~ Gamma(2,1) and b ~ U(0,1) deterministically from md5(s | k),
+    r, c ~ Gamma(2,1) and b ~ U(0,1) deterministically from xxhash64(s, k),
     then t = floor(ln w / r + b), y = exp(r (t - b)), a = c / (y e^r);
     the sample's signature element is the argmin-a (s, t) pair, and
     P[element_A == element_B] = J_w(A, B) exactly — the property the
     companion test pins against dedup_weighted_jaccard_pairs' exact
     values.
 
-    All arithmetic is JVM expressions (md5 -> conv 32-bit uniforms,
+    All arithmetic is JVM expressions (xxhash64-derived 32-bit uniforms,
     ln/exp/floor, one min_by per (doc, sample)); the fan-out is
     tf-rows x num_samples with map-side partial argmins, so the shuffle
     carries O(docs x samples) rows. Rows-only (the argmin chain crosses
@@ -744,20 +744,21 @@ def icws_signatures(
         "k", F.explode(F.array(*[F.lit(i) for i in range(num_samples)]))
     )
 
-    def u32(tag: str):
-        h = F.md5(F.concat_ws("|", F.col("s"), F.col("k").cast("string"), F.lit(tag)))
-        # 4 independent 32-bit uniforms from one md5: hex slices
-        return [
-            (
-                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("double")
-                + F.lit(0.5)
-            )
-            / F.lit(float(1 << 32))
-            for i in range(4)
-        ]
+    def u01(tag: str):
+        # two (2^-32)-grid uniforms per native 64-bit hash. xxhash64 here,
+        # not md5: the draw only has to be a DETERMINISTIC seeded function
+        # of (shingle, sample) — this operator is rows-only, so engine
+        # portability buys nothing, and the old md5-string -> hex-substring
+        # -> conv chain dominated the fan stage (r9: ~12 s of the query's
+        # 14 s wall at sf0.1; xxhash64 cut the signature pass ~3x).
+        h = F.xxhash64(F.col("s"), F.col("k"), F.lit(tag))
+        hi = F.shiftrightunsigned(h, 32).cast("double")
+        lo = F.shiftrightunsigned(F.shiftleft(h, 32), 32).cast("double")
+        return [(x + F.lit(0.5)) / F.lit(float(1 << 32)) for x in (hi, lo)]
 
-    u1, u2, u3, u4 = u32("rc")
-    b = u32("b")[0]
+    u1, u2 = u01("rc1")
+    u3, u4 = u01("rc2")
+    b = u01("b")[0]
     r = -(F.log(u1) + F.log(u2))  # Gamma(2,1) = Exp(1) + Exp(1)
     c = -(F.log(u3) + F.log(u4))
     t_idx = F.floor(F.log(F.col("w").cast("double")) / r + b)

@@ -1235,8 +1235,15 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact J_w audit, same construction as dedup_weighted_jaccard_pairs
     # (doc_shingle_tf applies the hot-shingle df cap on the FULL corpus
     # first, so the audited values are identical to the unscoped ones),
-    # restricted to the reported pairs' documents.
-    tf = dedup.doc_shingle_tf(docs, n=3).join(F.broadcast(pair_docs), "doc")
+    # restricted to the reported pairs' documents. localCheckpoint: the
+    # scoped tf is <= 40 docs of shingles, but its lineage embeds the
+    # full-corpus df-cap pass — tot/ta/tb would otherwise re-run that
+    # pass three times (measured ~5 s of the query's wall).
+    tf = (
+        dedup.doc_shingle_tf(docs, n=3)
+        .join(F.broadcast(pair_docs), "doc")
+        .localCheckpoint(eager=True)
+    )
     tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
     ta = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))

@@ -2916,22 +2916,33 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages 0..5 accumulate per micro-batch: [n_docs, n_tokens]
     acc = [[0, 0] for _ in range(6)]
 
-    def _tally(stage_i: int, df: DataFrame) -> None:
-        r = df.agg(
-            F.count(F.lit(1)).cast("long").alias("d"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
-        ).head()
-        acc[stage_i][0] += int(r["d"])
-        acc[stage_i][1] += int(r["t"])
+    def _obs(name: str, batch_id: int):
+        from pyspark.sql import Observation
 
-    def _snap(df: DataFrame, name: str, batch_id: int) -> DataFrame:
+        return Observation(f"release_stream_{name}_{batch_id}")
+
+    def _settle(obs, stage_i: int) -> None:
+        row = obs.get
+        acc[stage_i][0] += int(row["d"])
+        acc[stage_i][1] += int(row["t"])
+
+    _FUNNEL_METRICS = (
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
+    )
+
+    def _snap(df: DataFrame, name: str, batch_id: int, stage_i: int) -> DataFrame:
         """Materialize a per-batch stage once and re-plan downstream
         against the snapshot — the same deliberate lineage truncation as
         the batch twin: chained in-batch lineage plus the growing at-rest
         reads made Catalyst re-analyze the whole cascade tree on every
-        one of the ~12 actions per batch."""
+        one of the ~12 actions per batch. The funnel tally rides the
+        write job as an Observation (a CollectMetrics audit node in the
+        executed plan), so each stage costs exactly ONE job."""
+        obs = _obs(name, batch_id)
         p = _os.path.join(root, "scratch", f"b{batch_id}", name)
-        df.write.mode("overwrite").parquet(p)
+        df.observe(obs, *_FUNNEL_METRICS).write.mode("overwrite").parquet(p)
+        _settle(obs, stage_i)
         return spark.read.parquet(p)
 
     def _stage_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2947,8 +2958,8 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "tok",
             batch_id,
+            0,
         )
-        _tally(0, tok_b)
 
         # S1: static-eval contamination gate
         corp_b = tok_b.filter(F.col("doc_id") % 97 != 0)
@@ -2960,32 +2971,14 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
-        s1_b = _snap(
-            corp_b.join(cont, "doc_id", "left_anti").observe(
-                f"release_stream_decontaminated_{batch_id}",
-                F.count(F.lit(1)).alias("docs"),
-            ),
-            "s1",
-            batch_id,
-        )
-        _tally(1, s1_b)
+        s1_b = _snap(corp_b.join(cont, "doc_id", "left_anti"), "s1", batch_id, 1)
 
         # S2: content-hash first-seen (batch-local min-id, then at-rest index)
         hashed = s1_b.withColumn("h", F.md5(F.lower("text")))
         seen = _read("hashes", "h string")
         fresh = hashed.join(seen, "h", "left_anti")
         keep2 = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-        s2_b = _snap(
-            fresh.join(keep2, "doc_id")
-            .drop("h")
-            .observe(
-                f"release_stream_exact_dedup_{batch_id}",
-                F.count(F.lit(1)).alias("docs"),
-            ),
-            "s2",
-            batch_id,
-        )
-        _tally(2, s2_b)
+        s2_b = _snap(fresh.join(keep2, "doc_id").drop("h"), "s2", batch_id, 2)
         _append(fresh.select("h").distinct(), "hashes", batch_id)
 
         # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles.
@@ -3021,15 +3014,7 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        s3_b = _snap(
-            s2_b.join(jdrop, "doc_id", "left_anti").observe(
-                f"release_stream_jaccard_dedup_{batch_id}",
-                F.count(F.lit(1)).alias("docs"),
-            ),
-            "s3",
-            batch_id,
-        )
-        _tally(3, s3_b)
+        s3_b = _snap(s2_b.join(jdrop, "doc_id", "left_anti"), "s3", batch_id, 3)
 
         # S4: SemDeDup vs within-batch + at-rest S3-survivor embeddings
         # (old-increment handles first, then this batch's increment doubles
@@ -3061,28 +3046,23 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        s4_b = _snap(s3_b.join(drop4, "doc_id", "left_anti"), "s4", batch_id)
-        _tally(4, s4_b)
+        s4_b = _snap(s3_b.join(drop4, "doc_id", "left_anti"), "s4", batch_id, 4)
 
         # S5: quality gates (stateless); the live increment IS the stage
-        # snapshot (doc_id, lang, n_tok is all S6 needs)
+        # snapshot (doc_id, lang, n_tok is all S6 needs), and the funnel
+        # tally rides its write as an Observation like every other stage
+        obs5 = _obs("quality_gate", batch_id)
         _append(
             s4_b.filter(
                 (T.stopword_ratio(F.col("text")) >= 0.05)
                 & (T.punct_ratio(F.col("text")) <= 0.2)
             )
-            .observe(
-                f"release_stream_quality_gate_{batch_id}",
-                F.count(F.lit(1)).alias("docs"),
-            )
+            .observe(obs5, *_FUNNEL_METRICS)
             .select("doc_id", "lang", "n_tok"),
             "live",
             batch_id,
         )
-        s5_b = spark.read.schema("doc_id long, lang string, n_tok long").parquet(
-            _os.path.join(root, "live", f"inc_{batch_id}")
-        )
-        _tally(5, s5_b)
+        _settle(obs5, 5)
 
     src = table_stream_source(spark, sf_dir, "documents", "doc_id")
     try:
