@@ -1110,12 +1110,18 @@ def ann_rptree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- see: E = 0 iff the distributions are equal. Pairwise L2 distances
     -- are identical IEEE chains (exact float32->double lifts, in-order
     -- 64-element folds, one sqrt), ROUND@1e-6 -> DECIMAL sums over exact
-    -- pair counts. Scoped to the vec_id % 5 = 0 sample — the estimator
-    -- converges like any V-statistic, so sampling IS the 100 TB plan.
+    -- pair counts. Sample is FIXED-SIZE: md5-rank LIMIT 80 per group, so
+    -- the V-statistic pair join is O(m^2)=12,720 pairs at ANY corpus
+    -- scale (a fixed fraction would be O((n/5)^2) — quadratic again).
     WITH s AS (
-      SELECT vec_id, CASE WHEN label < 5 THEN 0 ELSE 1 END AS grp,
-             embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % 5 = 0
+      SELECT vec_id, grp, v FROM (
+        SELECT vec_id, CASE WHEN label < 5 THEN 0 ELSE 1 END AS grp,
+               embedding::DOUBLE[] AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY CASE WHEN label < 5 THEN 0 ELSE 1 END
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= 80
     ),
     pairs AS (
       SELECT a.grp AS ga, b.grp AS gb,
@@ -1154,16 +1160,26 @@ def energy_distance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions coincide. Embedding-space distribution monitoring is
     the production check between retrain snapshots.
 
-    Scale shape: V-statistic on a hash sample (vec_id % 5 — the estimator
-    converges like any mean of pairwise kernels, so sampling IS the plan
-    at 100 TB; the blocked-GEMM path exists for exact sweeps); distances
-    are in-order 64-element JVM folds rounded @1e-6, sums DECIMAL, counts
-    exact."""
+    Scale shape: V-statistic on a FIXED-SIZE sample — md5-rank, LIMIT 80
+    per group (the Dalenius/Neyman samplers' deterministic-hash pattern),
+    so the pair join is a constant 12,720 pairs at any corpus scale; the
+    estimator converges like any mean of pairwise kernels, so bounded
+    sampling IS the plan at 100 TB (the blocked-GEMM path exists for
+    exact sweeps). Distances are in-order 64-element JVM folds rounded
+    @1e-6, sums DECIMAL, counts exact."""
     emb = load(spark, sf_dir, "embeddings")
-    s = emb.filter(F.col("vec_id") % 5 == 0).select(
-        "vec_id",
-        F.when(F.col("label") < 5, 0).otherwise(1).alias("grp"),
-        similarity._as_double_array("embedding").alias("v"),
+    w = Window.partitionBy("grp").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    s = (
+        emb.select(
+            "vec_id",
+            F.when(F.col("label") < 5, 0).otherwise(1).alias("grp"),
+            similarity._as_double_array("embedding").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 80)
+        .drop("rn")
     )
     a = s.select(
         F.col("vec_id").alias("ida"), F.col("grp").alias("ga"), F.col("v").alias("va")
