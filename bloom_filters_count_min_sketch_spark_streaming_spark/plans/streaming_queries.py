@@ -2854,13 +2854,23 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollectMetrics checkpoints) and the output is the SAME 8-row funnel,
     hash-checked against the SAME DuckDB cascade oracle.
 
-    Scale shape: every at-rest table is an append-only parquet increment
-    (hashes O(docs), shingle index O(corpus shingles), embeddings O(docs
-    x dim), live set O(docs x 3 cols)); per batch the work is (batch x
-    index) equi-joins — the inverted-index/cluster bounds of the batch
-    stages carry over, nothing rescans history, and no state lives on
-    the driver beyond 12 funnel counters. Divergence caveat: S3 computes
-    the exact (uncapped) Jaccard — identical to the oracle by
+    Scale shape: every at-rest table is a VERSIONED parquet increment,
+    and each stage snapshot doubles as its state table (5 writes per
+    batch, each carrying its funnel tally as an Observation): the raw
+    tally rides S1's write, S2's kept h column IS the seen-hash index,
+    the shingle index rows carry per-doc set sizes, S3's snapshot carries
+    survivor (label, embedding) and IS the SemDeDup index, and S4+S5
+    fuse into the live write. State sizes: hashes O(docs), shingles
+    O(corpus shingles), embeddings O(docs x dim), live O(docs x 3 cols);
+    per batch the work is (batch x index) equi-joins — the
+    inverted-index/cluster bounds of the batch stages carry over, nothing
+    rescans history, and no state lives on the driver beyond 12 funnel
+    counters. Retry-safe by construction: at-rest reads exclude
+    increments >= the current batch_id, pair joins guard doc_a < doc_b
+    rather than assuming at-rest ids are lower, and funnel tallies are
+    keyed per (stage, batch) so a redelivered micro-batch overwrites its
+    failed attempt instead of double-counting. Divergence caveat: S3
+    computes the exact (uncapped) Jaccard — identical to the oracle by
     construction and to the batch Spark twin wherever the hot-shingle df
     cap is inactive (everywhere at fixture scales)."""
     import glob as _glob
@@ -2896,145 +2906,201 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch's own gate results would then lazily re-evaluate against
     # state that already contains their own output (observed: every doc
     # from batch 1 on deduped against itself -> empty stages). Reads
-    # enumerate the EXISTING inc_* dirs explicitly, writes create a NEW
-    # inc_{batch_id} dir (mode=overwrite -> a retried micro-batch
-    # rebuilds its own increment: the exactly-once contract, same as
-    # runner.versioned_merge_upsert).
+    # enumerate the EXISTING inc_* dirs explicitly AND filter to
+    # increment < current batch_id, so a retried micro-batch (foreachBatch
+    # redelivery after a mid-batch failure, or a future checkpoint
+    # restart) never sees its own failed attempt's increment as prior
+    # state; its mode=overwrite write then rebuilds the increment — the
+    # actual exactly-once contract (same as runner.versioned_merge_upsert).
 
-    def _read(name: str, schema: str) -> DataFrame:
+    def _read(name: str, schema: str, before: int | None = None) -> DataFrame:
         base = _os.path.join(root, name)
-        incs = sorted(_glob.glob(_os.path.join(base, "inc_*")))
+        incs = []
+        for p in _glob.glob(_os.path.join(base, "inc_*")):
+            b = int(_os.path.basename(p).split("_", 1)[1])
+            if before is None or b < before:
+                incs.append((b, p))
         if not incs:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*incs)
+        return spark.read.schema(schema).parquet(*(p for _, p in sorted(incs)))
 
     def _append(df: DataFrame, name: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(
             _os.path.join(root, name, f"inc_{batch_id}")
         )
 
-    # stages 0..5 accumulate per micro-batch: [n_docs, n_tokens]
-    acc = [[0, 0] for _ in range(6)]
+    # stages 0..5 tally per micro-batch: {(stage_i, batch_id): (docs, toks)}
+    # — keyed ASSIGNMENT, not +=, so a redelivered batch_id overwrites its
+    # failed attempt's tallies instead of double-counting them.
+    tallies: dict = {}
 
     def _obs(name: str, batch_id: int):
         from pyspark.sql import Observation
 
         return Observation(f"release_stream_{name}_{batch_id}")
 
-    def _settle(obs, stage_i: int) -> None:
+    def _settle(obs, stage_i: int, batch_id: int) -> None:
         row = obs.get
-        acc[stage_i][0] += int(row["d"])
-        acc[stage_i][1] += int(row["t"])
+        tallies[(stage_i, batch_id)] = (int(row["d"]), int(row["t"]))
 
     _FUNNEL_METRICS = (
         F.count(F.lit(1)).cast("long").alias("d"),
         F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
     )
 
-    def _snap(df: DataFrame, name: str, batch_id: int, stage_i: int) -> DataFrame:
+    def _snap(df: DataFrame, name: str, batch_id: int, stage_i: int,
+              schema: str) -> DataFrame:
         """Materialize a per-batch stage once and re-plan downstream
         against the snapshot — the same deliberate lineage truncation as
         the batch twin: chained in-batch lineage plus the growing at-rest
         reads made Catalyst re-analyze the whole cascade tree on every
-        one of the ~12 actions per batch. The funnel tally rides the
-        write job as an Observation (a CollectMetrics audit node in the
-        executed plan), so each stage costs exactly ONE job."""
+        action. The funnel tally rides the write job as an Observation
+        (a CollectMetrics audit node in the executed plan), so each stage
+        costs exactly ONE job. Snapshots land in versioned inc_{batch}
+        dirs so a stage table can double as at-rest state (S2's h column
+        IS the seen-hash index) and retries stay self-contained."""
         obs = _obs(name, batch_id)
-        p = _os.path.join(root, "scratch", f"b{batch_id}", name)
+        p = _os.path.join(root, name, f"inc_{batch_id}")
         df.observe(obs, *_FUNNEL_METRICS).write.mode("overwrite").parquet(p)
-        _settle(obs, stage_i)
-        return spark.read.parquet(p)
+        _settle(obs, stage_i, batch_id)
+        return spark.read.schema(schema).parquet(p)
+
+    _DOC_SCHEMA = "doc_id long, lang string, source string, text string, n_tok long"
 
     def _stage_batch(batch_df: DataFrame, batch_id: int) -> None:
         # a micro-batch is one replay file -> one partition; repartition
         # before the per-row CPU stages (shingle, md5, ratio scans)
-        tok_b = _snap(
-            batch_df.repartition(spark.sparkContext.defaultParallelism).select(
-                "doc_id",
-                "lang",
-                "source",
-                "text",
-                F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
-            ),
-            "tok",
-            batch_id,
-            0,
-        )
+        tok_cols = [
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("text"),
+            F.size(dedup.tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        ]
+        dp = spark.sparkContext.defaultParallelism
 
-        # S1: static-eval contamination gate
-        corp_b = tok_b.filter(F.col("doc_id") % 97 != 0)
+        # S1: static-eval contamination gate. The raw tally rides the SAME
+        # write as S1's (two CollectMetrics nodes in one plan: obs_raw
+        # below the eval filter on the anti-join's LEFT side, obs_s1 at
+        # the top), so the former tok snapshot costs zero extra jobs. The
+        # gram-explode side rebuilds its projection from batch_df rather
+        # than sharing the observed subtree — a duplicated CollectMetrics
+        # node would double-count the raw tally.
+        obs0 = _obs("raw", batch_id)
+        obs1 = _obs("decontaminated", batch_id)
+        left = (
+            batch_df.repartition(dp)
+            .select(*tok_cols)
+            .observe(obs0, *_FUNNEL_METRICS)
+            .filter(F.col("doc_id") % 97 != 0)
+        )
         cont = (
-            corp_b.select(
+            batch_df.repartition(dp)
+            .filter(F.col("doc_id") % 97 != 0)
+            .select(
                 "doc_id", F.explode(dedup.shingles_col(F.col("text"), 8)).alias("s")
             )
             .join(F.broadcast(eval8), "s")
             .select("doc_id")
             .distinct()
         )
-        s1_b = _snap(corp_b.join(cont, "doc_id", "left_anti"), "s1", batch_id, 1)
+        p1 = _os.path.join(root, "s1", f"inc_{batch_id}")
+        left.join(cont, "doc_id", "left_anti").observe(
+            obs1, *_FUNNEL_METRICS
+        ).write.mode("overwrite").parquet(p1)
+        _settle(obs0, 0, batch_id)
+        _settle(obs1, 1, batch_id)
+        s1_b = spark.read.schema(_DOC_SCHEMA).parquet(p1)
 
-        # S2: content-hash first-seen (batch-local min-id, then at-rest index)
+        # S2: content-hash first-seen (batch-local min-id, then at-rest
+        # index). The snapshot KEEPS the h column: since keep2 retains
+        # exactly one winner per distinct fresh hash, the s2 snapshots'
+        # h column IS the seen-hash index — no separate hashes table.
         hashed = s1_b.withColumn("h", F.md5(F.lower("text")))
-        seen = _read("hashes", "h string")
+        seen = _read("s2", "h string", before=batch_id)
         fresh = hashed.join(seen, "h", "left_anti")
         keep2 = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-        s2_b = _snap(fresh.join(keep2, "doc_id").drop("h"), "s2", batch_id, 2)
-        _append(fresh.select("h").distinct(), "hashes", batch_id)
+        s2_b = _snap(
+            fresh.join(keep2, "doc_id"), "s2", batch_id, 2,
+            _DOC_SCHEMA + ", h string",
+        ).drop("h")
 
         # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles.
-        # Read handles to the OLD increments are taken before this batch's
-        # increment is written; the batch's own shingles are then written
-        # once and read back as the within-batch side (snapshot role and
-        # index increment are the same bytes).
-        idx = _read("shingle_idx", "doc long, sh string")
-        idx_sizes = _read("shingle_sizes", "doc long, n long")
-        _append(dedup.doc_shingle_sets(s2_b, "doc_id", "text", 3), "shingle_idx", batch_id)
-        sets_b = spark.read.schema("doc long, sh string").parquet(
+        # Read handles to the OLD increments (before=batch_id) are taken
+        # before this batch's increment is written; the batch's own
+        # shingles are then written once and read back as the within-batch
+        # side (snapshot role and index increment are the same bytes).
+        # Each index row carries the doc's shingle-set size n, so set
+        # sizes travel with the equi-join — no separate sizes table.
+        idx = _read("shingle_idx", "doc long, sh string, n long", before=batch_id)
+        w3 = Window.partitionBy("doc")
+        _append(
+            dedup.doc_shingle_sets(s2_b, "doc_id", "text", 3).withColumn(
+                "n", F.count(F.lit(1)).over(w3).cast("long")
+            ),
+            "shingle_idx",
+            batch_id,
+        )
+        sets_b = spark.read.schema("doc long, sh string, n long").parquet(
             _os.path.join(root, "shingle_idx", f"inc_{batch_id}")
         )
-        sizes_b = sets_b.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
-        _append(sizes_b, "shingle_sizes", batch_id)
-        a_w = sets_b.select(F.col("doc").alias("doc_a"), "sh")
-        b_w = sets_b.select(F.col("doc").alias("doc_b"), "sh")
+        a_w = sets_b.select(F.col("doc").alias("doc_a"), "sh", F.col("n").alias("na"))
+        b_w = sets_b.select(F.col("doc").alias("doc_b"), "sh", F.col("n").alias("nb"))
         within = a_w.join(b_w, "sh").filter(F.col("doc_a") < F.col("doc_b"))
-        cross = idx.select(F.col("doc").alias("doc_a"), "sh").join(
-            b_w, "sh"
-        )  # at-rest ids are strictly lower (doc-ordered replay)
-        common = (
-            within.select("doc_a", "doc_b")
-            .unionByName(cross.select("doc_a", "doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # at-rest ids are strictly lower under doc-ordered replay, but the
+        # a < b guard must not REST on that: a retried batch (or any
+        # future out-of-order source) would otherwise pair docs with
+        # themselves at Jaccard 1 and silently drop them
+        cross = (
+            idx.select(F.col("doc").alias("doc_a"), "sh", F.col("n").alias("na"))
+            .join(b_w, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
         )
-        sizes_all = sizes_b.unionByName(idx_sizes)
+        common = (
+            within.unionByName(cross)
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.max("na").alias("na"),
+                F.max("nb").alias("nb"),
+            )
+        )
         jdrop = (
-            common.join(sizes_all.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-            .join(sizes_b.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-            .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.8)
+            common.filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.8)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        s3_b = _snap(s2_b.join(jdrop, "doc_id", "left_anti"), "s3", batch_id, 3)
+        # The s3 snapshot carries each survivor's (label, embedding) as
+        # extra columns — the embedding index rows ARE the S3 survivors,
+        # so the stage snapshot doubles as the at-rest embedding index
+        # (exactly like S2's h column and S3's shingle increments); docs
+        # without an embedding ride with NULLs and simply can't pair.
+        emb_lk = emb_static.select(
+            "vec_id", "label", _as_double_array("embedding").alias("v")
+        )
+        s3_b = _snap(
+            s2_b.join(jdrop, "doc_id", "left_anti")
+            .join(emb_lk, F.col("doc_id") == F.col("vec_id"), "left")
+            .drop("vec_id"),
+            "s3",
+            batch_id,
+            3,
+            _DOC_SCHEMA + ", label int, v array<double>",
+        )
 
         # S4: SemDeDup vs within-batch + at-rest S3-survivor embeddings
-        # (old-increment handles first, then this batch's increment doubles
-        # as the within-batch snapshot, like S3's shingles)
-        prev_emb = _read("emb_idx", "vec_id long, label int, v array<double>")
-        _append(
-            s3_b.select("doc_id")
-            .join(emb_static, F.col("doc_id") == emb_static["vec_id"])
-            .select("vec_id", "label", _as_double_array("embedding").alias("v")),
-            "emb_idx",
-            batch_id,
-        )
-        emb_b = spark.read.schema("vec_id long, label int, v array<double>").parquet(
-            _os.path.join(root, "emb_idx", f"inc_{batch_id}")
+        # (old-increment handles taken before this batch's s3 increment
+        # was written; the increment itself is the within-batch side)
+        _EMB_SCHEMA = "doc_id long, label int, v array<double>"
+        prev_emb = _read("s3", _EMB_SCHEMA, before=batch_id)
+        emb_b = spark.read.schema(_EMB_SCHEMA).parquet(
+            _os.path.join(root, "s3", f"inc_{batch_id}")
         )
         a4 = prev_emb.unionByName(emb_b).select(
-            F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va")
+            F.col("doc_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va")
         )
         b4 = emb_b.select(
-            F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+            F.col("doc_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
         )
         drop4 = (
             a4.join(b4, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
@@ -3046,14 +3112,18 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        s4_b = _snap(s3_b.join(drop4, "doc_id", "left_anti"), "s4", batch_id, 4)
-
-        # S5: quality gates (stateless); the live increment IS the stage
-        # snapshot (doc_id, lang, n_tok is all S6 needs), and the funnel
-        # tally rides its write as an Observation like every other stage
+        # S4+S5 fused into the live write: the s4 snapshot was consumed
+        # ONLY by the stateless quality filter, so the SemDeDup anti-join
+        # and the quality gates share one job — obs4 sits below the
+        # filter, obs5 on top (a linear chain, so neither CollectMetrics
+        # node is duplicated), and the live increment IS the stage
+        # snapshot (doc_id, lang, n_tok is all S6 needs).
+        obs4 = _obs("semdedup", batch_id)
         obs5 = _obs("quality_gate", batch_id)
         _append(
-            s4_b.filter(
+            s3_b.join(drop4, "doc_id", "left_anti")
+            .observe(obs4, *_FUNNEL_METRICS)
+            .filter(
                 (T.stopword_ratio(F.col("text")) >= 0.05)
                 & (T.punct_ratio(F.col("text")) <= 0.2)
             )
@@ -3062,7 +3132,8 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live",
             batch_id,
         )
-        _settle(obs5, 5)
+        _settle(obs4, 4, batch_id)
+        _settle(obs5, 5, batch_id)
 
     src = table_stream_source(spark, sf_dir, "documents", "doc_id")
     try:
@@ -3111,7 +3182,15 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup",
         "quality_gate",
     ]
-    funnel = [(i, names[i], acc[i][0], acc[i][1]) for i in range(6)]
+    funnel = [
+        (
+            i,
+            names[i],
+            sum(d for (s, _b), (d, _t) in tallies.items() if s == i),
+            sum(t for (s, _b), (_d, t) in tallies.items() if s == i),
+        )
+        for i in range(6)
+    ]
     funnel.append((6, "temp_mixture", int(r6["d"]), int(r6["t"])))
     total = int(r6["t"])
     funnel.append((7, f"packed_seqs_{_RELEASE_SEQ_LEN}", -(-total // _RELEASE_SEQ_LEN), total))
