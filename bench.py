@@ -373,13 +373,18 @@ def main() -> None:
     prev = _latest_round_bench()
     if prev:
         prev_q = prev.get("queries", {})
+        prev_s = prev.get("spreads", {})
         flagged = []
         for name, t in timings.items():
             p = prev_q.get(name)
             if p and p > 0:
-                ratio = t / p
+                ps = prev_s.get(name, 1.0) or 1.0
+                base = _regression_baseline(p, ps)
+                ratio = t / base
                 if ratio > 3.0:
-                    flagged.append(f"{name}: {p}s -> {t}s ({ratio:.1f}x)")
+                    flagged.append(
+                        f"{name}: {p}s (spread x{ps}) -> {t}s ({ratio:.1f}x)"
+                    )
         print(
             f"# vs {prev['file']}: total {prev.get('value')}s -> {total}s; "
             + (f"REGRESSIONS: {'; '.join(flagged)}" if flagged else "no query >3x slower"),
@@ -440,6 +445,20 @@ def main() -> None:
         ),
         flush=True,
     )
+
+
+def _regression_baseline(committed_min: float, committed_spread: float) -> float:
+    """Per-query baseline for the regression tripwire.
+
+    A committed min whose own run spread exceeded x2 was a LUCKY run, not
+    the plan's cost (the icws lesson: a committed 3.5s min at spread x4.12
+    while typical runs were ~14s burned a round-9 investigation on a
+    phantom regression). Discount such baselines by comparing against
+    min*spread — the worst run actually observed when the baseline was
+    recorded; stable baselines (spread <= x2) stay at the raw min."""
+    if committed_spread > 2.0:
+        return committed_min * committed_spread
+    return committed_min
 
 
 def _latest_round_bench() -> dict | None:
