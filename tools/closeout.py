@@ -29,9 +29,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # artifacts a close-out commit must carry if they changed
 ARTIFACTS = [
     "BENCH_FULL.json",
+    "BASELINE.md",
     "SCALING.md",
     "PLANS.md",
     "PROGRESS.md",
+]
+
+# driver-written round records that may appear after a judge run; staging
+# them is fine, anything ELSE untracked must abort the commit
+ROUND_RECORD_GLOBS = [
+    "BENCH_r*.json",
+    "CORRECTNESS_r*.json",
+    "VERDICT.md",
+    "ADVICE.md",
+    "LEAKCHECK.json",
+    "COPYCHECK.json",
+    "PROGRESS.jsonl",
 ]
 
 
@@ -61,20 +74,41 @@ def main() -> None:
         run([py, "tools/scale_stress.py"], "10x stress (SCALING.md appendix)")
     run([py, "tools/plan_audit.py"], "plan audit (PLANS.md)")
 
-    # 3. bench record (refreshes BENCH_FULL.json)
+    # 3. bench record (refreshes BENCH_FULL.json, then the prose table)
     run([py, "bench.py"], "bench")
+    run([py, "tools/baseline_md.py"], "baseline table (BASELINE.md)")
 
-    # 4. commit whatever the above touched + any stray round artifacts
+    # 4. commit ONLY the expected artifacts + driver round records —
+    # `git add -A` once swept stray scratch files into an evidence
+    # commit; any unexpected path now ABORTS with a listing instead.
+    import fnmatch
+
     status = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
     if not status:
         print("closeout: tree already clean, nothing to commit")
         return
+    expected = []
+    unexpected = []
+    for line in status.splitlines():
+        path = line[3:].strip().strip('"')
+        ok = path in ARTIFACTS or any(
+            fnmatch.fnmatch(path, g) for g in ROUND_RECORD_GLOBS
+        )
+        (expected if ok else unexpected).append(path)
+    if unexpected:
+        print(
+            "closeout ABORTED: unexpected dirty/untracked paths (commit or "
+            "remove them first; evidence commits carry only known "
+            "artifacts):\n  " + "\n  ".join(unexpected),
+            file=sys.stderr,
+        )
+        sys.exit(1)
     if args.dry_run:
         print("closeout --dry-run: tree dirty, would commit:\n" + status)
         sys.exit(1)
-    subprocess.run(["git", "add", "-A"], cwd=REPO, check=True)
+    subprocess.run(["git", "add", "--"] + expected, cwd=REPO, check=True)
     subprocess.run(
         ["git", "commit", "-m", "Round close-out: refresh bench/scaling/plan evidence artifacts"],
         cwd=REPO,
