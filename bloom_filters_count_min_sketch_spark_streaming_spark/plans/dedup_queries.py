@@ -1238,40 +1238,53 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restricted to the reported pairs' documents. localCheckpoint: the
     # scoped tf is <= 40 docs of shingles, but its lineage embeds the
     # full-corpus df-cap pass — tot/ta/tb would otherwise re-run that
-    # pass three times (measured ~5 s of the query's wall).
-    tf = (
-        dedup.doc_shingle_tf(docs, n=3)
-        .join(F.broadcast(pair_docs), "doc")
-        .localCheckpoint(eager=True)
+    # pass three times (measured ~5 s of the query's wall). The <=20
+    # audit rows are collected INSIDE checkpoint_scope so the checkpoint
+    # RDD is released instead of sitting in executor storage for the
+    # rest of the sweep.
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        checkpoint_scope,
     )
-    tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
-    ta = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
-    tb = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
-    inter = (
-        ta.join(tb, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
-    )
-    sa = tot.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a"))
-    sb = tot.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b"))
-    out = (
-        top.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "matched_samples",
-            F.round(F.col("matched_samples") * F.lit(1.0) / m, 4).alias("est_jw"),
-            F.round(
-                F.coalesce(F.col("s_min"), F.lit(0))
-                * F.lit(1.0)
-                / (F.col("t_a") + F.col("t_b") - F.coalesce(F.col("s_min"), F.lit(0))),
-                6,
-            ).alias("exact_jw"),
+
+    with checkpoint_scope(spark):
+        tf = (
+            dedup.doc_shingle_tf(docs, n=3)
+            .join(F.broadcast(pair_docs), "doc")
+            .localCheckpoint(eager=True)
         )
-    )
-    return out.orderBy(
-        F.desc("matched_samples"), "doc_a", "doc_b"
-    )
+        tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
+        ta = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
+        tb = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))
+        inter = (
+            ta.join(tb, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("s_min"))
+        )
+        sa = tot.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a"))
+        sb = tot.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b"))
+        out = (
+            top.join(inter, ["doc_a", "doc_b"], "left")
+            .join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "matched_samples",
+                F.round(F.col("matched_samples") * F.lit(1.0) / m, 4).alias("est_jw"),
+                F.round(
+                    F.coalesce(F.col("s_min"), F.lit(0))
+                    * F.lit(1.0)
+                    / (
+                        F.col("t_a")
+                        + F.col("t_b")
+                        - F.coalesce(F.col("s_min"), F.lit(0))
+                    ),
+                    6,
+                ).alias("exact_jw"),
+            )
+            .orderBy(F.desc("matched_samples"), "doc_a", "doc_b")
+        )
+        schema = out.schema
+        rows = out.collect()
+    return spark.createDataFrame(rows, schema)

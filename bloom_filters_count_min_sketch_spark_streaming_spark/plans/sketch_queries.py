@@ -200,7 +200,8 @@ def histogram_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- aggregate (partial build + merge + finalize) under the value hash,
     -- the same trick the LSH/IVF/RP-tree witnesses use (full-coverage
     -- parameters => approximate operator must equal the exact twin).
-    -- floor(value/50) has 21 distinct values < nbins=32.
+    -- Saturation is guaranteed BY CONSTRUCTION: the Spark side sizes
+    -- nbins to max(32, countDistinct(bin)) first.
     SELECT CAST(floor(value / 50) AS DOUBLE) AS bin_x,
            CAST(COUNT(*) AS BIGINT) AS bin_y
     FROM events GROUP BY 1
@@ -212,11 +213,17 @@ def histogram_numeric_saturated_exact(spark: SparkSession, sf_dir: str) -> DataF
     ever merges, so (bin_x, bin_y) must equal the exact GROUP BY — the
     real aggregate (JVM partials, tree merge) is hash-checked; the
     data-dependent regime stays covered by histogram_event_value's
-    rows-only check + the exact twin histogram_fixed_bins."""
+    rows-only check + the exact twin histogram_fixed_bins.
+
+    nbins is derived as max(32, countDistinct) — one O(1)-row scalar
+    pre-pass — so saturation can't silently break if a larger SF widens
+    the value domain past a fixed bin count (9 distinct bins at sf0.01,
+    but nothing pins that); the witness stays exact at ANY data scale."""
     ev = load(spark, sf_dir, "events").select(
         (F.floor(F.col("value") / 50)).cast("double").alias("binv")
     )
-    return sketches.histogram(ev, "binv", 32).select(
+    nd = int(ev.agg(F.countDistinct("binv").alias("nd")).head()["nd"])
+    return sketches.histogram(ev, "binv", max(32, nd)).select(
         F.col("bin_x").cast("double").alias("bin_x"),
         F.col("bin_y").cast("long").alias("bin_y"),
     )

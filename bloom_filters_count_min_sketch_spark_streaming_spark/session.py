@@ -39,3 +39,32 @@ def get_spark(app_name: str = "bfcms-engine") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     return builder.getOrCreate()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def checkpoint_scope(spark: SparkSession):
+    """Unpersist every RDD persisted inside the scope on exit.
+
+    ``df.localCheckpoint(eager=True)`` persists the checkpointed RDD in
+    executor storage for the REST OF THE SESSION (there is no DataFrame
+    API to release it), so a query that checkpoints a bounded intermediate
+    leaks it into every later query of a bench/correctness sweep. Wrap the
+    checkpoint-and-consume region in this scope and materialize the result
+    (collect a bounded report, or write at rest) BEFORE the scope closes —
+    the lazily returned plan must not reference the checkpoint afterward.
+
+    Diffing getPersistentRDDs before/after scopes the unpersist to RDDs
+    created inside (queries run serially in every harness here, so the
+    diff cannot catch another query's cache)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    try:
+        yield
+    finally:
+        jafter = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jafter.keySet().toArray():
+            if int(k) not in before:
+                jafter.get(k).unpersist()

@@ -298,6 +298,16 @@ def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: s
     Determinism: within a batch rows are sorted by (bucket, doc) before
     ownership is assigned; across batches the mtime-ordered replay source
     fixes arrival order.
+
+    EXACTNESS CONTRACT — integer buckets only: bucket identity is the
+    bucket's int64 value for integer ``bucket_col`` (exact), but
+    xxhash64(bucket) for any other type, where two distinct buckets can
+    collide into one state entry and emit a FALSE (doc, owner) candidate
+    (2^-64 per pair; downstream verification absorbs it). Callers whose
+    output is hash-checked against an exact SQL oracle must therefore
+    pass an integer bucket column (pack composite buckets into one int64,
+    as the LSH/winnowing callers do) — a string-bucket caller is
+    probabilistic and belongs with the rows-only/property-tested family.
     """
 
     def update(key, pdfs, state: GroupState):

@@ -71,3 +71,21 @@ def test_release_e2e_unpersists_all_stages(spark, sf_dir):
     assert len(rows) == 8  # 7 stages + packed_seqs
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before == set(), f"leaked persisted RDD ids: {after - before}"
+
+
+def test_icws_audit_unpersists_checkpoint(spark, sf_dir):
+    """dedup_icws_weighted_minhash localCheckpoints its scoped tf (the
+    <=40-doc audit input); the checkpoint RDD must be released once the
+    <=20 audit rows are materialized, not left in executor storage for
+    the rest of a sweep (same leak class the release-e2e test guards)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    rows = QUERIES["dedup_icws_weighted_minhash"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked persisted RDD ids: {after - before}"

@@ -108,6 +108,17 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
+    def _release_persisted() -> None:
+        # Many queries persist/localCheckpoint intermediates their lazily
+        # returned plan still references, so they CANNOT unpersist before
+        # returning; without sweep-level cleanup those caches accumulate
+        # in executor storage across all 400+ queries. The driver's gate
+        # materializes one query at a time the same way, so releasing
+        # here mirrors its memory profile.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            jmap.get(k).unpersist()
+
     names = args.names or list(queries)
     n_pass = n_fail = n_weak = 0
     for name in names:
@@ -119,6 +130,8 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        finally:
+            _release_persisted()
         if name not in oracles:
             print(f"weak {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_weak += 1
