@@ -231,6 +231,11 @@ HEADLINE = [
     "kmeans_coreset_full_exact",
     # round-9 additions
     "stream_corpus_release_funnel",
+    # round-10 additions: EH saturated witness, IVF-int8 lossless witness,
+    # online model-monitoring composite
+    "stream_eh_saturated_exact",
+    "ann_ivf_int8_lossless_exact",
+    "stream_model_monitoring_funnel",
 ]
 
 
@@ -354,6 +359,14 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            # release persist()/localCheckpoint caches the query's lazy
+            # plan kept alive — they're dead once the noop sink ran, and
+            # across 174 headliners x2-3 runs they otherwise accumulate
+            # in executor storage for the whole sweep
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                jmap.get(k).unpersist()
         best = min(samples)
         timings[name] = round(best, 3)
         # spread = worst/best across this invocation's runs — >1.5 means

@@ -210,6 +210,75 @@ def ann_ivf_full_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_int8_lossless_exact",
+    oracle="""
+    -- IVF+SQ8 exactness witness via IDENTITY-SCALE quantization: the
+    -- corpus is snapped to the int8 grid (floor(x*127), clamped) and a
+    -- sentinel all-127 vector is unioned in, which pins every per-dim
+    -- scale max|x|/127 to EXACTLY 1.0 — so quantize (round(x/1)) and
+    -- dequantize (q*1.0) round-trip losslessly and the int8 shortlist
+    -- scores are BIT-IDENTICAL to the full-precision cosines (integer
+    -- dot products and norms are exact in float64; sqrt/mul/div are
+    -- correctly rounded the same way in both engines). With full probe
+    -- the whole IVF+SQ8 machinery (per-dim scales, int8 encode, cell
+    -- assignment from dequantized vectors, quantized shortlist cut,
+    -- float re-rank) must therefore reproduce brute-force kNN
+    -- rank-for-rank. The cosine is spelled out as num/(sqrt*sqrt) to
+    -- mirror the numpy evaluation order exactly.
+    WITH g AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> greatest(-127.0, least(127.0, floor(x * 127.0)))) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT 1000000 AS vec_id, list_transform(range(64), x -> 127.0) AS v
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2]))
+                      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.v, x -> x * x))))
+                      DESC,
+                      c.vec_id
+           ) AS rank
+    FROM g q, g c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_int8_lossless_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-int8 exactness witness: identity-scale quantization (corpus
+    snapped to the int8 grid + an all-127 sentinel forcing every scale to
+    1.0) makes the SQ8 round-trip lossless, so with n_probe == n_cells the
+    operator must equal brute-force kNN exactly — including the quantized
+    shortlist cut, whose scores are bit-identical to the float cosines on
+    integer-valued vectors (exact integer sums; correctly-rounded
+    sqrt/mul/div). Promotes ann_ivf_int8_topk's storage layer (scales,
+    encode, dequantized cell assignment, shortlist, re-rank) into the
+    hash-checked family; the distortion>0 regime stays covered by the
+    quantization property tests and ann_ivf_int8_topk's recall checks."""
+    emb = load(spark, sf_dir, "embeddings")
+    grid = F.transform(
+        similarity._as_double_array("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * 127))
+        ),
+    )
+    corpus = emb.select("vec_id", grid.alias("embedding")).unionByName(
+        emb.sparkSession.range(1).select(
+            F.lit(1000000).cast("long").alias("vec_id"),
+            F.array_repeat(F.lit(127.0), 64).alias("embedding"),
+        )
+    )
+    queries = corpus.filter(F.col("vec_id") < 10)
+    return similarity.ann_ivf_int8_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=16, seed=42
+    )
+
+
+@query(
     "pq_full_rerank_exact",
     oracle="""
     -- PQ-ADC with the candidate cap at corpus size degenerates to exact
