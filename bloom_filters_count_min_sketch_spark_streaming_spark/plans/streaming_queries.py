@@ -2113,6 +2113,63 @@ def stream_eh_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_eh_saturated_exact",
+    oracle="""
+    -- Exponential-histogram exactness witness (the histogram_numeric /
+    -- LSH / IVF full-coverage trick applied to the EH): with unit values
+    -- and k >= the stream's total insert count, no bucket merge can ever
+    -- fire, so every bucket stays size 1 — the estimator's oldest-bucket
+    -- straddle term is floor(1/2) = 0 and eviction is per-exact-timestamp,
+    -- making the EH estimate EQUAL the exact trailing-window count. Each
+    -- shard's 'now' is the max event time that shard has seen (the
+    -- operator tracks it from ALL rows, purchases or not).
+    WITH e AS (
+      SELECT user_id % 8 AS shard, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE user_id < 100
+    ),
+    m AS (SELECT shard, MAX(ts_us) AS now FROM e GROUP BY shard)
+    SELECT m.shard,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts_us > m.now - 864000000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS purchases_10d
+    FROM e JOIN m ON e.shard = m.shard
+    GROUP BY m.shard
+    """,
+)
+def stream_eh_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EH/DGIM exactness witness: the same eh_window_sum state machinery
+    as stream_eh_window_sum, run in the SATURATED regime — unit values
+    (count semantics) and k sized to the slice's total purchase count (a
+    one-scalar pre-pass, so saturation holds BY CONSTRUCTION at any SF,
+    the histogram_numeric_saturated_exact discipline). No merge ever
+    fires, every bucket is size 1, the oldest-bucket straddle term is 0,
+    and eviction uses exact timestamps, so the streaming estimate must
+    hash-equal the exact SQL trailing-10-day count per shard. The
+    approximate regime of the SAME code path stays covered by
+    stream_eh_window_sum / stream_dgim_window_count's in-result bound
+    checks and the property tests."""
+    window_us = 10 * 24 * 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    n_purch = int(
+        ev.filter((F.col("user_id") < 100) & (F.col("event_type") == "purchase"))
+        .count()
+    )
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("user_id") < 100).select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("long").alias("val"),
+    )
+    ests = stateful.eh_window_sum(keyed, window_us=window_us, k=max(n_purch, 1))
+    out = run_available_now(ests, "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(F.col("est_window_sum"), "seq").cast("long").alias("purchases_10d")
+    )
+    return last.select("shard", "purchases_10d")
+
+
 @query("stream_stable_bloom_dedup")
 def stream_stable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable-Bloom-filter duplicate detection (Deng & Rafiei, SIGMOD
@@ -2283,6 +2340,258 @@ def stream_hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataF
         .select("day", "hr", "c")
     )
     return hhh_lattice(last)
+
+
+_MONITORING_ORACLE = """
+    -- Online model-monitoring funnel, batch twin: the four monitors a
+    -- deployed purchase-propensity score publishes continuously.
+    -- (1) exact tie-averaged rank ROC AUC over round(value,1) scores
+    --     (stream_roc_auc's integer rank machinery);
+    -- (2) PSI of the score distribution between the fixed reference
+    --     period (before 2024-01-16 UTC) and the live period, over 10
+    --     fixed score bins with +0.5 Laplace smoothing so empty bins
+    --     stay finite and engine-exact (term-ROUND@10 -> DECIMAL sum
+    --     absorbs last-bit ln() differences, the psi_feature_drift
+    --     pattern);
+    -- (3) the positive-rate drift pair (ref vs live);
+    -- (4) the Page-Hinkley daily drift monitor's alarm count and max
+    --     statistic (the stream_page_hinkley cascade, aggregated).
+    WITH v AS (
+      SELECT ROUND(value, 1) AS score, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT c, c1,
+             COALESCE(CAST(SUM(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS s
+      FROM v
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1 * (2 * s + c + 1)) AS BIGINT) AS two_r1 FROM w
+    ),
+    hist AS (
+      SELECT CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END AS h,
+             LEAST(CAST(FLOOR(CAST(ROUND(value * 10) AS BIGINT) / 500)
+               AS BIGINT), 9) AS bin,
+             COUNT(*) AS c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1
+      FROM events GROUP BY 1, 2
+    ),
+    binagg AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN h = 1 THEN c ELSE 0 END) AS BIGINT) AS cl
+      FROM hist GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(cl) AS BIGINT) AS t1
+      FROM binagg
+    ),
+    psi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ((c0 + 0.5) / (t0 + 5.0) - (cl + 0.5) / (t1 + 5.0))
+               * ln(((c0 + 0.5) / (t0 + 5.0)) / ((cl + 0.5) / (t1 + 5.0))),
+               10) AS DECIMAL(28,10))) AS DOUBLE), 6) AS psi
+      FROM binagg CROSS JOIN tot
+    ),
+    rates AS (
+      SELECT h, CAST(SUM(c) AS BIGINT) AS n_h,
+             ROUND(SUM(c1) * 1.0 / SUM(c), 6) AS rate
+      FROM hist GROUP BY h
+    ),
+    ph AS ({ph_oracle}),
+    phagg AS (
+      SELECT CAST(SUM(CASE WHEN first_alarm_day IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_alarm,
+             ROUND(MAX(max_ph), 6) AS mx
+      FROM ph
+    )
+    SELECT 'roc_auc' AS metric, n.n1 AS n,
+           ROUND((agg.two_r1 - n.n1 * (n.n1 + 1)) / (2.0 * n.n1 * n.n0), 6)
+             AS value
+    FROM agg CROSS JOIN n
+    UNION ALL SELECT 'psi_score_halves', n_bins, psi FROM psi
+    UNION ALL SELECT 'purchase_rate_ref', n_h, rate FROM rates WHERE h = 0
+    UNION ALL SELECT 'purchase_rate_live', n_h, rate FROM rates WHERE h = 1
+    UNION ALL SELECT 'ph_drift_alarms', n_alarm, mx FROM phagg
+    ORDER BY metric
+"""
+
+
+@query(
+    "stream_model_monitoring_funnel",
+    oracle=_MONITORING_ORACLE.format(
+        ph_oracle=__import__(
+            "bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries",
+            fromlist=["PH_ORACLE"],
+        ).PH_ORACLE
+    ),
+)
+def stream_model_monitoring_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MODEL MONITORING as one composite — the at-rest/mergeable-
+    state architecture of stream_corpus_release_funnel generalized from
+    corpus hygiene to model observability. One pass over the event stream
+    maintains TWO mergeable state layers and the post-drain report
+    publishes four monitors:
+
+    - streaming_score_histogram keyed by an INTEGER-ENCODED (period,
+      score) key — h*100000 + round(value*10), exact in int64 and in the
+      state's float keys — so ONE histogram state powers (1) the exact
+      tie-averaged ROC AUC over the full stream (stream_roc_auc's rank
+      arithmetic), (2) the PSI between the fixed reference period
+      (< 2024-01-16 UTC) and live traffic over 10 fixed score bins
+      (+0.5 smoothing keeps empty bins finite), and (3) the positive-
+      rate drift pair. The integer encoding follows first_seen_flags'
+      exactness contract: composite keys pack into one int64, never a
+      hashed string.
+    - streaming_page_hinkley (unchanged) contributes (4) the daily-mean
+      drift walk, aggregated to its alarm count and max statistic.
+
+    Every monitor is a pure function of mergeable per-shard sufficient
+    statistics (plain sums / O(days) day histograms), so state stays
+    O(distinct scores + days) forever and the report is recomputable at
+    any point of an unbounded stream — continuous evaluation without
+    storing one raw event. Hash-checked against the composed batch
+    cascade (AUC + smoothed PSI + rates + the PH oracle)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.quality_queries import (
+        PH_LAMBDA,
+    )
+
+    cut_us = 1705363200000000  # 2024-01-16 00:00 UTC
+
+    # pass 1: (period, score) histogram — one state layer, three monitors
+    src = events_stream_source(spark, sf_dir)
+    enc = (
+        F.when(F.unix_micros("ts") >= cut_us, 100000).otherwise(0)
+        + F.round(F.col("value") * 10).cast("long")
+    ).cast("double")
+    d = src.select(
+        enc.alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ).withColumn("shard", F.pmod(F.xxhash64("score"), F.lit(8)).cast("long"))
+    out = run_available_now(
+        stateful.streaming_score_histogram(d, "score", "y"), "append"
+    )
+    last = (
+        out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select(
+            F.floor(F.col("score") / 100000).cast("long").alias("h"),
+            (F.col("score") % 100000).cast("long").alias("si"),
+            "c",
+            "c1",
+        )
+    )
+
+    # (1) ROC AUC over the full stream (si ordering == score ordering)
+    full = last.groupBy("si").agg(
+        F.sum("c").cast("long").alias("c"), F.sum("c1").cast("long").alias("c1")
+    )
+    w_prev = Window.orderBy("si").rowsBetween(Window.unboundedPreceding, -1)
+    wdf = full.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_prev).cast("long"), F.lit(0)).alias("s"),
+    )
+    nn = full.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n0"),
+    )
+    two_r1 = wdf.agg(
+        F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_r1")
+    )
+    auc_row = two_r1.crossJoin(F.broadcast(nn)).select(
+        F.lit("roc_auc").alias("metric"),
+        F.col("n1").alias("n"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+            / (2.0 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("value"),
+    )
+
+    # (2) smoothed PSI between the reference and live periods
+    binagg = last.groupBy(
+        F.least(F.floor(F.col("si") / 500), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("h") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("h") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("cl"),
+    )
+    tot = binagg.agg(
+        F.sum("c0").cast("long").alias("t0"), F.sum("cl").cast("long").alias("t1")
+    )
+    p = (F.col("c0") + 0.5) / (F.col("t0") + 5.0)
+    q = (F.col("cl") + 0.5) / (F.col("t1") + 5.0)
+    psi_row = (
+        binagg.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.round((p - q) * F.log(p / q), 10).cast("decimal(28,10)")
+                ).cast("double"),
+                6,
+            ).alias("value"),
+        )
+        .select(F.lit("psi_score_halves").alias("metric"), "n", "value")
+    )
+
+    # (3) positive-rate drift, reference vs live
+    rates = last.groupBy("h").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(F.sum("c1") * 1.0 / F.sum("c"), 6).alias("value"),
+    )
+    rate_rows = rates.select(
+        F.when(F.col("h") == 0, "purchase_rate_ref")
+        .otherwise("purchase_rate_live")
+        .alias("metric"),
+        "n",
+        "value",
+    )
+
+    # pass 2 / (4): the Page-Hinkley daily drift monitor, aggregated
+    src2 = events_stream_source(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out2 = run_available_now(
+        stateful.streaming_page_hinkley(src2, "event_type", "day", PH_LAMBDA),
+        "append",
+    )
+    wk = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    ph_last = (
+        out2.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("max_ph", "first_alarm_day")
+    )
+    ph_row = ph_last.agg(
+        F.sum(F.col("first_alarm_day").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n"),
+        F.round(F.max("max_ph"), 6).alias("value"),
+    ).select(F.lit("ph_drift_alarms").alias("metric"), "n", "value")
+
+    return (
+        auc_row.unionByName(psi_row)
+        .unionByName(rate_rows)
+        .unionByName(ph_row)
+        .orderBy("metric")
+    )
 
 
 @query(
