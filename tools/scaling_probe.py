@@ -208,6 +208,14 @@ def main() -> None:
         "the distributed work has headroom; ratios near or above 100 would",
         "flag a shape that scales worse than the data.",
         "",
+        "winnowing_fingerprint_overlap's ~3x/100x is map-side CPU surfacing",
+        "as data grows, not a shuffle shape: the r9 all-JVM rewrite is a",
+        "map-only fingerprint construction dominated by per-gram md5 (shared",
+        "with the streaming twin, whose state pass it took from 16 to 4 s),",
+        "so its wall tracks corpus bytes sublinearly and parallelizes",
+        "embarrassingly — read it like the exact-pair rows, not as a join",
+        "blowup.",
+        "",
         "Fixture row counts:",
         "",
         "| table | sf0.001 | sf0.01 | sf0.1 |",
