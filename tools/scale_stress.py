@@ -81,6 +81,11 @@ PROBES = [
     "llm_corpus_release_e2e",
     "stream_corpus_release_funnel",
     "dedup_simhash_banded_exact",
+    # round-10: the monitoring composite and the two new witnesses must
+    # hold their bounded-state / bucketed shapes at 10x
+    "stream_eh_saturated_exact",
+    "ann_ivf_int8_lossless_exact",
+    "stream_model_monitoring_funnel",
 ]
 
 

@@ -161,6 +161,11 @@ DEFAULT_PROBES = [
     "llm_corpus_release_e2e",
     "stream_corpus_release_funnel",
     "dedup_simhash_banded_exact",
+    # round-10: saturated-EH witness, lossless IVF-int8 witness, online
+    # model-monitoring composite (two mergeable state layers, one report)
+    "stream_eh_saturated_exact",
+    "ann_ivf_int8_lossless_exact",
+    "stream_model_monitoring_funnel",
 ]
 
 SF_DIRS = [
