@@ -236,6 +236,10 @@ HEADLINE = [
     "stream_eh_saturated_exact",
     "ann_ivf_int8_lossless_exact",
     "stream_model_monitoring_funnel",
+    "cms_conservative_exact",
+    "count_sketch_exact",
+    "voptimal_saturated_exact",
+    "bloom_table_merge_exact",
 ]
 
 

@@ -2857,6 +2857,59 @@ def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "voptimal_saturated_exact",
+    oracle="""
+    -- V-optimal DP exactness witness (the saturated regime): with
+    -- n_buckets == |distinct values| the DP must place every value in
+    -- its own bucket (k buckets over k values, all non-empty), total
+    -- SSE exactly 0 regardless of frequency ties — so the emitted
+    -- buckets ARE the distinct-value histogram in value order, an exact
+    -- GROUP BY + ROW_NUMBER. Pins the DP's prefix-sum/backtrack
+    -- machinery under the value hash at any SF (the distinct-length
+    -- count is a pre-pass, so saturation holds by construction).
+    WITH h AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS INTEGER) AS bucket,
+           CAST(v AS BIGINT) AS v, n_docs
+    FROM h ORDER BY bucket
+    """,
+)
+def voptimal_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram witness: n_buckets = number of distinct values
+    (derived, so the regime holds at any data scale) forces the DP into
+    the all-singletons partition with SSE 0 — the only way to fill k
+    buckets with k values — and the result must hash-equal the exact
+    distinct-value histogram. The data-dependent regime (real bucket
+    merging, tie-broken leftmost) stays covered by
+    voptimal_histogram_stats' rows-only check and the brute-force
+    property test."""
+    docs = load(spark, sf_dir, "documents")
+    rows = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .orderBy("v")
+        .collect()
+    )  # domain-bounded: distinct lengths, not rows
+    vals = [int(r["v"]) for r in rows]
+    freqs = [int(r["f"]) for r in rows]
+    bounds, sse_opt = quality.v_optimal_partition(freqs, len(freqs))
+    assert sse_opt == 0.0 and len(bounds) == len(freqs), (
+        "saturated V-optimal DP must emit singleton buckets with zero SSE"
+    )
+    out = []
+    start = 0
+    for b, end in enumerate(bounds):
+        assert end == start + 1
+        out.append((b, vals[start], freqs[start]))
+        start = end
+    return spark.createDataFrame(
+        out, "bucket int, v bigint, n_docs bigint"
+    ).orderBy("bucket")
+
+
 @query("voptimal_histogram_stats")
 def voptimal_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-optimal histogram of the document-length distribution (Jagadish

@@ -1835,6 +1835,74 @@ def rollup_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionAll(merged).orderBy("scope", "key")
 
 
+@query(
+    "bloom_table_merge_exact",
+    oracle="""
+    -- Bloom sketch-table merge witness in the verified-FP-free regime
+    -- (the counting_bloom_delete_membership pattern): per-day filters
+    -- sized to 20k items at fpp 1e-6 with seed 42, OR-merged — no false
+    -- negatives by construction, and no false positive exists in the
+    -- 0..3000 probe range at any fixture SF (deterministic given the
+    -- seed and the fixed user-id domain; the Spark side raises if one
+    -- ever appears rather than hash-failing mysteriously) — so merged
+    -- membership equals the exact IN.
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT DISTINCT user_id FROM events)
+    ORDER BY key
+    """,
+)
+def bloom_table_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-at-rest merge witness: the day-partitioned filter table of
+    bloom_sketch_table_merge rebuilt in the verified-FP-free sizing
+    (20k/1e-6 — the parameters counting_bloom_delete_membership already
+    pins FP-free on this key domain), so the OR-union's membership over
+    the 0..3000 probe range must hash-equal the exact distinct-user IN.
+    Puts the per-day distributed build + bitwise-OR merge + vectorized
+    probe path under the value hash; the measured-FPP regime stays
+    rows-only in bloom_sketch_table_merge."""
+    import numpy as np
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.bloom import (
+        NumpyBloom,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+
+    def build(pdf):
+        b = NumpyBloom.from_params(expected_items=20_000, fpp=1e-6)
+        b.add_longs(pdf["user_id"].to_numpy(dtype="int64"))
+        return pd.DataFrame(
+            {"day": [pdf["day"].iloc[0]], "filter": [b.to_bytes()]}
+        )
+
+    table = (
+        days.groupBy("day")
+        .applyInPandas(build, "day date, filter binary")
+        .collect()
+    )
+    merged = None
+    for r in table:
+        b = NumpyBloom.from_bytes(bytes(r["filter"]))
+        merged = b if merged is None else merged_union(merged, b)
+
+    probe = np.arange(3000, dtype=np.int64)
+    hits = merged.might_contain_longs(probe)
+    present = {
+        int(r[0]) for r in days.select("user_id").distinct().collect()
+    }  # bounded: distinct users
+    fps = [int(k) for k, h in zip(probe, hits) if h and int(k) not in present]
+    if fps:
+        raise AssertionError(
+            f"witness regime broken: false positives at {fps[:5]} — resize"
+        )
+    return spark.createDataFrame(
+        [(int(k),) for k, h in zip(probe, hits) if h], "key long"
+    ).orderBy("key")
+
+
 @query("bloom_sketch_table_merge")
 def bloom_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filters AT REST — the namesake sketch joins the sketch-table
@@ -2000,6 +2068,104 @@ def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@query(
+    "cms_conservative_exact",
+    oracle="""
+    -- Conservative-update CMS exactness witness (the no-collision
+    -- regime): keys are user_id % 5 — a FIXED 5-value domain whose
+    -- bucket layout depends only on (keys, seed, width), not on SF —
+    -- and seed 1 places the 5 keys in distinct buckets on every one of
+    -- the 5 depth rows (asserted in the query). Sole-key counters make
+    -- CU increments exactly +1 per occurrence and addition-merge exact,
+    -- so the estimate equals the exact GROUP BY at any scale and any
+    -- partitioning/arrival order (CU's order sensitivity only exists
+    -- under collisions).
+    SELECT user_id % 5 AS key, CAST(COUNT(*) AS BIGINT) AS est
+    FROM events GROUP BY 1 ORDER BY key
+    """,
+)
+def cms_conservative_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative-update CMS witness: the collision-free regime where
+    Estan-Varghese updates degenerate to exact counting — every counter
+    is owned by one key, so min-estimate+1 is plain increment, per-batch
+    CU tables merge by addition losslessly, and the estimates must
+    hash-equal the exact GROUP BY. Graduates add_longs_conservative's
+    build/merge/estimate path into the hash-checked family (the
+    collision regime, where CU's ordering sensitivity lives, stays
+    rows-only in cms_conservative_vs_standard + property tests)."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
+        cms_build_numpy,
+    )
+
+    ev = load(spark, sf_dir, "events").select((F.col("user_id") % 5).alias("k"))
+    cu = cms_build_numpy(ev, "k", eps=2.0 / 64, confidence=0.96, seed=1, conservative=True)
+    keys = np.arange(5, dtype=np.int64)
+    b = cu._buckets(keys)
+    assert all(
+        len(set(b[i])) == len(keys) for i in range(b.shape[0])
+    ), "witness regime broken: keys collide — pick a collision-free seed"
+    est = cu.estimate_longs(keys)
+    return spark.createDataFrame(
+        [(int(k), int(e)) for k, e in zip(keys, est)], "key long, est long"
+    ).orderBy("key")
+
+
+@query(
+    "count_sketch_exact",
+    oracle="""
+    -- Count-Sketch exactness witness (same no-collision construction as
+    -- cms_conservative_exact): with the fixed 5-key domain in distinct
+    -- buckets on every depth row at seed 1, each counter holds exactly
+    -- sign_k * count_k, so sign_k * counter = count_k on all rows and
+    -- the median estimator is exact — the distributed mapInPandas build
+    -- and cellwise-addition merge must reproduce the exact GROUP BY.
+    SELECT user_id % 5 AS key, CAST(COUNT(*) AS BIGINT) AS est
+    FROM events GROUP BY 1 ORDER BY key
+    """,
+)
+def count_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch witness in the collision-free regime: signed counters
+    with sole ownership are exact, so the median-of-depth estimate equals
+    the exact count and the whole distributed path (per-partition numpy
+    tables via mapInPandas, monoid merge, signed-median point query) sits
+    under the value hash. The signed-cancellation regime that motivates
+    Count-Sketch stays rows-only in count_sketch_vs_cms + its property
+    tests."""
+    import numpy as np
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.countsketch import (
+        NumpyCountSketch,
+    )
+
+    ev = load(spark, sf_dir, "events").select((F.col("user_id") % 5).alias("k"))
+
+    def build(batches):
+        cs = NumpyCountSketch.from_params(width=64, depth=5, seed=1)
+        for pdf in batches:
+            cs.add_longs(pdf["k"].to_numpy(dtype="int64"))
+        yield pd.DataFrame({"table": [cs.table.tobytes()]})
+
+    parts = ev.repartition(8).mapInPandas(build, "table binary").collect()
+    cs = NumpyCountSketch.from_params(width=64, depth=5, seed=1)
+    for r in parts:
+        cs.table += np.frombuffer(bytes(r["table"]), dtype=np.int64).reshape(
+            cs.table.shape
+        )
+    keys = np.arange(5, dtype=np.int64)
+    b = cs._buckets(keys)
+    assert all(
+        len(set(b[i])) == len(keys) for i in range(b.shape[0])
+    ), "witness regime broken: keys collide — pick a collision-free seed"
+    est = cs.estimate_longs(keys)
+    return spark.createDataFrame(
+        [(int(k), int(round(float(e)))) for k, e in zip(keys, est)],
+        "key long, est long",
+    ).orderBy("key")
 
 
 @query("count_sketch_vs_cms")
