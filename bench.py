@@ -240,6 +240,7 @@ HEADLINE = [
     "count_sketch_exact",
     "voptimal_saturated_exact",
     "bloom_table_merge_exact",
+    "stream_kll_saturated_exact",
 ]
 
 

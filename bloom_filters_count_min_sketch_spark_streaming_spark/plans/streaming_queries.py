@@ -2246,6 +2246,71 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy("event_type")
 
 
+@query(
+    "stream_kll_saturated_exact",
+    oracle="""
+    -- streaming twin of kll_quantiles_exact_witness: capacity exceeds the
+    -- stream (no compactor fires through sf0.1), so the sharded state
+    -- sketches hold every value, the merge is lossless, and the rank
+    -- convention answers EXACT order statistics — the full streaming path
+    -- (per-shard applyInPandasWithState, serialization, shard merge)
+    -- under the value hash.
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    v AS (SELECT value, COUNT(*) AS c FROM events GROUP BY value),
+    w AS (
+      SELECT value,
+             CAST(SUM(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM v
+    ),
+    qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)
+    SELECT qs.q,
+           ROUND((SELECT MIN(w.value) FROM w CROSS JOIN n
+                  WHERE w.cum >= CEIL(qs.q * n.n)), 6) AS quantile_value
+    FROM qs ORDER BY qs.q
+    """,
+)
+def stream_kll_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KLL exactness witness: the same sharded
+    kll_quantile_state path as stream_kll_quantiles with k=262144 (>
+    stream size through sf0.1, so no compaction ever fires) — state
+    sketches hold every observed value, the shard merge is lossless, and
+    the merged quantiles must hash-equal exact SQL order statistics. The
+    compacting regime stays rows-only in stream_kll_quantiles with its
+    in-result realized-rank audit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.kll import (
+        KLLSketch,
+    )
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries import (
+        _KLL_QS,
+    )
+
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select((F.col("user_id") % 8).alias("shard"), "event_id", "value")
+    out = run_available_now(stateful.kll_quantile_state(keyed, k=262144), "append")
+    last = out.groupBy("shard").agg(F.max_by("sketch", "seq").alias("sketch"))
+    merged = KLLSketch(k=262144, seed=99)
+    for r in sorted(last.collect(), key=lambda r: r["shard"]):  # 8 blobs
+        merged.merge(KLLSketch.from_bytes(bytes(r["sketch"])))
+    rows = []
+    for q in _KLL_QS:
+        est = merged.quantile(q)
+        rows.append(
+            (
+                q,
+                float(
+                    Decimal(repr(est)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "q double, quantile_value double").orderBy("q")
+
+
 @query("stream_kll_quantiles")
 def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE KLL quantiles (the streaming twin of
