@@ -2866,11 +2866,14 @@ def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- SSE exactly 0 regardless of frequency ties — so the emitted
     -- buckets ARE the distinct-value histogram in value order, an exact
     -- GROUP BY + ROW_NUMBER. Pins the DP's prefix-sum/backtrack
-    -- machinery under the value hash at any SF (the distinct-length
-    -- count is a pre-pass, so saturation holds by construction).
+    -- machinery under the value hash at any SF. The series is the
+    -- doc_id < 1000 slice: the saturated DP is O(n^3) in distinct
+    -- values by construction (k = n kills the usual k*n^2 bound's k
+    -- factor savings), so the witness input must be FIXED-SIZE — the
+    -- same bounded-sample rule as energy_distance_embeddings.
     WITH h AS (
       SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY 1
+      FROM documents WHERE doc_id < 1000 GROUP BY 1
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS INTEGER) AS bucket,
            CAST(v AS BIGINT) AS v, n_docs
@@ -2882,11 +2885,13 @@ def voptimal_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (derived, so the regime holds at any data scale) forces the DP into
     the all-singletons partition with SSE 0 — the only way to fill k
     buckets with k values — and the result must hash-equal the exact
-    distinct-value histogram. The data-dependent regime (real bucket
-    merging, tie-broken leftmost) stays covered by
+    distinct-value histogram. Input is the fixed doc_id < 1000 slice:
+    the saturated DP is O(n^3) in distinct values, so the witness series
+    must stay constant-size at any corpus scale. The data-dependent
+    regime (real bucket merging, tie-broken leftmost) stays covered by
     voptimal_histogram_stats' rows-only check and the brute-force
     property test."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     rows = (
         docs.groupBy(F.col("n_chars").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
