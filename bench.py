@@ -241,6 +241,9 @@ HEADLINE = [
     "voptimal_saturated_exact",
     "bloom_table_merge_exact",
     "stream_kll_saturated_exact",
+    "stream_dgim_saturated_exact",
+    "stream_sbf_decayless_exact",
+    "kmeans_identity_exact",
 ]
 
 

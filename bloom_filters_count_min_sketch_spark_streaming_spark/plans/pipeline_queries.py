@@ -447,6 +447,55 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=5)
 
 
+@query(
+    "kmeans_identity_exact",
+    oracle="""
+    -- Lloyd's k-means exactness witness (the saturation discipline
+    -- applied to clustering): with k = n distinct points, the hash-min
+    -- init seeds every point as its own centroid, each point's nearest
+    -- centroid is itself (distance 0 beats any positive distance), the
+    -- update step returns each centroid to its own point, and the
+    -- fixed point is the identity clustering — cluster i IS the i-th
+    -- point in md5(vec_id) order (the init's deterministic ranking), so
+    -- every cluster has exactly 1 point and inertia 0. This puts the
+    -- whole distributed Lloyd path (hash-min init, Arrow-batched argmin
+    -- assignment, k x dim decimal update shuffle, inertia profile)
+    -- under the value hash.
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cluster,
+           CAST(1 AS BIGINT) AS n_points,
+           CAST(0.0 AS DOUBLE) AS inertia
+    FROM embeddings WHERE vec_id < 40
+    ORDER BY cluster
+    """,
+)
+def kmeans_identity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means exactness witness: the same kmeans_cluster_profile code
+    path as kmeans_embeddings, run in the SATURATED regime k = n — every
+    point becomes its own centroid at init (hash-min ranking over ALL n
+    rows), assignment is the identity (self-distance 0 is the unique
+    argmin once vectors are asserted distinct), and Lloyd's update is a
+    fixed point, so the profile must be n singleton clusters with
+    inertia 0 and cluster ids equal to the md5(vec_id) rank. Distinct-
+    vector saturation is asserted in-query (countDistinct pre-pass, the
+    histogram_numeric_saturated_exact discipline); the k << n regime of
+    the SAME code path stays rows-only in kmeans_embeddings with its
+    property tests, and the coreset path has its own full-coverage
+    witness (kmeans_coreset_full_exact)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    chk = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("embedding").cast("string")).alias("nd"),
+    ).first()
+    n = int(chk["n"])
+    assert n > 0 and int(chk["nd"]) == n, (
+        "witness regime broken: duplicate vectors in the slice — the "
+        "identity argmin is no longer unique"
+    )
+    return kmeans_cluster_profile(emb, "vec_id", "embedding", k=n, n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # Custom Python data source (Spark 4 DataSource API)
 

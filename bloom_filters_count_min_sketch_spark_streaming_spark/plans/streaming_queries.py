@@ -2170,6 +2170,161 @@ def stream_eh_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.select("shard", "purchases_10d")
 
 
+@query(
+    "stream_dgim_saturated_exact",
+    oracle="""
+    -- DGIM exactness witness (the stream_eh_saturated_exact discipline
+    -- applied to the OTHER sliding-window sketch): with the paper's
+    -- accuracy knob opened to max_per_size >= the slice's total click
+    -- count (Datar-Gionis-Indyk-Motwani §5 — ceil(1/r)+1 buckets per
+    -- size trades state for error r/2), no power-of-two merge can ever
+    -- fire, every bucket stays size 1, the oldest-bucket straddle term
+    -- is floor(1/2) = 0, and eviction drops exact timestamps — so the
+    -- DGIM estimate EQUALS the exact trailing-10-day click count per
+    -- shard. Each shard's 'now' is the max event time that shard saw
+    -- (the operator tracks it from ALL rows, clicks or not).
+    WITH e AS (
+      SELECT user_id % 8 AS shard, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE user_id < 100
+    ),
+    m AS (SELECT shard, MAX(ts_us) AS now FROM e GROUP BY shard)
+    SELECT m.shard,
+           CAST(SUM(CASE WHEN e.event_type = 'click'
+                          AND e.ts_us > m.now - 864000000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicks_10d
+    FROM e JOIN m ON e.shard = m.shard
+    GROUP BY m.shard
+    ORDER BY m.shard
+    """,
+)
+def stream_dgim_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM exactness witness: the same dgim_window_count state machinery
+    as stream_dgim_window_count, run in the SATURATED regime — the bucket
+    capacity (the paper's ceil(1/r)+1 knob, default 2) is derived from a
+    one-scalar pre-pass as the slice's total click count, so no merge can
+    fire at ANY scale factor (the histogram_numeric_saturated_exact
+    discipline). All buckets stay size 1, the straddle term is 0, and
+    eviction is per-exact-timestamp, so the streaming estimate must
+    hash-equal the exact SQL trailing-window count per shard. The regime
+    is asserted in-result (n_buckets == estimate holds iff every bucket
+    is size 1); the merging regime of the SAME code path stays covered by
+    stream_dgim_window_count's in-result <=50% bound check and
+    tests/test_state_sketches.py."""
+    window_us = 10 * 24 * 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    n_clicks = int(
+        ev.filter((F.col("user_id") < 100) & (F.col("event_type") == "click"))
+        .count()
+    )
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("user_id") < 100).select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "click").cast("long").alias("bit"),
+    )
+    ests = stateful.dgim_window_count(
+        keyed, window_us=window_us, max_per_size=max(n_clicks, 2)
+    )
+    out = run_available_now(ests, "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("n_buckets", "est_window_ones"), "seq").alias("s")
+    )
+    rows = last.select("shard", "s.n_buckets", "s.est_window_ones").collect()
+    assert all(r["n_buckets"] == r["est_window_ones"] for r in rows), (
+        "witness regime broken: a DGIM merge fired (bucket size > 1) — "
+        "max_per_size must cover the slice's total click count"
+    )
+    return spark.createDataFrame(
+        sorted((int(r["shard"]), int(r["est_window_ones"])) for r in rows),
+        "shard long, clicks_10d long",
+    ).orderBy("shard")
+
+
+@query(
+    "stream_sbf_decayless_exact",
+    oracle="""
+    -- Stable-Bloom exactness witness: with the decay rate p_dec = 0 the
+    -- SBF degenerates to a classical Bloom filter (cells are set to
+    -- cell_max and never decremented), so false NEGATIVES are impossible
+    -- by construction; false positives are ruled out by an in-query
+    -- pre-pass that checks every distinct key owns at least one cell no
+    -- other key touches (m = 65536 per shard keeps the fill fraction
+    -- ~0.6% on the slice). Flagged duplicates are then EXACTLY the
+    -- repeated (user, event_type) arrivals per shard.
+    WITH e AS (
+      SELECT user_id % 8 AS shard, user_id, event_type
+      FROM events WHERE user_id < 200
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(COUNT(*) - COUNT(DISTINCT user_id || '|' || event_type)
+                AS BIGINT) AS dups_flagged
+    FROM e GROUP BY shard ORDER BY shard
+    """,
+)
+def stream_sbf_decayless_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-Bloom exactness witness: the same stable_bloom_dedup state
+    machinery as stream_stable_bloom_dedup with the decay turned OFF
+    (p_dec=0) — the regime where Deng-Rafiei's controlled-false-negative
+    trade collapses to a plain Bloom filter, so the only error source
+    left is hash collisions, and those are excluded by an asserted
+    pre-pass: every distinct key in the slice owns at least one private
+    cell (no other key hashes to it), so a first arrival can never find
+    all its cells set. With both error sources provably off, the flagged
+    duplicate count per shard must hash-equal the exact repeated-pair
+    count. The decaying regime of the SAME code path stays rows-only in
+    stream_stable_bloom_dedup with its zero-fraction stability readout
+    and tests/test_state_sketches.py."""
+    m_cells, kh = 65536, 3
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    chk = ev.agg(
+        F.countDistinct(F.struct("user_id", "event_type")).alias("pairs"),
+        F.countDistinct(F.xxhash64("user_id", "event_type")).alias("keys"),
+    ).first()
+    assert chk["pairs"] == chk["keys"], (
+        "witness regime broken: xxhash64 collided two distinct "
+        "(user, event_type) pairs"
+    )
+    shard_keys = (
+        ev.select(
+            (F.col("user_id") % 8).alias("shard"),
+            F.xxhash64("user_id", "event_type").alias("key"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_shard: dict[int, list[int]] = {}
+    for r in shard_keys:
+        by_shard.setdefault(int(r["shard"]), []).append(int(r["key"]))
+    for keys in by_shard.values():
+        pos = [np.unique(stateful._sbf_positions(x, kh, m_cells)) for x in keys]  # noqa: SLF001
+        usage = np.zeros(m_cells, dtype=np.int64)
+        for p in pos:
+            usage[p] += 1
+        assert all((usage[p] == 1).any() for p in pos), (
+            "witness regime broken: a key owns no private cell — enlarge m"
+        )
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("user_id") < 200).select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.xxhash64("user_id", "event_type").alias("key"),
+    )
+    out = run_available_now(
+        stateful.stable_bloom_dedup(keyed, m=m_cells, kh=kh, p_dec=0), "append"
+    )
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("n_seen", "n_dups_flagged"), "seq").alias("s")
+    )
+    return last.select(
+        "shard",
+        F.col("s.n_seen").cast("long").alias("n_seen"),
+        F.col("s.n_dups_flagged").cast("long").alias("dups_flagged"),
+    ).orderBy("shard")
+
+
 @query("stream_stable_bloom_dedup")
 def stream_stable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable-Bloom-filter duplicate detection (Deng & Rafiei, SIGMOD

@@ -825,21 +825,28 @@ _DGIM_STATE = StructType(
 
 
 def _dgim_ingest(
-    ts: list[int], sz: list[int], ones, now: int, window_us: int
+    ts: list[int], sz: list[int], ones, now: int, window_us: int,
+    max_per_size: int = 2,
 ) -> tuple[list[int], list[int], int]:
     """Pure DGIM core (unit-testable without Spark): fold a ts-ascending
     run of 1-bit timestamps into the (ts, sz) bucket lists, evict buckets
     whose newest bit left the window, and return the estimate for
     (now - window_us, now]: full sizes of all live buckets minus half the
     oldest (its bits straddle the window edge). Invariants: ts ascending,
-    at most two buckets per size, sizes are powers of two."""
+    at most ``max_per_size`` buckets per size, sizes are powers of two.
+
+    ``max_per_size`` is the paper's accuracy knob (Datar-Gionis-Indyk-
+    Motwani §5: ceil(1/r)+1 buckets per size gives relative error r/2 in
+    O((1/r) log^2 W) state); the classic presentation is the default
+    r=1 case. max_per_size >= total ones means no merge ever fires —
+    the saturated regime the exactness witness pins."""
     for t in ones:
         ts.append(int(t))
         sz.append(1)
         s = 1
         while True:
             idxs = [j for j, v in enumerate(sz) if v == s]
-            if len(idxs) <= 2:
+            if len(idxs) <= max_per_size:
                 break
             a, b = idxs[0], idxs[1]  # merge the two OLDEST of this size
             sz[b] = 2 * s  # merged bucket keeps the newer timestamp
@@ -853,7 +860,8 @@ def _dgim_ingest(
 
 
 def dgim_window_count(
-    stream_df: DataFrame, window_us: int, bit_col: str = "bit"
+    stream_df: DataFrame, window_us: int, bit_col: str = "bit",
+    max_per_size: int = 2,
 ) -> DataFrame:
     """Sliding-window 1-bit count over an unbounded stream in O(log^2 W)
     state per shard — DGIM, the classic companion of the Bloom/CMS
@@ -884,7 +892,7 @@ def dgim_window_count(
             seq, ts, sz = 0, [], []
         ones = pdf.loc[pdf[bit_col] == 1, "ts_us"].to_numpy(np.int64)
         now = int(pdf["ts_us"].iloc[-1])
-        ts, sz, est = _dgim_ingest(ts, sz, ones, now, window_us)
+        ts, sz, est = _dgim_ingest(ts, sz, ones, now, window_us, max_per_size)
         seq += 1
         state.update(
             (

@@ -90,6 +90,34 @@ def test_dgim_core_invariants_and_error_bound():
     assert (ts1, sz1, est1) == (ts, sz, est)
 
 
+def test_dgim_saturated_capacity_is_exact():
+    """The paper's ceil(1/r)+1 capacity knob: with max_per_size >= total
+    ones no merge fires, every bucket is size 1, and the estimate equals
+    the exact trailing-window count at every batch boundary — the regime
+    stream_dgim_saturated_exact pins against SQL. Also checks the default
+    capacity still merges (the two paths genuinely differ)."""
+    import random
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _dgim_ingest,
+    )
+
+    rng = random.Random(7)
+    stream = sorted(rng.sample(range(1, 500_000), 2_000))
+    W = 120_000
+    ts, sz = [], []
+    for i in range(0, len(stream), 300):
+        chunk = stream[i : i + 300]
+        now = chunk[-1]
+        ts, sz, est = _dgim_ingest(ts, sz, chunk, now, W, max_per_size=len(stream))
+        exact = sum(1 for t in stream[: i + 300] if now - W < t <= now)
+        assert est == exact, (est, exact)
+        assert all(s == 1 for s in sz), "saturated regime must never merge"
+    # same stream, default capacity: merges fire (some bucket exceeds 1)
+    ts2, sz2, _ = _dgim_ingest([], [], stream, stream[-1], W)
+    assert any(s > 1 for s in sz2)
+
+
 def test_dgim_eviction_empties_idle_window():
     """A long quiet gap must evict every bucket (state returns to zero) —
     the property that keeps DGIM state bounded on bursty streams."""

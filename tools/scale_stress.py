@@ -86,6 +86,12 @@ PROBES = [
     "stream_eh_saturated_exact",
     "ann_ivf_int8_lossless_exact",
     "stream_model_monitoring_funnel",
+    # round-10b: the remaining saturated witnesses — DGIM's merge-free
+    # bucket list and the decayless SBF are bounded by their fixed key
+    # slices, and identity k-means is k=n over a 40-row slice
+    "stream_dgim_saturated_exact",
+    "stream_sbf_decayless_exact",
+    "kmeans_identity_exact",
 ]
 
 

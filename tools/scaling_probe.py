@@ -166,6 +166,11 @@ DEFAULT_PROBES = [
     "stream_eh_saturated_exact",
     "ann_ivf_int8_lossless_exact",
     "stream_model_monitoring_funnel",
+    # round-10b: the remaining saturated witnesses (DGIM, decayless SBF,
+    # identity k-means) — all on fixed slices, so flat-by-construction
+    "stream_dgim_saturated_exact",
+    "stream_sbf_decayless_exact",
+    "kmeans_identity_exact",
 ]
 
 SF_DIRS = [
