@@ -1154,19 +1154,91 @@ _BPE_FIXED_MERGES = [
 ]
 
 
-@query("bpe_train_merges")
+def _bpe_train_oracle(num_merges: int) -> str:
+    """Unrolled BPE-training oracle: one MATERIALIZED CTE pair per merge
+    iteration (m{i} = weighted argmax pair, seg{i+1} = re-segmented vocab).
+
+    Re-segmentation uses the space-join identity the module docstring in
+    operators/bpe.py states: applying merge (a, b) as one left-to-right
+    pass over non-overlapping adjacent symbol pairs == replacing the
+    DELIMITED ' a b ' with ' ab ' in the space-joined symbol string —
+    twice, because a replacement consumes the shared delimiter of an
+    immediately following occurrence (the second pass catches those; two
+    passes always suffice since pass-1 misses are never adjacent). The
+    identity requires a != b for every learned merge (with a == b,
+    occurrences can OVERLAP and the delimiter scan picks a different
+    non-overlapping set than the symbol scan for runs >= 5) — the query
+    asserts that regime on its result, so a corpus that ever learns an
+    a == b merge raises instead of silently hash-diverging. Every
+    per-iteration CTE is referenced more than once downstream -> all
+    MATERIALIZED (the r6 exponential-re-evaluation lesson, CLAUDE.md).
+    range() cannot take lateral args in DuckDB 1.0, so pair positions
+    come from a literal range(1, 100) filtered by j < len(toks) (words
+    are whitespace tokens; far shorter than 100 chars)."""
+    parts = [
+        """WITH wc AS MATERIALIZED (
+  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s,
+         COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents)
+  GROUP BY w
+), seg0 AS MATERIALIZED (SELECT s, c FROM wc)"""
+    ]
+    for i in range(num_merges):
+        parts.append(f""", m{i} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM (
+    SELECT c, toks[j] AS a, toks[j+1] AS b FROM (
+      SELECT c, string_split(trim(s), ' ') AS toks FROM seg{i}),
+      range(1, 100) t(j)
+    WHERE j < len(toks))
+  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)""")
+        if i < num_merges - 1:
+            parts.append(f""", seg{i + 1} AS MATERIALIZED (
+  SELECT REPLACE(REPLACE(s,
+    (SELECT ' '||a||' '||b||' ' FROM m{i}),
+    (SELECT ' '||a||b||' ' FROM m{i})),
+    (SELECT ' '||a||' '||b||' ' FROM m{i}),
+    (SELECT ' '||a||b||' ' FROM m{i})) AS s, c
+  FROM seg{i})""")
+    sel = " UNION ALL ".join(
+        f'SELECT CAST({i} AS INTEGER) AS step, a AS "left", b AS "right", '
+        f"a||b AS merged, n FROM m{i}"
+        for i in range(num_merges)
+    )
+    parts.append(f" SELECT * FROM ({sel}) ORDER BY step")
+    return "".join(parts)
+
+
+_BPE_NUM_MERGES = 8
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_NUM_MERGES))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich et al. 2016): 8 merge iterations.
     One corpus-scale pass builds the distinct-word frequency table; each
     iteration re-segments the cached VOCAB with the merges so far (Arrow
     UDF), counts adjacent pairs weighted by word frequency, and collects
     exactly one argmax row — driver state like k-means, lineage constant
-    across iterations. Iterative -> rows-only for the driver; equivalence
-    with a pure-Python reference BPE is pytest-asserted."""
+    across iterations. Hash-checked against an unrolled MATERIALIZED-CTE
+    oracle (one argmax + re-segmentation CTE pair per iteration; the
+    space-join REPLACE identity needs every learned merge to have
+    left != right, asserted here so a regime break raises loudly);
+    equivalence with a pure-Python reference BPE is ALSO
+    pytest-asserted."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.operators import bpe
 
     docs = load(spark, sf_dir, "documents")
-    return bpe.train_merges(docs, num_merges=8)
+    res = bpe.train_merges(docs, num_merges=_BPE_NUM_MERGES)
+    rows = res.collect()
+    assert len(rows) == _BPE_NUM_MERGES and all(
+        r["left"] != r["right"] for r in rows
+    ), (
+        "oracle regime broken: a learned merge has left == right (the "
+        "delimited-REPLACE identity does not hold for overlapping runs) "
+        "or training exhausted pairs early"
+    )
+    return res
 
 
 @query(
