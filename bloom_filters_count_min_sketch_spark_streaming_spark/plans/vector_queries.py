@@ -362,6 +362,137 @@ def frequent_directions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_pca_closed_form_exact",
+    oracle="""
+    -- PCA exactness witness: a 2x2 covariance has CLOSED-FORM eigenvalues
+    -- (quadratic formula), so the eigendecomposition stops being the
+    -- SQL-inexpressible step. The 2-D input is an integer-grid slice of
+    -- the embedding column (floor(x*50) on explicitly DOUBLE-cast
+    -- elements, identical in both engines), so every moment sum is an
+    -- exact integer, the covariance entries are identical doubles, and
+    -- numpy eigh vs the formula agree to ~1 ulp — far inside ROUND(.,6).
+    WITH d AS (
+      SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 50) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 50) AS BIGINT) AS y
+      FROM embeddings
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM d
+    ), c AS (
+      SELECT sxx/n - (sx/n)*(sx/n) AS a,
+             sxy/n - (sx/n)*(sy/n) AS b,
+             syy/n - (sy/n)*(sy/n) AS cc
+      FROM s
+    ), e AS (
+      SELECT (a + cc + sqrt((a-cc)*(a-cc) + 4*b*b)) / 2 AS l1,
+             (a + cc - sqrt((a-cc)*(a-cc) + 4*b*b)) / 2 AS l2,
+             a + cc AS tot
+      FROM c
+    )
+    SELECT CAST(1 AS INTEGER) AS component, ROUND(l1, 6) AS eigenvalue,
+           ROUND(l1/tot, 6) AS explained_ratio FROM e
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), ROUND(l2, 6), ROUND(l2/tot, 6) FROM e
+    ORDER BY component
+    """,
+)
+def embedding_pca_closed_form_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA exactness witness: the same covariance_eigh code path as
+    embedding_pca_variance (distributed mapInPandas moment pass, integer
+    moment encoding, driver-side eigh, descending order) run over a 2-D
+    integer-grid projection of the FULL embedding corpus — the regime
+    where the eigenvalues have a SQL closed form (quadratic formula on
+    the 2x2 covariance). Integer-valued inputs make the scaled moment
+    sums exact (np.rint has no ties to break), so both engines hold
+    bit-identical covariances and the only slack is eigh-vs-formula at
+    ~1 ulp, absorbed by ROUND(.,6). The 64-D regime of the SAME code
+    path stays rows-only in embedding_pca_variance with its property
+    tests (tests/test_pca.py)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import pca
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d2 = emb.select(
+        F.array(
+            F.floor(F.col("embedding")[0].cast("double") * 50).cast("double"),
+            F.floor(F.col("embedding")[1].cast("double") * 50).cast("double"),
+        ).alias("v2")
+    )
+    _, w, _, _ = pca.covariance_eigh(d2, "v2", 2)
+    total = float(w.sum())
+    rows = [
+        (int(c + 1), round(float(w[c]), 6), round(float(w[c]) / total, 6))
+        for c in range(2)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+@query(
+    "fd_saturated_spectrum_exact",
+    oracle="""
+    -- Frequent-Directions exactness witness: with ell >= the slice's row
+    -- count no shrink can ever fire (per-partition buffers never fill,
+    -- the merge fold appends raw rows), so the sketch IS the data matrix
+    -- up to row order and zero padding — neither changes singular
+    -- values. On a 2-D integer-grid slice the Gram matrix is exact
+    -- integers and sigma_i = sqrt(eigenvalue_i(X'X)) has the quadratic
+    -- closed form; LAPACK SVD agrees to ~1 ulp, absorbed by ROUND(.,6).
+    WITH d AS (
+      SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 50) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 50) AS BIGINT) AS y
+      FROM embeddings WHERE vec_id < 60
+    ), g AS (
+      SELECT CAST(SUM(x*x) AS DOUBLE) AS gxx,
+             CAST(SUM(x*y) AS DOUBLE) AS gxy,
+             CAST(SUM(y*y) AS DOUBLE) AS gyy
+      FROM d
+    ), e AS (
+      SELECT (gxx + gyy + sqrt((gxx-gyy)*(gxx-gyy) + 4*gxy*gxy)) / 2 AS l1,
+             (gxx + gyy - sqrt((gxx-gyy)*(gxx-gyy) + 4*gxy*gxy)) / 2 AS l2
+      FROM g
+    )
+    SELECT CAST(1 AS INTEGER) AS component, ROUND(sqrt(l1), 6) AS sigma FROM e
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), ROUND(sqrt(l2), 6) FROM e
+    ORDER BY component
+    """,
+)
+def fd_saturated_spectrum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-Directions exactness witness: the same fd_sketch /
+    fd_spectrum path as frequent_directions_spectrum (per-partition
+    streaming sketches, deterministic pid-ordered merge fold, driver
+    SVD) in the SATURATED regime — ell is derived from a count pre-pass
+    as the slice's row count (the stream_kll_saturated_exact
+    discipline), so the shrink step can never fire and the sketch holds
+    the raw rows exactly; its singular values equal the closed-form
+    2x2 Gram eigenvalues' square roots. The shrinking regime of the
+    SAME code path stays rows-only in frequent_directions_spectrum with
+    the GLPW-bound property tests (tests/test_fd.py)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import fd
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    d2 = emb.select(
+        "vec_id",
+        F.array(
+            F.floor(F.col("embedding")[0].cast("double") * 50).cast("double"),
+            F.floor(F.col("embedding")[1].cast("double") * 50).cast("double"),
+        ).alias("v2"),
+    )
+    n = int(d2.count())
+    assert n >= 2, "witness regime broken: slice too small"
+    sk = fd.fd_sketch(d2, vec_col="v2", id_col="vec_id", ell=n, dim=2)
+    rows = [(c, round(s, 6)) for c, s in fd.fd_spectrum(sk, top=2)]
+    return spark.createDataFrame(rows, "component int, sigma double")
+
+
+@query(
     "ann_lsh_full_tables_exact",
     oracle="""
     -- LSH exactness witness (the LSH-family analogue of

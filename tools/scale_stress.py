@@ -92,6 +92,10 @@ PROBES = [
     "stream_dgim_saturated_exact",
     "stream_sbf_decayless_exact",
     "kmeans_identity_exact",
+    # linear-algebra witnesses: full-corpus 2-D moment pass (linear) and
+    # a fixed 60-row FD slice (flat)
+    "embedding_pca_closed_form_exact",
+    "fd_saturated_spectrum_exact",
 ]
 
 

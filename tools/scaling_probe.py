@@ -171,6 +171,8 @@ DEFAULT_PROBES = [
     "stream_dgim_saturated_exact",
     "stream_sbf_decayless_exact",
     "kmeans_identity_exact",
+    "embedding_pca_closed_form_exact",
+    "fd_saturated_spectrum_exact",
 ]
 
 SF_DIRS = [
