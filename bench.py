@@ -246,6 +246,7 @@ HEADLINE = [
     "kmeans_identity_exact",
     "embedding_pca_closed_form_exact",
     "fd_saturated_spectrum_exact",
+    "pca_project_closed_form_exact",
 ]
 
 

@@ -435,6 +435,116 @@ def embedding_pca_closed_form_exact(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "pca_project_closed_form_exact",
+    oracle="""
+    -- PCA projection witness: in 2-D the eigenVECTORS also have a closed
+    -- form — for [[a,b],[b,c]] with b != 0 (asserted Spark-side) the
+    -- lambda-eigenvector is (b, lambda-a), normalized, with the
+    -- operator's canonical sign (largest-|component| positive; ties keep
+    -- the first component, matching np.argmax). Projection is then pure
+    -- arithmetic: pc_k = (x-mx)*vkx + (y-my)*vky. Closed form vs LAPACK
+    -- differ ~1e-13 with the asserted eigengap; ROUND(.,5) absorbs it.
+    WITH d AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 50) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 50) AS BIGINT) AS y
+      FROM embeddings
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM d
+    ), c AS (
+      SELECT sx/n AS mx, sy/n AS my,
+             sxx/n - (sx/n)*(sx/n) AS a,
+             sxy/n - (sx/n)*(sy/n) AS b,
+             syy/n - (sy/n)*(sy/n) AS cc
+      FROM s
+    ), e AS (
+      SELECT mx, my, a, b,
+             (a + cc + sqrt((a-cc)*(a-cc) + 4*b*b)) / 2 AS l1,
+             (a + cc - sqrt((a-cc)*(a-cc) + 4*b*b)) / 2 AS l2
+      FROM c
+    ), u AS (
+      SELECT mx, my,
+             b / sqrt(b*b + (l1-a)*(l1-a)) AS e1x,
+             (l1-a) / sqrt(b*b + (l1-a)*(l1-a)) AS e1y,
+             b / sqrt(b*b + (l2-a)*(l2-a)) AS e2x,
+             (l2-a) / sqrt(b*b + (l2-a)*(l2-a)) AS e2y
+      FROM e
+    ), v AS (
+      SELECT mx, my,
+             CASE WHEN (CASE WHEN abs(e1x) >= abs(e1y)
+                             THEN e1x ELSE e1y END) < 0
+                  THEN -e1x ELSE e1x END AS v1x,
+             CASE WHEN (CASE WHEN abs(e1x) >= abs(e1y)
+                             THEN e1x ELSE e1y END) < 0
+                  THEN -e1y ELSE e1y END AS v1y,
+             CASE WHEN (CASE WHEN abs(e2x) >= abs(e2y)
+                             THEN e2x ELSE e2y END) < 0
+                  THEN -e2x ELSE e2x END AS v2x,
+             CASE WHEN (CASE WHEN abs(e2x) >= abs(e2y)
+                             THEN e2x ELSE e2y END) < 0
+                  THEN -e2y ELSE e2y END AS v2y
+      FROM u
+    )
+    SELECT d.vec_id,
+           ROUND((d.x - v.mx)*v.v1x + (d.y - v.my)*v.v1y, 5) AS pc1,
+           ROUND((d.x - v.mx)*v.v2x + (d.y - v.my)*v.v2y, 5) AS pc2
+    FROM d CROSS JOIN v
+    WHERE d.vec_id < 50
+    ORDER BY d.vec_id
+    """,
+)
+def pca_project_closed_form_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection witness: the same covariance_eigh + project path as
+    embedding_pca_project (moment pass, driver eigh, canonical signs,
+    broadcast pandas-UDF matmul) over the 2-D integer-grid projection of
+    the corpus, where the eigenvectors have the SQL closed form
+    (b, lambda-a)/norm. Asserts the non-degenerate regime in-query
+    (b != 0 and an eigengap, else the closed form and eigh could pick
+    different bases); with it, eigh and the formula agree to ~1e-13,
+    far inside ROUND(.,5). Completes the PCA family's hash-checked
+    coverage: spectrum (embedding_pca_closed_form_exact), projection
+    (this), 64-D production regime (rows-only + tests/test_pca.py)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import pca
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d2 = emb.select(
+        "vec_id",
+        F.array(
+            F.floor(F.col("embedding")[0].cast("double") * 50).cast("double"),
+            F.floor(F.col("embedding")[1].cast("double") * 50).cast("double"),
+        ).alias("v2"),
+    )
+    mean, w, v, _ = pca.covariance_eigh(d2, "v2", 2)
+    stats = d2.select(
+        F.col("v2")[0].alias("x"), F.col("v2")[1].alias("y")
+    ).agg(
+        (F.sum(F.col("x") * F.col("y")) / F.count(F.lit(1))).alias("sxy_n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    ).first()
+    b_cov = float(stats["sxy_n"]) - float(stats["mx"]) * float(stats["my"])
+    assert abs(b_cov) > 1e-9 and float(w[0] - w[1]) > 1e-6, (
+        "witness regime broken: degenerate 2x2 covariance (b ~ 0 or "
+        "eigengap ~ 0) — the closed-form eigenbasis is not unique"
+    )
+    projected = pca.project(
+        d2.filter(F.col("vec_id") < 50), mean, v, "v2", "pcs"
+    )
+    return projected.select(
+        "vec_id",
+        F.round(F.col("pcs")[0], 5).alias("pc1"),
+        F.round(F.col("pcs")[1], 5).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+@query(
     "fd_saturated_spectrum_exact",
     oracle="""
     -- Frequent-Directions exactness witness: with ell >= the slice's row

@@ -96,6 +96,7 @@ PROBES = [
     # a fixed 60-row FD slice (flat)
     "embedding_pca_closed_form_exact",
     "fd_saturated_spectrum_exact",
+    "pca_project_closed_form_exact",
 ]
 
 

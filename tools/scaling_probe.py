@@ -173,6 +173,7 @@ DEFAULT_PROBES = [
     "kmeans_identity_exact",
     "embedding_pca_closed_form_exact",
     "fd_saturated_spectrum_exact",
+    "pca_project_closed_form_exact",
 ]
 
 SF_DIRS = [
