@@ -247,6 +247,8 @@ HEADLINE = [
     "embedding_pca_closed_form_exact",
     "fd_saturated_spectrum_exact",
     "pca_project_closed_form_exact",
+    "rouge_ngram_eval",
+    "bleu_corpus_eval",
 ]
 
 

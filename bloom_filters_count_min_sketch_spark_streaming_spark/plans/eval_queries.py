@@ -2628,3 +2628,330 @@ def stump_split_from_counts(g: DataFrame) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Generation-eval metrics: ROUGE-N and corpus BLEU — the n-gram-overlap
+# scorecards an LLM-data team runs between candidate generations and their
+# references. Pairing on the fixture: every doc whose id is not a multiple
+# of 10 is a "candidate" scored against its decile head (doc_id - doc_id%10)
+# as "reference". All match counts are clipped EXACT integers; only the
+# final divisions are floats.
+
+_ROUGE_PAIR_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, lang, toks, len(toks) AS n1,
+             GREATEST(len(toks) - 1, 0) AS n2,
+             doc_id - doc_id % 10 AS ref_id
+      FROM d
+    ), pairs AS (
+      SELECT c.doc_id, c.lang, c.toks AS ct, r.toks AS rt,
+             c.n1 AS tc1, c.n2 AS tc2, r.n1 AS tr1, r.n2 AS tr2
+      FROM base c JOIN base r ON r.doc_id = c.ref_id
+      WHERE c.doc_id % 10 <> 0
+    ), cg AS (
+      SELECT doc_id, g, COUNT(*) AS cc FROM (
+        SELECT doc_id, unnest(ct) AS g FROM pairs
+        UNION ALL
+        SELECT doc_id,
+               unnest([ct[i] || ' ' || ct[i+1] for i in range(1, len(ct))])
+        FROM pairs
+      ) GROUP BY doc_id, g
+    ), rg AS (
+      SELECT doc_id, g, COUNT(*) AS cr FROM (
+        SELECT doc_id, unnest(rt) AS g FROM pairs
+        UNION ALL
+        SELECT doc_id,
+               unnest([rt[i] || ' ' || rt[i+1] for i in range(1, len(rt))])
+        FROM pairs
+      ) GROUP BY doc_id, g
+    ), m AS (
+      SELECT cg.doc_id,
+             CAST(SUM(CASE WHEN cg.g NOT LIKE '% %'
+                           THEN LEAST(cg.cc, rg.cr) ELSE 0 END) AS BIGINT)
+               AS m1,
+             CAST(SUM(CASE WHEN cg.g LIKE '% %'
+                           THEN LEAST(cg.cc, rg.cr) ELSE 0 END) AS BIGINT)
+               AS m2
+      FROM cg JOIN rg ON rg.doc_id = cg.doc_id AND rg.g = cg.g
+      GROUP BY cg.doc_id
+    ), scored AS (
+      SELECT p.lang, p.tc1, p.tc2, p.tr1, p.tr2,
+             COALESCE(m.m1, 0) AS m1, COALESCE(m.m2, 0) AS m2
+      FROM pairs p LEFT JOIN m ON m.doc_id = p.doc_id
+    )
+"""
+
+
+@query(
+    "rouge_ngram_eval",
+    oracle=_ROUGE_PAIR_SQL
+    + """
+    SELECT lang,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CASE WHEN tc1 + tr1 = 0 THEN 0.0
+                  ELSE 2.0 * m1 / (tc1 + tr1) END, 6) AS DECIMAL(28,6)))
+             AS DOUBLE) / COUNT(*), 6) AS rouge1_f1,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CASE WHEN tc2 + tr2 = 0 THEN 0.0
+                  ELSE 2.0 * m2 / (tc2 + tr2) END, 6) AS DECIMAL(28,6)))
+             AS DOUBLE) / COUNT(*), 6) AS rouge2_f1
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def rouge_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 F1 per language (Lin 2004): clipped n-gram
+    matches between each candidate doc and its decile-head reference.
+    The F1 collapses to the single exact division 2*m/(|cand|+|ref|)
+    (since P = m/|cand|, R = m/|ref|), so per-pair scores are one float
+    op on exact integers; the per-language mean follows the
+    round-term-then-DECIMAL-sum rule.
+
+    Scale shape: candidate grams key on doc_id, reference grams key on
+    ref_id and are joined once per gram (fan-out = pairs per reference,
+    a constant 9) — two explode+hash-agg passes and one equi-join on
+    (ref_id, gram); no pair materialization beyond the gram join. The
+    bigram arrays come from arrays_zip of shifted slices (no per-element
+    lambda over long arrays, per CLAUDE.md)."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        tokens_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+
+    def with_grams(df, tcol):
+        t = F.col(tcol)
+        npairs = F.greatest(F.size(t) - 1, F.lit(0))
+        bg = F.transform(
+            F.arrays_zip(
+                F.slice(t, 1, npairs).alias("a"), F.slice(t, 2, npairs).alias("b")
+            ),
+            lambda s: F.concat_ws(" ", s["a"], s["b"]),
+        )
+        return df.withColumn("grams", F.concat(t, bg))
+
+    cand = with_grams(
+        d.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") - F.col("doc_id") % 10).alias("ref_id"),
+            "toks",
+        ),
+        "toks",
+    )
+    ref = with_grams(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("ref_id"), F.col("toks").alias("rtoks")
+        ),
+        "rtoks",
+    ).withColumnRenamed("grams", "rgrams")
+
+    cg = (
+        cand.select("doc_id", "ref_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "ref_id", "g")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    rg = (
+        ref.select("ref_id", F.explode("rgrams").alias("g"))
+        .groupBy("ref_id", "g")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    m = (
+        cg.join(rg, ["ref_id", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(~F.col("g").contains(" "), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("m1"),
+            F.sum(
+                F.when(F.col("g").contains(" "), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("m2"),
+        )
+    )
+    sizes = cand.join(
+        ref.select("ref_id", F.size("rtoks").alias("tr1")), "ref_id"
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("tc1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("tc2"),
+        "tr1",
+        F.greatest(F.col("tr1") - 1, F.lit(0)).alias("tr2"),
+    )
+    scored = sizes.join(m, "doc_id", "left").select(
+        "lang",
+        "tc1",
+        "tc2",
+        "tr1",
+        "tr2",
+        F.coalesce("m1", F.lit(0)).alias("m1"),
+        F.coalesce("m2", F.lit(0)).alias("m2"),
+    )
+    f1 = lambda mm, a, b: F.when(  # noqa: E731
+        F.col(a) + F.col(b) == 0, F.lit(0.0)
+    ).otherwise(F.lit(2.0) * F.col(mm) / (F.col(a) + F.col(b)))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.round(f1("m1", "tc1", "tr1"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rouge1_f1"),
+            F.round(
+                F.sum(F.round(f1("m2", "tc2", "tr2"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rouge2_f1"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "bleu_corpus_eval",
+    oracle=_ROUGE_PAIR_SQL
+    + """
+    , agg AS (
+      SELECT lang, COUNT(*) AS n_pairs,
+             CAST(SUM(m1) AS BIGINT) AS mm1, CAST(SUM(m2) AS BIGINT) AS mm2,
+             CAST(SUM(tc1) AS BIGINT) AS cc1, CAST(SUM(tc2) AS BIGINT) AS cc2,
+             CAST(SUM(tr1) AS BIGINT) AS rr1
+      FROM scored GROUP BY lang
+    )
+    SELECT lang, n_pairs,
+           ROUND(mm1 * 1.0 / cc1, 6) AS p1,
+           ROUND(mm2 * 1.0 / cc2, 6) AS p2,
+           ROUND(CASE WHEN cc1 > rr1 THEN 1.0
+                      ELSE exp(1.0 - rr1 * 1.0 / cc1) END, 6) AS bp,
+           ROUND(CASE WHEN mm1 = 0 OR mm2 = 0 THEN 0.0
+                      ELSE (CASE WHEN cc1 > rr1 THEN 1.0
+                                 ELSE exp(1.0 - rr1 * 1.0 / cc1) END)
+                           * exp(0.5 * (ln(mm1 * 1.0 / cc1)
+                                        + ln(mm2 * 1.0 / cc2))) END, 6)
+             AS bleu2
+    FROM agg ORDER BY lang
+    """,
+)
+def bleu_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 per language (Papineni et al. 2002): clipped
+    modified precisions pooled over the whole corpus (sum of clipped
+    matches / sum of candidate n-grams — NOT a mean of per-pair scores),
+    brevity penalty exp(1 - r/c) on pooled lengths, geometric mean of
+    p1 and p2. All numerators/denominators are exact integer sums, so
+    the only floats are the final division/ln/exp chain — identical to
+    ~1 ulp cross-engine, absorbed by ROUND(.,6). Shares the gram-join
+    scale shape with rouge_ngram_eval."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        tokens_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+
+    def with_grams(df, tcol):
+        t = F.col(tcol)
+        npairs = F.greatest(F.size(t) - 1, F.lit(0))
+        bg = F.transform(
+            F.arrays_zip(
+                F.slice(t, 1, npairs).alias("a"), F.slice(t, 2, npairs).alias("b")
+            ),
+            lambda s: F.concat_ws(" ", s["a"], s["b"]),
+        )
+        return df.withColumn("grams", F.concat(t, bg))
+
+    cand = with_grams(
+        d.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") - F.col("doc_id") % 10).alias("ref_id"),
+            "toks",
+        ),
+        "toks",
+    )
+    ref = with_grams(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("ref_id"), F.col("toks").alias("rtoks")
+        ),
+        "rtoks",
+    ).withColumnRenamed("grams", "rgrams")
+
+    cg = (
+        cand.select("doc_id", "ref_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "ref_id", "g")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    rg = (
+        ref.select("ref_id", F.explode("rgrams").alias("g"))
+        .groupBy("ref_id", "g")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    m = (
+        cg.join(rg, ["ref_id", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(~F.col("g").contains(" "), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("m1"),
+            F.sum(
+                F.when(F.col("g").contains(" "), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("m2"),
+        )
+    )
+    sizes = cand.join(
+        ref.select("ref_id", F.size("rtoks").alias("tr1")), "ref_id"
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("tc1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("tc2"),
+        "tr1",
+    )
+    scored = sizes.join(m, "doc_id", "left").select(
+        "lang",
+        "tc1",
+        "tc2",
+        "tr1",
+        F.coalesce("m1", F.lit(0)).alias("m1"),
+        F.coalesce("m2", F.lit(0)).alias("m2"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("m1").cast("long").alias("mm1"),
+        F.sum("m2").cast("long").alias("mm2"),
+        F.sum("tc1").cast("long").alias("cc1"),
+        F.sum("tc2").cast("long").alias("cc2"),
+        F.sum("tr1").cast("long").alias("rr1"),
+    )
+    bp = F.when(F.col("cc1") > F.col("rr1"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("rr1") * F.lit(1.0) / F.col("cc1"))
+    )
+    return agg.select(
+        "lang",
+        "n_pairs",
+        F.round(F.col("mm1") * F.lit(1.0) / F.col("cc1"), 6).alias("p1"),
+        F.round(F.col("mm2") * F.lit(1.0) / F.col("cc2"), 6).alias("p2"),
+        F.round(bp, 6).alias("bp"),
+        F.round(
+            F.when((F.col("mm1") == 0) | (F.col("mm2") == 0), F.lit(0.0)).otherwise(
+                bp
+                * F.exp(
+                    F.lit(0.5)
+                    * (
+                        F.log(F.col("mm1") * F.lit(1.0) / F.col("cc1"))
+                        + F.log(F.col("mm2") * F.lit(1.0) / F.col("cc2"))
+                    )
+                )
+            ),
+            6,
+        ).alias("bleu2"),
+    ).orderBy("lang")

@@ -174,6 +174,8 @@ DEFAULT_PROBES = [
     "embedding_pca_closed_form_exact",
     "fd_saturated_spectrum_exact",
     "pca_project_closed_form_exact",
+    # generation-eval metrics: explode+hash-agg gram joins, linear
+    "rouge_ngram_eval",
 ]
 
 SF_DIRS = [
