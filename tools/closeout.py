@@ -85,13 +85,19 @@ def main() -> None:
 
     status = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
-    if not status:
+    ).stdout
+    if not status.strip():
         print("closeout: tree already clean, nothing to commit")
         return
     expected = []
     unexpected = []
+    # NOTE: do not strip() the whole porcelain output before splitting —
+    # that eats the first line's leading status-column space and shifts
+    # the path slice by one (r10: ' M BASELINE.md' parsed as 'ASELINE.md'
+    # and aborted a clean close). Slice each intact line instead.
     for line in status.splitlines():
+        if not line.strip():
+            continue
         path = line[3:].strip().strip('"')
         ok = path in ARTIFACTS or any(
             fnmatch.fnmatch(path, g) for g in ROUND_RECORD_GLOBS
