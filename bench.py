@@ -249,6 +249,8 @@ HEADLINE = [
     "pca_project_closed_form_exact",
     "rouge_ngram_eval",
     "bleu_corpus_eval",
+    "cer_generation_eval",
+    "wer_generation_eval",
 ]
 
 

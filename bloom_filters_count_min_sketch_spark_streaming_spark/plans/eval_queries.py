@@ -2955,3 +2955,190 @@ def bleu_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bleu2"),
     ).orderBy("lang")
+
+
+@query(
+    "cer_generation_eval",
+    oracle="""
+    -- Character error rate: unit-cost Levenshtein (both engines implement
+    -- the standard codepoint DP, and the fixture is ASCII) between each
+    -- candidate doc and its decile-head reference, normalized by
+    -- reference length. Distances are exact integers; per-pair CER is one
+    -- float division; per-language means follow the round-term ->
+    -- DECIMAL-sum rule.
+    WITH base AS (
+      SELECT doc_id, lang, lower(text) AS s, doc_id - doc_id % 10 AS ref_id
+      FROM documents
+    ), pairs AS (
+      SELECT c.lang, levenshtein(c.s, r.s) AS d, len(r.s) AS lr
+      FROM base c JOIN base r ON r.doc_id = c.ref_id
+      WHERE c.doc_id % 10 <> 0
+    )
+    SELECT lang, COUNT(*) AS n_pairs,
+           CAST(SUM(d) AS BIGINT) AS total_edit_ops,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CASE WHEN lr = 0 THEN 0.0 ELSE d * 1.0 / lr END, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cer
+    FROM pairs GROUP BY lang ORDER BY lang
+    """,
+)
+def cer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character error rate per language: the edit-distance member of the
+    generation-eval family (next to ROUGE/BLEU's n-gram overlap) —
+    levenshtein is a JVM-side built-in, so the O(len^2) DP never leaves
+    whole-stage codegen. Scale shape: one self-equi-join on the decile
+    head (constant fan-out 9) carrying two ~300-char strings per row; no
+    pair blowup, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("s"),
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("ref_id"),
+    )
+    ref = base.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("ref_id"), F.col("s").alias("rs")
+    )
+    pairs = (
+        base.filter(F.col("doc_id") % 10 != 0)
+        .join(ref, "ref_id")
+        .select(
+            "lang",
+            F.levenshtein("s", "rs").alias("d"),
+            F.length("rs").alias("lr"),
+        )
+    )
+    cer = F.when(F.col("lr") == 0, F.lit(0.0)).otherwise(
+        F.col("d") * F.lit(1.0) / F.col("lr")
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d").cast("long").alias("total_edit_ops"),
+            F.round(
+                F.sum(F.round(cer, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cer"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "wer_generation_eval",
+    oracle="""
+    -- Word error rate via RANK-TO-ASCII encoding: neither engine has a
+    -- word-level edit distance, but mapping each vocabulary word to one
+    -- printable ASCII char (rank in the sorted distinct-word table; the
+    -- fixture vocabulary is 31 words, asserted <= 94 Spark-side) makes
+    -- char-level levenshtein compute EXACTLY the word-level DP. Encoded
+    -- docs rebuild word order with string_agg ORDER BY position.
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), vocab AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS r FROM (
+        SELECT DISTINCT unnest(ws) AS w FROM toks)
+    ), pos AS (
+      SELECT t.doc_id, t.lang, t.ws[i] AS w, i AS pos
+      FROM toks t, range(1, 1000) x(i)
+      WHERE i <= len(t.ws)
+    ), enc AS (
+      SELECT p.doc_id, p.lang,
+             string_agg(chr(CAST(32 + v.r AS INTEGER)), '' ORDER BY p.pos) AS e,
+             COUNT(*) AS nw
+      FROM pos p JOIN vocab v ON v.w = p.w
+      GROUP BY p.doc_id, p.lang
+    ), base AS (
+      SELECT doc_id, lang, e, nw, doc_id - doc_id % 10 AS ref_id FROM enc
+    ), pairs AS (
+      SELECT c.lang, levenshtein(c.e, r.e) AS d, r.nw AS nr
+      FROM base c JOIN base r ON r.doc_id = c.ref_id
+      WHERE c.doc_id % 10 <> 0
+    )
+    SELECT lang, COUNT(*) AS n_pairs,
+           CAST(SUM(d) AS BIGINT) AS total_word_edits,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CASE WHEN nr = 0 THEN 0.0 ELSE d * 1.0 / nr END, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_wer
+    FROM pairs GROUP BY lang ORDER BY lang
+    """,
+)
+def wer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate per language: word-level Levenshtein computed by
+    the JVM's char-level DP after encoding each word as one printable
+    ASCII character (rank in the sorted global vocabulary — asserted
+    <= 94 in-query so the encoding can never leave single-byte ASCII;
+    a bigger vocabulary would need a wider alphabet, not a different
+    algorithm). Scale shape: posexplode + BROADCAST vocab join (the
+    vocabulary table is tiny by Heaps' law vs the corpus), one groupBy
+    doc_id to rebuild encoded strings, then the constant-fan-out decile
+    pair join; everything JVM-side."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.dedup import (
+        tokens_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_col(F.col("text")).alias("ws"))
+    vocab = (
+        toks.select(F.explode("ws").alias("w"))
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("w")))
+        .withColumn("c", F.expr("char(32 + r)"))
+    )
+    n_vocab = vocab.count()
+    assert 0 < n_vocab <= 94, (
+        f"witness regime broken: vocabulary size {n_vocab} does not fit "
+        "the single-byte printable-ASCII encoding (<= 94)"
+    )
+    pos = toks.select(
+        "doc_id", "lang", F.posexplode("ws").alias("pos", "w")
+    )
+    enc = (
+        pos.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                    ),
+                    lambda s: s["c"],
+                ),
+            ).alias("e"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    pairs = (
+        enc.filter(F.col("doc_id") % 10 != 0)
+        .withColumn("ref_id", F.col("doc_id") - F.col("doc_id") % 10)
+        .join(
+            enc.select(
+                F.col("doc_id").alias("ref_id"),
+                F.col("e").alias("re"),
+                F.col("nw").alias("nr"),
+            ).filter(F.col("ref_id") % 10 == 0),
+            "ref_id",
+        )
+        .select("lang", F.levenshtein("e", "re").alias("d"), "nr")
+    )
+    wer = F.when(F.col("nr") == 0, F.lit(0.0)).otherwise(
+        F.col("d") * F.lit(1.0) / F.col("nr")
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d").cast("long").alias("total_word_edits"),
+            F.round(
+                F.sum(F.round(wer, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_wer"),
+        )
+        .orderBy("lang")
+    )

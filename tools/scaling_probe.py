@@ -176,6 +176,7 @@ DEFAULT_PROBES = [
     "pca_project_closed_form_exact",
     # generation-eval metrics: explode+hash-agg gram joins, linear
     "rouge_ngram_eval",
+    "wer_generation_eval",
 ]
 
 SF_DIRS = [
