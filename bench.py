@@ -251,6 +251,8 @@ HEADLINE = [
     "bleu_corpus_eval",
     "cer_generation_eval",
     "wer_generation_eval",
+    "tdigest_quantile_sketch_table",
+    "tdigest_saturated_exact",
 ]
 
 

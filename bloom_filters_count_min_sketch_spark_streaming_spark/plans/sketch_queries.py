@@ -2754,3 +2754,183 @@ def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hr"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     return hhh_lattice(leaf)
+
+
+# ---------------------------------------------------------------------------
+# t-digest: the tail-accurate mergeable quantile sketch (Dunning & Ertl,
+# arXiv:1902.04023) — production table (rows-only, exact-vs-approx IN the
+# result, the reference's identity) + the saturated exactness witness.
+
+
+@query("tdigest_quantile_sketch_table")
+def tdigest_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantile table per event type: per-partition merging
+    digests built executor-side (mapInPandas, one sorted pass per batch),
+    merged per type on the driver in deterministic (type, pid) order —
+    kilobyte partials move, data doesn't, the sketch-at-rest pattern of
+    the KLL/CMS/KMV tables. The k1 scale function concentrates capacity
+    at the tails, so p99 is where this sketch beats same-memory KLL.
+    Rows-only (centroid arrays aren't SQL); the exact quantile and the
+    REALIZED rank error ride in the result (the exact-vs-approx identity),
+    and tests/test_tdigest.py pins error envelope, mergeability,
+    determinism, and serde."""
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.tdigest import (
+        TDigest,
+    )
+
+    delta = 100
+    ev = load(spark, sf_dir, "events").select("event_type", "value").repartition(16)
+
+    def build(batches):
+        digests: dict[str, TDigest] = {}
+        pid = None
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type"):
+                digests.setdefault(et, TDigest(delta)).add_values(
+                    grp["value"].to_numpy()
+                )
+            if pid is None and len(pdf):
+                pid = 0
+        rows = []
+        for et in sorted(digests):
+            mb, wb = digests[et].to_bytes()
+            rows.append({"event_type": et, "means": mb, "weights": wb})
+        yield pd.DataFrame(rows, columns=["event_type", "means", "weights"])
+
+    parts = ev.mapInPandas(
+        build, "event_type string, means binary, weights binary"
+    ).collect()
+    merged: dict[str, TDigest] = {}
+    for r in sorted(parts, key=lambda r: (r["event_type"], bytes(r["means"]))):
+        td = TDigest.from_bytes(delta, bytes(r["means"]), bytes(r["weights"]))
+        if r["event_type"] in merged:
+            merged[r["event_type"]].merge(td)
+        else:
+            merged[r["event_type"]] = td
+    qs = [0.5, 0.9, 0.99]
+    est_rows = [
+        (et, q, merged[et].quantile(q), merged[et].total)
+        for et in sorted(merged)
+        for q in qs
+    ]
+    # realized rank of each estimate from ONE exact pass (tie-midpoint
+    # rank, consistent with the digest's midpoint convention): the
+    # reference's exact-vs-approx identity, reported as rank error — the
+    # quantity the k1 scale function actually bounds (value error depends
+    # on local density; rank error doesn't).
+    aggs = []
+    for j, (et, _q, est, _n) in enumerate(est_rows):
+        hit = F.col("event_type") == et
+        aggs.append(
+            F.sum((hit & (F.col("value") < est)).cast("long")).alias(f"lt{j}")
+        )
+        aggs.append(
+            F.sum((hit & (F.col("value") <= est)).cast("long")).alias(f"le{j}")
+        )
+    counts = load(spark, sf_dir, "events").agg(*aggs).first()
+    out = []
+    for j, (et, q, est, n) in enumerate(est_rows):
+        realized_q = (counts[f"lt{j}"] + counts[f"le{j}"]) / 2.0 / n
+        out.append(
+            (
+                et,
+                q,
+                round(est, 4),
+                round(realized_q, 4),
+                abs(realized_q - q) <= 0.02,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, q double, tdigest_value double, "
+        "realized_q double, within_rank_bound boolean",
+    ).orderBy("event_type", "q")
+
+
+@query(
+    "tdigest_saturated_exact",
+    oracle="""
+    -- t-digest exactness witness (the stream_kll_saturated_exact
+    -- discipline): with compression delta = 4n (derived from a count
+    -- pre-pass) the k1 size limit is below 2/n everywhere, so no merging
+    -- pass ever combines two points — every centroid is a singleton
+    -- (asserted in-query) and midpoint interpolation degenerates to
+    -- EXACT interpolation between order statistics: centroid i sits at
+    -- cumulative midpoint i + 0.5, so quantile(q) = x_i + frac*(x_{i+1}
+    -- - x_i) with i = floor(qn - 0.5), frac = qn - (0.5 + i), clamped to
+    -- x_0 / x_{n-1} at the extremes. frac is written as tgt - (0.5 + i)
+    -- in BOTH engines ((0.5 + i) is exactly representable, so the one
+    -- rounding step is shared and the doubles are bit-identical).
+    WITH v AS (
+      SELECT CAST(value AS DOUBLE) AS value FROM events WHERE user_id < 40
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS i FROM v),
+    qs AS (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS q),
+    sel AS (
+      SELECT qs.q, qs.q * n.n AS tgt,
+             CAST(FLOOR(qs.q * n.n - 0.5) AS BIGINT) AS i
+      FROM qs CROSS JOIN n
+    )
+    SELECT sel.q,
+           ROUND(CASE
+             WHEN sel.tgt <= 0.5 THEN (SELECT value FROM s WHERE i = 0)
+             WHEN sel.tgt >= n.n - 0.5
+               THEN (SELECT value FROM s ORDER BY i DESC LIMIT 1)
+             ELSE a.value + (sel.tgt - (0.5 + CAST(sel.i AS DOUBLE)))
+                  * (b.value - a.value)
+           END, 6) AS quantile_value
+    FROM sel CROSS JOIN n
+    LEFT JOIN s a ON a.i = sel.i
+    LEFT JOIN s b ON b.i = sel.i + 1
+    ORDER BY sel.q
+    """,
+)
+def tdigest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest exactness witness: the same distributed build/merge path
+    as tdigest_quantile_sketch_table (per-partition mapInPandas digests,
+    serde, centroid-concatenation merge) in the SATURATED regime —
+    delta = 4n, derived from a one-scalar pre-pass, keeps every k1 bin
+    under 2/n so the merging pass never combines points; the
+    all-singletons state is asserted, and the midpoint-interpolation
+    quantiles must hash-equal the SQL order-statistic interpolation.
+    The compressing regime of the SAME code path stays rows-only in
+    tdigest_quantile_sketch_table with its in-result error readout and
+    tests/test_tdigest.py."""
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.tdigest import (
+        TDigest,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    n = int(ev.count())
+    assert n >= 2, "witness regime broken: slice too small"
+    delta = 4 * n
+
+    def build(batches):
+        td = TDigest(delta)
+        for pdf in batches:
+            td.add_values(pdf["value"].to_numpy())
+        mb, wb = td.to_bytes()
+        yield pd.DataFrame({"means": [mb], "weights": [wb]})
+
+    parts = (
+        ev.select(F.col("value").cast("double").alias("value"))
+        .repartition(8)
+        .mapInPandas(build, "means binary, weights binary")
+        .collect()
+    )
+    td = TDigest(delta)
+    for r in sorted(parts, key=lambda r: bytes(r["means"])):
+        td.merge(TDigest.from_bytes(delta, bytes(r["means"]), bytes(r["weights"])))
+    assert td.total == n and td.is_saturated(), (
+        "witness regime broken: a t-digest merge combined points — "
+        "delta must stay >= ~pi*n"
+    )
+    rows = [(q, round(td.quantile(q), 6)) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]
+    return spark.createDataFrame(rows, "q double, quantile_value double").orderBy(
+        "q"
+    )

@@ -100,6 +100,7 @@ PROBES = [
     # generation-eval metrics: explode+hash-agg gram joins, linear
     "rouge_ngram_eval",
     "wer_generation_eval",
+    "tdigest_quantile_sketch_table",
 ]
 
 

@@ -177,6 +177,7 @@ DEFAULT_PROBES = [
     # generation-eval metrics: explode+hash-agg gram joins, linear
     "rouge_ngram_eval",
     "wer_generation_eval",
+    "tdigest_quantile_sketch_table",
 ]
 
 SF_DIRS = [
