@@ -253,6 +253,8 @@ HEADLINE = [
     "wer_generation_eval",
     "tdigest_quantile_sketch_table",
     "tdigest_saturated_exact",
+    "stream_tdigest_quantiles",
+    "stream_tdigest_saturated_exact",
 ]
 
 

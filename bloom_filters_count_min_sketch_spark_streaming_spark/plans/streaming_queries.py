@@ -2523,6 +2523,160 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tdigest_saturated_exact",
+    oracle="""
+    -- streaming twin of tdigest_saturated_exact: delta = 4n (count
+    -- pre-pass on the slice) keeps every k1 bin under 2/n, so neither the
+    -- per-batch state folds nor the shard merge ever combines two points
+    -- — the merged digest holds every value as a singleton (asserted) and
+    -- midpoint interpolation equals exact order-statistic interpolation.
+    -- frac is written tgt - (0.5 + i) in both engines (shared rounding).
+    WITH v AS (
+      SELECT CAST(value AS DOUBLE) AS value FROM events WHERE user_id < 40
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS i FROM v),
+    qs AS (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS q),
+    sel AS (
+      SELECT qs.q, qs.q * n.n AS tgt,
+             CAST(FLOOR(qs.q * n.n - 0.5) AS BIGINT) AS i
+      FROM qs CROSS JOIN n
+    )
+    SELECT sel.q,
+           ROUND(CASE
+             WHEN sel.tgt <= 0.5 THEN (SELECT value FROM s WHERE i = 0)
+             WHEN sel.tgt >= n.n - 0.5
+               THEN (SELECT value FROM s ORDER BY i DESC LIMIT 1)
+             ELSE a.value + (sel.tgt - (0.5 + CAST(sel.i AS DOUBLE)))
+                  * (b.value - a.value)
+           END, 6) AS quantile_value
+    FROM sel CROSS JOIN n
+    LEFT JOIN s a ON a.i = sel.i
+    LEFT JOIN s b ON b.i = sel.i + 1
+    ORDER BY sel.q
+    """,
+)
+def stream_tdigest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest exactness witness: the same sharded
+    tdigest_quantile_state path as stream_tdigest_quantiles in the
+    SATURATED regime — delta = 4n from a one-scalar pre-pass means no
+    merging pass (per-batch fold OR shard merge) ever combines points;
+    the all-singletons state is asserted, and the merged quantiles must
+    hash-equal SQL order-statistic interpolation. The full streaming
+    machinery (applyInPandasWithState, serde, shard merge) sits under
+    the value hash; the compressing regime stays rows-only in
+    stream_tdigest_quantiles with its realized-rank audit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.tdigest import (
+        TDigest,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    n = int(ev.filter(F.col("user_id") < 40).count())
+    assert n >= 2, "witness regime broken: slice too small"
+    delta = 4 * n
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("user_id") < 40).select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = run_available_now(
+        stateful.tdigest_quantile_state(keyed, compression=delta), "append"
+    )
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("means", "weights"), "seq").alias("s")
+    )
+    merged = TDigest(delta)
+    for r in sorted(last.collect(), key=lambda r: r["shard"]):
+        merged.merge(
+            TDigest.from_bytes(delta, bytes(r["s"]["means"]), bytes(r["s"]["weights"]))
+        )
+    assert merged.total == n and merged.is_saturated(), (
+        "witness regime broken: a t-digest merge combined points — "
+        "delta must stay >= ~pi*n"
+    )
+    rows = [
+        (
+            q,
+            float(
+                Decimal(repr(merged.quantile(q))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95)
+    ]
+    return spark.createDataFrame(rows, "q double, quantile_value double").orderBy(
+        "q"
+    )
+
+
+@query("stream_tdigest_quantiles")
+def stream_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE t-digest quantiles (the streaming twin of
+    tdigest_quantile_sketch_table, symmetric with stream_kll_quantiles):
+    each shard maintains an O(compression)-centroid digest in the state
+    store; the read side merges the 8 shard summaries and audits every
+    estimate against the exact in-plan rank. Rows-only (centroid arrays
+    aren't SQL); core guarantees in tests/test_tdigest.py. The k1 scale
+    function makes the p99 row the one to watch — that's where this
+    sketch beats same-memory KLL."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.tdigest import (
+        TDigest,
+    )
+
+    delta = 100
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = run_available_now(
+        stateful.tdigest_quantile_state(keyed, compression=delta), "append"
+    )
+    last = out.groupBy("shard").agg(
+        F.max_by(F.struct("means", "weights"), "seq").alias("s")
+    )
+    merged = TDigest(delta)
+    for r in sorted(last.collect(), key=lambda r: r["shard"]):
+        merged.merge(
+            TDigest.from_bytes(delta, bytes(r["s"]["means"]), bytes(r["s"]["weights"]))
+        )
+    ests = spark.createDataFrame(
+        [(q, merged.quantile(q)) for q in (0.5, 0.9, 0.99)], "q double, est double"
+    )
+    ev = load(spark, sf_dir, "events")
+    n_df = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w = v.select("value", F.sum("c").over(w_cum).cast("long").alias("cum"))
+    ranked = (
+        ests.crossJoin(F.broadcast(n_df))
+        .join(
+            w.withColumnRenamed("value", "v2").withColumnRenamed("cum", "cum2"),
+            F.col("v2") <= F.col("est"),
+        )
+        .groupBy("q", "est", "n")
+        .agg(F.max("cum2").alias("rank_est"))
+    )
+    return ranked.select(
+        "q",
+        F.round("est", 6).alias("tdigest_estimate"),
+        F.round(
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n"),
+            6,
+        ).alias("rank_err_frac"),
+        (
+            F.abs(F.col("rank_est") - F.ceil(F.col("q") * F.col("n"))) / F.col("n")
+            <= 0.02
+        ).alias("within_bound"),
+    ).orderBy("q")
+
+
+@query(
     "stream_hierarchical_heavy_hitters",
     oracle=__import__(
         "bloom_filters_count_min_sketch_spark_streaming_spark.plans.sketch_queries",

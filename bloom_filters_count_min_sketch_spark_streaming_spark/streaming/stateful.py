@@ -2039,6 +2039,81 @@ def kll_quantile_state(stream_df: DataFrame, k: int = 200) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming t-digest: the tail-accurate mergeable quantile summary maintained
+# per shard in the state store — the streaming twin of the batch
+# tdigest_quantile_sketch_table, symmetric with kll_quantile_state (KLL is
+# uniform-error comparison-based; the t-digest's k1 scale function buys
+# tighter tails at the same O(compression) state).
+
+_TD_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("means", BinaryType()),
+        StructField("weights", BinaryType()),
+    ]
+)
+_TD_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("means", BinaryType()),
+        StructField("weights", BinaryType()),
+    ]
+)
+
+
+def tdigest_quantile_state(stream_df: DataFrame, compression: int = 100) -> DataFrame:
+    """Per-shard online t-digest: each micro-batch folds its values
+    (sorted by (value, event_id) for a deterministic intra-batch order)
+    into the state digest via one merging pass; emits the serialized
+    centroid arrays per batch so the read side takes the latest per shard
+    and merges shard summaries — sketches move, data doesn't. Expects
+    ``shard long, event_id long, value double``."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.tdigest import (
+        TDigest,
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "shard": empty64,
+                    "seq": empty64,
+                    "means": pd.Series([], dtype="object"),
+                    "weights": pd.Series([], dtype="object"),
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["value", "event_id"])
+        if state.exists:
+            seq, mb, wb = state.get
+            seq = int(seq)
+            td = TDigest.from_bytes(compression, bytes(mb), bytes(wb))
+        else:
+            seq, td = 0, TDigest(compression)
+        td.add_values(pdf["value"].to_numpy(np.float64))
+        seq += 1
+        mb, wb = td.to_bytes()
+        state.update((seq, mb, wb))
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "means": pd.Series([mb], dtype="object"),
+                "weights": pd.Series([wb], dtype="object"),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _TD_OUT, _TD_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 _LEAFH_OUT = StructType(
     [
         StructField("shard", LongType()),

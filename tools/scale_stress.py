@@ -101,6 +101,7 @@ PROBES = [
     "rouge_ngram_eval",
     "wer_generation_eval",
     "tdigest_quantile_sketch_table",
+    "stream_tdigest_quantiles",
 ]
 
 

@@ -178,6 +178,7 @@ DEFAULT_PROBES = [
     "rouge_ngram_eval",
     "wer_generation_eval",
     "tdigest_quantile_sketch_table",
+    "stream_tdigest_quantiles",
 ]
 
 SF_DIRS = [
