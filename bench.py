@@ -255,6 +255,8 @@ HEADLINE = [
     "tdigest_saturated_exact",
     "stream_tdigest_quantiles",
     "stream_tdigest_saturated_exact",
+    "stream_adwin_drift",
+    "stream_adwin_stationary_exact",
 ]
 
 

@@ -2522,6 +2522,107 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q")
 
 
+@query("stream_adwin_drift")
+def stream_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADWIN adaptive-window drift detection (Bifet-Gavalda, SDM 2007) on
+    the per-shard purchase-rate signal: the canonical "window size
+    chooses itself" detector completing the drift family (Page-Hinkley /
+    CUSUM / SPRT all need a tuned horizon; ADWIN keeps the longest
+    window whose halves are statistically indistinguishable, in
+    O(M log W) state). Rows-only (the Hoeffding cut cascade isn't SQL);
+    the result carries each shard's final window length vs its total
+    arrivals (equal iff no cut fired — the fixture's purchase flow is
+    stationary, so detections are expected to be 0, which IS the
+    false-alarm contract delta bounds), and the core's detection /
+    no-false-alarm / exact-totals properties are pinned in
+    tests/test_state_sketches.py."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("double").alias("bit"),
+    )
+    out = run_available_now(stateful.adwin_drift_state(keyed), "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(
+            F.struct("window_n", "window_sum_x1e6", "n_detections"), "seq"
+        ).alias("s")
+    )
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy((F.col("user_id") % 8).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("total_n")
+    )
+    return (
+        last.join(totals, "shard")
+        .select(
+            "shard",
+            F.col("s.window_n").alias("window_n"),
+            "total_n",
+            F.round(
+                F.col("s.window_sum_x1e6") / 1_000_000 / F.col("s.window_n"), 6
+            ).alias("window_purchase_rate"),
+            F.col("s.n_detections").alias("n_detections"),
+            (F.col("s.window_n") == F.col("total_n")).alias("window_covers_all"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "stream_adwin_stationary_exact",
+    oracle="""
+    -- ADWIN exactness witness: on a CONSTANT signal every split of the
+    -- window has identical half-means, so the Hoeffding cut |mu0 - mu1|
+    -- > eps can never fire (asserted: 0 detections) — and because the
+    -- DGIM-style bucket merges preserve count and sum EXACTLY, the final
+    -- window length per shard must equal the shard's total arrival
+    -- count. Pins the no-false-alarm contract AND the exact-totals
+    -- bucket algebra through the full streaming path.
+    SELECT user_id % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS window_n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY shard
+    """,
+)
+def stream_adwin_stationary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADWIN exactness witness: the same adwin_drift_state path as
+    stream_adwin_drift fed the degenerate constant signal (bit = 1.0 on
+    the purchase substream) — the regime where no cut can fire by
+    construction, so the adaptive window must cover every arrival and
+    its exactly-merged (count, sum) totals are SQL-checkable. Asserts 0
+    detections and sum == n in-query; the detecting regime of the SAME
+    core is pinned by the shift/stationary/chunking property tests."""
+    src = events_stream_source(spark, sf_dir)
+    keyed = src.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 8).alias("shard"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1.0).alias("bit"),
+    )
+    out = run_available_now(stateful.adwin_drift_state(keyed), "append")
+    last = out.groupBy("shard").agg(
+        F.max_by(
+            F.struct("window_n", "window_sum_x1e6", "n_detections"), "seq"
+        ).alias("s")
+    )
+    rows = last.select(
+        "shard",
+        F.col("s.window_n").alias("window_n"),
+        F.col("s.window_sum_x1e6").alias("ws"),
+        F.col("s.n_detections").alias("nd"),
+    ).collect()
+    assert all(r["nd"] == 0 for r in rows), (
+        "witness regime broken: ADWIN cut fired on a constant signal"
+    )
+    assert all(r["ws"] == r["window_n"] * 1_000_000 for r in rows), (
+        "witness regime broken: bucket merges lost count/sum exactness"
+    )
+    return spark.createDataFrame(
+        sorted((int(r["shard"]), int(r["window_n"])) for r in rows),
+        "shard long, window_n long",
+    ).orderBy("shard")
+
+
 @query(
     "stream_tdigest_saturated_exact",
     oracle="""

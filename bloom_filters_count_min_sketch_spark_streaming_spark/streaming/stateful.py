@@ -2040,6 +2040,151 @@ def kll_quantile_state(stream_df: DataFrame, k: int = 200) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ADWIN adaptive-window drift detection (Bifet & Gavalda, SDM 2007): the
+# canonical "window size chooses itself" change detector — completes the
+# drift family next to Page-Hinkley/CUSUM/SPRT, which all need a tuned
+# horizon; ADWIN keeps the longest window whose halves are statistically
+# indistinguishable, in O(M log W) state via DGIM-style bucket cascades.
+
+_ADWIN_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("window_n", LongType()),
+        StructField("window_sum_x1e6", LongType()),
+        StructField("n_detections", LongType()),
+    ]
+)
+_ADWIN_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("cnt", BinaryType()),
+        StructField("sm", BinaryType()),
+        StructField("ndet", LongType()),
+    ]
+)
+
+
+def _adwin_ingest(
+    cnt: list[int], sm: list[float], values, m_cap: int, delta: float
+) -> tuple[list[int], list[float], int]:
+    """Pure ADWIN core (unit-testable without Spark): fold a run of [0,1]
+    values into the (count, sum) bucket lists, then run the cut loop ONCE
+    at the batch boundary (the streaming adaptation — per-arrival checking
+    only shortens detection delay; the stationary no-cut contract and the
+    window totals are unaffected, since bucket merges preserve count and
+    sum EXACTLY). Buckets are oldest-first; at most ``m_cap`` per
+    power-of-two size (the paper's M). The cut condition is the paper's
+    Hoeffding form: drop the oldest bucket while some split has
+    |mu_0 - mu_1| > sqrt(ln(4n/delta) / (2*m_harmonic))."""
+    import math
+
+    for v in values:
+        cnt.append(1)
+        sm.append(float(v))
+        s = 1
+        while True:
+            idxs = [j for j, c in enumerate(cnt) if c == s]
+            if len(idxs) <= m_cap:
+                break
+            a, b = idxs[0], idxs[1]  # merge the two OLDEST of this size
+            cnt[b] = 2 * s
+            sm[b] = sm[a] + sm[b]  # count and sum preserved exactly
+            del cnt[a], sm[a]
+            s *= 2
+    detections = 0
+    while len(cnt) > 1:
+        n_tot = float(sum(cnt))
+        s_tot = sum(sm)
+        dp = math.log(4.0 * n_tot / delta)
+        cut = False
+        n0 = 0.0
+        s0 = 0.0
+        for j in range(len(cnt) - 1):
+            n0 += cnt[j]
+            s0 += sm[j]
+            n1 = n_tot - n0
+            m_h = 1.0 / (1.0 / n0 + 1.0 / n1)
+            eps = math.sqrt(dp / (2.0 * m_h))
+            if abs(s0 / n0 - (s_tot - s0) / n1) > eps:
+                cut = True
+                break
+        if not cut:
+            break
+        del cnt[0], sm[0]
+        detections += 1
+    return cnt, sm, detections
+
+
+def adwin_drift_state(
+    stream_df: DataFrame, m_cap: int = 5, delta: float = 0.002,
+    bit_col: str = "bit",
+) -> DataFrame:
+    """Per-shard online ADWIN over a [0,1] signal column: state is the
+    (count, sum) bucket cascade — O(m_cap log W) floats forever — plus a
+    detection counter. Emits per micro-batch (window length, window sum
+    scaled 1e6, cumulative detections); read the latest seq per shard.
+    Expects ``shard long, event_id long, ts_us long, <bit_col> double``;
+    batches fold in (ts_us, event_id) order."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    c: empty64
+                    for c in (
+                        "shard",
+                        "seq",
+                        "window_n",
+                        "window_sum_x1e6",
+                        "n_detections",
+                    )
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            seq, cnt_b, sm_b, ndet = state.get
+            seq, ndet = int(seq), int(ndet)
+            cnt = [int(v) for v in np.frombuffer(cnt_b, dtype=np.int64)]
+            sm = [float(v) for v in np.frombuffer(sm_b, dtype=np.float64)]
+        else:
+            seq, ndet, cnt, sm = 0, 0, [], []
+        cnt, sm, dets = _adwin_ingest(
+            cnt, sm, pdf[bit_col].to_numpy(np.float64), m_cap, delta
+        )
+        ndet += dets
+        seq += 1
+        state.update(
+            (
+                seq,
+                np.array(cnt, dtype=np.int64).tobytes(),
+                np.array(sm, dtype=np.float64).tobytes(),
+                ndet,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": np.array([int(key[0])], dtype=np.int64),
+                "seq": np.array([seq], dtype=np.int64),
+                "window_n": np.array([sum(cnt)], dtype=np.int64),
+                "window_sum_x1e6": np.array(
+                    [int(round(sum(sm) * 1_000_000))], dtype=np.int64
+                ),
+                "n_detections": np.array([ndet], dtype=np.int64),
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _ADWIN_OUT, _ADWIN_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming t-digest: the tail-accurate mergeable quantile summary maintained
 # per shard in the state store — the streaming twin of the batch
 # tdigest_quantile_sketch_table, symmetric with kll_quantile_state (KLL is

@@ -90,6 +90,49 @@ def test_dgim_core_invariants_and_error_bound():
     assert (ts1, sz1, est1) == (ts, sz, est)
 
 
+def test_adwin_core_contracts():
+    """ADWIN pure core: (a) no cut on a constant signal with EXACT window
+    totals through the bucket merges (the stream_adwin_stationary_exact
+    regime); (b) negligible false alarms on stationary Bernoulli data;
+    (c) an abrupt 0.2 -> 0.8 rate shift is detected and the window
+    shrinks to ~the post-change data; (d) batch-chunking invariance on
+    the constant stream (cut checks run per batch, merges per value)."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _adwin_ingest,
+    )
+
+    cnt, sm, det = _adwin_ingest([], [], np.ones(5000), 5, 0.002)
+    assert det == 0 and sum(cnt) == 5000 and sum(sm) == 5000.0
+
+    rng = np.random.RandomState(4)
+    vals = (rng.uniform(size=20000) < 0.3).astype(float)
+    cnt, sm, det = [], [], 0
+    for i in range(0, len(vals), 1000):
+        cnt, sm, d = _adwin_ingest(cnt, sm, vals[i : i + 1000], 5, 0.002)
+        det += d
+    assert det == 0 and sum(cnt) == len(vals)
+
+    a = (rng.uniform(size=5000) < 0.2).astype(float)
+    b = (rng.uniform(size=5000) < 0.8).astype(float)
+    shifted = np.concatenate([a, b])
+    cnt, sm, det = [], [], 0
+    for i in range(0, len(shifted), 500):
+        cnt, sm, d = _adwin_ingest(cnt, sm, shifted[i : i + 500], 5, 0.002)
+        det += d
+    w = sum(cnt)
+    assert det > 0, "shift must be detected"
+    assert w <= 6500, f"window must shrink past the change (got {w})"
+    assert abs(sum(sm) / w - 0.8) < 0.1, "surviving window must be post-change"
+
+    c1, s1, _ = _adwin_ingest([], [], np.ones(3000), 5, 0.002)
+    c2, s2 = [], []
+    for i in range(0, 3000, 700):
+        c2, s2, _ = _adwin_ingest(c2, s2, np.ones(3000)[i : i + 700], 5, 0.002)
+    assert (c1, s1) == (c2, s2)
+
+
 def test_dgim_saturated_capacity_is_exact():
     """The paper's ceil(1/r)+1 capacity knob: with max_per_size >= total
     ones no merge fires, every bucket is size 1, and the estimate equals

@@ -102,6 +102,7 @@ PROBES = [
     "wer_generation_eval",
     "tdigest_quantile_sketch_table",
     "stream_tdigest_quantiles",
+    "stream_adwin_drift",
 ]
 
 

@@ -179,6 +179,7 @@ DEFAULT_PROBES = [
     "wer_generation_eval",
     "tdigest_quantile_sketch_table",
     "stream_tdigest_quantiles",
+    "stream_adwin_drift",
 ]
 
 SF_DIRS = [
