@@ -257,6 +257,7 @@ HEADLINE = [
     "stream_tdigest_saturated_exact",
     "stream_adwin_drift",
     "stream_adwin_stationary_exact",
+    "xor_filter_membership",
 ]
 
 

@@ -2934,3 +2934,92 @@ def tdigest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, quantile_value double").orderBy(
         "q"
     )
+
+
+@query(
+    "xor_filter_membership",
+    oracle="""
+    -- XOR-filter membership probe: the filter never false-negatives, and
+    -- the probe domain is verified FP-free in-query (the counting-Bloom
+    -- discipline: a fingerprint collision raises loudly instead of
+    -- hash-failing), so the exact IN is a valid oracle.
+    SELECT t.k AS key
+    FROM range(0, 3000) t(k)
+    WHERE t.k IN (SELECT o_custkey FROM orders)
+    ORDER BY key
+    """,
+)
+def xor_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XOR-filter membership (Graf & Lemire, ACM JEA 2020): the modern
+    STATIC membership structure — ~1.23 slots/key at 16-bit fingerprints
+    (~19.7 bits/key for 2^-16 FP), probes are 3 loads + 2 xors with no
+    Bloom k-loop, the right shape for FROZEN at-rest key sets
+    (contamination gates, eval-set exclusion). Completes the membership
+    family's static corner next to Bloom (add-only), counting Bloom
+    (deletable), cuckoo (dynamic), and the stable/generational Blooms
+    (decaying). Build is the paper's peeling construction, run PER SHARD
+    executor-side (applyInPandas over hash-partitioned keys — the
+    construction is global per key set, so sharding IS the 100 TB plan);
+    kilobyte fingerprint arrays come back to the driver and the probe
+    side routes by the same shard function inside mapInPandas. FP-free
+    on the probe domain is asserted against the exact member set, and
+    determinism/serde/FP-rate are pinned in tests/test_xorfilter.py."""
+    import pandas as pd
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.xorfilter import (
+        XorFilter16,
+    )
+
+    n_shards = 8
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.select(
+        (F.col("o_custkey") % n_shards).alias("shard"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+
+    def build(pdf):
+        xf = XorFilter16.build(pdf["k"].to_numpy())
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "seed": [xf.seed],
+                "block_len": [xf.block_len],
+                "blob": [xf.to_bytes()],
+            }
+        )
+
+    parts = keys.groupBy("shard").applyInPandas(
+        build, "shard long, seed long, block_len long, blob binary"
+    ).collect()
+    filters = {
+        int(r["shard"]): XorFilter16.from_bytes(
+            int(r["seed"]), int(r["block_len"]), bytes(r["blob"])
+        )
+        for r in parts
+    }
+
+    def probe(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ks = pdf["id"].to_numpy(dtype="int64")
+            hit = np.zeros(len(ks), dtype=bool)
+            for sh, xf in filters.items():
+                mask = ks % n_shards == sh
+                if mask.any():
+                    hit[mask] = xf.contains(ks[mask])
+            yield pd.DataFrame({"key": ks[hit]})
+
+    probed = spark.range(0, 3000).mapInPandas(probe, "key long")
+    got = sorted(r["key"] for r in probed.collect())
+    exact = sorted(
+        r["k"]
+        for r in keys.filter(F.col("k") < 3000).select("k").distinct().collect()
+    )
+    assert got == exact, (
+        "witness regime broken: xor-filter fingerprint collision on the "
+        "probe domain (false negatives are impossible by construction)"
+    )
+    return spark.createDataFrame([(int(k),) for k in got], "key long").orderBy(
+        "key"
+    )

@@ -103,6 +103,7 @@ PROBES = [
     "tdigest_quantile_sketch_table",
     "stream_tdigest_quantiles",
     "stream_adwin_drift",
+    "xor_filter_membership",
 ]
 
 

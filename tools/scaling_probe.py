@@ -180,6 +180,7 @@ DEFAULT_PROBES = [
     "tdigest_quantile_sketch_table",
     "stream_tdigest_quantiles",
     "stream_adwin_drift",
+    "xor_filter_membership",
 ]
 
 SF_DIRS = [
