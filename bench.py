@@ -258,6 +258,8 @@ HEADLINE = [
     "stream_adwin_drift",
     "stream_adwin_stationary_exact",
     "xor_filter_membership",
+    "stream_triest_triangles",
+    "stream_triest_saturated_exact",
 ]
 
 

@@ -164,9 +164,7 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "triangle_count_trade",
-    oracle="""
+_TRI_ORACLE = """
     WITH d AS (
       SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
       FROM lineitem l
@@ -194,8 +192,10 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation, pn.n_triangles
     FROM pn JOIN nation n ON n.n_nationkey = pn.node
     ORDER BY nation
-    """,
-)
+    """
+
+
+@query("triangle_count_trade", oracle=_TRI_ORACLE)
 def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the undirected nation trade graph:
     per-node triangle participation (global count = sum/3).

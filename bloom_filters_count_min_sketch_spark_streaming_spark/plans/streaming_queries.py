@@ -2522,6 +2522,137 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q")
 
 
+def _triest_edge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade-edge stream: lineitem replays as micro-batches and
+    STREAM-STATIC joins against orders/customer/supplier derive the same
+    (src, dst) edges as the batch triangle query — the composition a
+    production edge stream would use (facts stream, dims are static)."""
+    li = table_stream_source(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(supp.s_nationkey != cust.c_nationkey)
+        .select(
+            li.l_orderkey.alias("ord"),
+            supp.s_nationkey.alias("src"),
+            cust.c_nationkey.alias("dst"),
+        )
+    )
+    return d.select(
+        F.lit(0).cast("long").alias("shard"),
+        "ord",
+        (
+            F.least("src", "dst") * 25 + F.greatest("src", "dst")
+        ).cast("long").alias("code"),
+    )
+
+
+@query("stream_triest_saturated_exact", oracle=__import__(
+    "bloom_filters_count_min_sketch_spark_streaming_spark.plans.graph_queries",
+    fromlist=["_TRI_ORACLE"],
+)._TRI_ORACLE)
+def stream_triest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIEST exactness witness (streaming graph analytics under the
+    value hash): the same triest_triangle_state path as
+    stream_triest_triangles with the reservoir capacity far above the
+    nation graph's maximum possible edge count (25*24/2 = 300, an
+    SF-independent domain bound) — no eviction coin is ever flipped
+    (asserted: sample_size == t_seen), the sampled edge set IS the exact
+    edge set, and the incremental common-neighbor counters reproduce
+    per-nation triangle participation exactly, so the final table must
+    hash-equal the BATCH triangle query's own oracle. The estimating
+    regime of the SAME core stays rows-only in stream_triest_triangles
+    with its in-result exact comparison and the seed-swept unbiasedness
+    property test."""
+    edges = _triest_edge_stream(spark, sf_dir)
+    out = run_available_now(
+        stateful.triest_triangle_state(edges, m_cap=2000, n_nodes=25),
+        "append",
+        state_partitions=1,
+    )
+    last = out.groupBy("node").agg(
+        F.max_by(F.struct("t_seen", "sample_size", "tri_count"), "seq").alias("s")
+    )
+    rows = last.select(
+        "node",
+        F.col("s.t_seen").alias("t"),
+        F.col("s.sample_size").alias("m"),
+        F.col("s.tri_count").alias("c"),
+    ).collect()
+    assert rows and all(r["t"] == r["m"] for r in rows), (
+        "witness regime broken: TRIEST evicted an edge — the nation "
+        "domain bound (300 edges) exceeded m_cap"
+    )
+    nation = load(spark, sf_dir, "nation")
+    counts = spark.createDataFrame(
+        [(int(r["node"]), int(r["c"])) for r in rows], "node long, n_triangles long"
+    )
+    return (
+        counts.join(nation, counts.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "n_triangles")
+        .orderBy("nation")
+    )
+
+
+@query("stream_triest_triangles")
+def stream_triest_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE triangle counting with bounded memory (TRIEST-base, De
+    Stefani et al. KDD 2016): a 64-edge reservoir over the unbounded
+    trade-edge stream — the streaming-graph-analytics member of the
+    state family. The read side applies the paper's unbiased scale
+    factor t(t-1)(t-2)/(M(M-1)(M-2)) and the result carries the exact
+    batch count for the realized-error readout (the reference's
+    exact-vs-approx identity). Rows-only (reservoir coins aren't SQL);
+    unbiasedness over 30 seeds and the saturated-exact regime are
+    pinned in tests/test_state_sketches.py."""
+    m_cap = 64
+    edges = _triest_edge_stream(spark, sf_dir)
+    out = run_available_now(
+        stateful.triest_triangle_state(edges, m_cap=m_cap, n_nodes=25),
+        "append",
+        state_partitions=1,
+    )
+    last = out.groupBy("node").agg(
+        F.max_by(F.struct("t_seen", "sample_size", "tri_count"), "seq").alias("s")
+    )
+    agg = last.agg(
+        F.max("s.t_seen").alias("t"),
+        F.max("s.sample_size").alias("m"),
+        (F.sum("s.tri_count") / 3).alias("sampled_tris"),
+    ).first()
+    t, m = int(agg["t"]), int(agg["m"])
+    scale = max(
+        1.0, (t * (t - 1) * (t - 2)) / (m_cap * (m_cap - 1) * (m_cap - 2))
+    ) if t > 2 else 1.0
+    est = float(agg["sampled_tris"]) * scale
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.graph_queries import (
+        triangle_count_trade,
+    )
+
+    exact = (
+        triangle_count_trade(spark, sf_dir)
+        .agg((F.sum("n_triangles") / 3).cast("long").alias("g"))
+        .first()["g"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                t,
+                m,
+                round(est, 1),
+                int(exact),
+                round(abs(est - exact) / max(exact, 1), 4),
+            )
+        ],
+        "t_arrivals long, sample_size long, triest_estimate double, "
+        "exact_triangles long, rel_err double",
+    )
+
+
 @query("stream_adwin_drift")
 def stream_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADWIN adaptive-window drift detection (Bifet-Gavalda, SDM 2007) on

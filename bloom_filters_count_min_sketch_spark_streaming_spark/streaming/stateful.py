@@ -2040,6 +2040,185 @@ def kll_quantile_state(stream_df: DataFrame, k: int = 200) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TRIEST streaming triangle counting (De Stefani, Epasto, Riondato, Upfal,
+# KDD 2016): reservoir-sampled edge set + incremental triangle counters —
+# the streaming-graph-analytics member of the state family: bounded memory
+# (M edges) over an unbounded edge stream, unbiased global estimate via the
+# t(t-1)(t-2)/(M(M-1)(M-2)) scale factor once the reservoir is full.
+
+_TRIEST_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("t_seen", LongType()),
+        StructField("sample_size", LongType()),
+        StructField("node", LongType()),
+        StructField("tri_count", LongType()),
+    ]
+)
+_TRIEST_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("edges", BinaryType()),
+        StructField("counts", BinaryType()),
+        StructField("seen", BinaryType()),
+        StructField("t_seen", LongType()),
+    ]
+)
+
+
+def _triest_u01(seed: int, tag: str) -> float:
+    """Deterministic uniform in [0,1) — the reproducible coin."""
+    import hashlib as _hl
+
+    h = _hl.md5(f"{seed}|{tag}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def _triest_ingest(
+    edges: set,
+    counts: dict,
+    seen: set,
+    t_seen: int,
+    new_codes,
+    m_cap: int,
+    n_nodes: int,
+    seed: int,
+) -> int:
+    """Pure TRIEST-base core over edge codes u*n_nodes+v (u < v).
+
+    ``seen`` is the exact first-arrival dedupe set — legitimate here
+    because the NODE domain is bounded (the code space is n_nodes^2
+    bits), so the bitmap is fixed-size; for unbounded node domains,
+    compose a streaming dedupe (stable/generational Bloom) upstream.
+    Each first-seen edge increments t; it enters the reservoir always
+    while |S| < M, else with probability M/t (evicting a deterministic
+    pseudo-random slot). Counter updates walk the CURRENT sample's
+    common neighbors on both insert and evict — the paper's base
+    variant, all coins md5-derived so the run is reproducible."""
+    adj: dict[int, set] = {}
+    for code in edges:
+        u, v = divmod(code, n_nodes)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def _apply(u: int, v: int, delta: int) -> None:
+        common = adj.get(u, set()) & adj.get(v, set())
+        for w in common:
+            counts[w] = counts.get(w, 0) + delta
+        if common:
+            counts[u] = counts.get(u, 0) + delta * len(common)
+            counts[v] = counts.get(v, 0) + delta * len(common)
+
+    def _link(u: int, v: int) -> None:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def _unlink(u: int, v: int) -> None:
+        adj[u].discard(v)
+        adj[v].discard(u)
+
+    for code in new_codes:
+        code = int(code)
+        if code in seen:
+            continue
+        seen.add(code)
+        t_seen += 1
+        u, v = divmod(code, n_nodes)
+        if len(edges) < m_cap:
+            _apply(u, v, 1)
+            edges.add(code)
+            _link(u, v)
+        elif _triest_u01(seed, f"keep|{t_seen}") < m_cap / t_seen:
+            # evict a deterministic pseudo-random resident edge
+            resident = sorted(edges)
+            idx = int(_triest_u01(seed, f"slot|{t_seen}") * len(resident))
+            out_code = resident[min(idx, len(resident) - 1)]
+            ou, ov = divmod(out_code, n_nodes)
+            _unlink(ou, ov)
+            edges.discard(out_code)
+            _apply(ou, ov, -1)
+            _apply(u, v, 1)
+            edges.add(code)
+            _link(u, v)
+    return t_seen
+
+
+def triest_triangle_state(
+    stream_df: DataFrame, m_cap: int, n_nodes: int, seed: int = 7
+) -> DataFrame:
+    """Graph-global TRIEST state (the reservoir IS the memory bound, so
+    the state lives under one group key): each micro-batch's (u, v)
+    edge codes fold in (order_col, code) order; emits the full per-node
+    counter table per batch plus (t_seen, sample_size) so the read side
+    can apply the unbiased scale factor. Expects ``shard long, ord long,
+    code long``."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty64 = np.array([], dtype=np.int64)
+        parts = list(pdfs)
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    c: empty64
+                    for c in (
+                        "shard",
+                        "seq",
+                        "t_seen",
+                        "sample_size",
+                        "node",
+                        "tri_count",
+                    )
+                }
+            )
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(["ord", "code"])
+        if state.exists:
+            seq, e_b, c_b, s_b, t_seen = state.get
+            seq, t_seen = int(seq), int(t_seen)
+            edges = set(int(x) for x in np.frombuffer(e_b, dtype=np.int64))
+            carr = np.frombuffer(c_b, dtype=np.int64)
+            counts = {i: int(c) for i, c in enumerate(carr) if c}
+            seen = set(int(x) for x in np.frombuffer(s_b, dtype=np.int64))
+        else:
+            seq, t_seen, edges, counts, seen = 0, 0, set(), {}, set()
+        codes = pdf["code"].drop_duplicates().to_numpy(np.int64)
+        t_seen = _triest_ingest(
+            edges, counts, seen, t_seen, codes, m_cap, n_nodes, seed
+        )
+        seq += 1
+        carr = np.zeros(n_nodes, dtype=np.int64)
+        for i, c in counts.items():
+            carr[i] = c
+        state.update(
+            (
+                seq,
+                np.array(sorted(edges), dtype=np.int64).tobytes(),
+                carr.tobytes(),
+                np.array(sorted(seen), dtype=np.int64).tobytes(),
+                t_seen,
+            )
+        )
+        nodes = np.flatnonzero(carr)
+        yield pd.DataFrame(
+            {
+                "shard": np.full(len(nodes), int(key[0]), dtype=np.int64),
+                "seq": np.full(len(nodes), seq, dtype=np.int64),
+                "t_seen": np.full(len(nodes), t_seen, dtype=np.int64),
+                "sample_size": np.full(len(nodes), len(edges), dtype=np.int64),
+                "node": nodes.astype(np.int64),
+                "tri_count": carr[nodes],
+            }
+        )
+
+    return stream_df.groupBy("shard").applyInPandasWithState(
+        update, _TRIEST_OUT, _TRIEST_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
 # ADWIN adaptive-window drift detection (Bifet & Gavalda, SDM 2007): the
 # canonical "window size chooses itself" change detector — completes the
 # drift family next to Page-Hinkley/CUSUM/SPRT, which all need a tuned

@@ -90,6 +90,59 @@ def test_dgim_core_invariants_and_error_bound():
     assert (ts1, sz1, est1) == (ts, sz, est)
 
 
+def test_triest_core_contracts():
+    """TRIEST pure core: (a) saturated regime (M >= |E|) reproduces exact
+    per-node triangle participation regardless of chunking and re-arrivals
+    (the stream_triest_saturated_exact regime); (b) the reservoir
+    estimator with the t(t-1)(t-2)/(M(M-1)(M-2)) scale is unbiased within
+    a few percent averaged over seeds."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _triest_ingest,
+    )
+
+    rng = np.random.RandomState(5)
+    n_nodes = 30
+    all_pairs = [(u, v) for u in range(n_nodes) for v in range(u + 1, n_nodes)]
+    rng.shuffle(all_pairs)
+    e_list = all_pairs[:200]
+    codes = [u * n_nodes + v for u, v in e_list]
+    adj = {i: set() for i in range(n_nodes)}
+    for u, v in e_list:
+        adj[u].add(v)
+        adj[v].add(u)
+    exact = {i: 0 for i in range(n_nodes)}
+    tri_total = 0
+    for u, v in e_list:
+        for w in adj[u] & adj[v]:
+            if w > v:
+                exact[u] += 1
+                exact[v] += 1
+                exact[w] += 1
+                tri_total += 1
+
+    edges, counts, seen, t = set(), {}, set(), 0
+    stream = codes + codes[:50]  # re-arrivals must be ignored
+    for i in range(0, len(stream), 37):
+        t = _triest_ingest(
+            edges, counts, seen, t, stream[i : i + 37], 10_000, n_nodes, 7
+        )
+    assert t == 200 and len(edges) == 200
+    assert all(counts.get(i, 0) == exact[i] for i in range(n_nodes))
+
+    m_cap = 64
+    ests = []
+    for seed in range(30):
+        edges, counts, seen, t = set(), {}, set(), 0
+        t = _triest_ingest(edges, counts, seen, t, codes, m_cap, n_nodes, seed)
+        scale = max(
+            1.0, (t * (t - 1) * (t - 2)) / (m_cap * (m_cap - 1) * (m_cap - 2))
+        )
+        ests.append(scale * sum(counts.values()) / 3)
+    assert abs(float(np.mean(ests)) / tri_total - 1) < 0.1, np.mean(ests)
+
+
 def test_adwin_core_contracts():
     """ADWIN pure core: (a) no cut on a constant signal with EXACT window
     totals through the bucket merges (the stream_adwin_stationary_exact

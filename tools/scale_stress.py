@@ -104,6 +104,7 @@ PROBES = [
     "stream_tdigest_quantiles",
     "stream_adwin_drift",
     "xor_filter_membership",
+    "stream_triest_triangles",
 ]
 
 

@@ -181,6 +181,7 @@ DEFAULT_PROBES = [
     "stream_tdigest_quantiles",
     "stream_adwin_drift",
     "xor_filter_membership",
+    "stream_triest_triangles",
 ]
 
 SF_DIRS = [
