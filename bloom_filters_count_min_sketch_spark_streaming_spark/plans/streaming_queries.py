@@ -2542,13 +2542,30 @@ def _triest_edge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust.c_nationkey.alias("dst"),
         )
     )
-    return d.select(
+    raw = d.select(
         F.lit(0).cast("long").alias("shard"),
         "ord",
         (
             F.least("src", "dst") * 25 + F.greatest("src", "dst")
         ).cast("long").alias("code"),
     )
+
+    # Stateless per-partition dedupe BEFORE the shuffle to the graph-global
+    # state: the raw pair stream is fact-table-sized, but the code domain
+    # is <= 625, so map-side reduction caps what reaches the single state
+    # partition at O(codes x partitions) per batch instead of O(lineitem)
+    # — without it the stateful task ingests every joined row and the 10x
+    # stress ratio was 5.9x (measured); with it the stage is flat.
+    # min(ord) per code keeps the fold order deterministic (the state op
+    # sorts by (ord, code) and first-seen-dedupes).
+    def _partition_dedupe(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.groupby("code", as_index=False).agg(
+                    shard=("shard", "first"), ord=("ord", "min")
+                )[["shard", "ord", "code"]]
+
+    return raw.mapInPandas(_partition_dedupe, "shard long, ord long, code long")
 
 
 @query("stream_triest_saturated_exact", oracle=__import__(
