@@ -59,11 +59,20 @@ class XorFilter16:
     @staticmethod
     def _hashes(keys: np.ndarray, seed: int, block_len: int):
         k = keys.astype(np.int64).view(np.uint64)
-        h = _splitmix64(k ^ np.uint64(seed))
         bl = np.uint64(block_len)
-        h0 = (h & np.uint64(0x1FFFFF)) % bl
-        h1 = ((h >> np.uint64(21)) & np.uint64(0x1FFFFF)) % bl + bl
-        h2 = ((h >> np.uint64(42)) & np.uint64(0x1FFFFF)) % bl + np.uint64(2) * bl
+        # three independent full-width splitmix streams per position —
+        # a masked 21-bit slice would leave slots >= 2^21 unreachable for
+        # block_len > 2^21 (~5.1M keys/shard) and break the peeling build
+        # at exactly the scale the per-shard design targets
+        h0 = _splitmix64(k ^ np.uint64(seed)) % bl
+        h1 = (
+            _splitmix64(k ^ np.uint64(seed) ^ np.uint64(0x6A09E667F3BCC909)) % bl
+            + bl
+        )
+        h2 = (
+            _splitmix64(k ^ np.uint64(seed) ^ np.uint64(0xBB67AE8584CAA73B)) % bl
+            + np.uint64(2) * bl
+        )
         # independent mix for the fingerprint — deriving it from h would
         # correlate it with the probe positions and lift the FP rate
         fp = (

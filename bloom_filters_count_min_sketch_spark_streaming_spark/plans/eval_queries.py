@@ -3094,6 +3094,13 @@ def wer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"witness regime broken: vocabulary size {n_vocab} does not fit "
         "the single-byte printable-ASCII encoding (<= 94)"
     )
+    # the oracle enumerates token positions via range(1, 1000): a doc with
+    # >= 1000 tokens would be silently truncated on the oracle side only
+    max_toks = toks.select(F.max(F.size("ws"))).first()[0]
+    assert max_toks is not None and max_toks < 1000, (
+        f"witness regime broken: max token count {max_toks} exceeds the "
+        "oracle's range(1, 1000) position enumeration"
+    )
     pos = toks.select(
         "doc_id", "lang", F.posexplode("ws").alias("pos", "w")
     )

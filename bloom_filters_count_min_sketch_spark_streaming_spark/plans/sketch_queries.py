@@ -2930,7 +2930,22 @@ def tdigest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "witness regime broken: a t-digest merge combined points — "
         "delta must stay >= ~pi*n"
     )
-    rows = [(q, round(td.quantile(q), 6)) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]
+    # Decimal ROUND_HALF_UP to match DuckDB's ROUND (half-away-from-zero);
+    # Python round() is half-even and would flip a dyadic tie at the 7th
+    # decimal (the streaming twin already rounds this way)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [
+        (
+            q,
+            float(
+                Decimal(repr(td.quantile(q))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95)
+    ]
     return spark.createDataFrame(rows, "q double, quantile_value double").orderBy(
         "q"
     )

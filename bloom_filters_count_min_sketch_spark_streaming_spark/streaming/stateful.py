@@ -2271,7 +2271,7 @@ def _adwin_ingest(
             sm[b] = sm[a] + sm[b]  # count and sum preserved exactly
             del cnt[a], sm[a]
             s *= 2
-    detections = 0
+    shrunk = False
     while len(cnt) > 1:
         n_tot = float(sum(cnt))
         s_tot = sum(sm)
@@ -2291,8 +2291,11 @@ def _adwin_ingest(
         if not cut:
             break
         del cnt[0], sm[0]
-        detections += 1
-    return cnt, sm, detections
+        # one drift DETECTION per cut event, however many oldest buckets
+        # the shrink sheds — counting per dropped bucket would report a
+        # single abrupt shift as k detections
+        shrunk = True
+    return cnt, sm, 1 if shrunk else 0
 
 
 def adwin_drift_state(
