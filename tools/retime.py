@@ -1,0 +1,114 @@
+"""Warm re-time harness for perf-watch adjudication (CLAUDE.md: re-time
+warm before calling anything a perf problem).
+
+Mirrors bench.py's conditions — same session factory, same warmup, same
+noop sink, same inter-query unpersist — but runs min-of-N (default 3)
+per named query and prints a comparison against the committed
+BENCH_FULL.json min and the latest driver BENCH_r{N}.json value.
+
+Usage: python tools/retime.py [-n 3] name [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    committed = {}
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL.json")) as f:
+            committed = json.load(f).get("queries", {})
+    except OSError:
+        pass
+    latest = {}
+    rounds = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
+    )
+    if rounds:
+        try:
+            with open(rounds[-1]) as f:
+                latest = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("retime")
+    queries = entrymod.queries()
+
+    # bench.py's warmup: codegen + shuffle + parquet reader + Arrow workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.groupBy("n_regionkey").count().collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    warm.select(_warm_udf(F.col("n_nationkey").cast("long"))).collect()
+
+    cal = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().collect()
+        cal.append(time.time() - t0)
+    print(f"# calibration: {round(min(cal), 3)}s", file=sys.stderr)
+
+    results = {}
+    for name in args.names:
+        fn = queries[name]
+        samples = []
+        for _ in range(args.n):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            jmap.get(k).unpersist()
+        best = min(samples)
+        spread = round(max(samples) / best, 2) if best > 0 else 1.0
+        base = committed.get(name)
+        drv = latest.get(name)
+        ratio = round(best / base, 2) if base else None
+        results[name] = {
+            "warm_min": round(best, 3),
+            "spread": spread,
+            "committed": base,
+            "driver_last": drv,
+            "vs_committed": ratio,
+        }
+        print(
+            f"# {name}: warm_min={best:.3f}s spread=x{spread} "
+            f"committed={base} driver={drv} ratio={ratio}",
+            file=sys.stderr,
+        )
+
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    time.sleep(1.0)
+    print(json.dumps({"calibration": round(min(cal), 3), "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
