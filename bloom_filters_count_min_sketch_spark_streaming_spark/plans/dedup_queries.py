@@ -89,7 +89,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
 
 
-@query("dedup_simhash_candidates")
+@query("dedup_simhash_candidates", witness="dedup_simhash_banded_exact")
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit fingerprints, pairs at Hamming
     distance <= 6 via 4-band bucketing (each 16-bit band must match exactly
@@ -1189,7 +1189,13 @@ WINNOW_FIRST_SEEN_ORACLE = (
 )
 
 
-@query("dedup_icws_weighted_minhash")
+@query(
+    "dedup_icws_weighted_minhash",
+    no_witness_reason=(
+        "sampling estimator by construction; its exact-J_w audit join is "
+        "hash-checked via dedup_weighted_jaccard_pairs' oracle"
+    ),
+)
 def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted MinHash via ICWS (Ioffe 2010) — the SKETCH path to the
     weighted-Jaccard values dedup_weighted_jaccard_pairs computes exactly:

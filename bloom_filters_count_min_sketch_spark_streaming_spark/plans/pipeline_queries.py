@@ -436,7 +436,7 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K-means (iterative — rows-only, no SQL oracle)
 
 
-@query("kmeans_embeddings")
+@query("kmeans_embeddings", witness="kmeans_identity_exact")
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column: 5 iterations,
     k=8, deterministic hash-min init. Assignment is an Arrow-batched numpy
@@ -1513,7 +1513,13 @@ def corpus_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("compression_ratio_quality")
+@query(
+    "compression_ratio_quality",
+    no_witness_reason=(
+        "zlib DEFLATE has no SQL twin in DuckDB; invariants pinned by "
+        "property tests instead"
+    ),
+)
 def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (CCNet / RefinedWeb-style filter):
     zlib-compressed size over raw utf-8 size per document — highly
@@ -2406,7 +2412,7 @@ def ipf_mixture_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
-@query("kmeans_coreset_fit")
+@query("kmeans_coreset_fit", witness="kmeans_coreset_full_exact")
 def kmeans_coreset_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means via LIGHTWEIGHT CORESET (Bachem et al., KDD 2018) — the
     shape that clusters 100 TB: one distributed pass builds a <= m-row

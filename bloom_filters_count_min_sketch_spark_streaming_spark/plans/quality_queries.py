@@ -2915,7 +2915,7 @@ def voptimal_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
-@query("voptimal_histogram_stats")
+@query("voptimal_histogram_stats", witness="voptimal_saturated_exact")
 def voptimal_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-optimal histogram of the document-length distribution (Jagadish
     et al., VLDB 1998) — the planner-statistics structure that beats

@@ -25,6 +25,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Witness ledger (machine-readable, VERDICT r10 #6): every rows-only query
+# (no DuckDB oracle) must either name the hash-checked exactness WITNESS that
+# covers its code path in a degenerate-exact regime, or carry a documented
+# impossibility reason. tests/test_witness_ledger.py walks these, so a new
+# rows-only query without a marker fails CI instead of silently eroding the
+# closed witness program.
+WITNESSES: dict[str, str] = {}
+NO_WITNESS_REASONS: dict[str, str] = {}
+
 # The driver harness hash-checks only the FIRST 50 registry entries per round,
 # so the prefix is rotated PROGRAMMATICALLY (VERDICT r5 item 6): a small pinned
 # identity core stays first every round, and the remaining prefix slots are
@@ -108,8 +117,24 @@ _QUERY_MODULES = [
 ]
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query, optionally with its DuckDB oracle SQL."""
+def query(
+    name: str,
+    oracle: str | None = None,
+    witness: str | None = None,
+    no_witness_reason: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    Rows-only queries (``oracle=None``) MUST declare exactly one of:
+
+    - ``witness``: the name of the oracle-backed exactness witness that runs
+      the same code path in a regime where the approximation provably
+      degenerates to exact (saturation / closed-form low-dim / identity);
+    - ``no_witness_reason``: why no such regime exists (documented
+      impossibility — e.g. a sampling estimator, or zlib with no SQL twin).
+
+    Enforced by tests/test_witness_ledger.py against the live registry.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -117,6 +142,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if witness is not None:
+            WITNESSES[name] = witness
+        if no_witness_reason is not None:
+            NO_WITNESS_REASONS[name] = no_witness_reason
         return fn
 
     return deco

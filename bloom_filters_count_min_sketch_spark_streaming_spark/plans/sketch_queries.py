@@ -182,7 +182,7 @@ def freq_items_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(F.explode("event_type_freqItems").alias("item"))
 
 
-@query("histogram_event_value")
+@query("histogram_event_value", witness="histogram_numeric_saturated_exact")
 def histogram_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric histogram sketch (no SQL-exact oracle: bin placement is
     algorithm-specific) — rows-only check."""
@@ -1388,7 +1388,7 @@ def exact_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cms_conservative_vs_standard")
+@query("cms_conservative_vs_standard", witness="cms_conservative_exact")
 def cms_conservative_vs_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conservative-update CMS (Estan & Varghese 2002) vs the standard
     sketch on a deliberately NARROW table (width 50, depth 3 — collisions
@@ -1903,7 +1903,7 @@ def bloom_table_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
-@query("bloom_sketch_table_merge")
+@query("bloom_sketch_table_merge", witness="bloom_table_merge_exact")
 def bloom_sketch_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filters AT REST — the namesake sketch joins the sketch-table
     family (CMS/HLL/quantile/KMV): one Bloom filter per day over that
@@ -2168,7 +2168,7 @@ def count_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
-@query("count_sketch_vs_cms")
+@query("count_sketch_vs_cms", witness="count_sketch_exact")
 def count_sketch_vs_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch vs Count-Min on the same narrow table (width 32):
     CMS only ever OVERestimates (collisions add), Count-Sketch's signed
@@ -2439,7 +2439,7 @@ def kll_quantiles_exact_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, quantile_value double").orderBy("q")
 
 
-@query("kll_quantile_sketch_table")
+@query("kll_quantile_sketch_table", witness="kll_quantiles_exact_witness")
 def kll_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION KLL quantile sketch table (Karnin-Lang-Liberty 2016,
     k=200): the comparison-based mergeable quantile summary — unlike the
@@ -2762,7 +2762,7 @@ def hierarchical_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result, the reference's identity) + the saturated exactness witness.
 
 
-@query("tdigest_quantile_sketch_table")
+@query("tdigest_quantile_sketch_table", witness="tdigest_saturated_exact")
 def tdigest_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantile table per event type: per-partition merging
     digests built executor-side (mapInPandas, one sorted pass per batch),

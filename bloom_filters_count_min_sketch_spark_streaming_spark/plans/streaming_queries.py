@@ -646,7 +646,7 @@ def stream_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dgim_window_count")
+@query("stream_dgim_window_count", witness="stream_dgim_saturated_exact")
 def stream_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DGIM sliding-window bit counting (Datar-Gionis-Indyk-Motwani,
     SICOMP 2002) — the canonical O(log² W)-state sliding-window sketch,
@@ -2059,7 +2059,7 @@ def stream_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@query("stream_eh_window_sum")
+@query("stream_eh_window_sum", witness="stream_eh_saturated_exact")
 def stream_eh_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential-histogram sliding-window SUM (Datar et al. SICOMP 2002
     §5) — DGIM generalized from bits to bounded positive integers: the
@@ -2325,7 +2325,7 @@ def stream_sbf_decayless_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
-@query("stream_stable_bloom_dedup")
+@query("stream_stable_bloom_dedup", witness="stream_sbf_decayless_exact")
 def stream_stable_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable-Bloom-filter duplicate detection (Deng & Rafiei, SIGMOD
     2006): flags repeated (user, event_type) pairs over an unbounded
@@ -2466,7 +2466,7 @@ def stream_kll_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, quantile_value double").orderBy("q")
 
 
-@query("stream_kll_quantiles")
+@query("stream_kll_quantiles", witness="stream_kll_saturated_exact")
 def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE KLL quantiles (the streaming twin of
     kll_quantile_sketch_table): each shard maintains an O(k log n)-float
@@ -2615,7 +2615,7 @@ def stream_triest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("stream_triest_triangles")
+@query("stream_triest_triangles", witness="stream_triest_saturated_exact")
 def stream_triest_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE triangle counting with bounded memory (TRIEST-base, De
     Stefani et al. KDD 2016): a 64-edge reservoir over the unbounded
@@ -2670,7 +2670,7 @@ def stream_triest_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_adwin_drift")
+@query("stream_adwin_drift", witness="stream_adwin_stationary_exact")
 def stream_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADWIN adaptive-window drift detection (Bifet-Gavalda, SDM 2007) on
     the per-shard purchase-rate signal: the canonical "window size
@@ -2862,7 +2862,7 @@ def stream_tdigest_saturated_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("stream_tdigest_quantiles")
+@query("stream_tdigest_quantiles", witness="stream_tdigest_saturated_exact")
 def stream_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE t-digest quantiles (the streaming twin of
     tdigest_quantile_sketch_table, symmetric with stream_kll_quantiles):

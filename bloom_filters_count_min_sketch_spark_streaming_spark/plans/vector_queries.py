@@ -60,7 +60,7 @@ def knn_blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_blocked_gemm(emb, queries, k=5)
 
 
-@query("ann_lsh_topk")
+@query("ann_lsh_topk", witness="ann_lsh_full_tables_exact")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets + exact re-rank —
     the 100 TB path (bucket equi-join instead of full cross product).
@@ -73,7 +73,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", witness="ann_ivf_full_probe_exact")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate NN (FAISS-IVF-flat contract): seeded
     coarse quantizer, cell-bucketed equi-join, n_probe query fan-out,
@@ -167,7 +167,7 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_int8_topk")
+@query("ann_ivf_int8_topk", witness="ann_ivf_int8_lossless_exact")
 def ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over int8-quantized vectors with full-precision re-rank of a
     short candidate list (FAISS IVF+SQ8 shape): 4x less vector I/O for
@@ -310,7 +310,7 @@ def pq_full_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_adc_recall")
+@query("pq_adc_recall", witness="pq_full_rerank_exact")
 def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped PQ search (D-row: the ANN memory tier): 8-byte
     codes instead of 256-byte vectors, ADC table-lookup scoring, top-20
@@ -342,7 +342,7 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("frequent_directions_spectrum")
+@query("frequent_directions_spectrum", witness="fd_saturated_spectrum_exact")
 def frequent_directions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions (Liberty KDD'13) spectrum of the embedding
     corpus: per-partition ell x d streaming sketches, deterministic
@@ -950,7 +950,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- PCA / whitening ----------------------------------------------------------
 
 
-@query("embedding_pca_variance")
+@query("embedding_pca_variance", witness="embedding_pca_closed_form_exact")
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum of the embedding corpus: top-8 eigenvalues of the
     covariance matrix with explained-variance ratios — the embedding-health
@@ -975,7 +975,7 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pca_project")
+@query("embedding_pca_project", witness="pca_project_closed_form_exact")
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-4 principal-component projection of the first 50 embeddings
     (the dimensionality-reduction step before clustering / visualization /
@@ -1397,7 +1397,7 @@ def ann_rptree_full_spill_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_rptree_topk")
+@query("ann_rptree_topk", witness="ann_rptree_full_spill_exact")
 def ann_rptree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via a random-projection tree (the annoy-family
     member beside LSH tables and IVF cells): median splits give BALANCED
