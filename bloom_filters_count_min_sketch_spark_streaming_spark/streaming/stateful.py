@@ -299,38 +299,23 @@ def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: s
     ownership is assigned; across batches the mtime-ordered replay source
     fixes arrival order.
 
-    EXACTNESS CONTRACT — integer buckets only: bucket identity is the
-    bucket's int64 value for integer ``bucket_col`` (exact), but
-    xxhash64(bucket) for any other type, where two distinct buckets can
-    collide into one state entry and emit a FALSE (doc, owner) candidate
-    (2^-64 per pair; downstream verification absorbs it). Callers whose
-    output is hash-checked against an exact SQL oracle must therefore
-    pass an integer bucket column (pack composite buckets into one int64,
-    as the LSH/winnowing callers do) — a string-bucket caller is
-    probabilistic and belongs with the rows-only/property-tested family.
+    EXACTNESS CONTRACT — exact for EVERY bucket type (r11): integer
+    buckets keep their int64 value as state identity; any other type is
+    cast to string and stored as its EXACT length-prefixed utf-8 bytes in
+    the shard's state array (fixed-width S dtype, width derived from the
+    blob, widened on demand) — only SHARD ASSIGNMENT hashes, so two
+    distinct buckets can never merge and the output is always the batch
+    SQL ``doc > MIN(doc) OVER (PARTITION BY band, bucket)``. Integer
+    packing (as the LSH/winnowing callers do) remains the FAST path:
+    8 bytes/bucket vs 8+len(bucket), and pure int64 compares.
     """
 
-    def update(key, pdfs, state: GroupState):
-        b_parts, d_parts = [], []
-        for pdf in pdfs:
-            b_parts.append(pdf["_fs_bid"].to_numpy(dtype=np.int64))
-            d_parts.append(pdf[doc_col].to_numpy(dtype=np.int64))
-        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=np.int64)
-        d = np.concatenate(d_parts) if d_parts else np.array([], dtype=np.int64)
-        empty = np.array([], dtype=np.int64)
-        if len(b) == 0:
-            # typed empty: object/float64 columns would fight the LongType
-            # output schema if Arrow conversion ever tightens
-            yield pd.DataFrame({"band": empty, "doc": empty, "owner": empty})
-            return
+    def _fold(b, d, sb, so, state: GroupState):
+        """Shared vectorized first-seen pass: works identically on int64
+        bucket ids and fixed-width S-dtype exact byte keys (both sort,
+        searchsorted, and frombuffer/tobytes the same way)."""
         order = np.lexsort((d, b))
         b, d = b[order], d[order]
-        if state.exists:
-            sb_raw, so_raw = state.get
-            sb = np.frombuffer(sb_raw, dtype=np.int64)
-            so = np.frombuffer(so_raw, dtype=np.int64)
-        else:
-            sb, so = empty, empty
         if len(sb):
             idx = np.minimum(np.searchsorted(sb, b), len(sb) - 1)
             known = sb[idx] == b
@@ -357,29 +342,99 @@ def first_seen_flags(stream_df: DataFrame, band_col: str = "band", bucket_col: s
                     np.ascontiguousarray(merged_o[o2]).tobytes(),
                 )
             )
-        dups = np.concatenate(out_doc)
-        yield pd.DataFrame(
+        return np.concatenate(out_doc), np.concatenate(out_own)
+
+    def _emit(key, dups, owners):
+        return pd.DataFrame(
             {
                 "band": np.full(len(dups), int(key[0]), dtype=np.int64),
                 "doc": dups,
-                "owner": np.concatenate(out_own),
+                "owner": owners,
             }
         )
 
-    # int64 bucket identity: native for integer buckets (exact), xxhash64
-    # for string/struct buckets (2^-64 per-pair collision odds — a rare
-    # false CANDIDATE at planet scale, which downstream verification
-    # absorbs; the fixture-scale oracles see none).
+    def update(key, pdfs, state: GroupState):
+        b_parts, d_parts = [], []
+        for pdf in pdfs:
+            b_parts.append(pdf["_fs_bid"].to_numpy(dtype=np.int64))
+            d_parts.append(pdf[doc_col].to_numpy(dtype=np.int64))
+        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=np.int64)
+        d = np.concatenate(d_parts) if d_parts else np.array([], dtype=np.int64)
+        empty = np.array([], dtype=np.int64)
+        if len(b) == 0:
+            # typed empty: object/float64 columns would fight the LongType
+            # output schema if Arrow conversion ever tightens
+            yield pd.DataFrame({"band": empty, "doc": empty, "owner": empty})
+            return
+        if state.exists:
+            sb_raw, so_raw = state.get
+            sb = np.frombuffer(sb_raw, dtype=np.int64)
+            so = np.frombuffer(so_raw, dtype=np.int64)
+        else:
+            sb, so = empty, empty
+        dups, owners = _fold(b, d, sb, so, state)
+        yield _emit(key, dups, owners)
+
+    def update_bytes(key, pdfs, state: GroupState):
+        # EXACT identity for non-integer buckets: 4-byte big-endian length
+        # prefix + raw utf-8 bytes, held in a fixed-width NUL-padded S
+        # array. The prefix disambiguates the padding ("a" vs "a\x00"
+        # would otherwise alias), so distinct buckets can NEVER merge —
+        # unlike a 64-bit hash identity. State width is derived from
+        # blob_len / count and widened on demand (astype pads with NUL,
+        # which the prefix makes identity-safe).
+        raw_parts, d_parts = [], []
+        for pdf in pdfs:
+            raw_parts.append(pdf["_fs_bkey"].to_numpy(dtype=object))
+            d_parts.append(pdf[doc_col].to_numpy(dtype=np.int64))
+        empty = np.array([], dtype=np.int64)
+        n = sum(len(p) for p in raw_parts)
+        if n == 0:
+            yield pd.DataFrame({"band": empty, "doc": empty, "owner": empty})
+            return
+        raw = np.concatenate(raw_parts)
+        d = np.concatenate(d_parts)
+        b = np.array(
+            [len(v).to_bytes(4, "big") + bytes(v) for v in raw], dtype=bytes
+        )
+        if state.exists:
+            sb_raw, so_raw = state.get
+            so = np.frombuffer(so_raw, dtype=np.int64)
+            width = len(sb_raw) // len(so) if len(so) else b.dtype.itemsize
+            sb = np.frombuffer(sb_raw, dtype=f"S{width}")
+        else:
+            sb, so = np.array([], dtype=b.dtype), empty
+        if sb.dtype.itemsize > b.dtype.itemsize:
+            b = b.astype(sb.dtype)
+        elif b.dtype.itemsize > sb.dtype.itemsize:
+            sb = sb.astype(b.dtype)
+        dups, owners = _fold(b, d, sb, so, state)
+        yield _emit(key, dups, owners)
+
+    # Bucket identity: native int64 for integer buckets (the fast path —
+    # 8 bytes/entry, pure integer compares); EXACT utf-8 bytes for any
+    # other type (state stores the value itself). Hashing is used only
+    # for SHARD ASSIGNMENT, which affects routing, never identity.
     dtypes = dict(stream_df.dtypes)
     if dtypes.get(bucket_col) in ("bigint", "int", "smallint", "tinyint"):
-        bid = F.col(bucket_col).cast("long")
+        sharded = stream_df.withColumn(
+            "_fs_bid", F.col(bucket_col).cast("long")
+        ).withColumn(
+            "_fs_shard",
+            F.pmod(F.col("_fs_bid"), F.lit(_FIRST_SEEN_SHARDS)).cast("long"),
+        )
+        fold_fn = update
     else:
-        bid = F.xxhash64(bucket_col)
-    sharded = stream_df.withColumn("_fs_bid", bid).withColumn(
-        "_fs_shard", F.pmod(F.col("_fs_bid"), F.lit(_FIRST_SEEN_SHARDS)).cast("long")
-    )
+        sharded = stream_df.withColumn(
+            "_fs_bkey", F.encode(F.col(bucket_col).cast("string"), "UTF-8")
+        ).withColumn(
+            "_fs_shard",
+            F.pmod(F.xxhash64(F.col(bucket_col).cast("string")),
+                   F.lit(_FIRST_SEEN_SHARDS)).cast("long"),
+        )
+        fold_fn = update_bytes
     return sharded.groupBy(band_col, "_fs_shard").applyInPandasWithState(
-        update, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "append", GroupStateTimeout.NoTimeout
+        fold_fn, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
 
