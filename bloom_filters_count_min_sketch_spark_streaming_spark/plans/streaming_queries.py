@@ -3077,8 +3077,12 @@ def stream_model_monitoring_funnel(spark: SparkSession, sf_dir: str) -> DataFram
       rate drift pair. The integer encoding follows first_seen_flags'
       exactness contract: composite keys pack into one int64, never a
       hashed string.
-    - streaming_page_hinkley (unchanged) contributes (4) the daily-mean
+    - the Page-Hinkley day histograms contribute (4) the daily-mean
       drift walk, aggregated to its alarm count and max statistic.
+
+    Both layers ride ONE streaming query via monitoring_mux_state (r11):
+    group key (mux, gkey) dispatches each group to its layer's exact
+    standalone fold, so the composite pays a single micro-batch floor.
 
     Every monitor is a pure function of mergeable per-shard sufficient
     statistics (plain sums / O(days) day histograms), so state stays
@@ -3092,18 +3096,36 @@ def stream_model_monitoring_funnel(spark: SparkSession, sf_dir: str) -> DataFram
 
     cut_us = 1705363200000000  # 2024-01-16 00:00 UTC
 
-    # pass 1: (period, score) histogram — one state layer, three monitors
+    # ONE pass, ONE streaming query (r11: the two state layers ride a
+    # keyspace-multiplexed stateful operator — see monitoring_mux_state):
+    # 'h' rows feed the (period, score) histogram shards, 'p' rows feed
+    # the per-type Page-Hinkley day histograms. Folds are bit-identical
+    # to the standalone operators, so the oracle is untouched.
     src = events_stream_source(spark, sf_dir)
     enc = (
         F.when(F.unix_micros("ts") >= cut_us, 100000).otherwise(0)
         + F.round(F.col("value") * 10).cast("long")
     ).cast("double")
-    d = src.select(
+    h_rows = src.select(
+        F.lit("h").alias("mux"),
+        F.pmod(F.xxhash64(enc), F.lit(8)).cast("string").alias("gkey"),
         enc.alias("score"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
-    ).withColumn("shard", F.pmod(F.xxhash64("score"), F.lit(8)).cast("long"))
-    out = run_available_now(
-        stateful.streaming_score_histogram(d, "score", "y"), "append"
+        F.lit(None).cast("string").alias("day"),
+    )
+    p_rows = src.select(
+        F.lit("p").alias("mux"),
+        F.col("event_type").alias("gkey"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("long").alias("y"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    muxed = run_available_now(
+        stateful.monitoring_mux_state(h_rows.unionByName(p_rows), PH_LAMBDA),
+        "append",
+    )
+    out = muxed.filter(F.col("mux") == "h").select(
+        F.col("gkey").cast("long").alias("shard"), "seq", "score", "c", "c1"
     )
     last = (
         out.withColumn("mseq", F.max("seq").over(Window.partitionBy("shard")))
@@ -3188,13 +3210,9 @@ def stream_model_monitoring_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         "value",
     )
 
-    # pass 2 / (4): the Page-Hinkley daily drift monitor, aggregated
-    src2 = events_stream_source(spark, sf_dir).withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    out2 = run_available_now(
-        stateful.streaming_page_hinkley(src2, "event_type", "day", PH_LAMBDA),
-        "append",
+    # (4): the Page-Hinkley daily drift monitor — same muxed run
+    out2 = muxed.filter(F.col("mux") == "p").select(
+        F.col("gkey").alias("key"), "seq", "n_days", "max_ph", "first_alarm_day"
     )
     wk = Window.partitionBy("key").orderBy(F.col("seq").desc())
     ph_last = (
@@ -3492,26 +3510,30 @@ _JS_EPS, _JS_CONF, _JS_SEED = 0.001, 0.99, 42
 _JS_SHARD_BITS = 10
 
 
-def stream_numpy_cms(
+def stream_numpy_cms_sketches(
     spark: SparkSession,
     sf_dir: str,
-    table: str,
-    key_col: str,
-    order_col: str,
+    specs: list[tuple[str, str, str]],
     eps: float = _JS_EPS,
     confidence: float = _JS_CONF,
     seed: int = _JS_SEED,
 ):
-    """Maintain a NumpyCMS over a replayed fixture table ONLINE and return
-    the assembled sketch: rows map to (counter position, +1) deltas in an
-    Arrow batch (pre-aggregated with bincount, so the state exchange
-    carries at most DISTINCT-touched-counter rows per batch — the
-    CLAUDE.md O(distinct x depth) delta rule), the global counter array
-    lives sharded in the state store (sharded_counter_state: 8 KB dense
-    blocks, abelian deltas), and the last block per shard reassembles the
-    EXACT array a batch build produces — counters are an abelian monoid,
-    so the result is batch-split invariant (asserted bit-for-bit in
-    tests/test_streaming.py)."""
+    """Maintain one NumpyCMS per (table, key_col, order_col) spec ONLINE —
+    all in a SINGLE streaming query — and return the assembled sketches.
+
+    Rows map to (counter position, +1) deltas in an Arrow batch
+    (pre-aggregated with bincount, so the state exchange carries at most
+    DISTINCT-touched-counter rows per batch — the CLAUDE.md
+    O(distinct x depth) delta rule); each spec's positions are OFFSET into
+    a disjoint shard range of one global counter array, so the union of
+    the per-table delta streams folds through one sharded_counter_state
+    run (8 KB dense blocks, abelian deltas) instead of one streaming query
+    per table — N tables cost max(batches) micro-batch floors, not
+    sum(batches) (the r10 verdict's write-fusion discipline applied to
+    sketch maintenance). The last block per shard reassembles EXACTLY the
+    arrays a batch build produces — counters are an abelian monoid, so the
+    result is batch-split AND union-interleave invariant (asserted
+    bit-for-bit in tests/test_streaming.py)."""
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions.cms import (
         NumpyCMS,
     )
@@ -3519,18 +3541,28 @@ def stream_numpy_cms(
     proto = NumpyCMS.from_params(eps, confidence, seed)
     depth, width = proto.depth, proto.width
     n_pos = depth * width
+    block = 1 << _JS_SHARD_BITS
+    shards_per = (n_pos + block - 1) // block
+    span = shards_per << _JS_SHARD_BITS  # shard-aligned per-spec offset
     row_off = (np.arange(depth, dtype=np.int64) * width)[:, None]
 
-    src = table_stream_source(spark, sf_dir, table, order_col).select(
-        F.col(key_col).cast("long").alias("k")
-    ).filter(F.col("k").isNotNull())
+    src = None
+    for i, (table, key_col, order_col) in enumerate(specs):
+        part = (
+            table_stream_source(spark, sf_dir, table, order_col)
+            .select(F.col(key_col).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .withColumn("off", F.lit(i * span).cast("long"))
+        )
+        src = part if src is None else src.unionByName(part)
 
     def to_deltas(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             v = pdf["k"].to_numpy(dtype=np.int64)
-            pos = (row_off + proto._buckets(v)).ravel()
+            off = pdf["off"].to_numpy(dtype=np.int64)
+            pos = ((row_off + proto._buckets(v)) + off[None, :]).ravel()
             agg = np.bincount(pos, minlength=0)
             touched = np.nonzero(agg)[0]
             yield pd.DataFrame(
@@ -3548,18 +3580,36 @@ def stream_numpy_cms(
     )
     last = out.groupBy("shard").agg(
         F.max_by("counters", "seq").alias("counters")
-    ).collect()  # bounded: O(n_counters/8KB) shard blocks
-    flat = np.zeros(n_pos, dtype=np.int64)
-    block = 1 << _JS_SHARD_BITS
+    ).collect()  # bounded: O(specs x n_counters/8KB) shard blocks
+    flat = np.zeros(len(specs) * span, dtype=np.int64)
     for r in last:
         base = int(r["shard"]) << _JS_SHARD_BITS
         arr = np.frombuffer(bytes(r["counters"]), dtype=np.int64)
-        end = min(base + block, n_pos)
+        end = min(base + block, len(flat))
         flat[base:end] = arr[: end - base]
-    sk = NumpyCMS.from_params(eps, confidence, seed)
-    sk.table = flat.reshape(depth, width)
-    sk.total = int(sk.table[0].sum())
-    return sk
+    sketches = []
+    for i in range(len(specs)):
+        sk = NumpyCMS.from_params(eps, confidence, seed)
+        sk.table = flat[i * span : i * span + n_pos].reshape(depth, width)
+        sk.total = int(sk.table[0].sum())
+        sketches.append(sk)
+    return sketches
+
+
+def stream_numpy_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    order_col: str,
+    eps: float = _JS_EPS,
+    confidence: float = _JS_CONF,
+    seed: int = _JS_SEED,
+):
+    """Single-table convenience wrapper over stream_numpy_cms_sketches."""
+    return stream_numpy_cms_sketches(
+        spark, sf_dir, [(table, key_col, order_col)], eps, confidence, seed
+    )[0]
 
 
 @query(
@@ -3594,8 +3644,11 @@ def stream_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     (abelian merge; asserted in tests/test_streaming.py), so the batch
     twin cms_join_size_estimate and this query agree by construction.
     Output pins the exact size plus both guarantee assertions."""
-    sk_a = stream_numpy_cms(spark, sf_dir, "lineitem", "l_orderkey", "l_orderkey")
-    sk_b = stream_numpy_cms(spark, sf_dir, "orders", "o_orderkey", "o_orderkey")
+    sk_a, sk_b = stream_numpy_cms_sketches(
+        spark,
+        sf_dir,
+        [("lineitem", "l_orderkey", "l_orderkey"), ("orders", "o_orderkey", "o_orderkey")],
+    )
     per_row = (sk_a.table.astype(object) * sk_b.table.astype(object)).sum(axis=1)
     est = int(per_row.min())
 

@@ -43,7 +43,7 @@ def _ephemeral_ckpt() -> str:
 
 
 
-def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+def events_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 2) -> DataFrame:
     """Unbounded DataFrame replaying `events` as n_files micro-batches.
 
     The one-time split is range-partitioned by event_id so batch contents
@@ -57,7 +57,7 @@ def table_stream_source(
     sf_dir: str,
     table: str,
     order_col: str,
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """Unbounded DataFrame replaying any fixture table as n_files
     deterministic micro-batches in ``order_col`` order (range-partitioned

@@ -2566,21 +2566,60 @@ _PH_STATE = StructType(
 )
 
 
+def _ph_fold_days(days: dict, pdf: pd.DataFrame, day_col: str) -> None:
+    """Fold a batch's per-day counts into the day->count histogram."""
+    for day, c in pdf.groupby(day_col).size().items():
+        days[day] = days.get(day, 0) + int(c)
+
+
+def _ph_walk(days: dict, lam: float):
+    """Re-derive the PH walk from the merged day histogram. Terms are
+    quantized with Decimal ROUND_HALF_UP at 1e-8 and summed exactly in
+    Decimal — the same arithmetic as Spark's ROUND@8 -> DECIMAL(28,8)
+    window sum — so the result hash-equals the batch page_hinkley_drift
+    scan regardless of micro-batch boundaries. Returns
+    (n_days, max_ph_rounded, first_alarm_day_or_none)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1e-8")
+    ordered = sorted(days)
+    cum = 0
+    m = Decimal(0)
+    min_m = None
+    max_ph = None
+    first_alarm = None
+    for t, day in enumerate(ordered, start=1):
+        x = days[day]
+        cum += x
+        term = Decimal(repr(x - cum * 1.0 / t)).quantize(q8, rounding=ROUND_HALF_UP)
+        m += term
+        # the batch twin casts each decimal prefix sum to DOUBLE before
+        # the MIN window and the subtraction — mirror that exactly
+        fm = float(m)
+        if min_m is None or fm < min_m:
+            min_m = fm
+        ph = fm - min_m
+        if max_ph is None or ph > max_ph:
+            max_ph = ph
+        if first_alarm is None and ph > lam:
+            first_alarm = day
+    rounded = (
+        float(Decimal(repr(max_ph)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+        if max_ph is not None
+        else 0.0
+    )
+    return len(ordered), rounded, first_alarm
+
+
 def streaming_page_hinkley(
     stream_df: DataFrame, key_col: str, day_col: str, lam: float
 ) -> DataFrame:
     """Per-key Page-Hinkley drift monitor maintained ONLINE: state is the
     day->count histogram (O(days) longs per key, volume-independent —
     same state discipline as the streaming CUSUM), and every batch
-    re-derives the PH walk from the merged histogram. Terms are quantized
-    with Decimal ROUND_HALF_UP at 1e-8 and summed exactly in Decimal —
-    the same arithmetic as Spark's ROUND@8 -> DECIMAL(28,8) window sum —
-    so the last emission per key hash-equals the batch page_hinkley_drift
-    scan regardless of micro-batch boundaries."""
+    re-derives the PH walk from the merged histogram (see _ph_walk for
+    the exact-arithmetic contract)."""
     import pickle
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q8 = Decimal("1e-8")
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -2589,47 +2628,15 @@ def streaming_page_hinkley(
         else:
             days, seq = {}, 0
         for pdf in pdfs:
-            for day, c in pdf.groupby(day_col).size().items():
-                days[day] = days.get(day, 0) + int(c)
+            _ph_fold_days(days, pdf, day_col)
         seq += 1
         state.update((pickle.dumps(days, protocol=4), seq))
-        ordered = sorted(days)
-        cum = 0
-        m = Decimal(0)
-        min_m = None
-        max_ph = None
-        first_alarm = None
-        for t, day in enumerate(ordered, start=1):
-            x = days[day]
-            cum += x
-            term = Decimal(repr(x - cum * 1.0 / t)).quantize(
-                q8, rounding=ROUND_HALF_UP
-            )
-            m += term
-            # the batch twin casts each decimal prefix sum to DOUBLE before
-            # the MIN window and the subtraction — mirror that exactly
-            fm = float(m)
-            if min_m is None or fm < min_m:
-                min_m = fm
-            ph = fm - min_m
-            if max_ph is None or ph > max_ph:
-                max_ph = ph
-            if first_alarm is None and ph > lam:
-                first_alarm = day
-        rounded = (
-            float(
-                Decimal(repr(max_ph)).quantize(
-                    Decimal("1e-6"), rounding=ROUND_HALF_UP
-                )
-            )
-            if max_ph is not None
-            else 0.0
-        )
+        n_days, rounded, first_alarm = _ph_walk(days, lam)
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],
                 "seq": [seq],
-                "n_days": [len(ordered)],
+                "n_days": [n_days],
                 "max_ph": [rounded],
                 "first_alarm_day": [first_alarm or "none"],
             }
@@ -2671,10 +2678,7 @@ def streaming_score_histogram(stream_df: DataFrame, score_col: str, y_col: str) 
         else:
             hist, seq = {}, 0
         for pdf in pdfs:
-            g = pdf.groupby(score_col)[y_col].agg(["count", "sum"])
-            for score, row in g.iterrows():
-                c0, c10 = hist.get(float(score), (0, 0))
-                hist[float(score)] = (c0 + int(row["count"]), c10 + int(row["sum"]))
+            _scoreh_fold(hist, pdf, score_col, y_col)
         seq += 1
         state.update((pickle.dumps(hist, protocol=4), seq))
         keys = sorted(hist)
@@ -2690,6 +2694,105 @@ def streaming_score_histogram(stream_df: DataFrame, score_col: str, y_col: str) 
 
     return stream_df.groupBy("shard").applyInPandasWithState(
         update, _SCOREH_OUT, _SCOREH_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _scoreh_fold(hist: dict, pdf: pd.DataFrame, score_col: str, y_col: str) -> None:
+    """Fold a batch into the score -> (count, positives) histogram."""
+    g = pdf.groupby(score_col)[y_col].agg(["count", "sum"])
+    for score, row in g.iterrows():
+        c0, c10 = hist.get(float(score), (0, 0))
+        hist[float(score)] = (c0 + int(row["count"]), c10 + int(row["sum"]))
+
+
+_MONMUX_OUT = StructType(
+    [
+        StructField("mux", StringType()),
+        StructField("gkey", StringType()),
+        StructField("seq", LongType()),
+        StructField("score", DoubleType()),
+        StructField("c", LongType()),
+        StructField("c1", LongType()),
+        StructField("n_days", LongType()),
+        StructField("max_ph", DoubleType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+_MONMUX_STATE = StructType(
+    [StructField("blob", BinaryType()), StructField("seq", LongType())]
+)
+
+
+def monitoring_mux_state(stream_df: DataFrame, lam: float) -> DataFrame:
+    """KEYSPACE-MULTIPLEXED monitoring state: one applyInPandasWithState
+    run maintains BOTH the (score -> (count, positives)) histogram shards
+    AND the per-key Page-Hinkley day histograms — the write-fusion lesson
+    from the release funnel applied to stateful operators. Spark allows
+    one arbitrary-stateful operator per streaming query, so a composite
+    monitor that needs two state layers would otherwise pay two full
+    streaming runs over the same source; packing both layers into one
+    keyspace — group key (mux, gkey), update dispatching on mux — halves
+    the per-run micro-batch floor while keeping each layer's fold
+    BIT-IDENTICAL (both reuse the exact fold/walk helpers of their
+    standalone operators, so the funnel's oracle is unchanged).
+
+    Expects columns ``mux string`` ('h' = histogram row, 'p' = PH row),
+    ``gkey string`` (shard id for 'h', monitor key for 'p'), ``score
+    double``/``y long`` (valid on 'h' rows), ``day string`` (valid on 'p'
+    rows). Emits the union schema; filter on mux and project per layer.
+    State per group stays (blob, seq) — the same O(distinct)/O(days)
+    discipline as the standalone operators."""
+    import pickle
+
+    def update(key, pdfs, state: GroupState):
+        mux = str(key[0])
+        gkey = str(key[1])
+        if state.exists:
+            store = pickle.loads(bytes(state.get[0]))
+            seq = int(state.get[1])
+        else:
+            store, seq = {}, 0
+        for pdf in pdfs:
+            if mux == "h":
+                _scoreh_fold(store, pdf, "score", "y")
+            else:
+                _ph_fold_days(store, pdf, "day")
+        seq += 1
+        state.update((pickle.dumps(store, protocol=4), seq))
+        if mux == "h":
+            keys = sorted(store)
+            n = len(keys)
+            yield pd.DataFrame(
+                {
+                    "mux": ["h"] * n,
+                    "gkey": [gkey] * n,
+                    "seq": [seq] * n,
+                    "score": keys,
+                    "c": [store[k][0] for k in keys],
+                    "c1": [store[k][1] for k in keys],
+                    "n_days": pd.array([None] * n, dtype="Int64"),
+                    "max_ph": pd.array([None] * n, dtype="float64"),
+                    "first_alarm_day": pd.array([None] * n, dtype=object),
+                }
+            )
+        else:
+            n_days, rounded, first_alarm = _ph_walk(store, lam)
+            yield pd.DataFrame(
+                {
+                    "mux": ["p"],
+                    "gkey": [gkey],
+                    "seq": [seq],
+                    "score": pd.array([None], dtype="float64"),
+                    "c": pd.array([None], dtype="Int64"),
+                    "c1": pd.array([None], dtype="Int64"),
+                    "n_days": [n_days],
+                    "max_ph": [rounded],
+                    "first_alarm_day": [first_alarm or "none"],
+                }
+            )
+
+    return stream_df.groupBy("mux", "gkey").applyInPandasWithState(
+        update, _MONMUX_OUT, _MONMUX_STATE, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -508,3 +508,27 @@ def test_stream_cms_counters_equal_batch_build(spark, sf_dir):
     )
     assert np.array_equal(streamed.table, batch.table)
     assert streamed.total == batch.total
+
+    # the FUSED multi-table path (one streaming query, offset shard
+    # ranges) must reassemble each table's sketch bit-identically too —
+    # union interleaving of the two delta streams must not matter
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans.streaming_queries import (
+        stream_numpy_cms_sketches,
+    )
+
+    fused_cust, fused_ord = stream_numpy_cms_sketches(
+        spark,
+        sf_dir,
+        [("customer", "c_custkey", "c_custkey"), ("orders", "o_orderkey", "o_orderkey")],
+    )
+    assert np.array_equal(fused_ord.table, batch.table)
+    assert fused_ord.total == batch.total
+    batch_cust = cms_build_numpy(
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        eps=_JS_EPS,
+        confidence=_JS_CONF,
+        seed=_JS_SEED,
+    )
+    assert np.array_equal(fused_cust.table, batch_cust.table)
+    assert fused_cust.total == batch_cust.total

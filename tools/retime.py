@@ -64,6 +64,17 @@ def main() -> None:
         return s
 
     warm.select(_warm_udf(F.col("n_nationkey").cast("long"))).collect()
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
+        run_available_now,
+        table_stream_source,
+    )
+
+    run_available_now(
+        table_stream_source(spark, sf_dir, "nation", "n_nationkey", n_files=1)
+        .groupBy("n_regionkey")
+        .count(),
+        "complete",
+    ).collect()
 
     cal = []
     for _ in range(3):
