@@ -680,6 +680,10 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v").cast("long")).cast("long").alias("v_sum"),
     )
     name = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    # run_available_now's shuffle sizing, inlined: 32 partitions per
+    # 100-row micro-batch is pure state-commit overhead x10 batches
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -694,8 +698,9 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             done = spark.sql(f"SELECT COALESCE(SUM(n), 0) AS s FROM {name}").collect()[0]["s"]
             if done >= total:
                 break
-            time.sleep(0.3)
+            time.sleep(0.1)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         try:
             q.stop()
             q.awaitTermination(30)

@@ -1493,6 +1493,11 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("long").alias("value_sum"),
     )
     name = f"rate_stream_{uuid.uuid4().hex[:8]}"
+    # size the per-batch shuffle like run_available_now does — at the
+    # session's 32 partitions every 1000-row micro-batch pays 32 state
+    # commits and the poll loop's own jobs compound it
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -1509,8 +1514,9 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]["s"]
             if done >= total:
                 break
-            time.sleep(0.3)
+            time.sleep(0.1)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         try:
             q.stop()
             q.awaitTermination(30)
@@ -3385,15 +3391,23 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = tempfile.mkdtemp(prefix="bfcms_pystream_sink_")
     ckpt = tempfile.mkdtemp(prefix="bfcms_pystream_ckpt_")
-    q = (
-        counts.writeStream.format("bfcms_jsondir")
-        .outputMode("complete")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # at the session's 32 shuffle partitions every micro-batch spins up 32
+    # Python writer commits for a ~40-row aggregate; 4 keeps the
+    # per-partition writer contract exercised at a sane fan-out
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.format("bfcms_jsondir")
+            .outputMode("complete")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     # complete mode rewrites the whole aggregate each batch: keep only the
     # files of the LAST committed batch
     batches = sorted(

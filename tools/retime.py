@@ -110,9 +110,10 @@ def main() -> None:
             "vs_committed": ratio,
         }
         print(
-            f"# {name}: warm_min={best:.3f}s spread=x{spread} "
+            f"\n# {name}: warm_min={best:.3f}s spread=x{spread} "
             f"committed={base} driver={drv} ratio={ratio}",
             file=sys.stderr,
+            flush=True,
         )
 
     spark.sparkContext.setLogLevel("OFF")
