@@ -1943,9 +1943,9 @@ def logreg_gd_click_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / 1024.0).alias("x"),
         F.when(F.col("event_type") == "click", 1.0).otherwise(0.0).alias("y"),
     ).persist()
-    n = d.count()  # bounded scalar: the training-set size
+    n = 0  # training-set size: rides iteration 1's aggregate (one fewer action)
     a, b = 0.0, 0.0
-    for _ in range(4):
+    for it in range(4):
         z = F.lit(a) + F.lit(b) * F.col("x")
         resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
         g = d.agg(
@@ -1953,7 +1953,10 @@ def logreg_gd_click_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(resid * F.col("x"), 6).cast("decimal(28,6)"))
             .cast("double")
             .alias("gb"),
-        ).collect()[0]  # bounded: one 2-scalar gradient row per iteration
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]  # bounded: one 3-scalar gradient row per iteration
+        if it == 0:
+            n = int(g["n"])  # bounded scalar; identical every iteration
         a -= 1.0 * (g["ga"] / n)
         b -= 1.0 * (g["gb"] / n)
     acc = d.agg(
