@@ -1498,15 +1498,19 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commits and the poll loop's own jobs compound it
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="50 milliseconds")
-        .option("checkpointLocation", _ephemeral_ckpt())
-        .start()
-    )
+    q = None
     try:
+        # start() inside the try: if it throws (checkpoint dir failure,
+        # sink name clash) the finally still restores shuffle.partitions
+        # for the rest of the shared session
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", _ephemeral_ckpt())
+            .start()
+        )
         deadline = time.time() + 120
         while time.time() < deadline:
             done = spark.sql(
@@ -1516,16 +1520,18 @@ def stream_rate_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.1)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         try:
-            q.stop()
-            q.awaitTermination(30)
+            if q is not None:
+                q.stop()
+                q.awaitTermination(30)
         except StreamingQueryException as exc:
             # stop() can surface the query's own terminal exception; the
             # results were already drained above, but don't hide it
             import sys
 
             print(f"# stream stop(): {exc}", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return (
         spark.table(name)
         .select("bucket", "n", "value_sum")

@@ -2747,6 +2747,10 @@ def monitoring_mux_state(stream_df: DataFrame, lam: float) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         mux = str(key[0])
         gkey = str(key[1])
+        if mux not in ("h", "p"):
+            # a typo'd or future third layer must fail loudly, not be
+            # silently folded as a PH day histogram over garbage columns
+            raise ValueError(f"monitoring_mux_state: unknown mux {mux!r}")
         if state.exists:
             store = pickle.loads(bytes(state.get[0]))
             seq = int(state.get[1])

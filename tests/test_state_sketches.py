@@ -186,6 +186,36 @@ def test_adwin_core_contracts():
     assert (c1, s1) == (c2, s2)
 
 
+def test_adwin_one_detection_per_cut_event():
+    """ONE detection per cut event (r11 ADVICE fix, pinned): a single
+    abrupt shift pushed through ONE _adwin_ingest call sheds MANY oldest
+    buckets in the cut loop, but must report det == 1 — the old
+    per-dropped-bucket counting would report it as k detections. The
+    shed-volume assertion proves the case actually exercises a
+    multi-bucket shrink (otherwise det == 1 wouldn't discriminate)."""
+    import numpy as np
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.stateful import (
+        _adwin_ingest,
+    )
+
+    rng = np.random.RandomState(4)
+    low = (rng.uniform(size=5000) < 0.2).astype(float)
+    cnt, sm, det = _adwin_ingest([], [], low, 5, 0.002)
+    assert det == 0
+    pre_window = sum(cnt)
+    max_bucket = max(cnt)
+
+    high = (rng.uniform(size=5000) < 0.8).astype(float)
+    cnt, sm, det = _adwin_ingest(cnt, sm, high, 5, 0.002)
+    shed = pre_window + 5000 - sum(cnt)
+    assert shed > max_bucket, (
+        f"case must shed more than one bucket (shed {shed}, "
+        f"max pre-shift bucket {max_bucket})"
+    )
+    assert det == 1, f"one cut event must count as ONE detection, got {det}"
+
+
 def test_dgim_saturated_capacity_is_exact():
     """The paper's ceil(1/r)+1 capacity knob: with max_per_size >= total
     ones no merge fires, every bucket is size 1, and the estimate equals

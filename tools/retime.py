@@ -32,11 +32,18 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL.json")) as f:
             committed = json.load(f).get("queries", {})
-    except OSError:
+    except (OSError, json.JSONDecodeError):
         pass
     latest = {}
+
+    def _round_num(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # numeric round sort: lexicographic would put r100 before r11
     rounds = sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
+        glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json")),
+        key=_round_num,
     )
     if rounds:
         try:
@@ -57,6 +64,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
     warm.groupBy("n_regionkey").count().collect()
+    # same per-fixture parquet-footer warmup as bench.py: without it the
+    # first sample of a query touching a cold fixture carries the
+    # one-time footer/schema cost the bench warmup removes
+    from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import load
+
+    for _tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        load(spark, sf_dir, _tbl).limit(1).collect()
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")

@@ -193,6 +193,7 @@ def main() -> None:
     print(f"# built 10x dataset in {time.time() - t0:.1f}s at {DST}")
 
     names = sys.argv[1:] or PROBES
+    partial = bool(sys.argv[1:])
     lines = []
     for name in names:
         best_01 = best_10 = None
@@ -242,11 +243,32 @@ def main() -> None:
     )
     with open(path) as f:
         existing = f.read()
-    # replace any previous stress section instead of stacking duplicates
-    head = existing.split("\n## 10x stress", 1)[0].rstrip("\n")
-    with open(path, "w") as f:
-        f.write(head + "\n" + "\n".join(section) + "\n")
-    print("# wrote stress section to SCALING.md")
+    if partial and "\n## 10x stress" in existing:
+        # named-query run: merge the fresh rows into the existing stress
+        # table in place (a full-section replace would wipe every row not
+        # re-run this invocation)
+        fresh = {ln.split("|")[1].strip(): ln for ln in lines}
+        out_lines = []
+        for ln in existing.rstrip("\n").split("\n"):
+            parts = ln.split("|")
+            if (
+                ln.startswith("| ")
+                and len(parts) == 6
+                and parts[1].strip() in fresh
+            ):
+                out_lines.append(fresh.pop(parts[1].strip()))
+            else:
+                out_lines.append(ln)
+        out_lines.extend(fresh.values())  # rows not previously in the table
+        with open(path, "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+        print(f"# merged {len(lines)} stress row(s) into SCALING.md")
+    else:
+        # replace any previous stress section instead of stacking duplicates
+        head = existing.split("\n## 10x stress", 1)[0].rstrip("\n")
+        with open(path, "w") as f:
+            f.write(head + "\n" + "\n".join(section) + "\n")
+        print("# wrote stress section to SCALING.md")
 
 
 if __name__ == "__main__":
