@@ -93,6 +93,7 @@ HEADLINE = [
     "stream_windowed_counts",
     "stream_stateful_running_counts",
     "stream_stateful_cms_per_key",
+    "stream_4batch_replay_trajectory",
     "stream_cms_running_freq",
     "stream_windowed_cms_freq",
     "stream_windowed_hll_distinct",

@@ -59,6 +59,9 @@ _PINS = [
     "counting_bloom_delete_membership",
     "stream_windowed_counts",
     "stream_stateful_cms_per_key",
+    # multi-batch replay canary: 4-batch state-trajectory fold stays under
+    # the driver's hash gate every round (r11 verdict #6)
+    "stream_4batch_replay_trajectory",
     "stream_minhash_lsh_dedup",
     "dedup_minhash_lsh_pairs",
     "knn_cosine_bruteforce",

@@ -25,6 +25,7 @@ from bloom_filters_count_min_sketch_spark_streaming_spark.streaming import state
 from bloom_filters_count_min_sketch_spark_streaming_spark.streaming.runner import (
     _ephemeral_ckpt,
     events_stream_source,
+    ntile_stream_source,
     run_available_now,
     run_foreach_batch,
     table_stream_source,
@@ -799,6 +800,44 @@ def stream_rocksdb_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFram
     running = stateful.running_counts(src, "user_id")
     out = run_available_now(running, "append", state_provider="rocksdb")
     return out.groupBy("key").agg(F.max("running_total").alias("final_total"))
+
+
+@query(
+    "stream_4batch_replay_trajectory",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, NTILE(4) OVER (ORDER BY event_id) AS batch
+      FROM events
+    ), c AS (
+      SELECT event_type, batch, COUNT(*) AS n FROM b GROUP BY 1, 2
+    )
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           CAST(batch AS BIGINT) AS seq,
+           CAST(n AS BIGINT) AS batch_events,
+           CAST(SUM(n) OVER (
+             PARTITION BY event_type ORDER BY batch
+           ) AS BIGINT) AS running_total
+    FROM c
+    """,
+)
+def stream_4batch_replay_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch replay canary (r11 verdict #6): with the default replay
+    at 2 micro-batches, the driver's hash gate sees one cross-batch fold —
+    this query keeps FOUR-batch state folding under the gate permanently
+    (pinned in the registry prefix). It hash-checks the per-batch state
+    TRAJECTORY, not the final state: the source is an exact NTILE(4) split
+    over event_id (SQL-expressible batch boundaries, unlike the sampled
+    repartitionByRange split), each row carries its batch id, and the
+    stateful fold emits (key, seq=batch, batch_events, running_total)
+    per key per micro-batch in append mode. Any batch mis-ordering,
+    dropped batch, or state reset changes some intermediate running_total
+    and fails the hash. The fold asserts one batch id per micro-batch, so
+    a broken split raises instead of silently hashing wrong."""
+    src = ntile_stream_source(spark, sf_dir, "events", "event_id", n_files=4)
+    traj = stateful.running_counts_with_batch(src, "event_type", "batch")
+    return run_available_now(traj, "append").select(
+        "key", "seq", "batch_events", "running_total"
+    )
 
 
 @query(

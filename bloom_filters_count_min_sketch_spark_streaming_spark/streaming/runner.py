@@ -108,6 +108,88 @@ def table_stream_source(
     )
 
 
+def ntile_stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_col: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """Replay a fixture table as EXACTLY-NTILE(n) micro-batches, with the
+    batch number carried as a data column.
+
+    table_stream_source splits via repartitionByRange, whose boundaries
+    come from sampling — deterministic per fixture but NOT expressible in
+    SQL, which is why its oracles must be final-state shaped. This source
+    exists for the driver's multi-batch replay canary: batch membership is
+    ``NTILE(n) OVER (ORDER BY order_col)`` (exact on a unique order
+    column), so a DuckDB oracle can reproduce PER-BATCH state trajectories
+    and the hash gate covers the n-batch fold itself, not just the final
+    state. The single-task window is a verification-harness cost on
+    fixture-sized tables only (production replays don't snapshot through
+    a global NTILE).
+    """
+    from pyspark.sql.window import Window
+
+    fixture = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(fixture)
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fingerprint = "nofile"
+    key = hashlib.md5(
+        f"ntile|{sf_dir}|{table}|{order_col}|{n_files}|{fingerprint}".encode()
+    ).hexdigest()[:12]
+    src_dir = os.path.join(_STREAM_CACHE_ROOT, key)
+    if not os.path.isdir(src_dir):
+        tmp_dir = f"{src_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_dir)
+        bdf = load(spark, sf_dir, table).withColumn(
+            "batch",
+            F.ntile(n_files).over(Window.orderBy(order_col)).cast("long"),
+        )
+        bdf.persist()
+        try:
+            for b in range(1, n_files + 1):
+                part_tmp = os.path.join(tmp_dir, f"w{b}")
+                bdf.filter(F.col("batch") == b).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(part_tmp)
+                (part,) = [
+                    f
+                    for f in os.listdir(part_tmp)
+                    if f.startswith("part-") and f.endswith(".parquet")
+                ]
+                os.rename(
+                    os.path.join(part_tmp, part),
+                    os.path.join(tmp_dir, f"part-{b:05d}.parquet"),
+                )
+                import shutil
+
+                shutil.rmtree(part_tmp, ignore_errors=True)
+        finally:
+            bdf.unpersist()
+        try:
+            os.rename(tmp_dir, src_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    # strictly ascending mtimes in batch order (see table_stream_source)
+    parts = sorted(
+        f for f in os.listdir(src_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_600_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src_dir, f), (base + i, base + i))
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

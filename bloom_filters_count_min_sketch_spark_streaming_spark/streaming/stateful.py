@@ -72,6 +72,62 @@ def running_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+_COUNT_BATCH_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("running_total", LongType()),
+    ]
+)
+
+
+def running_counts_with_batch(
+    stream_df: DataFrame, key_col: str, batch_col: str
+) -> DataFrame:
+    """running_counts with a DATA-DERIVED batch sequence number: each
+    emitted row carries the batch id read from ``batch_col`` (all rows of
+    a micro-batch share it when the source is ntile_stream_source), so the
+    per-batch state TRAJECTORY — not just the final state — is join-able
+    against a SQL oracle that reconstructs the same batches with NTILE.
+    A state-counter seq would instead number only the batches in which the
+    key happened to appear, which no SQL oracle can see."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch_n = 0
+        seq = None
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            if len(pdf):
+                mn, mx = int(pdf[batch_col].min()), int(pdf[batch_col].max())
+                if mn != mx or (seq is not None and seq != mn):
+                    raise ValueError(
+                        f"mixed batch ids in one micro-batch: {mn}..{mx}"
+                    )
+                seq = mn
+        (total,) = state.get if state.exists else (0,)
+        total += batch_n
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "seq": [seq],
+                "batch_events": [batch_n],
+                "running_total": [total],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        _COUNT_BATCH_OUT,
+        _COUNT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _CMS_OUT = StructType(
     [
         StructField("key", StringType()),
