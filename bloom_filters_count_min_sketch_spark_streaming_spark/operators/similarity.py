@@ -397,6 +397,84 @@ def cosine_near_dup_pairs(
     )
 
 
+def grouped_cosine_candidates(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    new_col: str | None = None,
+) -> DataFrame:
+    """Near-threshold cosine pairs per cluster via BLOCKED GEMM — the pair
+    stage of SemDeDup without materializing pair ROWS.
+
+    Returns (id_a, id_b, cos) with id_a < id_b in the same cluster and raw
+    cos >= threshold - 1e-6 (a hair below the cut, so the caller's exact
+    ``F.round(cos, scale) >= threshold`` filter decides the boundary with
+    the SAME Spark HALF_UP semantics as the pair-join path it replaces).
+    With ``new_col`` (boolean), only pairs whose HIGHER id is a new row are
+    emitted — the incremental (prior ∪ batch) × batch shape.
+
+    Scale shape: the cluster-scoped pair join shuffled O(sum_c |c|^2) pair
+    rows, each dragging two dim-width arrays through the exchange — at
+    fixture scale already ~200k x 2 x 64 doubles per batch. Here the
+    shuffle carries only the O(n) vectors (one groupBy on the cluster id);
+    the quadratic term becomes BLAS flops on a per-cluster matrix, blocked
+    to a fixed memory budget, and only the qualifying (near-dup) pairs —
+    bounded by the dedup rate, not the candidate count — come back out.
+    Same |c|-is-the-knob story as semdedup; flops per cluster are
+    |c|^2 x dim, which at the SemDeDup paper's |c| ~ 1e4 is ~100ms of
+    BLAS per cluster-task."""
+    base = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).cast("long").alias("_id"),
+        _as_double_array(vec_col).alias("_v"),
+        (F.lit(True) if new_col is None else F.col(new_col)).alias("_new"),
+    ).filter(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    thr_eps = float(threshold) - 1e-6
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64, copy=False)
+        new = pdf["_new"].to_numpy()[order].astype(bool)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        N = V / nrm[:, None]
+        cand = np.nonzero(new)[0]
+        n = len(ids)
+        # block so the (n x block) score matrix stays ~64 MB
+        block = max(1, min(4096, 8_000_000 // max(n, 1)))
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for s in range(0, len(cand), block):
+            cols = cand[s : s + block]
+            G = N @ N[cols].T
+            hit = (G >= thr_eps) & (ids[:, None] < ids[cols][None, :])
+            ai, bj = np.nonzero(hit)
+            if len(ai):
+                out_a.append(ids[ai])
+                out_b.append(ids[cols][bj])
+                out_c.append(G[ai, bj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.array([], dtype="int64"),
+                 "id_b": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b),
+             "cos": np.concatenate(out_c)}
+        )
+
+    return base.groupBy("_c").applyInPandas(
+        emit, "id_a long, id_b long, cos double"
+    )
+
+
 def semdedup(
     df: DataFrame,
     cluster_col: str,
@@ -412,33 +490,23 @@ def semdedup(
     ``threshold`` cosine (first-wins keep rule — deterministic, no RNG).
     Output: one row per input — (id, cluster, kept).
 
-    Scale shape: the pair generation is a shuffle equi-join on the cluster
-    id, so total work is sum_c |c|^2, not n^2 — the cluster granularity is
-    the knob that bounds the quadratic term. At 100 TB the cluster column
-    comes from the distributed k-means (``operators/clustering.py``) with k
-    chosen so |c| stays ~1e4; here a pre-existing categorical column keeps
-    the whole construction under the driver's value hash. The dropped-id
-    set is distinct'd before the final left join, so the join is id-to-id,
-    never pair-to-id. Threshold compares the ROUNDED cosine (engine-stable;
-    fixture margin to the 0.45 boundary is >= 0.02).
+    Scale shape: cluster-scoped, so total pair work is sum_c |c|^2, not
+    n^2 — the cluster granularity is the knob that bounds the quadratic
+    term. At 100 TB the cluster column comes from the distributed k-means
+    (``operators/clustering.py``) with k chosen so |c| stays ~1e4; here a
+    pre-existing categorical column keeps the whole construction under the
+    driver's value hash. The pair stage is ``grouped_cosine_candidates``
+    (per-cluster blocked GEMM): the shuffle carries O(n) vectors, the
+    quadratic term is BLAS flops, and only near-threshold pairs surface.
+    The dropped-id set is distinct'd before the final left join, so the
+    join is id-to-id, never pair-to-id. Threshold compares the ROUNDED
+    cosine (engine-stable; fixture margin to the 0.45 boundary is >= 0.02).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(cluster_col).alias("_cluster"),
-        _as_double_array(vec_col).alias("_v"),
-    )
-    a = base.select(
-        F.col("_cluster").alias("_ca"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
-    )
-    b = base.select(
-        F.col("_cluster").alias("_cb"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
-    )
     dropped = (
-        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_b",
-            F.round(cosine_pandas(F.col("va"), F.col("vb")), round_scale).alias("cos"),
+        grouped_cosine_candidates(
+            df, cluster_col, id_col=id_col, vec_col=vec_col, threshold=threshold
         )
+        .select("id_b", F.round(F.col("cos"), round_scale).alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
         .select(F.col("id_b").alias("_dropped_id"))
         .distinct()

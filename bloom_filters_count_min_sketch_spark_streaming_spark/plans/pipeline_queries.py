@@ -3262,21 +3262,36 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tempfile.mkdtemp(prefix="bfcms_release_batch_")
     funnel_rows: list[tuple[int, str, int, int]] = []
 
+    import os as _osenv
+    import time as _time
+
+    _profile = bool(_osenv.environ.get("BFCMS_FUNNEL_PROFILE"))
+    _tprof = _time.time()
+
     def snap(df: DataFrame, stage: int, name: str) -> DataFrame:
-        """Materialize a stage once (observe node executes with the
-        write), re-plan downstream against the snapshot, record its
-        funnel row (2 scalars to the driver)."""
+        """Materialize a stage once and re-plan downstream against the
+        snapshot. BOTH funnel scalars ride the write as an Observation
+        (CollectMetrics executes with the write job) — the earlier
+        string-named observe carried only the doc count, so every stage
+        paid a second agg job re-reading its own snapshot for the token
+        sum; 7 stages x 1 job now saved."""
+        nonlocal _tprof
+        from pyspark.sql import Observation
+
+        obs = Observation(f"release_{name}")
         p = _os.path.join(root, name)
-        df.observe(f"release_{name}", F.count(F.lit(1)).alias("docs")).write.mode(
-            "overwrite"
-        ).parquet(p)
-        out = spark.read.parquet(p)
-        r = out.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).head()
-        funnel_rows.append((stage, name, int(r["n_docs"]), int(r["n_tokens"])))
-        return out
+        df.observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
+        ).write.mode("overwrite").parquet(p)
+        r = obs.get
+        if _profile:
+            with open("/tmp/funnel_prof.txt", "a") as _fh:
+                _fh.write(f"batch_twin {name}: {_time.time() - _tprof:.2f}s\n")
+            _tprof = _time.time()
+        funnel_rows.append((stage, name, int(r["d"]), int(r["t"])))
+        return spark.read.parquet(p)
 
     try:
         docs = load(spark, sf_dir, "documents")
@@ -3311,15 +3326,30 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
-        s1 = snap(corp.join(contaminated, "doc_id", "left_anti"), 1, "decontaminated")
+        # S1+S2 share one write: S1's snapshot fed only S2, and S2's
+        # min-per-hash groupBy+self-join referenced the S1 subtree twice;
+        # a row_number window over the content hash keeps the identical
+        # winner (doc_id unique, min == rn 1) in a LINEAR chain, so S1's
+        # tally rides S2's write as a second Observation (same fusion as
+        # the streaming twin's s1_s2 stage).
+        from pyspark.sql import Observation as _Obs
 
-        # S2 exact dedup: min doc_id per content hash.
-        keep2 = (
-            s1.groupBy(F.md5(F.lower("text")).alias("h"))
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
+        obs1 = _Obs("release_decontaminated")
+        s1_chain = corp.join(contaminated, "doc_id", "left_anti").observe(
+            obs1,
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t"),
         )
-        s2 = snap(s1.join(keep2, "doc_id"), 2, "exact_dedup")
+        w2 = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+        s2 = snap(
+            s1_chain.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"),
+            2,
+            "exact_dedup",
+        )
+        r1 = obs1.get
+        funnel_rows.append((1, "decontaminated", int(r1["d"]), int(r1["t"])))
 
         # S3 near-dup: pairwise 3-gram set Jaccard >= 0.8 (capped inverted
         # index), drop the larger id of each qualifying pair. The

@@ -3924,13 +3924,29 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bloom_filters_count_min_sketch_spark_streaming_spark.functions import text as T
     from bloom_filters_count_min_sketch_spark_streaming_spark.operators import dedup
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators import (
+        similarity,
+    )
     from bloom_filters_count_min_sketch_spark_streaming_spark.operators.similarity import (
         _as_double_array,
-        cosine_pandas,
     )
     from bloom_filters_count_min_sketch_spark_streaming_spark.plans.pipeline_queries import (
         _RELEASE_SEQ_LEN,
     )
+
+    import os as _osenv
+    import sys as _sys
+    import time as _time
+
+    _profile = bool(_osenv.environ.get("BFCMS_FUNNEL_PROFILE"))
+    _tq = _time.time()
+
+    def _qmark(label: str) -> None:
+        nonlocal _tq
+        if _profile:
+            with open("/tmp/funnel_prof.txt", "a") as _fh:
+                _fh.write(f"{label}: {_time.time() - _tq:.2f}s\n")
+        _tq = _time.time()
 
     emb_static = load(spark, sf_dir, "embeddings")
     docs_static = load(spark, sf_dir, "documents")
@@ -3941,8 +3957,15 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     eval8.count()  # materialize the static gate once, before the stream starts
+    _qmark("eval8_build")
 
-    root = _tempfile.mkdtemp(prefix="bfcms_release_stream_")
+    # RAM-backed snapshot root when available: the cascade pays 5 snapshot
+    # writes + re-reads per micro-batch by design (lineage truncation +
+    # at-rest state), so page-cache-speed commits matter; production
+    # points this root at durable storage — a config choice, same as
+    # runner._ephemeral_ckpt
+    _shm = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    root = _tempfile.mkdtemp(prefix="bfcms_release_stream_", dir=_shm)
 
     # Manifest-style VERSIONED increments, not a shared append dir: a
     # parquet append to a path fires refreshByPath, which recursively
@@ -4014,6 +4037,16 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _stage_batch(batch_df: DataFrame, batch_id: int) -> None:
         # a micro-batch is one replay file -> one partition; repartition
         # before the per-row CPU stages (shingle, md5, ratio scans)
+        _t0 = _time.time()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            if _profile:
+                with open("/tmp/funnel_prof.txt", "a") as _fh:
+                    _fh.write(
+                        f"b{batch_id} {label}: {_time.time() - _t0:.2f}s\n"
+                    )
+            _t0 = _time.time()
         tok_cols = [
             F.col("doc_id"),
             F.col("lang"),
@@ -4023,13 +4056,19 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         dp = spark.sparkContext.defaultParallelism
 
-        # S1: static-eval contamination gate. The raw tally rides the SAME
-        # write as S1's (two CollectMetrics nodes in one plan: obs_raw
-        # below the eval filter on the anti-join's LEFT side, obs_s1 at
-        # the top), so the former tok snapshot costs zero extra jobs. The
-        # gram-explode side rebuilds its projection from batch_df rather
-        # than sharing the observed subtree — a duplicated CollectMetrics
-        # node would double-count the raw tally.
+        # S1+S2 FUSED into ONE write: the raw, decontaminated, and
+        # exact-dedup tallies ride a single linear plan (three
+        # CollectMetrics nodes, obs_raw below the eval filter, obs_s1
+        # above the contamination anti-join, obs_s2 at the top via _snap)
+        # — the old separate s1 snapshot existed only to feed S2, and
+        # S2's batch-local min-id used a groupBy+self-join that
+        # referenced the S1 subtree twice; a row_number window over the
+        # content hash keeps exactly the same winner (doc_id is unique,
+        # min == rn 1) with a single reference, so the whole chain stays
+        # linear and costs one job instead of two.
+        # The gram-explode side rebuilds its projection from batch_df
+        # rather than sharing the observed subtree — a duplicated
+        # CollectMetrics node would double-count the raw tally.
         obs0 = _obs("raw", batch_id)
         obs1 = _obs("decontaminated", batch_id)
         left = (
@@ -4048,26 +4087,30 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
-        p1 = _os.path.join(root, "s1", f"inc_{batch_id}")
-        left.join(cont, "doc_id", "left_anti").observe(
-            obs1, *_FUNNEL_METRICS
-        ).write.mode("overwrite").parquet(p1)
-        _settle(obs0, 0, batch_id)
-        _settle(obs1, 1, batch_id)
-        s1_b = spark.read.schema(_DOC_SCHEMA).parquet(p1)
+        s1_chain = (
+            left.join(cont, "doc_id", "left_anti")
+            .observe(obs1, *_FUNNEL_METRICS)
+        )
 
-        # S2: content-hash first-seen (batch-local min-id, then at-rest
-        # index). The snapshot KEEPS the h column: since keep2 retains
-        # exactly one winner per distinct fresh hash, the s2 snapshots'
+        # S2: content-hash first-seen (batch-local rn=1 per hash, then
+        # at-rest index). The snapshot KEEPS the h column: since exactly
+        # one winner per distinct fresh hash survives, the s2 snapshots'
         # h column IS the seen-hash index — no separate hashes table.
-        hashed = s1_b.withColumn("h", F.md5(F.lower("text")))
         seen = _read("s2", "h string", before=batch_id)
-        fresh = hashed.join(seen, "h", "left_anti")
-        keep2 = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        fresh = s1_chain.withColumn("h", F.md5(F.lower("text"))).join(
+            seen, "h", "left_anti"
+        )
+        w2 = Window.partitionBy("h").orderBy("doc_id")
         s2_b = _snap(
-            fresh.join(keep2, "doc_id"), "s2", batch_id, 2,
+            fresh.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"),
+            "s2", batch_id, 2,
             _DOC_SCHEMA + ", h string",
         ).drop("h")
+        _settle(obs0, 0, batch_id)
+        _settle(obs1, 1, batch_id)
+        _mark("s1_s2")
 
         # S3: exact 3-gram Jaccard vs within-batch + at-rest S2 shingles.
         # Read handles to the OLD increments (before=batch_id) are taken
@@ -4088,6 +4131,7 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sets_b = spark.read.schema("doc long, sh string, n long").parquet(
             _os.path.join(root, "shingle_idx", f"inc_{batch_id}")
         )
+        _mark("s3_idx_write")
         a_w = sets_b.select(F.col("doc").alias("doc_a"), "sh", F.col("n").alias("na"))
         b_w = sets_b.select(F.col("doc").alias("doc_b"), "sh", F.col("n").alias("nb"))
         within = a_w.join(b_w, "sh").filter(F.col("doc_a") < F.col("doc_b"))
@@ -4100,8 +4144,17 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(b_w, "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
         )
+        # EXACT size gate ahead of the pair aggregation: J >= 0.8 forces
+        # c >= (4/9)(na+nb) and c <= min(na,nb), hence 4*max <= 5*min —
+        # integer arithmetic, no float boundary. Prunes size-incompatible
+        # candidate rows BEFORE they shuffle into the (doc_a, doc_b) agg
+        # (the standard prefix-filtering size bound; at corpus scale most
+        # inverted-index candidates fail it).
         common = (
             within.unionByName(cross)
+            .filter(
+                F.lit(4) * F.greatest("na", "nb") <= F.lit(5) * F.least("na", "nb")
+            )
             .groupBy("doc_a", "doc_b")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("c"),
@@ -4131,6 +4184,7 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
             _DOC_SCHEMA + ", label int, v array<double>",
         )
+        _mark("s3_pairs_snap")
 
         # S4: SemDeDup vs within-batch + at-rest S3-survivor embeddings
         # (old-increment handles taken before this batch's s3 increment
@@ -4140,18 +4194,26 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_b = spark.read.schema(_EMB_SCHEMA).parquet(
             _os.path.join(root, "s3", f"inc_{batch_id}")
         )
-        a4 = prev_emb.unionByName(emb_b).select(
-            F.col("doc_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va")
-        )
-        b4 = emb_b.select(
-            F.col("doc_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
-        )
+        # per-label blocked GEMM (grouped_cosine_candidates): the old
+        # same-label pair join shuffled sum_label |prior ∪ batch| x |batch|
+        # pair ROWS, each dragging two 64-dim arrays — the dominant
+        # per-batch row volume of the whole cascade. Now the shuffle
+        # carries the O(n) vectors once and only near-threshold pairs
+        # come back; new_col keeps the incremental (prior ∪ batch) x batch
+        # shape, and the id_a < id_b guard lives inside the operator, so a
+        # retried batch still can't pair a doc with itself.
         drop4 = (
-            a4.join(b4, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-            .select(
-                "id_b",
-                F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias("cos"),
+            similarity.grouped_cosine_candidates(
+                prev_emb.withColumn("is_new", F.lit(False)).unionByName(
+                    emb_b.withColumn("is_new", F.lit(True))
+                ),
+                "label",
+                id_col="doc_id",
+                vec_col="v",
+                threshold=0.45,
+                new_col="is_new",
             )
+            .select("id_b", F.round(F.col("cos"), 6).alias("cos"))
             .filter(F.col("cos") >= 0.45)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
@@ -4178,10 +4240,21 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _settle(obs4, 4, batch_id)
         _settle(obs5, 5, batch_id)
+        _mark("s4_s5")
 
     src = table_stream_source(spark, sf_dir, "documents", "doc_id")
+    _qmark("source_setup")
+    # scope the shuffle width to the micro-batch size: every stage gate
+    # shuffles a few-thousand-row batch, and at the session's 32
+    # partitions the cascade's ~6 jobs per batch pay 32 task/commit
+    # overheads each (the same floor the runner scopes for stateful
+    # queries); results are partition-count invariant. At real scale
+    # this is sized to batch volume / executor count, not a constant.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         run_foreach_batch(src, _stage_batch)
+        _qmark("stream_total")
 
         # S6 post-drain: temperature mixture over the accumulated live set
         live = _read("live", "doc_id long, lang string, n_tok long")
@@ -4214,7 +4287,9 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .head()
         )
+        _qmark("s6_post_drain")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         eval8.unpersist()
         _shutil.rmtree(root, ignore_errors=True)
 
