@@ -247,7 +247,11 @@ def main() -> None:
         # named-query run: merge the fresh rows into the existing stress
         # table in place (a full-section replace would wipe every row not
         # re-run this invocation)
-        fresh = {ln.split("|")[1].strip(): ln for ln in lines}
+        fresh = {
+            ln.split("|")[1].strip(): ln
+            for ln in lines
+            if ln.split("|")[1].strip() != "query"
+        }
         out_lines = []
         for ln in existing.rstrip("\n").split("\n"):
             parts = ln.split("|")

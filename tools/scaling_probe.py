@@ -182,6 +182,10 @@ DEFAULT_PROBES = [
     "stream_adwin_drift",
     "xor_filter_membership",
     "stream_triest_triangles",
+    # round-12: gated inverted-index pairs (pre-agg size gate) and the
+    # 4-batch replay canary's trajectory fold
+    "dedup_ngram_jaccard_pairs",
+    "stream_4batch_replay_trajectory",
 ]
 
 SF_DIRS = [
@@ -260,17 +264,47 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
-    # preserve sections other tools append (e.g. scale_stress.py's
-    # "## 10x stress" table) across probe regenerations
-    tail = ""
+    prev = ""
     try:
         with open(path) as f:
             prev = f.read()
-        i = prev.find("\n## ")
-        if i != -1:
-            tail = prev[i + 1 :]
     except OSError:
         pass
+    if sys.argv[1:] and prev:
+        # named-query run: merge fresh rows into the existing probe table
+        # in place (a full rewrite would wipe every row not re-run)
+        fresh = {
+            ln.split("|")[1].strip(): ln
+            for ln in lines
+            if ln.startswith("| ")
+            and len(ln.split("|")) == 7
+            and ln.split("|")[1].strip() != "query"
+        }
+        n_fresh = len(fresh)
+        out_lines = []
+        last_row_i = -1
+        for ln in prev.rstrip("\n").split("\n"):
+            parts = ln.split("|")
+            if ln.startswith("| ") and len(parts) == 7:
+                if parts[1].strip() in fresh:
+                    out_lines.append(fresh.pop(parts[1].strip()))
+                else:
+                    out_lines.append(ln)
+                last_row_i = len(out_lines) - 1
+            else:
+                out_lines.append(ln)
+        if fresh:  # queries with no existing row: append INSIDE the table
+            out_lines[last_row_i + 1 : last_row_i + 1] = list(fresh.values())
+        with open(path, "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+        print(f"# merged {n_fresh} probe row(s) into SCALING.md")
+        return
+    # preserve sections other tools append (e.g. scale_stress.py's
+    # "## 10x stress" table) across probe regenerations
+    tail = ""
+    i = prev.find("\n## ")
+    if i != -1:
+        tail = prev[i + 1 :]
     with open(path, "w") as f:
         f.write("\n".join(lines))
         if tail:
