@@ -202,3 +202,57 @@ def test_v_optimal_beats_or_ties_equal_width(spark, sf_dir):
     assert len(rows) == 8
     assert rows[0]["sse_voptimal"] <= rows[0]["sse_equal_width"] + 1e-9
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_grouped_cosine_candidates_matches_pair_join(spark):
+    """The blocked-GEMM candidate stage must agree with the explicit
+    pair-join reference on random vectors: same (id_a, id_b) set above the
+    rounded threshold, and the incremental new_col form must emit exactly
+    the pairs whose HIGHER id is new."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d, thr = 120, 16, 0.45
+    rows = [
+        (int(i), int(i % 4), [float(x) for x in rng.normal(size=d)], bool(i >= 80))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>, is_new boolean"
+    )
+
+    def ref_pairs(restrict_new):
+        out = set()
+        by_label = {}
+        for i, lab, v, new in rows:
+            by_label.setdefault(lab, []).append((i, np.array(v), new))
+        for members in by_label.values():
+            for ia, va, _ in members:
+                for ib, vb, newb in members:
+                    if ia >= ib or (restrict_new and not newb):
+                        continue
+                    c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                    if round(c, 6) >= thr:
+                        out.add((ia, ib))
+        return out
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.grouped_cosine_candidates(
+            df, "label", threshold=thr
+        )
+        .filter(F.round("cos", 6) >= thr)
+        .collect()
+    }
+    assert got == ref_pairs(restrict_new=False)
+
+    got_new = {
+        (r.id_a, r.id_b)
+        for r in similarity.grouped_cosine_candidates(
+            df, "label", threshold=thr, new_col="is_new"
+        )
+        .filter(F.round("cos", 6) >= thr)
+        .collect()
+    }
+    assert got_new == ref_pairs(restrict_new=True)
+    assert got_new == {(a, b) for a, b in got if b >= 80}
