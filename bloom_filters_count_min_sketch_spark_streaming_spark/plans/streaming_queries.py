@@ -3876,9 +3876,10 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - S1 contamination: per-batch anti-join against the STATIC eval
       8-gram set (benchmarks are static artifacts; broadcast once).
-    - S2 exact dedup: batch-local min-id per content hash, then anti-join
-      against the at-rest seen-hash table. Doc-ordered arrival makes
-      first-seen == global min, so decisions equal the batch cascade's.
+    - S2 exact dedup: batch-local first-per-content-hash (row_number
+      window, one job fused with S1), after an anti-join against the
+      at-rest seen-hash table. Doc-ordered arrival makes first-seen ==
+      global min, so decisions equal the batch cascade's.
     - S3 Jaccard >= 0.8: within-batch inverted-index pairs UNION pairs of
       (at-rest S2-survivor shingles x new docs) — every (a < b) pair is
       generated exactly once, so the drop set equals the batch one.
@@ -3899,12 +3900,13 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the SAME DuckDB cascade oracle.
 
     Scale shape: every at-rest table is a VERSIONED parquet increment,
-    and each stage snapshot doubles as its state table (5 writes per
-    batch, each carrying its funnel tally as an Observation): the raw
-    tally rides S1's write, S2's kept h column IS the seen-hash index,
-    the shingle index rows carry per-doc set sizes, S3's snapshot carries
-    survivor (label, embedding) and IS the SemDeDup index, and S4+S5
-    fuse into the live write. State sizes: hashes O(docs), shingles
+    and each stage snapshot doubles as its state table (4 writes per
+    batch, each carrying its funnel tallies as Observations): the raw
+    and decontaminated tallies ride S2's write (S1+S2 fused), S2's kept
+    h column IS the seen-hash index, the shingle index rows carry
+    per-doc set sizes, S3's snapshot carries survivor (label, embedding)
+    and IS the SemDeDup index (pairs scored per label by blocked GEMM,
+    not a pair-row join), and S4+S5 fuse into the live write. State sizes: hashes O(docs), shingles
     O(corpus shingles), embeddings O(docs x dim), live O(docs x 3 cols);
     per batch the work is (batch x index) equi-joins — the
     inverted-index/cluster bounds of the batch stages carry over, nothing
