@@ -247,22 +247,36 @@ def pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pandas_udaf_weighted_price",
     oracle="""
-    SELECT p_brand,
-           ROUND(SUM(p_retailprice * p_size) / SUM(p_size), 4) AS weighted_price
-    FROM part GROUP BY p_brand
+    WITH t AS (
+        SELECT p_brand,
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT) * p_size) AS BIGINT) AS num,
+               CAST(SUM(p_size) AS BIGINT) AS den
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, ((num * 200 + den) // (2 * den)) / 10000.0 AS weighted_price
+    FROM t
     """,
 )
 def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED_AGG pandas UDF (custom UDAF): size-weighted mean price."""
+    """GROUPED_AGG pandas UDF (custom UDAF): size-weighted mean price.
+
+    Exactness: prices are 2-decimal, so the ratio is computed on integer
+    cents with explicit half-up rounding at scale 4 — sum order can't move
+    the result, and both engines divide the same exact integer by 1e4.
+    (The naive ROUND(SUM(p*s)/SUM(s), 4) form landed ~1e-10 from a .00005
+    boundary on this fixture — luck-dependent across engines.)"""
 
     @F.pandas_udf(DoubleType())
     def weighted(price: pd.Series, size: pd.Series) -> float:
-        p, s = price.to_numpy(np.float64), size.to_numpy(np.float64)
-        return float((p * s).sum() / s.sum())
+        cents = np.rint(price.to_numpy(np.float64) * 100).astype(np.int64)
+        sizes = size.to_numpy(np.int64)
+        num, den = int((cents * sizes).sum()), int(sizes.sum())
+        e4 = (num * 200 + den) // (2 * den)  # round_half_up(num*100/den)
+        return e4 / 10000.0
 
     part = load(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
-        F.round(weighted("p_retailprice", "p_size"), 4).alias("weighted_price")
+        weighted("p_retailprice", "p_size").alias("weighted_price")
     )
 
 
