@@ -41,7 +41,19 @@ NOISE_REL = 1e-9
 #   pre-round doubles are bit-equal by construction. (Trips the heuristic
 #   only because 501/7's repetend digit lands ~7e-8 from a boundary, right
 #   at the 1e-9*|v| threshold.)
-EXEMPT = {"window_running_value_per_user", "pandas_udaf_window_trailing_mean"}
+# - multimodal_jpeg_decode: mean_gray is an exact BIGINT pixel sum divided
+#   by the tile count (1..6) — the single division of exact ints is
+#   IEEE-identical in both engines, so the pre-round doubles are bit-equal
+#   by construction. Trips the heuristic only because one mean is exactly
+#   500/3, whose repetend distance to the scale-6 boundary is EXACTLY
+#   NOISE_REL * |v| (1/6e6 = 1e-9 * 500/3) — the <= comparison then flips
+#   on last-ulp accumulation order, which is how this surfaced under
+#   threads=1.
+EXEMPT = {
+    "window_running_value_per_user",
+    "pandas_udaf_window_trailing_mean",
+    "multimodal_jpeg_decode",
+}
 
 _AGG_RE = re.compile(
     r"(?i)\b(sum|avg|mean|stddev|stddev_samp|stddev_pop|var_samp|var_pop|corr|covar_samp|covar_pop)\s*\("
@@ -132,6 +144,13 @@ def oracle_env():
     from bloom_filters_count_min_sketch_spark_streaming_spark.sources.io import TABLES
 
     con = duckdb.connect()
+    # Single-threaded: multi-threaded DuckDB splits float sums differently
+    # run to run (~1 ulp wobble), which made THIS test flaky when a
+    # pre-round value sat right at the 1e-9 margin (r12: weighted_price
+    # passed one sweep, failed the next on identical code). One thread
+    # makes every measured margin deterministic; the 1e-9 bound already
+    # dwarfs thread-order noise, so the protective power is unchanged.
+    con.sql("SET threads=1")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con, entrymod.oracle_sql()
