@@ -64,6 +64,7 @@ def main() -> int:
         if not scales:
             continue
         try:
+            orig = con.sql(sql).df()
             runs = [con.sql(stripped).df() for _ in range(max(2, args.runs))]
         except Exception as ex:
             print(f"ERR {name}: {str(ex)[:100]}", file=sys.stderr)
@@ -71,6 +72,12 @@ def main() -> int:
         base = runs[0]
         for col in base.columns:
             if not pd.api.types.is_float_dtype(base[col]):
+                continue
+            # Mirror the sweep's column matching (test_oracle_rounding.py):
+            # a float column whose stripped values equal the original was NOT
+            # one of the stripped ROUNDs (e.g. a decimal-sum-classified column
+            # that still post-rounds) — its margin is not this audit's concern.
+            if col not in orig.columns or base[col].equals(orig[col]):
                 continue
             a = np.sort(base[col].dropna().to_numpy())
             if not len(a):
@@ -80,16 +87,21 @@ def main() -> int:
                 or not np.array_equal(a, b)
                 for r in runs[1:]
             )
-            best = None
+            # Attribute the column to the ONE scale whose round(pre, s)
+            # reproduces the committed output (first match, like the sweep) —
+            # not the min margin across every scale stripped from the query.
+            chosen = None
             for s in sorted(set(scales)):
-                scaled = a * (10.0**s)
-                frac = np.abs(scaled - np.floor(scaled) - 0.5)
-                rel = (frac / (10.0**s)) / np.maximum(1.0, np.abs(a))
-                m = float(rel.min())
-                if best is None or m < best[0]:
-                    best = (m, s)
-            if best is not None:
-                rows.append((best[0], unstable, name, col, best[1]))
+                rounded = base[col].round(s)
+                if ((rounded - orig[col]).abs().fillna(0) < 10.0**-s).all():
+                    chosen = s
+                    break
+            if chosen is None:
+                continue  # no stripped scale owns this column
+            scaled = a * (10.0**chosen)
+            frac = np.abs(scaled - np.floor(scaled) - 0.5)
+            rel = (frac / (10.0**chosen)) / np.maximum(1.0, np.abs(a))
+            rows.append((float(rel.min()), unstable, name, col, chosen))
 
     rows.sort(key=lambda r: (not r[1], r[0]))  # unstable first, then tightest
     print(f"{'rel margin':>12}  {'unstable':>8}  query.column (scale)   [sweep fails under 1e-9]")
