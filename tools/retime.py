@@ -29,9 +29,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     committed = {}
+    committed_cal = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL.json")) as f:
-            committed = json.load(f).get("queries", {})
+            _full = json.load(f)
+        committed = _full.get("queries", {})
+        committed_cal = _full.get("calibration_sec")
     except (OSError, json.JSONDecodeError):
         pass
     latest = {}
@@ -119,16 +122,27 @@ def main() -> None:
         base = committed.get(name)
         drv = latest.get(name)
         ratio = round(best / base, 2) if base else None
+        # Host-speed-normalized ratio: the committed record carries its own
+        # calibration, so (best/cal_now) / (base/cal_committed) separates
+        # "the plan got slower" from "the host got slower" — the number the
+        # round-by-round adjudications were computing by hand (r12/r13).
+        cal_now = min(cal)
+        ratio_cal = (
+            round((best / cal_now) / (base / committed_cal), 2)
+            if base and committed_cal and cal_now
+            else None
+        )
         results[name] = {
             "warm_min": round(best, 3),
             "spread": spread,
             "committed": base,
             "driver_last": drv,
             "vs_committed": ratio,
+            "vs_committed_cal_adj": ratio_cal,
         }
         print(
             f"\n# {name}: warm_min={best:.3f}s spread=x{spread} "
-            f"committed={base} driver={drv} ratio={ratio}",
+            f"committed={base} driver={drv} ratio={ratio} cal_adj={ratio_cal}",
             file=sys.stderr,
             flush=True,
         )
