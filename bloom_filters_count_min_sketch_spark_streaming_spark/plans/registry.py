@@ -67,6 +67,30 @@ _PINS = [
     "knn_cosine_bruteforce",
 ]
 
+# Pin retirement (r12 verdict #7): once the never-driver-checked tail drains
+# (~r15 at 37 fresh checks/round), re-proving all 14 pins every round wastes
+# slots the least-recently-checked tail could use. Pins listed here DEMOTE to
+# ordinary rotation members — automatically, computed from the committed
+# CORRECTNESS records, never hand-toggled — when BOTH hold:
+#   (a) every oracle-backed registered query has at least one recorded
+#       driver-green round (the never-checked tail is empty), and
+#   (b) the pin itself has >= _PIN_RETIRE_MIN_GREEN_ROUNDS recorded green
+#       rounds (it is long-proven, not newly added).
+# Until then the prefix is bit-identical to the pre-retirement behavior.
+# Kept pinned permanently: entry()'s flagship (q1), the 4-batch trajectory
+# canary (multi-batch state semantics), and one representative per
+# gate-critical family — Bloom membership, CMS frequency, stateful
+# streaming, streaming + batch LSH dedup, ANN.
+_PIN_RETIRE_ELIGIBLE = {
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "bloom_prefilter_join_counts",
+    "heavy_hitters_approx",
+    "counting_bloom_delete_membership",
+    "stream_windowed_counts",
+}
+_PIN_RETIRE_MIN_GREEN_ROUNDS = 3
+
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -101,6 +125,57 @@ def driver_checked_rounds() -> dict[str, int]:
                 continue  # failed check: stays eligible for rotation
             latest[n] = max(latest.get(n, 0), rnd)
     return latest
+
+
+def driver_green_counts() -> dict[str, int]:
+    """Map query name -> number of DISTINCT driver rounds that checked it
+    green (same record parsing as driver_checked_rounds). Used by pin
+    retirement: a pin demotes only once it is long-proven (>= 3 green
+    rounds), so a freshly-added pin keeps its slot."""
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            int(base[len("CORRECTNESS_r") : -len(".json")])
+            with open(path) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        for n, rec in records.items():
+            if isinstance(rec, dict) and (
+                rec.get("err") is not None
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or rec.get("hash_match") is False
+            ):
+                continue
+            counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def active_pins() -> list[str]:
+    """The pins currently holding driver-prefix slots.
+
+    Equal to _PINS (registered subset) while any oracle-backed query
+    remains never-driver-checked; once that tail is empty, retire-eligible
+    pins with >= _PIN_RETIRE_MIN_GREEN_ROUNDS recorded green rounds demote
+    to ordinary rotation members (they are oracle-backed, so the
+    least-recently-checked fill naturally re-proves them on a cycle).
+    Deterministic: depends only on committed CORRECTNESS records and the
+    loaded registry.
+    """
+    pins = [n for n in _PINS if n in QUERIES]
+    checked = driver_checked_rounds()
+    tail = [n for n in QUERIES if n in ORACLES and n not in checked]
+    if tail:
+        return pins
+    counts = driver_green_counts()
+    return [
+        n
+        for n in pins
+        if n not in _PIN_RETIRE_ELIGIBLE
+        or counts.get(n, 0) < _PIN_RETIRE_MIN_GREEN_ROUNDS
+    ]
 
 # Modules that register queries on import.
 _QUERY_MODULES = [
@@ -178,7 +253,7 @@ def _apply_priority_order() -> None:
     never-checked status, earlier iteration position).
     """
     checked = driver_checked_rounds()
-    pins = [n for n in _PINS if n in QUERIES]
+    pins = active_pins()
     fill = max(0, _DRIVER_PREFIX - len(pins))
     # Oracle-backed, non-pinned candidates; never-checked first (round 0),
     # then least-recently-checked; ties keep current iteration order.

@@ -128,12 +128,21 @@ def test_registry_prefix_carries_identity_queries():
 
     registry.load_all_query_modules()
     prefix = list(registry.QUERIES)[:50]
-    for marker in registry._PINS:
+    for marker in registry.active_pins():
         assert marker in prefix, f"pin {marker} fell out of the driver prefix"
-    # the pin set itself must span the identity families
-    families = ("bloom_", "cms_", "heavy_hitters", "dedup_", "knn_", "stream_")
+    # while any oracle-backed query is still never-driver-checked, retirement
+    # must NOT have activated: the full pin set holds its slots
+    checked = set(registry.driver_checked_rounds())
+    tail = [n for n in registry.QUERIES if n in registry.ORACLES and n not in checked]
+    if tail:
+        assert registry.active_pins() == [
+            n for n in registry._PINS if n in registry.QUERIES
+        ], "pin retirement activated while the never-checked tail is non-empty"
+    # the permanently-kept pin set must still span the identity families
+    permanent = [n for n in registry._PINS if n not in registry._PIN_RETIRE_ELIGIBLE]
+    families = ("bloom_", "cms_", "dedup_", "knn_", "stream_")
     for fam in families:
-        assert any(p.startswith(fam) for p in registry._PINS), f"no {fam} pin"
+        assert any(p.startswith(fam) for p in permanent), f"no permanent {fam} pin"
     n_oracle = sum(1 for n in prefix if n in registry.ORACLES)
     assert n_oracle == 50, f"only {n_oracle}/50 prefix queries are oracle-backed"
 
@@ -381,6 +390,53 @@ def test_registry_prefix_rotates_driver_coverage():
         f"only {len(fresh)} never-driver-checked queries in the prefix "
         f"({fresh}) with {len(remaining)} still unchecked; rotation broke"
     )
-    # Pins (the engine's identity queries) must always stay in the prefix.
-    for pin in registry._PINS:
+    # Active pins (the engine's identity queries, minus any retired once
+    # the never-checked tail drains) must always stay in the prefix.
+    for pin in registry.active_pins():
         assert pin in prefix, f"identity pin {pin} fell out of the prefix"
+
+
+def test_pin_retirement_activates_only_when_tail_drained(monkeypatch):
+    """r12 verdict #7: once every oracle-backed query has a driver-green
+    record, long-proven retire-eligible pins demote to ordinary rotation
+    members (freeing prefix slots for the least-recently-checked tail);
+    until then the prefix is bit-identical to pre-retirement behavior."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans import registry
+
+    registry.load_all_query_modules()
+    all_pins = [n for n in registry._PINS if n in registry.QUERIES]
+
+    # Real state today: tail non-empty -> no retirement.
+    assert len(registry.active_pins()) == len(all_pins)
+
+    try:
+        # Simulate the drained-tail future: every oracle-backed query
+        # checked green in some round, pins green in many rounds.
+        fake_checked = {n: 12 for n in registry.QUERIES if n in registry.ORACLES}
+        fake_counts = {n: 12 for n in registry._PINS}
+        monkeypatch.setattr(registry, "driver_checked_rounds", lambda: fake_checked)
+        monkeypatch.setattr(registry, "driver_green_counts", lambda: fake_counts)
+        active = registry.active_pins()
+        assert active == [
+            n for n in all_pins if n not in registry._PIN_RETIRE_ELIGIBLE
+        ], "retire-eligible pins should demote once the tail is drained"
+        # A NEWLY-added pin (few green rounds) must keep its slot even if
+        # listed retire-eligible.
+        fake_counts2 = dict(fake_counts)
+        victim = next(iter(registry._PIN_RETIRE_ELIGIBLE))
+        fake_counts2[victim] = registry._PIN_RETIRE_MIN_GREEN_ROUNDS - 1
+        monkeypatch.setattr(registry, "driver_green_counts", lambda: fake_counts2)
+        assert victim in registry.active_pins(), (
+            "a pin below the green-round floor must not retire"
+        )
+        # And the reordered prefix under retirement stays 50 oracle-backed
+        # entries containing every still-active pin.
+        registry._apply_priority_order()
+        prefix = list(registry.QUERIES)[:50]
+        for pin in registry.active_pins():
+            assert pin in prefix
+        assert sum(1 for n in prefix if n in registry.ORACLES) == 50
+    finally:
+        monkeypatch.undo()
+        # restore the real computed order for any later test in the session
+        registry._apply_priority_order()
