@@ -26,6 +26,10 @@ instead (tests/test_clustering.py).
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,6 +40,35 @@ from pyspark.sql.types import IntegerType
 # far below fixture noise but makes the sum independent of partition order.
 _DIM_SCALE = 7
 _DIST_SCALE = 6
+
+# Target parquet bytes per assignment task. ~32 MB of parquet is ~100k
+# 64-dim vectors — enough rows that one numpy matmul per Arrow batch
+# dominates the task's fixed cost, small enough that the cached double
+# arrays stay tens of MB per partition.
+_ASSIGN_TARGET_BYTES = 32 << 20
+
+
+def _adaptive_partitions(df: DataFrame) -> int:
+    """Partition count for the CPU-heavy assignment stage, derived from
+    input size (optimization guide §2: scale-adaptive, not a constant
+    tuned for one deployment). A fixed ``defaultParallelism`` repartition
+    meant 32 tasks of ~60 rows each at fixture scale — per-task and
+    Arrow-batch overhead, not compute (r13 profile: every Lloyd
+    iteration job ~600 ms at 32 partitions, ~130 ms at the derived
+    count); at cluster scale the same constant would under-split. Falls
+    back to defaultParallelism when input bytes are unknowable (non-file
+    sources)."""
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            if not uri.startswith("file:"):
+                return df.sparkSession.sparkContext.defaultParallelism
+            total += os.path.getsize(unquote(urlparse(uri).path))
+        if total > 0:
+            return max(1, math.ceil(total / _ASSIGN_TARGET_BYTES))
+    except Exception:
+        pass
+    return df.sparkSession.sparkContext.defaultParallelism
 
 
 def _init_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> np.ndarray:
@@ -85,9 +118,11 @@ def kmeans_fit(
     data = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
-    # Fixture parquet is a single row group -> one task; the assignment UDF
-    # is the CPU-heavy stage, so spread it (no-op on well-partitioned input).
-    data = data.repartition(df.sparkSession.sparkContext.defaultParallelism).cache()
+    # Spread the CPU-heavy assignment stage; the count is derived from
+    # input bytes (see _adaptive_partitions), and every downstream
+    # reduction is a rounded-term decimal sum or deterministic argmin, so
+    # the partitioning cannot perturb the result.
+    data = data.repartition(_adaptive_partitions(df)).cache()
     centroids = _init_centroids(data, id_col, "v", k)
     dim = centroids.shape[1]
     for _ in range(n_iter):
@@ -117,6 +152,35 @@ def kmeans_fit(
     return centroids, assigned
 
 
+def _assign_dist2_udf(centroids: np.ndarray):
+    """Fused assignment + squared-distance UDF: one Arrow crossing of the
+    vector column instead of two stacked ArrowEvalPython nodes (assign,
+    then dist2 re-shipping the same vectors). The argmin uses the exact
+    expanded-form arithmetic of ``_assign_udf`` and the distance the
+    exact ``x - c[assigned]`` einsum of the old ``dist2`` — bit-identical
+    outputs, half the JVM<->Python traffic (guide §4)."""
+    c = centroids
+
+    @F.pandas_udf("cluster int, d2 double")
+    def assign_d2(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        d = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d, axis=1)
+        diff = x - c[a]
+        return pd.DataFrame(
+            {
+                "cluster": a.astype(np.int32),
+                "d2": np.einsum("ij,ij->i", diff, diff),
+            }
+        )
+
+    return assign_d2
+
+
 def kmeans_cluster_profile(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -131,17 +195,12 @@ def kmeans_cluster_profile(
     total is summation-order-independent (deterministic run to run).
     """
     centroids, assigned = kmeans_fit(df, id_col, vec_col, k, n_iter)
-    c = centroids
-
-    @F.pandas_udf("double")
-    def dist2(vecs: pd.Series, cluster: pd.Series) -> pd.Series:
-        x = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        cc = c[cluster.to_numpy()]
-        d = x - cc
-        return pd.Series(np.einsum("ij,ij->i", d, d))
 
     return (
-        assigned.withColumn("d2", dist2(F.col(vec_col), F.col("cluster")))
+        assigned.select(
+            _assign_dist2_udf(centroids)(F.col(vec_col)).alias("ad")
+        )
+        .select(F.col("ad.cluster").alias("cluster"), F.col("ad.d2").alias("d2"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
@@ -299,11 +358,8 @@ def coreset_kmeans_profile(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     full = (
-        data.withColumn("cluster", _assign_udf(C)(F.col("v")))
-        .withColumn(
-            "d2",
-            _dist2_udf(C)(F.col("v"), F.col("cluster")),
-        )
+        data.select(_assign_dist2_udf(C)(F.col("v")).alias("ad"))
+        .select(F.col("ad.cluster").alias("cluster"), F.col("ad.d2").alias("d2"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_full"),
@@ -333,14 +389,3 @@ def coreset_kmeans_profile(
     )
 
 
-def _dist2_udf(centroids: np.ndarray):
-    c = centroids
-
-    @F.pandas_udf("double")
-    def dist2(vecs: pd.Series, cluster: pd.Series) -> pd.Series:
-        x = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        cc = c[cluster.to_numpy()]
-        d = x - cc
-        return pd.Series(np.einsum("ij,ij->i", d, d))
-
-    return dist2

@@ -112,36 +112,46 @@ def v_optimal_partition(freqs: list, n_buckets: int) -> tuple:
     SSE(i..j) = ss - s^2/len computed in float from exact integers —
     deterministic. Returns (boundaries, total_sse): boundaries are
     end-indices (exclusive) of each bucket."""
+    import numpy as np
+
     n = len(freqs)
     k = min(n_buckets, n)
-    ps = [0] * (n + 1)
-    pss = [0] * (n + 1)
-    for i, f in enumerate(freqs):
-        ps[i + 1] = ps[i] + f
-        pss[i + 1] = pss[i] + f * f
+    f = np.asarray(freqs, dtype=np.int64)
+    ps = np.concatenate(([0], np.cumsum(f)))          # exact int64 prefix sums
+    pss = np.concatenate(([0], np.cumsum(f * f)))
 
-    def sse(i: int, j: int) -> float:  # [i, j) on 0-based freqs
-        s = ps[j] - ps[i]
-        ss = pss[j] - pss[i]
-        return ss - s * s / (j - i)
-
+    # sse[j, i] for the bucket [j, i): (pss[i]-pss[j]) - (ps[i]-ps[j])^2/(i-j).
+    # All terms are exact int64 until the single float64 division, which is
+    # bit-identical to the scalar `ss - s*s/(j-i)` the original row-by-row
+    # loop computed (ints <= 2^53 convert exactly). The saturated witness
+    # runs this DP at k = n (O(n^3) cells), which in pure Python was ~3.4 s
+    # of driver time per run (r13 profile); one vectorized (n+1)^2 matrix
+    # per b keeps IDENTICAL float results and leftmost tie-breaks
+    # (np.argmin returns the first minimum, matching the strict `<` scan).
+    idx = np.arange(n + 1)
+    width = idx[None, :] - idx[:, None]               # i - j
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sse_m = (pss[None, :] - pss[:, None]) - np.where(
+            width > 0, (ps[None, :] - ps[:, None]).astype(np.float64) ** 2 / np.where(width > 0, width, 1), 0.0
+        )
     INF = float("inf")
-    # dp[b][i]: min SSE splitting first i values into b buckets
-    dp = [[INF] * (n + 1) for _ in range(k + 1)]
-    back = [[0] * (n + 1) for _ in range(k + 1)]
-    dp[0][0] = 0.0
+    sse_m = np.where(width > 0, sse_m.astype(np.float64), INF)
+
+    dp_prev = np.full(n + 1, INF)
+    dp_prev[0] = 0.0
+    back = np.zeros((k + 1, n + 1), dtype=np.int64)
     for b in range(1, k + 1):
-        for i in range(b, n + 1):
-            best, bj = INF, b - 1
-            for j in range(b - 1, i):
-                c = dp[b - 1][j] + sse(j, i)
-                if c < best:  # strict: first (leftmost) split wins ties
-                    best, bj = c, j
-            dp[b][i] = best
-            back[b][i] = bj
+        cand = dp_prev[:, None] + sse_m               # rows j, cols i
+        cand[width <= 0] = INF                        # only j < i are splits
+        bj = np.argmin(cand, axis=0)                  # first (leftmost) min
+        dp_b = cand[bj, idx]
+        dp_b[:b] = INF                                # need at least b values
+        bj = np.where(idx >= b, bj, b - 1)
+        back[b] = bj
+        dp_prev = dp_b
     bounds = []
     i = n
     for b in range(k, 0, -1):
         bounds.append(i)
-        i = back[b][i]
-    return list(reversed(bounds)), dp[k][n]
+        i = int(back[b][i])
+    return list(reversed(bounds)), float(dp_prev[n])

@@ -2988,7 +2988,14 @@ def cer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein is a JVM-side built-in, so the O(len^2) DP never leaves
     whole-stage codegen. Scale shape: one self-equi-join on the decile
     head (constant fan-out 9) carrying two ~300-char strings per row; no
-    pair blowup, no Python."""
+    pair blowup, no Python.
+
+    The candidate side is round-robin repartitioned before the broadcast
+    join: the fixture's single row group otherwise put every levenshtein
+    DP (~len^2 cells x all pairs — the query's whole CPU cost) into ONE
+    task (r13 profile: 3.4 s in one task). The per-language aggregates
+    are counts and rounded-term decimal sums, so the partitioning cannot
+    perturb the result."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -3001,6 +3008,7 @@ def cer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         base.filter(F.col("doc_id") % 10 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(ref, "ref_id")
         .select(
             "lang",

@@ -79,14 +79,23 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (d=0.85, 5 supersteps) over the nation trade graph.
 
-    Scale shape: the classic Pregel-as-joins loop — the edge table (with
-    precomputed out-weight fractions) is built once and persisted; each
-    superstep is [rank ⋈ edges on src] -> hash-agg on dst -> left join back
-    to nodes. Edge partitioning by src is reused every step; the rank
-    vector is |V| rows (broadcastable here; at 100 TB both sides hash-join
-    on the same key so the shuffle is stable). Lineage stays constant-depth
-    per step because the rank vector is localCheckpoint()ed — the same
-    driver-held-state discipline as the k-means and BPE trainers."""
+    Scale shape: the data-sized work — the 4-way join that aggregates
+    line items into the weighted nation-to-nation edge table — runs
+    distributed, once. The rank iteration runs on the driver over the
+    collected edge list, which is DOMAIN-bounded (<= |nations|^2 rows at
+    ANY data scale): the same dimension-bounded driver-peel discipline as
+    the rest of the graph family (k-core/k-truss peels, 2x2 eigh). Until
+    r13 the supersteps ran as Spark jobs with an eager localCheckpoint
+    each (~40 jobs for a 25-node graph, half the query's wall time —
+    OPTIMIZATION_r13.md); the peel replaces them with zero jobs while
+    reproducing Catalyst's float semantics bit-for-bit via
+    functions/exactfloat (ROUND half-up + exact decimal sums), so the
+    hash-checked output is unchanged."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.exactfloat import (
+        dec_sum_double,
+        round_half_up,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -105,63 +114,41 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     ow = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    ew = (
-        edges.join(ow, "src")
-        .select("src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("f"))
-        .persist()
+    ew = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("f")
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node")).persist()
-    n = float(nodes.count())
-    # dangling nodes (no out-edges): their mass is redistributed uniformly
-    # each superstep, keeping total mass exactly 1 (textbook PageRank)
-    dang = nodes.join(
-        ew.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-    ).persist()
+    # ONE distributed action: the bounded edge list (out-weight fractions
+    # are computed engine-side, so their doubles are Catalyst's bits) and
+    # the nation names.
+    ew_rows = [(r["src"], r["dst"], r["f"]) for r in ew.collect()]
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }
+    nodes = sorted(names)
+    n = float(len(nodes))
+    has_out = {s for s, _, _ in ew_rows}
+    dang = [v for v in nodes if v not in has_out]
 
-    pr = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    r = {v: 1.0 / n for v in nodes}
     for _ in range(PR_ITERS):
-        # dangling mass as a broadcast 1-row crossJoin instead of a per-
-        # iteration driver collect: the superstep stays ONE job (the
-        # eager localCheckpoint below), not two
-        md_df = pr.join(dang, "node").agg(
-            F.coalesce(
-                F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast("double"),
-                F.lit(0.0),
-            ).alias("md")
-        )
-        contrib = (
-            pr.join(ew, pr.node == ew.src)
-            .select("dst", F.round(F.col("r") * F.col("f"), 12).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("m"))
-        )
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(md_df))
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.lit(n)
-                    + F.lit(DAMPING)
-                    * (
-                        F.coalesce(F.col("m"), F.lit(0.0))
-                        + F.col("md") / F.lit(n)
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        md = dec_sum_double((round_half_up(r[v], 12) for v in dang), 12)
+        terms: dict[int, list[float]] = {}
+        for s, d, f in ew_rows:
+            terms.setdefault(d, []).append(round_half_up(r[s] * f, 12))
+        m = {d: dec_sum_double(ts, 12) for d, ts in terms.items()}
+        r = {
+            v: 0.15 / n + DAMPING * (m.get(v, 0.0) + md / n) for v in nodes
+        }
 
-    out = (
-        pr.join(nation, pr.node == nation.n_nationkey)
-        .select(F.col("n_name").alias("nation"), F.round("r", 8).alias("pagerank"))
+    ranked = sorted(
+        ((names[v], round_half_up(r[v], 8)) for v in nodes),
+        key=lambda t: (-t[1], t[0]),
     )
-    w = F.row_number().over(Window.orderBy(F.desc("pagerank"), F.asc("nation")))
-    return (
-        out.withColumn("rnk", w.cast("long"))
-        .orderBy("rnk")
-        .select("nation", "pagerank", "rnk")
-    )
+    rows = [(nm, pr, i + 1) for i, (nm, pr) in enumerate(ranked)]
+    return spark.createDataFrame(
+        rows, "nation string, pagerank double, rnk long"
+    ).orderBy("rnk")
 
 
 _TRI_ORACLE = """
@@ -518,10 +505,14 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-trade nation graph: 4 synchronous supersteps, each node adopting
     the label with the max incident edge weight (tie-break: smallest
     label). Every vote is an exact integer weight sum, so the whole
-    iterative computation is hash-checked — no float enters the loop. The
-    superstep is [labels ⋈ edges on nbr] -> hash agg -> per-node window
-    argmax, the same reusable-edge-partitioning shape as PageRank;
-    localCheckpoint keeps lineage constant-depth."""
+    iterative computation is hash-checked — no float enters the loop.
+    Scale shape: the line-item edge aggregation runs distributed once;
+    the 4 supersteps run as a dimension-bounded driver peel over the
+    collected heavy-edge list (<= |nations|^2 rows at ANY data scale,
+    all-integer votes with the identical (max weight, min label)
+    tie-break) — until r13 they were per-superstep Spark window jobs
+    with eager localCheckpoints (OPTIMIZATION_r13.md); output unchanged
+    under the hash gate."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -548,35 +539,34 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") * F.col("n") * 5 >= 6 * F.col("tot"))
         .select("a", "b", "w")
     )
-    sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionAll(
-        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
-    ).persist()
-    nodes = sym.select("node").distinct()
-    lp = nodes.select("node", F.col("node").alias("lbl"))
-    w_arg = Window.partitionBy("node").orderBy(F.desc("sw"), F.asc("lbl"))
+    # ONE distributed action each: the bounded heavy-edge list + names.
+    e_rows = [(r["a"], r["b"], r["w"]) for r in e.collect()]
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }
+    sym = e_rows + [(b, a, w) for a, b, w in e_rows]
+    nodes = sorted({a for a, _, _ in sym})
+    lbl = {v: v for v in nodes}
     for _ in range(LPA_ITERS):
-        votes = (
-            sym.join(lp.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node", "lbl")
-            .agg(F.sum("w").cast("long").alias("sw"))
-        )
-        lp = (
-            votes.withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint(eager=True)
-        )
-    sizes = lp.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    return (
-        lp.join(nation, lp.node == nation.n_nationkey)
-        .join(sizes, "lbl")
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("lbl").cast("long").alias("community"),
-            F.col("sz").alias("community_size"),
-        )
-        .orderBy("nation")
+        votes: dict[int, dict[int, int]] = {v: {} for v in nodes}
+        for node, nbr, w in sym:
+            lv = lbl[nbr]
+            votes[node][lv] = votes[node].get(lv, 0) + w
+        # argmax with the window's exact tie-break: max weight, min label
+        lbl = {
+            v: min(vt, key=lambda cand: (-vt[cand], cand))
+            for v, vt in votes.items()
+        }
+    sizes: dict[int, int] = {}
+    for v in nodes:
+        sizes[lbl[v]] = sizes.get(lbl[v], 0) + 1
+    rows = sorted(
+        (names[v], lbl[v], sizes[lbl[v]]) for v in nodes
     )
+    return spark.createDataFrame(
+        rows, "nation string, community long, community_size long"
+    ).orderBy("nation")
 
 
 def _hits_oracle(iters: int = HITS_ITERS) -> str:
@@ -650,9 +640,18 @@ def hits_trade_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy from strong shippers (PageRank can't separate the two roles).
     L1 (not L2) normalization keeps every step inside the repo's
     rounded-term decimal-sum discipline — no sqrt, so the whole iterative
-    float chain is hash-checked like PageRank's. Same scale shape: edges
-    partitioned once, each superstep a join + hash agg, constant-depth
-    lineage via localCheckpoint."""
+    float chain is hash-checked like PageRank's. Scale shape: the
+    line-item edge aggregation runs distributed once; the 8 supersteps
+    run as a dimension-bounded driver peel over the collected
+    (<= |nations|^2)-row edge list with bit-exact Catalyst float
+    semantics (functions/exactfloat) — until r13 they were 78 Spark jobs
+    with eager localCheckpoints (~5.4 s of job wall for a 25-node graph,
+    OPTIMIZATION_r13.md); output unchanged under the hash gate."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.exactfloat import (
+        dec_sum_double,
+        round_half_up,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -669,61 +668,39 @@ def hits_trade_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = float(nodes.count())  # bounded scalar: |nations|
-    h = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    # ONE distributed action each: bounded edge list + nation names.
+    e_rows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }
+    nodes = sorted({s for s, _, _ in e_rows} | {d for _, d, _ in e_rows})
+    n = float(len(nodes))  # bounded scalar: |nations|
 
-    def matvec(vec: DataFrame, join_on: str, out_node: str) -> DataFrame:
-        raw = (
-            e.join(vec.withColumnRenamed("node", join_on), join_on)
-            .select(
-                F.col(out_node).alias("node"),
-                F.round(F.col("w") * F.col("r"), 12).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("x"))
-        )
-        tot = raw.agg(
-            F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("s")
-        )
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                F.round(F.coalesce(F.col("x"), F.lit(0.0)) / F.col("s"), 12).alias(
-                    "r"
-                ),
-            )
-        )
+    def matvec(vec: dict, out_src: bool) -> dict:
+        # out_src=False: a = E^T h (group by dst, read vec at src);
+        # out_src=True:  h = E a   (group by src, read vec at dst).
+        terms: dict[int, list[float]] = {}
+        for s, d, w in e_rows:
+            out, key = (s, d) if out_src else (d, s)
+            terms.setdefault(out, []).append(round_half_up(float(w) * vec[key], 12))
+        x = {v: dec_sum_double(ts, 12) for v, ts in terms.items()}
+        s_tot = dec_sum_double((round_half_up(xv, 12) for xv in x.values()), 12)
+        return {v: round_half_up(x.get(v, 0.0) / s_tot, 12) for v in nodes}
 
+    h = {v: 1.0 / n for v in nodes}
     for _ in range(HITS_ITERS):
-        a = matvec(h, "src", "dst").localCheckpoint(eager=True)
-        h = matvec(a, "dst", "src").localCheckpoint(eager=True)
-    out = (
-        h.withColumnRenamed("r", "hub")
-        .join(a.withColumnRenamed("r", "auth"), "node")
-        .join(nation, F.col("node") == nation.n_nationkey)
-    )
-    w_rnk = Window.orderBy(F.desc("auth"), F.asc("n_name"))
-    return (
-        out.select(
-            F.col("n_name").alias("nation"),
-            F.round("hub", 8).alias("hub"),
-            F.round("auth", 8).alias("authority"),
-            F.row_number().over(w_rnk).cast("long").alias("rnk"),
-        )
-        .orderBy("rnk")
-    )
+        a = matvec(h, out_src=False)
+        h = matvec(a, out_src=True)
+    ranked = sorted(nodes, key=lambda v: (-a[v], names[v]))
+    rows = [
+        (names[v], round_half_up(h[v], 8), round_half_up(a[v], 8), i + 1)
+        for i, v in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "nation string, hub double, authority double, rnk long"
+    ).orderBy("rnk")
 
 
 _HEAVY_EDGE_SQL = """

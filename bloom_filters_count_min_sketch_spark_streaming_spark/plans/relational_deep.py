@@ -1374,11 +1374,22 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG never leaves the executor; replicate count is a constant).
 
     CI = order statistics (2nd / 31st of 32 replicate means) — exact
-    cross-engine equality, no quantile interpolation arithmetic."""
+    cross-engine equality, no quantile interpolation arithmetic.
+
+    The fixture parquet is one row group -> one scan task, and the
+    explode keeps the pipeline narrow, so the rows x 32 md5 draws (the
+    query's whole CPU cost) ran in a SINGLE task (r13 profile: 4.6 s in
+    one task, ~30 ms everywhere else). Round-robin repartition of the
+    3-column projection spreads the map CPU across cores; the one extra
+    exchange moves only (event_type, value, event_id) — and every
+    downstream aggregate is a rounded-term decimal sum or count, so
+    partitioning cannot perturb the result."""
     ev = load(spark, sf_dir, "events")
     reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
-    h = ev.select("event_type", "value", "event_id").select(
-        "event_type", "value", "event_id", reps
+    h = (
+        ev.select("event_type", "value", "event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_type", "value", "event_id", reps)
     )
     u = (
         F.conv(

@@ -2151,9 +2151,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only corpus-wide work is the token bigram explode
     (arrays_zip of slices — no interpreted per-element lambda over long
-    arrays) feeding two hash aggregations; the PageRank loop runs on a
-    <=40-node broadcastable graph with localCheckpoint keeping lineage
-    constant-depth."""
+    arrays) feeding two hash aggregations; the PageRank loop runs on the
+    driver over the collected <=40-node / <=780-edge graph (CAP-bounded
+    at any corpus scale — the dimension-bounded driver-peel discipline of
+    the graph family) with bit-exact Catalyst float semantics via
+    functions/exactfloat. Until r13 the 4 supersteps were Spark jobs
+    with eager localCheckpoints (~2.4 s of driver+job overhead,
+    OPTIMIZATION_r13.md); output unchanged under the hash gate."""
+    from bloom_filters_count_min_sketch_spark_streaming_spark.functions.exactfloat import (
+        dec_sum_double,
+        round_half_up,
+    )
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
     toks = docs.select(ws.alias("ws")).persist()
@@ -2195,43 +2203,31 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
-    )
-    ow = sym.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    ew = (
-        sym.join(ow, "src")
-        .select("src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("f"))
-        .persist()
-    )
-    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
-    n = float(nodes.count())
-    pr = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    # ONE distributed action: the CAP-bounded undirected edge list.
+    e_rows = [(r["u"], r["v"], r["w"]) for r in e.collect()]
+    sym = e_rows + [(v, u, w) for u, v, w in e_rows]
+    ow: dict[str, int] = {}
+    for s, _, w in sym:
+        ow[s] = ow.get(s, 0) + w
+    # (w * 1.0 / ow) exactly as Catalyst evaluates it: long -> double
+    # promotion then one IEEE division.
+    ew = [(s, d, float(w) * 1.0 / float(ow[s])) for s, d, w in sym]
+    nodes = sorted(ow)
+    n = float(len(nodes))
+    r = {v: 1.0 / n for v in nodes}
     for _ in range(_TEXTRANK_ITERS):
-        contrib = (
-            pr.join(ew, pr.node == ew.src)
-            .select("dst", F.round(F.col("r") * F.col("f"), 12).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("m"))
-        )
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.lit(n)
-                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = pr.select(F.col("node").alias("word"), F.round("r", 8).alias("textrank"))
-    w_rnk = F.row_number().over(Window.orderBy(F.desc("textrank"), F.asc("word")))
-    return (
-        out.withColumn("rnk", w_rnk.cast("long"))
-        .filter(F.col("rnk") <= 15)
-        .orderBy("rnk")
-    )
+        terms: dict[str, list[float]] = {}
+        for s, d, f in ew:
+            terms.setdefault(d, []).append(round_half_up(r[s] * f, 12))
+        m = {d: dec_sum_double(ts, 12) for d, ts in terms.items()}
+        r = {v: 0.15 / n + 0.85 * m.get(v, 0.0) for v in nodes}
+    ranked = sorted(
+        ((v, round_half_up(r[v], 8)) for v in nodes), key=lambda t: (-t[1], t[0])
+    )[:15]
+    rows = [(wd, tr, i + 1) for i, (wd, tr) in enumerate(ranked)]
+    return spark.createDataFrame(
+        rows, "word string, textrank double, rnk long"
+    ).orderBy("rnk")
 
 
 GT_ORACLE = """
