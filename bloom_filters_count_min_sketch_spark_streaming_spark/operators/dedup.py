@@ -429,22 +429,32 @@ def components_min_label(
     (diameter ~2), so 3-4 iterations in practice; ``max_iter`` bounds
     adversarial chains (the large-star/small-star variant of Kiveris et al.
     2014 trades per-iteration cost for O(log n) worst-case rounds if such
-    graphs are expected). Labels persist per iteration and the previous
-    generation is unpersisted, keeping lineage depth constant.
+    graphs are expected). Labels are localCheckpoint'ed per iteration —
+    truncated lineage, so both execution AND Catalyst analysis stay
+    constant-depth per round (persist alone only bounds execution).
     """
     base = pairs.select(
         F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base.count()  # materialize: the upstream pair pipeline (e.g. LSH) runs
-    # once, not once per direction of the mirrored edge list below
+    # once, not once per direction of the mirrored edge list below.
+    # (Materializing via localCheckpoint instead was tried in r13 and
+    # REGRESSED 2-4x: the eager RDD checkpoint executes the pair pipeline
+    # outside the SQL action path, where the LSH tree's AQE-planned
+    # broadcasts don't kick in — see OPTIMIZATION_r13.md.)
     edges = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # The label vector, by contrast, is a leaf-sized tree: checkpointing
+    # each generation truncates the lineage that otherwise grows one
+    # union+join+agg layer per iteration ON TOP of the full pair-pipeline
+    # plan, which Catalyst re-analyzed per iteration action (persist only
+    # bounds execution, not analysis — the r9 lesson).
     labels = (
         nodes.select(F.col(id_col).cast("long").alias("u"))
         .distinct()
         .withColumn("label", F.col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -454,14 +464,16 @@ def components_min_label(
             .union(msgs)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         # Monotone-decreasing labels => unchanged sum <=> fixpoint. DECIMAL
         # accumulator so the witness can't overflow at any id range.
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()
+        # superseded label generations are checkpoint RDDs (|nodes| rows
+        # each); both sweep harnesses release all persisted RDDs after the
+        # query is consumed (session.checkpoint_scope documents the rule)
         labels = new_labels
         if prev_sum is not None and cur_sum == prev_sum:
             break

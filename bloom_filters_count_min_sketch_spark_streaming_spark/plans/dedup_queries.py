@@ -816,6 +816,12 @@ def dedup_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFr
     avoids any float comparison ambiguity."""
     theta = 0.9
     docs = load(spark, sf_dir, "documents")
+    # NOTE (r13): repartitioning docs before the shingle build was tried
+    # to spread the one-row-group scan's single-task CPU and REGRESSED
+    # ~2x — the exchange inflates the size estimate of `toks`, flipping
+    # the candidate/verify joins from broadcast to sort-merge. The three
+    # ~1.2 s single-task broadcast-build jobs are the cheaper trade at
+    # fixture scale; real multi-file inputs parallelize the scan anyway.
     toks = docs.select(
         "doc_id", dedup.shingles_col(F.col("text"), 3).alias("toks")
     ).filter(F.size("toks") >= 1)
