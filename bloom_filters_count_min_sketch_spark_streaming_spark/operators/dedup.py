@@ -312,6 +312,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # One persisted shingle-set table feeds signatures AND verification.
+    # (r13: an eager count() to pre-fill the cache before the concurrent
+    # broadcast builds was tried and did NOT help — the sum-of-job-wall
+    # excess over query wall comes from the capped-sets/banding subtrees
+    # evaluated per broadcast build AFTER the cache, not from racing
+    # first readers; the extra serial job only added wall time.)
     sets_shared = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (

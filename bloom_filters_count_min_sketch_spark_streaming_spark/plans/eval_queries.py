@@ -2736,6 +2736,12 @@ def rouge_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.withColumn("grams", F.concat(t, bg))
 
+    # NOTE (r13): candidate-side repartition before the gram build was
+    # tried (it removes a >1.1 s single-task stage) but did NOT move the
+    # query's wall time — the gram-build task overlaps the concurrent
+    # reference/broadcast jobs, so it is off the critical path here
+    # (unlike cer_generation_eval, where the single task WAS the query).
+    # Reverted to keep the plan exchange-minimal; see OPTIMIZATION_r13.md.
     cand = with_grams(
         d.filter(F.col("doc_id") % 10 != 0).select(
             "doc_id",
@@ -2869,6 +2875,12 @@ def bleu_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.withColumn("grams", F.concat(t, bg))
 
+    # NOTE (r13): candidate-side repartition before the gram build was
+    # tried (it removes a >1.1 s single-task stage) but did NOT move the
+    # query's wall time — the gram-build task overlaps the concurrent
+    # reference/broadcast jobs, so it is off the critical path here
+    # (unlike cer_generation_eval, where the single task WAS the query).
+    # Reverted to keep the plan exchange-minimal; see OPTIMIZATION_r13.md.
     cand = with_grams(
         d.filter(F.col("doc_id") % 10 != 0).select(
             "doc_id",

@@ -2808,6 +2808,10 @@ def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("bfcms_split_fields", SplitFields)
     ev = load(spark, sf_dir, "events")
     iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    # Spread the row-at-a-time UDTF eval: the one-row-group fixture
+    # otherwise runs the whole LATERAL's Python loop in a single task
+    # (r13 profile: 1.3 s one-task stage). The downstream aggregation is
+    # a plain count — partition-invariant.
     keyed = ev.select(
         F.concat_ws(
             "-",
@@ -2815,7 +2819,7 @@ def udtf_analyze_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").cast("string"),
             iso_dow.cast("string"),
         ).alias("k")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     keyed.createOrReplaceTempView("bfcms_udtf_keys")
     out = spark.sql(
         "SELECT f.c0, f.c1 FROM bfcms_udtf_keys, "
