@@ -72,6 +72,16 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _spread(src: DataFrame) -> DataFrame:
+    """Round-robin repartition before a Python codec map (guide §2/§4):
+    a one-file fixture scan is a single input split, so every per-row
+    synth/encode/decode otherwise runs in ONE task (r13 profile: 0.6-1.2 s
+    single-task stages across the codec family). Derived from the
+    session's core count, no fixed constant; codec outputs are per-row
+    deterministic and downstream aggregates partition-invariant."""
+    return src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a multimodal-shaped table from a text fixture: payload =
     utf-8 bytes (stand-in for image bytes), metadata struct alongside."""
@@ -441,7 +451,7 @@ def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -520,7 +530,7 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -717,7 +727,7 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -785,7 +795,7 @@ def attach_bmp_gradient_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -913,7 +923,7 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -1197,7 +1207,7 @@ def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -1516,7 +1526,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
@@ -1813,7 +1823,7 @@ def attach_tiff_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("media_id"))
+    src = _spread(df.select(F.col(id_col).alias("media_id")))
     return src.mapInPandas(
         _gen,
         StructType(
