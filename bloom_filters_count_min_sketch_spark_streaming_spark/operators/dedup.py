@@ -311,12 +311,22 @@ def minhash_lsh_pairs(
     well-defined); on by default as the 100 TB guard, None = uncapped.
     """
     rows_per_band = num_hashes // bands
-    # One persisted shingle-set table feeds signatures AND verification.
-    # (r13: an eager count() to pre-fill the cache before the concurrent
-    # broadcast builds was tried and did NOT help — the sum-of-job-wall
-    # excess over query wall comes from the capped-sets/banding subtrees
-    # evaluated per broadcast build AFTER the cache, not from racing
-    # first readers; the extra serial job only added wall time.)
+    # The capped shingle-set table feeds SIX plan subtrees (signatures,
+    # sizes x2, both verification sides, the hot-list build), and most of
+    # them are broadcast-exchange builds that Spark launches as separate
+    # concurrent jobs — a persisted DataFrame bounds only the UNCAPPED
+    # explode; everything above the cache re-evaluated per build (r13
+    # profile: 20-36 s summed job wall for a 6-8 s query; an eager
+    # count() to pre-fill the cache did not help for exactly this
+    # reason). Snapshot the capped table to a per-invocation tmp parquet
+    # instead (the r9 stage-snapshot pattern): ONE evaluation of the
+    # explode + cap, after which every subtree is a cheap scan with real
+    # file statistics. The snapshot is written fresh on every call —
+    # nothing is keyed on the input path or reused across runs.
+    import os
+    import tempfile
+
+    spark = docs.sparkSession
     sets_shared = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (
@@ -325,7 +335,15 @@ def minhash_lsh_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sets_shared = sets_shared.join(F.broadcast(hot), "sh", "left_anti")
+        capped = sets_shared.join(F.broadcast(hot), "sh", "left_anti")
+    else:
+        capped = sets_shared
+    snap = os.path.join(
+        tempfile.mkdtemp(prefix="bfcms_lsh_sets_"), "sets.parquet"
+    )
+    capped.write.parquet(snap)
+    sets_shared.unpersist()
+    sets_shared = spark.read.parquet(snap)
     mins = sets_shared.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
