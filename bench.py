@@ -418,6 +418,14 @@ def main() -> None:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for k in jmap.keySet().toArray():
                 jmap.get(k).unpersist()
+            # ...and the per-invocation tmp-parquet stage snapshots some
+            # operators write (dead once the noop sink ran; r13 leaked
+            # them — cleanup is outside the timed region)
+            from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+                release_tmp_snapshots,
+            )
+
+            release_tmp_snapshots()
         best = min(samples)
         timings[name] = round(best, 3)
         # spread = worst/best across this invocation's runs — >1.5 means

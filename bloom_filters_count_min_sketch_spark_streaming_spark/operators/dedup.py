@@ -99,6 +99,7 @@ def doc_shingle_tf(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    snapshot: bool = False,
 ) -> DataFrame:
     """(doc, s, tf) term-frequency table over n-gram occurrences with the
     hot-shingle document-frequency cap — the multiset analogue of the
@@ -110,7 +111,21 @@ def doc_shingle_tf(
     construction and broadcast, so the cap adds no shuffle. The default
     cap is far above fixture document frequencies, so capped and uncapped
     results coincide on the fixtures; pass ``None`` for exact uncapped
-    semantics."""
+    semantics.
+
+    ``snapshot=True`` returns a per-invocation tmp-parquet stage snapshot
+    (guide §3.3, the r13 minhash recipe) — for callers that reference the
+    FULL tf table several times (totals + both intersection-join sides),
+    where the doc-keyed broadcast builds are separate concurrent jobs that
+    re-evaluate the explode+agg above a mere persist (r14 profile of
+    dedup_weighted_jaccard_pairs: 11.4 s summed job wall for ~4 s wall
+    before, 3.0 s after — 3.8x less cluster work, wall flat at fixture
+    scale). Default False: callers that FILTER the tf table before
+    materializing (the icws audit joins it to ~|pairs| docs and
+    localCheckpoints) would pay a full-table write for a subset read —
+    measured as a strict pessimization in r14's interleaved A/B.
+    Snapshots are written fresh per call, released by
+    session.release_tmp_snapshots."""
     spark = docs.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     sh = (
@@ -120,14 +135,30 @@ def doc_shingle_tf(
     )
     tf = sh.groupBy("doc", "s").agg(F.count(F.lit(1)).alias("tf"))
     if max_shingle_df is not None:
+        if snapshot:
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             tf.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("s")
         )
-        tf = tf.join(F.broadcast(hot), "s", "left_anti")
-    return tf
+        capped = tf.join(F.broadcast(hot), "s", "left_anti")
+    else:
+        capped = tf
+    if not snapshot:
+        return capped
+    import os
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir,
+    )
+
+    snap = os.path.join(tmp_snapshot_dir("bfcms_tf_"), "tf.parquet")
+    capped.write.parquet(snap)
+    if capped is not tf:
+        tf.unpersist()
+    return spark.read.parquet(snap)
 
 
 def duplicate_ngram_stats(
@@ -206,13 +237,26 @@ def ngram_jaccard_pairs(
     pairs, which is the operator's only super-linear term at 100 TB. Pass
     ``max_shingle_df=None`` for the exact uncapped semantics.
 
-    The returned DataFrame is lazy over a persisted intermediate, so the
-    operator cannot unpersist it itself; long-lived callers pass a list as
-    ``persisted_out`` and unpersist its entries once the result has been
-    fully consumed (one-shot sessions can ignore it).
+    The returned DataFrame is lazy over a per-invocation tmp-parquet stage
+    snapshot (released by the harnesses via session.release_tmp_snapshots);
+    ``persisted_out`` is kept for callers that unpersist the transient
+    shingle cache early (its entry is already unpersisted on return).
     """
-    # The shingle sets feed three plan branches (sizes, both join sides);
-    # persist so tokenization+explode runs once, not per branch.
+    import os
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir,
+    )
+
+    # The capped shingle sets feed THREE plan branches (sizes, both join
+    # sides), and the doc-keyed sizes join below is an AQE broadcast build
+    # at fixture scale — a separate concurrent job that re-evaluates
+    # everything above a mere persist() (r13 minhash finding; this query
+    # measured 14.1 s summed job wall for 7.2 s of wall in the r13 sweep).
+    # Snapshot the capped table to per-invocation tmp parquet (guide §3.3):
+    # one evaluation of explode+cap, every consumer a cheap parquet scan
+    # with real file statistics. Written fresh per call — nothing keyed on
+    # the input path, nothing reused across runs.
     sets = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_out is not None:
         persisted_out.append(sets)
@@ -226,7 +270,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sets = sets.join(F.broadcast(hot), "sh", "left_anti")
+        capped = sets.join(F.broadcast(hot), "sh", "left_anti")
+    else:
+        capped = sets
+    snap = os.path.join(tmp_snapshot_dir("bfcms_ngram_sets_"), "sets.parquet")
+    capped.write.parquet(snap)
+    sets.unpersist()
+    sets = docs.sparkSession.read.parquet(snap)
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # Carry each doc's set size on the join sides so the SIZE GATE can run
     # BEFORE the pair aggregation: J >= t forces min(na, nb) >= t * max
@@ -322,9 +372,14 @@ def minhash_lsh_pairs(
     # instead (the r9 stage-snapshot pattern): ONE evaluation of the
     # explode + cap, after which every subtree is a cheap scan with real
     # file statistics. The snapshot is written fresh on every call —
-    # nothing is keyed on the input path or reused across runs.
+    # nothing is keyed on the input path or reused across runs — and is
+    # registered with session.release_tmp_snapshots for deferred cleanup
+    # (r14: the r13 per-invocation dirs leaked, ADVICE #2).
     import os
-    import tempfile
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir,
+    )
 
     spark = docs.sparkSession
     sets_shared = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -338,9 +393,7 @@ def minhash_lsh_pairs(
         capped = sets_shared.join(F.broadcast(hot), "sh", "left_anti")
     else:
         capped = sets_shared
-    snap = os.path.join(
-        tempfile.mkdtemp(prefix="bfcms_lsh_sets_"), "sets.parquet"
-    )
+    snap = os.path.join(tmp_snapshot_dir("bfcms_lsh_sets_"), "sets.parquet")
     capped.write.parquet(snap)
     sets_shared.unpersist()
     sets_shared = spark.read.parquet(snap)

@@ -1149,7 +1149,7 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     above fixture dfs so results here are exactly the uncapped oracle's).
     Exact integer tf everywhere; the ratio is an exact-int division."""
     docs = load(spark, sf_dir, "documents")
-    tf = dedup.doc_shingle_tf(docs, n=3)
+    tf = dedup.doc_shingle_tf(docs, n=3, snapshot=True)
     tot = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("t"))
     a = tf.select(F.col("doc").alias("doc_a"), "s", F.col("tf").alias("tf_a"))
     b = tf.select(F.col("doc").alias("doc_b"), "s", F.col("tf").alias("tf_b"))

@@ -2692,7 +2692,11 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .repartition(4)
     )
-    out = tempfile.mkdtemp(prefix="bfcms_pysink_")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir as _snapdir,
+    )
+
+    out = _snapdir("bfcms_pysink_")
     per_day.write.format("bfcms_jsondir").mode("append").option(
         "path", out
     ).save()
@@ -3259,7 +3263,11 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity,
     )
 
-    root = _tempfile.mkdtemp(prefix="bfcms_release_batch_")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir as _snapdir,
+    )
+
+    root = _snapdir("bfcms_release_batch_")
     funnel_rows: list[tuple[int, str, int, int]] = []
 
     import os as _osenv

@@ -241,25 +241,75 @@ def load_all_query_modules() -> None:
     _apply_priority_order()
 
 
+# The committed freshness contract (tests/test_engine_features.py): the
+# prefix must carry at least this many never-driver-checked queries while
+# any remain, so the never-checked tail keeps draining even when a round
+# rewrites many already-checked implementations.
+_MIN_FRESH = 10
+
+
 def _apply_priority_order() -> None:
-    """Stable-reorder QUERIES/ORACLES: pins, then never/least-recently
-    driver-checked oracle-backed queries up to the driver's 50-entry prefix,
-    then everything else in registration order.
+    """Stable-reorder QUERIES/ORACLES: pins, then unverified-since-change
+    oracle-backed queries (implementation changed after the query's last
+    driver check, or never driver-checked at all — VERDICT r13 #1), then
+    least-recently-checked, up to the driver's 50-entry prefix, then
+    everything else in registration order.
+
+    Unverified queries are bucketed by change recency (implfp: changed this
+    round > changed last recorded round > older drift) so a rewrite enters
+    the very next driver hash window instead of waiting out the staleness
+    cycle; within a bucket never-checked queries sort before touched ones.
+    A floor of _MIN_FRESH never-checked entries is enforced so the fresh
+    tail keeps draining regardless of how many rewrites a round makes.
 
     In-place (clear + update) so modules holding a reference to the dicts see
     the new iteration order. Deterministic within a round (depends only on
-    committed CORRECTNESS files + registration order) and idempotent: on a
-    second call the previously-selected fresh queries sort first again (same
-    never-checked status, earlier iteration position).
+    committed CORRECTNESS files, git history, the working tree's module
+    sources, and registration order) and idempotent.
     """
+    from bloom_filters_count_min_sketch_spark_streaming_spark.plans import implfp
+
     checked = driver_checked_rounds()
     pins = active_pins()
     fill = max(0, _DRIVER_PREFIX - len(pins))
-    # Oracle-backed, non-pinned candidates; never-checked first (round 0),
-    # then least-recently-checked; ties keep current iteration order.
     candidates = [n for n in QUERIES if n not in pins and n in ORACLES]
-    candidates.sort(key=lambda n: checked.get(n, 0))  # stable sort
-    head = pins + candidates[:fill]
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    try:
+        change = implfp.rotation_change_info(
+            {n: QUERIES[n] for n in candidates}, checked
+        )
+    except Exception:  # pragma: no cover — git/parse failure must never
+        # break query registration; degrade to pure staleness rotation.
+        change = {}
+
+    def sort_key(n: str) -> tuple:
+        bucket, touched = change.get(n, (implfp.CHANGED_OLDER, False))
+        never = n not in checked
+        if never or touched:
+            # unverified-since-change: recent changes first; never-checked
+            # ahead of touched within a bucket; touched tie-break on
+            # staleness so the longest-unverified rewrite re-enters first.
+            return (0, bucket, 1 if not never else 0, checked.get(n, 0), reg_index[n])
+        return (1, 0, 0, checked[n], reg_index[n])
+
+    candidates.sort(key=sort_key)
+    head_fill = candidates[:fill]
+    # Freshness floor: keep >= _MIN_FRESH never-checked entries in the fill
+    # (capped by how many exist) by swapping out the lowest-priority
+    # non-fresh entries for the highest-priority excluded fresh ones.
+    never_all = [n for n in candidates if n not in checked]
+    want_fresh = min(_MIN_FRESH, len(never_all))
+    have_fresh = sum(1 for n in head_fill if n not in checked)
+    if have_fresh < want_fresh:
+        missing = [n for n in never_all if n not in head_fill]
+        for n in missing[: want_fresh - have_fresh]:
+            # drop the last non-fresh entry, insert the fresh one
+            for i in range(len(head_fill) - 1, -1, -1):
+                if head_fill[i] in checked:
+                    head_fill.pop(i)
+                    break
+            head_fill.append(n)
+    head = pins + head_fill
     for d in (QUERIES, ORACLES):
         ordered = {n: d[n] for n in head if n in d}
         ordered.update({n: v for n, v in d.items() if n not in ordered})

@@ -1390,7 +1390,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = events_stream_source(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="upsert_state_")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir as _snapdir,
+    )
+
+    root = _snapdir("upsert_state_")
     latest: dict[str, str | None] = {"path": None}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -3434,8 +3438,12 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     counts = src.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    out = tempfile.mkdtemp(prefix="bfcms_pystream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="bfcms_pystream_ckpt_")
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir as _snapdir,
+    )
+
+    out = _snapdir("bfcms_pystream_sink_")
+    ckpt = _snapdir("bfcms_pystream_ckpt_")
     # at the session's 32 shuffle partitions every micro-batch spins up 32
     # Python writer commits for a ~40-row aggregate; 4 keeps the
     # per-partition writer contract exercised at a sane fan-out
@@ -3967,7 +3975,11 @@ def stream_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # points this root at durable storage — a config choice, same as
     # runner._ephemeral_ckpt
     _shm = "/dev/shm" if _os.path.isdir("/dev/shm") else None
-    root = _tempfile.mkdtemp(prefix="bfcms_release_stream_", dir=_shm)
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        tmp_snapshot_dir as _snapdir,
+    )
+
+    root = _snapdir("bfcms_release_stream_", dir=_shm)
 
     # Manifest-style VERSIONED increments, not a shared append dir: a
     # parquet append to a path fires refreshByPath, which recursively

@@ -41,7 +41,44 @@ def get_spark(app_name: str = "bfcms-engine") -> SparkSession:
     return builder.getOrCreate()
 
 
+import atexit
+import shutil
+import tempfile
 from contextlib import contextmanager
+
+# Per-invocation stage-snapshot dirs (guide §3.3 lineage truncation: a
+# multiply-referenced intermediate written once to tmp parquet so every
+# consumer subtree is a cheap scan with real file statistics). The returned
+# query plan lazily scans its snapshot, so the writing operator can never
+# delete it synchronously; r13 leaked these dirs (ADVICE r13 #2). Every
+# snapshot now registers here and the sweep harnesses (bench.py,
+# tools/check_oracle.py, tools/retime.py) release between queries, with an
+# atexit sweep catching one-shot sessions.
+_TMP_SNAPSHOT_DIRS: list[str] = []
+
+
+def tmp_snapshot_dir(prefix: str = "bfcms_snap_", dir: str | None = None) -> str:
+    """A fresh tmp dir for a stage snapshot, registered for deferred cleanup.
+
+    Written FRESH inside the calling query on every invocation — never keyed
+    on input paths, never reused across runs (reuse would be result caching,
+    which the bench contract forbids). Callers write parquet under the
+    returned dir and return a plan scanning it; release_tmp_snapshots()
+    reclaims the dirs once the consuming action is done.
+    """
+    d = tempfile.mkdtemp(prefix=prefix, dir=dir)
+    _TMP_SNAPSHOT_DIRS.append(d)
+    return d
+
+
+def release_tmp_snapshots() -> None:
+    """Delete every registered snapshot dir (call AFTER the query's action:
+    the lazily returned plan references the snapshot until materialized)."""
+    while _TMP_SNAPSHOT_DIRS:
+        shutil.rmtree(_TMP_SNAPSHOT_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(release_tmp_snapshots)
 
 
 @contextmanager

@@ -118,6 +118,14 @@ def main() -> int:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for k in jmap.keySet().toArray():
             jmap.get(k).unpersist()
+        # per-invocation tmp-parquet stage snapshots are dead once the
+        # query's toPandas() ran; without this a 496-query sweep leaks
+        # hundreds of /tmp dirs (ADVICE r13 #2)
+        from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+            release_tmp_snapshots,
+        )
+
+        release_tmp_snapshots()
 
     names = args.names or list(queries)
     n_pass = n_fail = n_weak = 0

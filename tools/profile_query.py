@@ -105,6 +105,11 @@ def main() -> None:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for k in jmap.keySet().toArray():
                 jmap.get(k).unpersist()
+            from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+                release_tmp_snapshots,
+            )
+
+            release_tmp_snapshots()
         print(f"\n=== {qname}: warm min {min(samples):.3f}s over {args.n} runs "
               f"(all: {[round(s, 3) for s in samples]}) ===")
         jobs = [j for j in rest("jobs") if j["jobId"] > first_job_before]

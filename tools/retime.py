@@ -117,6 +117,11 @@ def main() -> None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for k in jmap.keySet().toArray():
             jmap.get(k).unpersist()
+        from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+            release_tmp_snapshots,
+        )
+
+        release_tmp_snapshots()
         best = min(samples)
         spread = round(max(samples) / best, 2) if best > 0 else 1.0
         base = committed.get(name)

@@ -83,8 +83,15 @@ def main() -> None:
 
     print(f"# {'query':42s} {'wall':>7} {'jobs':>5} {'jobw':>7} {'1task(ms)':>9}")
     results = {}
+    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+        release_tmp_snapshots,
+    )
+
     for name in names:
         fn = queries[name]
+        # initialized before the try so the except path can't read a stale
+        # or unbound `before` from the previous query (ADVICE r13 #4)
+        before = max((j["jobId"] for j in rest("jobs")), default=-1)
         try:
             for i in range(2):
                 before = max((j["jobId"] for j in rest("jobs")), default=-1)
@@ -95,6 +102,7 @@ def main() -> None:
                 jmap = spark.sparkContext._jsc.getPersistentRDDs()
                 for k in jmap.keySet().toArray():
                     jmap.get(k).unpersist()
+                release_tmp_snapshots()
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: ERROR {type(exc).__name__}: {exc}"[:200])
             continue
