@@ -71,11 +71,33 @@ def tmp_snapshot_dir(prefix: str = "bfcms_snap_", dir: str | None = None) -> str
     return d
 
 
+# Streaming checkpoint dirs (streaming/runner._ephemeral_ckpt) are swept by
+# GLOB + mtime guard instead of by registration: registering from inside
+# runner.py would put the cleanup call into the implementation-fingerprint
+# closure of every streaming query (plans/implfp.py) and flood the driver's
+# r14 hash window with 48 re-checks for a harness-only change. The guard
+# (only dirs this process could have created: mtime >= process start)
+# keeps a concurrently running session's live checkpoints safe; harnesses
+# here run queries serially.
+_PROCESS_T0 = __import__("time").time()
+_CKPT_GLOB_ROOTS = ["/dev/shm", tempfile.gettempdir()]
+
+
 def release_tmp_snapshots() -> None:
     """Delete every registered snapshot dir (call AFTER the query's action:
-    the lazily returned plan references the snapshot until materialized)."""
+    the lazily returned plan references the snapshot until materialized),
+    plus this process's ephemeral streaming-checkpoint dirs."""
     while _TMP_SNAPSHOT_DIRS:
         shutil.rmtree(_TMP_SNAPSHOT_DIRS.pop(), ignore_errors=True)
+    import glob
+
+    for root in _CKPT_GLOB_ROOTS:
+        for d in glob.glob(os.path.join(root, "bfcms_ckpt_*")):
+            try:
+                if os.stat(d).st_mtime >= _PROCESS_T0 - 1.0:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
 
 atexit.register(release_tmp_snapshots)

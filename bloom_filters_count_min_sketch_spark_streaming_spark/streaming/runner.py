@@ -37,21 +37,9 @@ def _ephemeral_ckpt() -> str:
     provider's write+rename commits are then memory-speed instead of
     paying disk fsync per micro-batch per partition. Production streams
     point checkpointLocation at durable storage (S3/HDFS); that is a
-    config choice, not a code path.
-
-    Registered for deferred cleanup (r14): per-invocation ckpt dirs used
-    to accumulate in /dev/shm (RAM!) for the life of a 496-query sweep;
-    the harnesses now release them between queries, after the consuming
-    action (a few queries lazily re-read the checkpoint, e.g. the
-    statestore reader, so deletion cannot be synchronous)."""
-    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
-        _TMP_SNAPSHOT_DIRS,
-    )
-
+    config choice, not a code path."""
     root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    d = tempfile.mkdtemp(prefix="bfcms_ckpt_", dir=root)
-    _TMP_SNAPSHOT_DIRS.append(d)
-    return d
+    return tempfile.mkdtemp(prefix="bfcms_ckpt_", dir=root)
 
 
 
