@@ -72,14 +72,56 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _spread(src: DataFrame) -> DataFrame:
+# Sizing for the codec repartition: at scale a Python codec task should own
+# ~32 MB of input (same order as clustering's assignment stage); below that
+# the count is boosted up to the session's core count so a one-file fixture
+# still parallelizes, but never beyond one task per ~512 KB — r13's flat
+# defaultParallelism made 32 near-empty tasks for the CHEAP codecs (wav,
+# frame-sample: r14 warm 32-core A/B read ~1.5-2x over their single-task r12
+# cells) while only the expensive ones (jpeg: 946 ms single-task stage)
+# gained.
+_CODEC_TARGET_BYTES = 32 << 20
+_CODEC_MIN_BYTES_PER_TASK = 512 << 10
+
+
+def _spread(src: DataFrame, heavy: bool = False) -> DataFrame:
     """Round-robin repartition before a Python codec map (guide §2/§4):
     a one-file fixture scan is a single input split, so every per-row
     synth/encode/decode otherwise runs in ONE task (r13 profile: 0.6-1.2 s
-    single-task stages across the codec family). Derived from the
-    session's core count, no fixed constant; codec outputs are per-row
-    deterministic and downstream aggregates partition-invariant."""
-    return src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+    single-task stages across the codec family). The count is derived from
+    input bytes (guide §2 scale-adaptive, see the sizing constants above),
+    falling back to the session's core count when the source size is
+    unknowable; codec outputs are per-row deterministic and downstream
+    aggregates partition-invariant.
+
+    ``heavy=True`` marks the LZW/DEFLATE-class codecs (gif, png, jpeg)
+    whose per-row Python cost dwarfs the bytes scanned: their minimum
+    bytes-per-task drops 8x so the fixture-scale fan stays near the core
+    count (the r14 A/B: size-derived 7 tasks cost gif +40%..2x while the
+    byte-light wav/bmp/avi/tiff family gained 28-45% from fewer tasks)."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = src.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        total = 0
+        for uri in src.inputFiles():
+            if not uri.startswith("file:"):
+                total = 0
+                break
+            total += os.path.getsize(unquote(urlparse(uri).path))
+    except Exception:
+        total = 0
+    if total <= 0:
+        return src.repartition(cores)
+    min_bytes = _CODEC_MIN_BYTES_PER_TASK // 8 if heavy else _CODEC_MIN_BYTES_PER_TASK
+    n = max(
+        math.ceil(total / _CODEC_TARGET_BYTES),
+        min(cores, math.ceil(total / min_bytes)),
+    )
+    return src.repartition(n)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -727,7 +769,7 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = _spread(df.select(F.col(id_col).alias("media_id")))
+    src = _spread(df.select(F.col(id_col).alias("media_id")), heavy=True)
     return src.mapInPandas(
         _gen,
         StructType(
@@ -1207,7 +1249,7 @@ def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = _spread(df.select(F.col(id_col).alias("media_id")))
+    src = _spread(df.select(F.col(id_col).alias("media_id")), heavy=True)
     return src.mapInPandas(
         _gen,
         StructType(
@@ -1526,7 +1568,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    src = _spread(df.select(F.col(id_col).alias("media_id")))
+    src = _spread(df.select(F.col(id_col).alias("media_id")), heavy=True)
     return src.mapInPandas(
         _gen,
         StructType(
