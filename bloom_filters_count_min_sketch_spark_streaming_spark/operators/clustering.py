@@ -66,8 +66,13 @@ def _adaptive_partitions(df: DataFrame) -> int:
             total += os.path.getsize(unquote(urlparse(uri).path))
         if total > 0:
             return max(1, math.ceil(total / _ASSIGN_TARGET_BYTES))
-    except Exception:
-        pass
+    except (OSError, ValueError) as exc:
+        # narrow fallback (ADVICE r13 #3): a real bug in the size probe
+        # (URI parsing on a new source type) should be visible, not
+        # silently revert the optimization
+        import logging
+
+        logging.getLogger(__name__).debug("size probe failed: %s", exc)
     return df.sparkSession.sparkContext.defaultParallelism
 
 

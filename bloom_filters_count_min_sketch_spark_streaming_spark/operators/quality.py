@@ -103,6 +103,56 @@ def referential_integrity(
     )
 
 
+# The vectorized DP below is bit-identical to the exact-int scalar DP only
+# while every prefix sum s satisfies s*s <= 2^53 (float64 squares exactly;
+# int64 cumsum of f*f cannot wrap): total <= floor(sqrt(2^53)) = 94906265.
+# Beyond that the old scalar path squared EXACTLY in arbitrary-precision int
+# before the single float division, so the two paths diverge silently
+# (ADVICE r13 #1 — the hash-checked saturated witness is on a fixed slice,
+# but voptimal_histogram_stats aggregates ALL documents and crosses the
+# bound at large SF). Dispatch per the repo's witness discipline: assert
+# the exactness regime in-code, fall back to the exact scalar DP outside it.
+_VOPT_EXACT_SUM_BOUND = 94906265
+
+
+def _v_optimal_scalar(freqs: list, n_buckets: int) -> tuple:
+    """Exact-int scalar v-optimal DP (the pre-r13 implementation): prefix
+    sums and squares in arbitrary-precision Python ints, one float division
+    per SSE cell, strict `<` so the leftmost split wins ties."""
+    n = len(freqs)
+    k = min(n_buckets, n)
+    ps = [0] * (n + 1)
+    pss = [0] * (n + 1)
+    for i, f in enumerate(freqs):
+        ps[i + 1] = ps[i] + f
+        pss[i + 1] = pss[i] + f * f
+
+    def sse(i: int, j: int) -> float:  # [i, j) on 0-based freqs
+        s = ps[j] - ps[i]
+        ss = pss[j] - pss[i]
+        return ss - s * s / (j - i)
+
+    INF = float("inf")
+    dp = [[INF] * (n + 1) for _ in range(k + 1)]
+    back = [[0] * (n + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for b in range(1, k + 1):
+        for i in range(b, n + 1):
+            best, bj = INF, b - 1
+            for j in range(b - 1, i):
+                c = dp[b - 1][j] + sse(j, i)
+                if c < best:  # strict: first (leftmost) split wins ties
+                    best, bj = c, j
+            dp[b][i] = best
+            back[b][i] = bj
+    bounds = []
+    i = n
+    for b in range(k, 0, -1):
+        bounds.append(i)
+        i = back[b][i]
+    return list(reversed(bounds)), dp[k][n]
+
+
 def v_optimal_partition(freqs: list, n_buckets: int) -> tuple:
     """Pure v-optimal histogram DP (Jagadish et al., VLDB 1998) — unit-
     testable without Spark: partition the ordered frequency series into
@@ -116,6 +166,10 @@ def v_optimal_partition(freqs: list, n_buckets: int) -> tuple:
 
     n = len(freqs)
     k = min(n_buckets, n)
+    if n == 0:
+        return [], 0.0
+    if min(freqs) < 0 or sum(freqs) > _VOPT_EXACT_SUM_BOUND:
+        return _v_optimal_scalar(freqs, n_buckets)
     f = np.asarray(freqs, dtype=np.int64)
     ps = np.concatenate(([0], np.cumsum(f)))          # exact int64 prefix sums
     pss = np.concatenate(([0], np.cumsum(f * f)))

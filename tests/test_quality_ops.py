@@ -256,3 +256,45 @@ def test_grouped_cosine_candidates_matches_pair_join(spark):
     }
     assert got_new == ref_pairs(restrict_new=True)
     assert got_new == {(a, b) for a, b in got if b >= 80}
+
+
+def test_v_optimal_exactness_guard_dispatch():
+    """ADVICE r13 #1: the numpy DP is bit-identical to the exact-int scalar
+    DP only while the total frequency mass keeps every prefix-sum square
+    exact in float64 (total <= 94906265). Above the bound (and on negative
+    inputs) v_optimal_partition must dispatch to the exact scalar path; at
+    the bound both paths must agree bit-for-bit."""
+    import random
+
+    from bloom_filters_count_min_sketch_spark_streaming_spark.operators.quality import (
+        _VOPT_EXACT_SUM_BOUND,
+        _v_optimal_scalar,
+        v_optimal_partition,
+    )
+
+    rng = random.Random(1414)
+    # Just below the bound: vectorized path runs and must equal the scalar.
+    base = [_VOPT_EXACT_SUM_BOUND // 8] * 7 + [rng.randrange(1000)]
+    assert sum(base) <= _VOPT_EXACT_SUM_BOUND
+    for k in (2, 3, 5):
+        assert v_optimal_partition(base, k) == _v_optimal_scalar(base, k)
+
+    # Above the bound: s*s exceeds 2^53; the dispatcher must return the
+    # scalar result exactly (the vectorized double-rounding would diverge).
+    big = [3_000_000_000, 7, 3_000_000_000, 11, 3_000_000_000, 5, 13, 2]
+    assert sum(big) > _VOPT_EXACT_SUM_BOUND
+    for k in (2, 3, 4):
+        assert v_optimal_partition(big, k) == _v_optimal_scalar(big, k)
+
+    # Scalar path stays exact where float64 squares would round: the SSE of
+    # a window whose sum s has s*s > 2^53 must use the exact integer square.
+    s = 94906266  # smallest int whose square exceeds 2^53
+    freqs = [s, 0]
+    bounds, sse = _v_optimal_scalar(freqs, 1)
+    exact = (s * s + 0) - (s * s) / 2  # ss - s^2/len with exact int square
+    assert sse == exact
+
+    # Negative inputs (not a frequency series, but guard anyway).
+    neg = [5, -3, 8, 1]
+    for k in (1, 2):
+        assert v_optimal_partition(neg, k) == _v_optimal_scalar(neg, k)
