@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     persisted_out: list | None = None,
+    snapshot: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
 
@@ -237,26 +238,27 @@ def ngram_jaccard_pairs(
     pairs, which is the operator's only super-linear term at 100 TB. Pass
     ``max_shingle_df=None`` for the exact uncapped semantics.
 
-    The returned DataFrame is lazy over a per-invocation tmp-parquet stage
-    snapshot (released by the harnesses via session.release_tmp_snapshots);
+    With ``snapshot=True`` the returned DataFrame is lazy over a
+    per-invocation tmp-parquet stage snapshot of the capped shingle sets
+    (released by the harnesses via session.release_tmp_snapshots): the
+    capped sets feed THREE plan branches (sizes, both join sides), and the
+    doc-keyed sizes join is an AQE broadcast build at fixture scale — a
+    separate concurrent job that re-evaluates everything above a mere
+    persist() (r13 minhash finding; this query measured 14.1 s summed job
+    wall for 7.2 s of wall in the r13 sweep). One evaluation of
+    explode+cap, every consumer a cheap parquet scan with real file
+    statistics; written fresh per call — nothing keyed on the input path,
+    nothing reused across runs. Callers that fully materialize the pair
+    table (the headline query, the recursive-components edge build, the
+    release cascade) pass True; the default stays lazy because
+    count-shaped consumers (the sorted-neighborhood recall audit counts
+    pairs instead of reading them) measured a strict ~3x regression paying
+    the full-table write (r14 interleaved A/B: 1.3-2.2 s -> 4.4-6.3 s).
+
     ``persisted_out`` is kept for callers that unpersist the transient
-    shingle cache early (its entry is already unpersisted on return).
+    shingle cache early (under ``snapshot=True`` its entry is already
+    unpersisted on return).
     """
-    import os
-
-    from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
-        tmp_snapshot_dir,
-    )
-
-    # The capped shingle sets feed THREE plan branches (sizes, both join
-    # sides), and the doc-keyed sizes join below is an AQE broadcast build
-    # at fixture scale — a separate concurrent job that re-evaluates
-    # everything above a mere persist() (r13 minhash finding; this query
-    # measured 14.1 s summed job wall for 7.2 s of wall in the r13 sweep).
-    # Snapshot the capped table to per-invocation tmp parquet (guide §3.3):
-    # one evaluation of explode+cap, every consumer a cheap parquet scan
-    # with real file statistics. Written fresh per call — nothing keyed on
-    # the input path, nothing reused across runs.
     sets = doc_shingle_sets(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_out is not None:
         persisted_out.append(sets)
@@ -273,10 +275,19 @@ def ngram_jaccard_pairs(
         capped = sets.join(F.broadcast(hot), "sh", "left_anti")
     else:
         capped = sets
-    snap = os.path.join(tmp_snapshot_dir("bfcms_ngram_sets_"), "sets.parquet")
-    capped.write.parquet(snap)
-    sets.unpersist()
-    sets = docs.sparkSession.read.parquet(snap)
+    if snapshot:
+        import os
+
+        from bloom_filters_count_min_sketch_spark_streaming_spark.session import (
+            tmp_snapshot_dir,
+        )
+
+        snap = os.path.join(tmp_snapshot_dir("bfcms_ngram_sets_"), "sets.parquet")
+        capped.write.parquet(snap)
+        sets.unpersist()
+        sets = docs.sparkSession.read.parquet(snap)
+    else:
+        sets = capped
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # Carry each doc's set size on the join sides so the SIZE GATE can run
     # BEFORE the pair aggregation: J >= t forces min(na, nb) >= t * max
@@ -837,7 +848,16 @@ def icws_signatures(
     tf-rows x num_samples with map-side partial argmins, so the shuffle
     carries O(docs x samples) rows. Rows-only (the argmin chain crosses
     libm, so near-tied a-values make cross-engine hashing luck-dependent
-    by construction — the guarantee is statistical, property-tested)."""
+    by construction — the guarantee is statistical, property-tested).
+
+    r14 adjudicated negative (VERDICT r13 #6): an Arrow-batched numpy
+    ln/exp sampler CANNOT replace this expression fan without changing
+    results — over the operator's own (i+0.5)/2^32 uniform grid, numpy's
+    log/exp disagree with the JVM's in the last bit on 21%/25% of 1M
+    probed values (and CPython's math.log disagrees with the JVM on 7%),
+    so the per-sample argmin would flip elements wholesale. Bit-identity
+    would require a Python port of the JVM's exact libm; the JVM fan
+    stays."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_occurrences_col(F.col(text_col), n)).alias("s"),

@@ -52,7 +52,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (inverted-index join —
     no |docs|^2 product)."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, snapshot=True)
 
 
 @query(

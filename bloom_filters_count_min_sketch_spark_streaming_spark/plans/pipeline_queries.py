@@ -623,7 +623,7 @@ def recursive_cte_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, snapshot=True).select("doc_a", "doc_b")
     # materialize the edge list once — every recursion step re-reads it,
     # and without the checkpoint each step would replay the shingle join
     pairs = pairs.localCheckpoint(eager=True)
@@ -3365,7 +3365,8 @@ def llm_corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stage snapshot lands.
         nested_caches: list = []
         pairs = dedup.ngram_jaccard_pairs(
-            s2.select("doc_id", "text"), threshold=0.8, persisted_out=nested_caches
+            s2.select("doc_id", "text"), threshold=0.8, persisted_out=nested_caches,
+            snapshot=True,
         )
         drop3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         s3 = snap(s2.join(drop3, "doc_id", "left_anti"), 3, "jaccard_dedup")

@@ -206,13 +206,23 @@ def main() -> None:
 
     # Host-speed calibration, same fixed workload as bench.py/scale_stress:
     # committed probe ratios were being read across rounds as stable points
-    # while the host drifted ±3x (r12 verdict #2/#3). min-of-3.
-    cal = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy("k").count().collect()
-        cal.append(time.time() - t0)
-    calibration = round(min(cal), 3)
+    # while the host drifted ±3x (r12 verdict #2/#3). Re-measured PER CELL
+    # (r13 verdict #5/#7: the session drifts over the hours a full probe
+    # takes — raw T(0.1)/T(0.001) ratios conflate host drift with scaling;
+    # each cell now carries its own calibration and the ratio column is
+    # calibration-adjusted). min-of-3 for the session figure, min-of-2 per
+    # cell (the cell figure only normalizes its own row).
+    def _calibrate(n: int = 2) -> float:
+        c = []
+        for _ in range(n):
+            t0 = time.time()
+            spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
+                "k"
+            ).count().collect()
+            c.append(time.time() - t0)
+        return round(min(c), 3)
+
+    calibration = _calibrate(3)
     print(f"# calibration (fixed 50M-row hash-agg): {calibration}s", flush=True)
 
     sizes = {}
@@ -229,14 +239,19 @@ def main() -> None:
         # perturbs far more than batch plans: min-of-3 (bench.py's split)
         runs = 3 if name.startswith("stream_") else 2
         for sf, d in SF_DIRS:
+            cell_cal = _calibrate()
             samples = []
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
             best = min(samples)
-            results[name][sf] = (best, max(samples) / best if best else 1.0)
-            print(f"# {name} sf{sf}: {best:.2f}s /x{results[name][sf][1]:.1f}", flush=True)
+            results[name][sf] = (best, max(samples) / best if best else 1.0, cell_cal)
+            print(
+                f"# {name} sf{sf}: {best:.2f}s /x{results[name][sf][1]:.1f}"
+                f" @cal{cell_cal:.2f}",
+                flush=True,
+            )
 
     lines = [
         "# Scaling probe (local[32], min-of-2 batch / min-of-3 streaming per cell)",
@@ -248,12 +263,16 @@ def main() -> None:
         "the distributed work has headroom; ratios near or above 100 would",
         "flag a shape that scales worse than the data.",
         "",
-        f"This regeneration: calibration (fixed 50M-row hash-agg, min-of-3)"
-        f" = {calibration} s; each cell carries its own spread (worst/best",
-        "of its repeats) as `sec /xSpread`. Cells on 1-4 s queries wander",
-        "with host noise — a ratio built from cells with spread > ~x1.5 is",
-        "a band, not a point; adjudicate with tools/retime.py before",
-        "treating a round-to-round move on unchanged code as real. Partial",
+        f"This regeneration: session calibration (fixed 50M-row hash-agg,"
+        f" min-of-3) = {calibration} s; each cell carries its own spread"
+        " (worst/best of its repeats) and its own per-cell calibration as",
+        "`sec /xSpread @cal`, and the final `cal-adj` column divides each",
+        "ratio endpoint by its cell's calibration so within-session host",
+        "drift cancels (r13 verdict: raw ratios across drifting windows",
+        "read as scaling signals). Cells on 1-4 s queries wander with host",
+        "noise — a ratio built from cells with spread > ~x1.5 is a band,",
+        "not a point; adjudicate with tools/retime.py before treating a",
+        "round-to-round move on unchanged code as real. Partial",
         "(named-query) re-runs merge rows in place and print their own",
         "calibration to stdout without updating this preamble.",
         "",
@@ -276,13 +295,21 @@ def main() -> None:
         )
     lines += [
         "",
-        "| query | sf0.001 s /spread | sf0.01 s /spread | sf0.1 s /spread | T(0.1)/T(0.001) |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 s /spread @cal | sf0.01 s /spread @cal | sf0.1 s /spread @cal | T(0.1)/T(0.001) | cal-adj |",
+        "|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         ratio = r["0.1"][0] / r["0.001"][0] if r["0.001"][0] else float("nan")
-        cells = " | ".join(f"{r[sf][0]:.2f} /x{r[sf][1]:.1f}" for sf in ("0.001", "0.01", "0.1"))
-        lines.append(f"| {name} | {cells} | {ratio:.1f}x |")
+        # calibration-adjusted ratio: divide each endpoint by its own
+        # cell's host-speed figure so within-session drift cancels
+        lo_adj = r["0.001"][0] / r["0.001"][2] if r["0.001"][2] else float("nan")
+        hi_adj = r["0.1"][0] / r["0.1"][2] if r["0.1"][2] else float("nan")
+        adj = hi_adj / lo_adj if lo_adj else float("nan")
+        cells = " | ".join(
+            f"{r[sf][0]:.2f} /x{r[sf][1]:.1f} @{r[sf][2]:.2f}"
+            for sf in ("0.001", "0.01", "0.1")
+        )
+        lines.append(f"| {name} | {cells} | {ratio:.1f}x | {adj:.1f}x |")
     lines.append("")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
@@ -300,7 +327,7 @@ def main() -> None:
             ln.split("|")[1].strip(): ln
             for ln in lines
             if ln.startswith("| ")
-            and len(ln.split("|")) == 7
+            and len(ln.split("|")) == 8
             and ln.split("|")[1].strip() != "query"
         }
         n_fresh = len(fresh)
@@ -308,7 +335,9 @@ def main() -> None:
         last_row_i = -1
         for ln in prev.rstrip("\n").split("\n"):
             parts = ln.split("|")
-            if ln.startswith("| ") and len(parts) == 7:
+            # old probe tables have 7 columns (no cal-adj); accept both so
+            # partial re-runs can upgrade rows in place
+            if ln.startswith("| ") and len(parts) in (7, 8):
                 if parts[1].strip() in fresh:
                     out_lines.append(fresh.pop(parts[1].strip()))
                 else:
